@@ -1,0 +1,180 @@
+"""Conditions-as-data: the per-feed query definition table.
+
+The reference drives everything off a ``conditions`` row per feed
+(``src/db/schema.ts:22-44``); config writes go through a validation
+gauntlet (``src/databaseUtil.ts:17-75``) and an upsert
+(``src/databaseUtil.ts:77-108``). Here a condition is a dataclass that
+normalizes the reference's stringly typed storage (string booleans,
+CSV / ``::`` packed lists) into proper types, then compiles to a Spark
+``Column`` predicate (see predicate.py).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field, fields
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .regex_dialect import RegexValidationError, validate_pattern
+from .schemas import CONDITIONS_SCHEMA
+
+# Defaults mirror the reference's restore-time coalescing
+# (src/subscription.ts:73-93): '' for strings, 0/100/2000 for ints.
+_RECORD_NAME_RE = re.compile(r"^[a-z0-9-]{1,15}$")  # src/databaseUtil.ts:34-41
+
+
+class ConditionValidationError(ValueError):
+    """Raised for config rows that fail the P13 validation gauntlet."""
+
+
+@dataclass
+class FeedCondition:
+    key: str
+    recordName: str
+    query: str = ""
+    inputRegex: str = ""
+    invertRegex: str = ""
+    refresh: int = 0
+    lang: str = ""
+    labelDisable: bool = False
+    replyDisable: bool = False
+    imageOnly: str = ""  # '' | 'imageOnly' | 'textOnly'
+    includeAltText: bool = False
+    initPost: int = 100  # src/subscription.ts:84
+    pinnedPost: list[str] = field(default_factory=list)
+    lastExecTime: int = 0
+    feedName: str = ""
+    feedDescription: str = ""
+    limitCount: int = 2000  # src/subscription.ts:86
+    privateFeed: list[str] = field(default_factory=list)
+    feedAvatar: str = ""
+    profileMatch: str = ""  # 'term::profileRegex'
+    recordCount: int = 0
+
+    def validate(self) -> "FeedCondition":
+        """Fail-fast validation (P13, src/databaseUtil.ts:17-75)."""
+        if not _RECORD_NAME_RE.match(self.recordName):
+            raise ConditionValidationError(
+                f"recordName {self.recordName!r} must match ^[a-z0-9-]{{1,15}}$"
+            )
+        if self.inputRegex:
+            validate_pattern(self.inputRegex, "ig")
+        if self.invertRegex:
+            validate_pattern(self.invertRegex, "i")
+        if self.profileMatch:
+            parts = self.profileMatch.split("::")
+            if len(parts) != 2 or not all(parts):
+                raise ConditionValidationError(
+                    f"profileMatch {self.profileMatch!r} must be 'term::profileRegex'"
+                )
+            validate_pattern(parts[0], "ig")
+            validate_pattern(parts[1], "i")
+        for name in ("refresh", "initPost", "limitCount"):
+            v = getattr(self, name)
+            if not isinstance(v, int):
+                raise ConditionValidationError(f"{name} must be an integer, got {v!r}")
+        if self.imageOnly not in ("", "imageOnly", "textOnly"):
+            raise ConditionValidationError(f"bad imageOnly {self.imageOnly!r}")
+        return self
+
+    @classmethod
+    def from_raw(cls, raw: dict) -> "FeedCondition":
+        """Build from a reference-shaped stringly dict (restore path S7).
+
+        Applies the reference's defaulting (``|| ''``, ``|| 0``, ``|| 100``,
+        ``|| 2000`` — src/subscription.ts:73-93) and unpacks string
+        booleans and CSV lists.
+        """
+        def s(k, d=""):
+            return raw.get(k) or d
+
+        def i(k, d):
+            v = raw.get(k)
+            try:
+                return int(v) if v not in (None, "") else d
+            except (TypeError, ValueError):
+                return d
+
+        def csv(k):
+            v = raw.get(k) or ""
+            if isinstance(v, list):
+                return v
+            return [p for p in str(v).split(",") if p]
+
+        return cls(
+            key=s("key"),
+            recordName=s("recordName"),
+            query=s("query"),
+            inputRegex=s("inputRegex"),
+            invertRegex=s("invertRegex"),
+            refresh=i("refresh", 0),
+            lang=s("lang"),
+            labelDisable=str(raw.get("labelDisable", "")).lower() == "true",
+            replyDisable=str(raw.get("replyDisable", "")).lower() == "true",
+            imageOnly=s("imageOnly"),
+            includeAltText=str(raw.get("includeAltText", "")).lower() == "true",
+            initPost=i("initPost", 100),
+            pinnedPost=csv("pinnedPost"),
+            lastExecTime=i("lastExecTime", 0),
+            feedName=s("feedName"),
+            feedDescription=s("feedDescription"),
+            limitCount=i("limitCount", 2000),
+            privateFeed=csv("privateFeed"),
+            feedAvatar=s("feedAvatar"),
+            profileMatch=s("profileMatch"),
+            recordCount=i("recordCount", 0),
+        )
+
+    def profile_match_parts(self) -> tuple[str, str] | None:
+        if not self.profileMatch:
+            return None
+        term, prof = self.profileMatch.split("::", 1)
+        return term, prof
+
+
+def conditions_df(spark: SparkSession, conditions: list[FeedCondition]) -> DataFrame:
+    """Materialize conditions as a small dim DataFrame (broadcast side)."""
+    rows = []
+    for c in conditions:
+        rows.append(tuple(getattr(c, f.name) for f in fields(c)))
+    return spark.createDataFrame(rows, CONDITIONS_SCHEMA)
+
+
+class ConditionsRegistry:
+    """In-memory registry with the reference's CRUD semantics.
+
+    - upsert = delete-then-insert full replace (U3, src/databaseUtil.ts:77-108)
+    - delete cascades to the post store (U4, src/databaseUtil.ts:177-186)
+      — cascade handled by the caller that owns the store.
+    """
+
+    def __init__(self) -> None:
+        self._by_key: dict[str, FeedCondition] = {}
+
+    def upsert(self, cond: FeedCondition) -> None:
+        self._by_key[cond.key] = cond.validate()
+
+    def restore(self, raw_rows: list[dict]) -> None:
+        """S7 config-restore: insert-if-absent (src/subscription.ts:95-99)."""
+        for raw in raw_rows:
+            c = FeedCondition.from_raw(raw)
+            self._by_key.setdefault(c.key, c.validate())
+
+    def delete(self, key: str) -> FeedCondition | None:
+        return self._by_key.pop(key, None)
+
+    def get(self, key: str) -> FeedCondition | None:
+        return self._by_key.get(key)
+
+    def by_record_name(self, record_name: str) -> FeedCondition | None:
+        for c in self._by_key.values():
+            if c.recordName == record_name:
+                return c
+        return None
+
+    def all(self) -> list[FeedCondition]:
+        return list(self._by_key.values())
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        return conditions_df(spark, self.all())

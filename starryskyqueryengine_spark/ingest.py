@@ -1,0 +1,147 @@
+"""Batch ingest job: the reference's ``reload()`` re-expressed as ONE
+declarative Spark plan.
+
+Reference flow (``src/subscription.ts:117-407``): per condition, page
+through search results and run a row-at-a-time filter chain, then upsert /
+evict. Here the incoming batch is evaluated against ALL conditions in a
+single scan (predicate.compile_all_conditions): each row is tagged with
+the array of feed keys whose predicate accepts it, exploded to (row, key)
+pairs, PK-anti-joined against the store, appended, then retention runs per
+key. At 100 TB this is the difference between N full passes and one.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from .config import ConditionsRegistry
+from .operators.lookup import with_author_profiles
+from .predicate import compile_all_conditions
+from .store import PostStore
+
+
+class IngestJob:
+    def __init__(
+        self,
+        spark: SparkSession,
+        registry: ConditionsRegistry,
+        store: PostStore,
+        profiles: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.registry = registry
+        self.store = store
+        self.profiles = profiles
+
+    def accepted_pairs(self, incoming: DataFrame) -> DataFrame:
+        """Tag + explode: one (post, key) row per condition that accepts
+        the post. Pure built-ins — whole-stage codegen end to end."""
+        conds = self.registry.all()
+        needs_profiles = any(c.profileMatch for c in conds)
+        df = incoming
+        if needs_profiles:
+            if self.profiles is not None:
+                df = with_author_profiles(df, self.profiles)  # J1 broadcast
+            elif "author_profile_text" not in df.columns:
+                df = df.withColumn("author_profile_text", F.lit(None).cast("string"))
+        tagged = df.withColumn("matched_keys", compile_all_conditions(conds))
+        return (
+            tagged.filter(F.size("matched_keys") > 0)
+            .withColumn("key", F.explode("matched_keys"))
+            .drop("matched_keys")
+        )
+
+    def run_once(self, incoming: DataFrame) -> dict[str, int]:
+        """One micro-batch / cron tick (W1). Returns inserted-per-key."""
+        t0 = time.time()
+
+        # T4 refresh handling first (src/subscription.ts:143-169)
+        for cond in self.registry.all():
+            if cond.refresh:
+                self.store.apply_refresh(cond.key, cond.refresh)
+                cond.refresh = 0  # reset flag (src/subscription.ts:161-168)
+
+        pairs = self.accepted_pairs(incoming)
+        posts = pairs.select(
+            "uri",
+            "key",
+            "cid",
+            "replyParent",
+            "replyRoot",
+            # indexedAt <- record createdAt: event time, not arrival time
+            # (src/subscription.ts:360)
+            F.col("createdAt").alias("indexedAt"),
+        )
+
+        # W2/W8 high-watermark: the reference scans newest-first and stops
+        # at the first already-stored URI, so posts older than the
+        # retention floor never re-enter (src/subscription.ts:274-278).
+        # Spark-first improvement: accept late rows via the anti-join, but
+        # never resurrect evicted ones — for keys at their retention cap,
+        # drop incoming rows at/below the oldest retained indexedAt.
+        caps = {c.key: c.limitCount for c in self.registry.all() if c.limitCount}
+        if caps and self.store.exists():
+            caps_df = self.spark.createDataFrame(
+                list(caps.items()), "key string, _cap int"
+            )
+            floors = (
+                self.store.read()
+                .groupBy("key")
+                .agg(F.min("indexedAt").alias("_floor"), F.count("*").alias("_n"))
+                .join(F.broadcast(caps_df), "key", "inner")
+                .filter(F.col("_n") >= F.col("_cap"))
+                .select("key", "_floor")
+            )
+            posts = (
+                posts.join(F.broadcast(floors), "key", "left")
+                .filter(F.col("_floor").isNull() | (F.col("indexedAt") > F.col("_floor")))
+                .drop("_floor")
+            )
+
+        # T6 init-count: keys with no stored rows keep only the newest
+        # initPost accepted posts on their first materialization
+        # (src/subscription.ts:179-200).
+        init_caps = {
+            c.key: c.initPost
+            for c in self.registry.all()
+            if c.initPost is not None
+        }
+        stored_counts = {
+            r["key"]: r["n"] for r in self.store.count_by_key().collect()
+        }
+        fresh_keys = [k for k in init_caps if stored_counts.get(k, 0) == 0]
+        if fresh_keys:
+            caps = self.spark.createDataFrame(
+                [(k, init_caps[k]) for k in fresh_keys], "key string, _init int"
+            )
+            w = Window.partitionBy("key").orderBy(
+                F.col("indexedAt").desc(), F.col("cid").desc()
+            )
+            posts = (
+                posts.join(F.broadcast(caps), "key", "left")
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_init").isNull() | (F.col("_rn") <= F.col("_init")))
+                .drop("_init", "_rn")
+            )
+
+        # J2 + S8: PK anti-join upsert; count inserts per key for stats.
+        before = stored_counts
+        self.store.upsert(posts)
+        after = {r["key"]: r["n"] for r in self.store.count_by_key().collect()}
+        inserted = {k: after.get(k, 0) - before.get(k, 0) for k in after}
+
+        # T3/W7 retention caps per key (src/subscription.ts:379-393)
+        self.store.apply_retention(
+            {c.key: c.limitCount for c in self.registry.all() if c.limitCount}
+        )
+
+        # A5 per-key stats upsert (src/subscription.ts:370-400)
+        elapsed_ms = int((time.time() - t0) * 1000)
+        for cond in self.registry.all():
+            cond.recordCount += max(0, inserted.get(cond.key, 0))
+            cond.lastExecTime = elapsed_ms
+        return inserted

@@ -1,0 +1,81 @@
+"""Top-k serving scan, keyset (cursor) pagination, pinned prepend.
+
+Reference read path (``src/algos/starrysky.ts:50-78``): per feed key,
+``ORDER BY indexedAt DESC, cid DESC LIMIT n``, with a keyset cursor
+``"{epochMillis}::{cid}"``. Spark plans ``orderBy().limit()`` as
+TakeOrderedAndProject — a true distributed top-k (per-partition heap +
+driver merge), never a full sort. The key equality filter prunes
+partitions when the store is partitioned by ``key``.
+
+The reference has an OR-precedence bug that drops the key constraint on
+the tie branch (``src/algos/starrysky.ts:64-67``, noted in SURVEY §2.5);
+this implements the *intended* keyset semantics: key = k AND
+(indexedAt, cid) <lex (t, c).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def parse_cursor(cursor: str) -> tuple[int, str]:
+    """Parse ``"{epochMillis}::{cid}"`` (src/algos/starrysky.ts:58-63)."""
+    ms_str, _, cid = cursor.partition("::")
+    if not ms_str or not cid:
+        raise ValueError(f"malformed cursor {cursor!r}")
+    return int(ms_str), cid
+
+
+def encode_cursor(indexed_at_ms: int, cid: str) -> str:
+    """Encode the next-page cursor from the last row
+    (src/algos/starrysky.ts:75-78). Millisecond truncation is preserved
+    from the reference (``new Date(s).getTime()`` loses sub-ms)."""
+    return f"{indexed_at_ms}::{cid}"
+
+
+def keyset_predicate(cursor: str, ts_col: str = "indexedAt", cid_col: str = "cid") -> Column:
+    """(indexedAt, cid) lexicographically before the cursor row."""
+    ms, cid = parse_cursor(cursor)
+    t = F.timestamp_millis(F.lit(ms))
+    return (F.col(ts_col) < t) | ((F.col(ts_col) == t) & (F.col(cid_col) < F.lit(cid)))
+
+
+def top_k(
+    df: DataFrame,
+    key: str | None,
+    limit: int,
+    ts_col: str = "indexedAt",
+    cid_col: str = "cid",
+    key_col: str = "key",
+) -> DataFrame:
+    """T1: newest-first top-k within a key (src/algos/starrysky.ts:50-56)."""
+    if key is not None:
+        df = df.filter(F.col(key_col) == key)
+    return df.orderBy(F.col(ts_col).desc(), F.col(cid_col).desc()).limit(limit)
+
+
+def keyset_page(
+    df: DataFrame,
+    key: str | None,
+    limit: int,
+    cursor: str | None = None,
+    ts_col: str = "indexedAt",
+    cid_col: str = "cid",
+    key_col: str = "key",
+) -> DataFrame:
+    """T2: one keyset-paginated page (T1 + cursor predicate)."""
+    if cursor:
+        df = df.filter(keyset_predicate(cursor, ts_col, cid_col))
+    return top_k(df, key, limit, ts_col, cid_col, key_col)
+
+
+def prepend_pinned(spark, page: DataFrame, pinned_uris: list[str]) -> DataFrame:
+    """T5/U1: prepend pinned post URIs on the first page only
+    (src/algos/starrysky.ts:43-48). Output is the feed-skeleton
+    projection ``{post: uri}`` with an ordering column."""
+    skeleton = page.select(F.col("uri").alias("post"))
+    if not pinned_uris:
+        return skeleton
+    pinned = spark.createDataFrame([(u,) for u in pinned_uris], "post string")
+    return pinned.unionByName(skeleton)

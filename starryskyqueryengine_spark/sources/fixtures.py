@@ -1,0 +1,46 @@
+"""Readers for the driver-generated fixture tables (TESTDATA.md).
+
+All reads are plain ``spark.read.parquet`` so Catalyst keeps pushdown /
+pruning; the only normalization is the ``events.ts`` nanosecond timestamp,
+which Spark's Parquet reader cannot represent natively — it is read as raw
+nanos (LongType, via spark.sql.legacy.parquet.nanosAsLong) and exposed
+both as ``ts_us`` (bigint micros, exact, matches DuckDB ``epoch_us(ts)``)
+and ``ts`` (TimestampType, microsecond truncation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import apply_runtime_confs
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = (
+            df.withColumn("ts_us", F.expr("ts div 1000"))
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Register fixture tables as temp views for spark.sql use."""
+    for name in tables or TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,124 @@
+"""PostStore: the materialized feed-contents table (reference ``post``).
+
+The reference stores posts in SQLite with PK(uri, key) and mutates it with
+upserts/deletes (``src/db/migrations.ts:13-22``). Spark-first equivalent:
+a ``key``-partitioned Parquet table with
+
+- upsert       = within-batch PK dedup + left-anti join against stored +
+                 append (S8/J3; ``ON CONFLICT DO NOTHING`` semantics)
+- retention    = window-rank rewrite of only the affected key partitions
+                 (T3/W7), via dynamic partition overwrite
+- delete(key)  = drop the key's partition (U4 cascade)
+
+At 100 TB, partitioning by ``key`` (plus a date bucket of ``indexedAt``
+for very hot keys) keeps every one of these operations scoped to the keys
+actually touched in a micro-batch — never a full-table rewrite. On a real
+deployment this maps 1:1 onto Delta/Iceberg MERGE; the logic here uses
+only vanilla Parquet so it runs anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.dedup import dedup_within_batch, new_rows_anti_join
+from .operators.retention import refresh_delete, retain_latest
+from .schemas import POST_SCHEMA
+
+
+class PostStore:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # -- read ---------------------------------------------------------------
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            not n.startswith(("_", ".")) for n in os.listdir(self.path)
+        )
+
+    def read(self) -> DataFrame:
+        if not self.exists():
+            return self.spark.createDataFrame([], POST_SCHEMA)
+        df = self.spark.read.parquet(self.path)
+        # partition column comes back typed; keep canonical column order
+        return df.select([f.name for f in POST_SCHEMA.fields])
+
+    def read_key(self, key: str) -> DataFrame:
+        # equality filter on the partition column -> partition pruning
+        return self.read().filter(F.col("key") == key)
+
+    def stored_uris(self, key: str) -> DataFrame:
+        """J2 build side (src/subscription.ts:172-178): URI set for a key,
+        pruned to the single `uri` column at the scan."""
+        return self.read_key(key).select("uri")
+
+    def count_by_key(self) -> DataFrame:
+        """A1 (src/subscription.ts:183-189)."""
+        return self.read().groupBy("key").agg(F.count("*").alias("n"))
+
+    # -- write --------------------------------------------------------------
+
+    def _append(self, df: DataFrame) -> None:
+        df.select([f.name for f in POST_SCHEMA.fields]).write.mode("append").partitionBy(
+            "key"
+        ).parquet(self.path)
+
+    def upsert(self, incoming: DataFrame) -> None:
+        """S8: INSERT ... ON CONFLICT DO NOTHING on PK(uri, key)."""
+        batch = dedup_within_batch(incoming, ["uri", "key"])
+        if self.exists():
+            batch = new_rows_anti_join(batch, self.read(), ["uri", "key"])
+        self._append(batch)
+
+    def _overwrite_keys(self, df: DataFrame) -> None:
+        """Rewrite only the key partitions present in ``df`` (dynamic
+        partition overwrite — untouched keys keep their files)."""
+        df.select([f.name for f in POST_SCHEMA.fields]).write.mode(
+            "overwrite"
+        ).partitionBy("key").parquet(self.path)
+
+    def apply_retention(self, limit_by_key: dict[str, int]) -> None:
+        """T3/W7: evict rows beyond each key's cap, rewriting only keys
+        that are actually over their cap."""
+        if not self.exists() or not limit_by_key:
+            return
+        limits = self.spark.createDataFrame(
+            list(limit_by_key.items()), "key string, _cap int"
+        )
+        stored = self.read().join(F.broadcast(limits), "key", "inner")
+        over = (
+            stored.groupBy("key", "_cap")
+            .count()
+            .filter(F.col("count") > F.col("_cap"))
+            .select("key")
+        )
+        over_keys = [r["key"] for r in over.collect()]  # one row per feed key
+        if not over_keys:
+            return
+        affected = stored.filter(F.col("key").isin(over_keys))
+        kept = retain_latest(affected, F.col("_cap"), "key").drop("_cap")
+        self._overwrite_keys(kept)
+
+    def apply_refresh(self, key: str, refresh: int) -> None:
+        """T4: drop the N newest rows for key (or all rows for -1)."""
+        if not self.exists() or refresh == 0:
+            return
+        if refresh == -1:
+            self.delete_key(key)
+            return
+        remaining = refresh_delete(self.read_key(key), refresh, key)
+        self._overwrite_keys(remaining)
+
+    def delete_key(self, key: str) -> None:
+        """U4 cascade: remove the key's partition entirely."""
+        part_dir = os.path.join(self.path, f"key={key}")
+        if os.path.isdir(part_dir):
+            import shutil
+
+            shutil.rmtree(part_dir)

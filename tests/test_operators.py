@@ -1,0 +1,164 @@
+"""Tests for top-k, keyset pagination, retention, dedup, lookup, store
+upsert (T1-T5, J1-J3, U1, A1) against in-test post tables."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from starryskyqueryengine_spark.operators import (
+    encode_cursor,
+    keyset_page,
+    new_rows_anti_join,
+    parse_cursor,
+    prepend_pinned,
+    refresh_delete,
+    retain_latest,
+    top_k,
+    with_author_profiles,
+)
+from starryskyqueryengine_spark.schemas import POST_SCHEMA, PROFILE_SCHEMA
+from starryskyqueryengine_spark.store import PostStore
+
+
+def posts_df(spark, rows):
+    def row(uri, key, cid, iso):
+        return (uri, key, cid, None, None, dt.datetime.fromisoformat(iso))
+
+    return spark.createDataFrame([row(*r) for r in rows], POST_SCHEMA)
+
+
+BASE = [
+    ("u1", "k1", "c1", "2024-01-01T00:00:01"),
+    ("u2", "k1", "c2", "2024-01-01T00:00:02"),
+    ("u3", "k1", "c3", "2024-01-01T00:00:03"),
+    ("u4", "k1", "c4", "2024-01-01T00:00:03"),  # ts tie with u3, cid c4 > c3
+    ("u5", "k2", "c5", "2024-01-01T00:00:05"),
+]
+
+
+def test_t1_topk_order_and_key_scope(spark):
+    df = posts_df(spark, BASE)
+    got = [r["uri"] for r in top_k(df, "k1", 3).collect()]
+    # newest first; tie at :03 broken by cid desc (c4 before c3)
+    assert got == ["u4", "u3", "u2"]
+
+
+def test_t2_keyset_pagination_round_trip(spark):
+    df = posts_df(spark, BASE)
+    page1 = top_k(df, "k1", 2).collect()
+    last = page1[-1]
+    cur = encode_cursor(
+        int(last["indexedAt"].replace(tzinfo=dt.timezone.utc).timestamp() * 1000),
+        last["cid"],
+    )
+    page2 = [r["uri"] for r in keyset_page(df, "k1", 2, cur).collect()]
+    assert [r["uri"] for r in page1] == ["u4", "u3"]
+    assert page2 == ["u2", "u1"]
+
+
+def test_t2_cursor_tie_break(spark):
+    df = posts_df(spark, BASE)
+    # cursor at (:03, c4) must yield u3 (same ts, smaller cid) next
+    ms = int(dt.datetime.fromisoformat("2024-01-01T00:00:03+00:00").timestamp() * 1000)
+    got = [r["uri"] for r in keyset_page(df, "k1", 10, encode_cursor(ms, "c4")).collect()]
+    assert got == ["u3", "u2", "u1"]
+
+
+def test_cursor_parse_errors():
+    assert parse_cursor("123::abc") == (123, "abc")
+    with pytest.raises(ValueError):
+        parse_cursor("garbage")
+
+
+def test_t5_pinned_prepend(spark):
+    df = posts_df(spark, BASE)
+    out = [r["post"] for r in prepend_pinned(spark, top_k(df, "k2", 5), ["pin1"]).collect()]
+    assert out == ["pin1", "u5"]
+
+
+def test_t3_retain_latest(spark):
+    df = posts_df(spark, BASE)
+    kept = retain_latest(df, 2)
+    got = {(r["uri"], r["key"]) for r in kept.collect()}
+    assert got == {("u4", "k1"), ("u3", "k1"), ("u5", "k2")}
+
+
+def test_t4_refresh_delete(spark):
+    df = posts_df(spark, BASE)
+    remaining = {r["uri"] for r in refresh_delete(df, 2, "k1").collect()}
+    assert remaining == {"u1", "u2", "u5"}
+    wiped = {r["uri"] for r in refresh_delete(df, -1, "k1").collect()}
+    assert wiped == {"u5"}
+
+
+def test_j2_anti_join(spark):
+    stored = posts_df(spark, BASE)
+    incoming = posts_df(
+        spark,
+        [
+            ("u3", "k1", "c3", "2024-01-01T00:00:03"),  # dup
+            ("u9", "k1", "c9", "2024-01-01T00:00:09"),  # new
+            ("u3", "k2", "c3", "2024-01-01T00:00:03"),  # same uri, other key
+        ],
+    )
+    got = {(r["uri"], r["key"]) for r in new_rows_anti_join(incoming, stored).collect()}
+    assert got == {("u9", "k1"), ("u3", "k2")}
+
+
+def test_j1_broadcast_profile_join(spark):
+    posts = spark.createDataFrame([("p1", "did:a"), ("p2", "did:z")], "uri string, author_did string")
+    profiles = spark.createDataFrame(
+        [("did:a", "Alice", "vet clinic")], PROFILE_SCHEMA
+    )
+    out = with_author_profiles(posts, profiles)
+    m = {r["uri"]: r["author_profile_text"] for r in out.collect()}
+    assert m == {"p1": "Alice vet clinic", "p2": None}
+    # the join must be planned as a broadcast hash join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_store_upsert_retention_delete(spark, tmp_path):
+    store = PostStore(spark, str(tmp_path / "posts"))
+    store.upsert(posts_df(spark, BASE))
+    assert store.read().count() == 5
+    # idempotent re-upsert (ON CONFLICT DO NOTHING)
+    store.upsert(posts_df(spark, BASE))
+    assert store.read().count() == 5
+    # new + dup mix
+    store.upsert(
+        posts_df(
+            spark,
+            [
+                ("u6", "k1", "c6", "2024-01-01T00:00:06"),
+                ("u5", "k2", "c5", "2024-01-01T00:00:05"),
+            ],
+        )
+    )
+    assert store.read().count() == 6
+    counts = {r["key"]: r["n"] for r in store.count_by_key().collect()}
+    assert counts == {"k1": 5, "k2": 1}
+    # retention: cap k1 at 2 (k2 under cap stays untouched)
+    store.apply_retention({"k1": 2, "k2": 5})
+    kept = {r["uri"] for r in store.read_key("k1").collect()}
+    assert kept == {"u6", "u4"}
+    assert store.read_key("k2").count() == 1
+    # refresh: drop newest row of k1
+    store.apply_refresh("k1", 1)
+    assert {r["uri"] for r in store.read_key("k1").collect()} == {"u4"}
+    # cascade delete
+    store.delete_key("k1")
+    assert store.read_key("k1").count() == 0
+    assert store.read_key("k2").count() == 1
+
+
+def test_topk_plan_is_take_ordered(spark):
+    """T1 must plan as TakeOrderedAndProject (true top-k), not a global
+    sort — the difference between O(n log k) per partition and a full
+    shuffle sort at 100 TB."""
+    df = posts_df(spark, BASE)
+    plan = top_k(df, "k1", 3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -1,0 +1,169 @@
+"""Unit tests for the condition->Column predicate compiler (P4-P12, P6).
+
+Mirrors the reference's row-loop semantics (src/subscription.ts:280-350)
+including the quirks SURVEY §2 calls out: match-*count* semantics for P4,
+imageOnly presence-vs-nonempty asymmetry for P7, and P10's
+"matches only the profile term" arithmetic.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from starryskyqueryengine_spark.config import (
+    ConditionValidationError,
+    FeedCondition,
+)
+from starryskyqueryengine_spark.predicate import (
+    compile_all_conditions,
+    compile_condition,
+)
+from tests.conftest import make_posts
+
+
+def kept_uris(spark, rows, cond):
+    df = make_posts(spark, rows)
+    if "author_profile_text" not in df.columns:
+        df = df.withColumn("author_profile_text", F.lit(None).cast("string"))
+    # emulate the profile join for tests that pass profile text directly
+    texts = {r.get("uri"): r.get("profile_text") for r in rows if "profile_text" in r}
+    if texts:
+        m = F.create_map(*[F.lit(x) for kv in texts.items() for x in kv])
+        df = df.withColumn("author_profile_text", m[F.col("uri")])
+    return {r["uri"] for r in df.filter(compile_condition(cond)).collect()}
+
+
+def test_p4_include_regex_case_insensitive(spark):
+    cond = FeedCondition(key="k", recordName="k", inputRegex="spark")
+    rows = [
+        {"uri": "a", "text": "I love SPARK pipelines"},
+        {"uri": "b", "text": "nothing here"},
+        {"uri": "c", "text": "spark spark spark"},
+    ]
+    assert kept_uris(spark, rows, cond) == {"a", "c"}
+
+
+def test_p5_invert_regex(spark):
+    cond = FeedCondition(key="k", recordName="k", inputRegex="data", invertRegex="BAD")
+    rows = [
+        {"uri": "a", "text": "data is bad here"},  # 'bad' matches (?i)BAD
+        {"uri": "b", "text": "data is fine"},
+    ]
+    assert kept_uris(spark, rows, cond) == {"b"}
+
+
+def test_p6_alt_text_included_only_when_enabled(spark):
+    img = [{"alt": "a spark logo", "aspectRatio": None, "fullsize": None, "thumb": None}]
+    rows = [{"uri": "a", "text": "no keyword", "images": img}]
+    off = FeedCondition(key="k", recordName="k", inputRegex="spark")
+    on = FeedCondition(key="k", recordName="k", inputRegex="spark", includeAltText=True)
+    assert kept_uris(spark, rows, off) == set()
+    assert kept_uris(spark, rows, on) == {"a"}
+
+
+def test_p7_image_only_and_text_only(spark):
+    img = [{"alt": "x", "aspectRatio": None, "fullsize": None, "thumb": None}]
+    rows = [
+        {"uri": "with_img", "text": "t", "images": img},
+        {"uri": "no_img", "text": "t", "images": None},
+        {"uri": "empty_img", "text": "t", "images": []},
+    ]
+    image_only = FeedCondition(key="k", recordName="k", imageOnly="imageOnly")
+    text_only = FeedCondition(key="k", recordName="k", imageOnly="textOnly")
+    # presence (even empty array) satisfies imageOnly — reference
+    # src/subscription.ts:302 checks `=== undefined` only
+    assert kept_uris(spark, rows, image_only) == {"with_img", "empty_img"}
+    assert kept_uris(spark, rows, text_only) == {"no_img", "empty_img"}
+
+
+def test_p8_label_filter(spark):
+    rows = [
+        {"uri": "clean", "text": "t", "labels": []},
+        {"uri": "flagged", "text": "t", "labels": ["porn"]},
+    ]
+    cond = FeedCondition(key="k", recordName="k", labelDisable=True)
+    assert kept_uris(spark, rows, cond) == {"clean"}
+
+
+def test_p9_reply_filter(spark):
+    rows = [
+        {"uri": "root", "text": "t"},
+        {"uri": "reply", "text": "t", "replyParent": "at://x"},
+    ]
+    cond = FeedCondition(key="k", recordName="k", replyDisable=True)
+    assert kept_uris(spark, rows, cond) == {"root"}
+
+
+def test_p12_lang_filter(spark):
+    rows = [
+        {"uri": "ja", "text": "t", "langs": ["ja"]},
+        {"uri": "en", "text": "t", "langs": ["en", "ja"]},
+        {"uri": "none", "text": "t", "langs": None},
+    ]
+    cond = FeedCondition(key="k", recordName="k", lang="ja")
+    assert kept_uris(spark, rows, cond) == {"ja", "en"}
+
+
+def test_p10_profile_match(spark):
+    # condition: include 'cat|feline'; profileMatch 'cat::veterinar'
+    cond = FeedCondition(
+        key="k", recordName="k", inputRegex="cat|feline", profileMatch="cat::veterinar"
+    )
+    rows = [
+        # matches ONLY 'cat' -> requires vet profile: kept
+        {"uri": "vet_cat", "text": "my cat", "profile_text": "I am a Veterinarian"},
+        # matches ONLY 'cat', profile doesn't match: dropped
+        {"uri": "rando_cat", "text": "my cat", "profile_text": "I sell cars"},
+        # matches 'feline' too (matches - matchesWithProfile > 0): kept
+        {"uri": "feline_fan", "text": "cat and feline", "profile_text": "I sell cars"},
+        # no term match at all -> P4 include still applies: kept via feline
+        {"uri": "pure_feline", "text": "felines forever", "profile_text": "I sell cars"},
+    ]
+    assert kept_uris(spark, rows, cond) == {"vet_cat", "feline_fan", "pure_feline"}
+
+
+def test_match_count_semantics_global_flag(spark):
+    """P4 uses match *count* (JS 'g' flag), not boolean rlike."""
+    cond = FeedCondition(key="k", recordName="k", inputRegex="na", profileMatch="na::x")
+    # text 'banana' has 2 'na' matches; term 'na' also 2 -> needs profile
+    rows = [{"uri": "a", "text": "banana", "profile_text": "nothing"}]
+    assert kept_uris(spark, rows, cond) == set()
+    rows = [{"uri": "a", "text": "banana", "profile_text": "xylophone"}]
+    assert kept_uris(spark, rows, cond) == {"a"}
+
+
+def test_compile_all_conditions_single_pass(spark):
+    c1 = FeedCondition(key="k1", recordName="k1", inputRegex="spark")
+    c2 = FeedCondition(key="k2", recordName="k2", inputRegex="data")
+    df = make_posts(
+        spark,
+        [
+            {"uri": "a", "text": "spark and data"},
+            {"uri": "b", "text": "only data"},
+            {"uri": "c", "text": "neither"},
+        ],
+    ).withColumn("author_profile_text", F.lit(None).cast("string"))
+    out = {
+        r["uri"]: sorted(r["matched_keys"])
+        for r in df.select("uri", compile_all_conditions([c1, c2])).collect()
+    }
+    assert out == {"a": ["k1", "k2"], "b": ["k2"], "c": []}
+
+
+def test_p13_validation():
+    with pytest.raises(ConditionValidationError):
+        FeedCondition(key="k", recordName="BadName!", inputRegex="x").validate()
+    with pytest.raises(Exception):
+        FeedCondition(key="k", recordName="ok", inputRegex="(unclosed").validate()
+    with pytest.raises(ConditionValidationError):
+        FeedCondition(key="k", recordName="ok", profileMatch="no-separator").validate()
+    FeedCondition(key="k", recordName="ok", inputRegex="a+b", profileMatch="a::b").validate()
+
+
+def test_from_raw_defaults():
+    c = FeedCondition.from_raw({"key": "k", "recordName": "k", "labelDisable": "true",
+                               "privateFeed": "did:a,did:b", "limitCount": ""})
+    assert c.labelDisable is True
+    assert c.privateFeed == ["did:a", "did:b"]
+    assert c.limitCount == 2000 and c.initPost == 100 and c.refresh == 0

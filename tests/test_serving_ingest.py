@@ -1,0 +1,148 @@
+"""End-to-end: ingest materialization (reference reload()) + feed serving
+(getFeedSkeleton), including ACL, pinned posts, catalog listing, init cap,
+stats upsert and conditions CRUD cascade."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from starryskyqueryengine_spark.config import ConditionsRegistry, FeedCondition
+from starryskyqueryengine_spark.ingest import IngestJob
+from starryskyqueryengine_spark.serving import FeedServer, UnknownFeedError
+from starryskyqueryengine_spark.store import PostStore
+from tests.conftest import make_posts
+
+
+def t(i):
+    return dt.datetime(2024, 1, 1, 0, 0, i)
+
+
+@pytest.fixture()
+def world(spark, tmp_path):
+    reg = ConditionsRegistry()
+    reg.upsert(FeedCondition(key="sparkfeed", recordName="sparkfeed",
+                             inputRegex="spark", limitCount=3))
+    reg.upsert(FeedCondition(key="datafeed", recordName="datafeed",
+                             inputRegex="data", pinnedPost=["at://pin/1"],
+                             privateFeed=["did:friend"]))
+    store = PostStore(spark, str(tmp_path / "posts"))
+    job = IngestJob(spark, reg, store)
+    server = FeedServer(spark, reg, store)
+    return reg, store, job, server
+
+
+def incoming(spark, n0=0, n=6):
+    rows = []
+    for i in range(n0, n0 + n):
+        text = "spark rocks" if i % 2 == 0 else "data rocks"
+        rows.append({"uri": f"at://u/p/{i}", "cid": f"c{i:03d}",
+                     "text": text, "createdAt": t(i % 50)})
+    return make_posts(spark, rows)
+
+
+def test_ingest_materializes_both_feeds(spark, world):
+    reg, store, job, server = world
+    inserted = job.run_once(incoming(spark))
+    assert inserted == {"sparkfeed": 3, "datafeed": 3}
+    # A5 stats
+    assert reg.get("sparkfeed").recordCount == 3
+    assert reg.get("sparkfeed").lastExecTime > 0
+    # idempotent: same batch adds nothing
+    inserted2 = job.run_once(incoming(spark))
+    assert inserted2 == {"sparkfeed": 0, "datafeed": 0}
+
+
+def test_ingest_retention_cap(spark, world):
+    reg, store, job, server = world
+    job.run_once(incoming(spark, 0, 10))
+    # sparkfeed limitCount=3: only the 3 newest survive
+    assert store.read_key("sparkfeed").count() == 3
+
+
+def test_serving_page_and_cursor(spark, world):
+    reg, store, job, server = world
+    job.run_once(incoming(spark, 0, 10))
+    page1 = server.get_feed_skeleton("sparkfeed", limit=2)
+    assert len(page1.feed) == 2 and page1.cursor
+    page2 = server.get_feed_skeleton("sparkfeed", limit=2, cursor=page1.cursor)
+    uris1 = {f["post"] for f in page1.feed}
+    uris2 = {f["post"] for f in page2.feed}
+    assert not uris1 & uris2  # no overlap across pages
+    with pytest.raises(UnknownFeedError):
+        server.get_feed_skeleton("nope")
+
+
+def test_serving_acl_and_pinned(spark, world):
+    reg, store, job, server = world
+    job.run_once(incoming(spark))
+    # P11: private feed requires allowlisted DID
+    assert server.get_feed_skeleton("datafeed", requester_did="did:stranger").feed == []
+    page = server.get_feed_skeleton("datafeed", requester_did="did:friend", limit=2)
+    # T5: pinned first on first page only
+    assert page.feed[0] == {"post": "at://pin/1"}
+    page2 = server.get_feed_skeleton("datafeed", requester_did="did:friend",
+                                     limit=2, cursor=page.cursor)
+    assert {"post": "at://pin/1"} not in page2.feed
+
+
+def test_describe_feed_generator(spark, world):
+    reg, store, job, server = world
+    out = server.describe_feed_generator("did:web:me")
+    assert {"uri": "at://did:web:me/app.bsky.feed.generator/sparkfeed"} in out
+    assert len(out) == 2
+
+
+def test_init_cap_t6(spark, tmp_path):
+    reg = ConditionsRegistry()
+    reg.upsert(FeedCondition(key="k", recordName="k", inputRegex=".", initPost=2))
+    store = PostStore(spark, str(tmp_path / "p2"))
+    job = IngestJob(spark, reg, store)
+    job.run_once(incoming(spark, 0, 8))
+    # first materialization keeps only the 2 newest accepted
+    assert store.read_key("k").count() == 2
+    # subsequent (delta) runs are not init-capped
+    job.run_once(incoming(spark, 100, 4))
+    assert store.read_key("k").count() == 6
+
+
+def test_refresh_flag_consumed(spark, world):
+    reg, store, job, server = world
+    job.run_once(incoming(spark, 0, 10))
+    reg.get("sparkfeed").refresh = 1
+    n_before = store.read_key("sparkfeed").count()
+    job.run_once(make_posts(spark, []))
+    assert reg.get("sparkfeed").refresh == 0
+    assert store.read_key("sparkfeed").count() == n_before - 1
+
+
+def test_condition_delete_cascade(spark, world):
+    reg, store, job, server = world
+    job.run_once(incoming(spark))
+    cond = reg.delete("sparkfeed")  # U3/U4
+    assert cond is not None
+    store.delete_key(cond.key)
+    assert store.read_key("sparkfeed").count() == 0
+    assert store.read_key("datafeed").count() > 0
+
+
+def test_w2_no_resurrection_after_eviction(spark, tmp_path):
+    """W2/W8: rows evicted by retention must not be re-inserted when the
+    same batch arrives again (reference stops at the stored-URI watermark,
+    src/subscription.ts:274-278)."""
+    reg = ConditionsRegistry()
+    reg.upsert(FeedCondition(key="k", recordName="k", inputRegex=".",
+                             initPost=100, limitCount=3))
+    store = PostStore(spark, str(tmp_path / "p3"))
+    job = IngestJob(spark, reg, store)
+    batch = incoming(spark, 0, 8)
+    job.run_once(batch)
+    assert store.read_key("k").count() == 3
+    again = job.run_once(batch)
+    assert again == {"k": 0}
+    assert store.read_key("k").count() == 3
+    # but a genuinely newer post still lands
+    newer = make_posts(spark, [{"uri": "at://u/p/new", "cid": "zzz",
+                                "text": "x", "createdAt": t(59)}])
+    assert job.run_once(newer) == {"k": 1}

@@ -1,0 +1,508 @@
+"""Query catalog: named PySpark queries + equivalent DuckDB oracle SQL.
+
+This is the correctness surface consumed by ``__spark_entry__.py``: every
+SURVEY §2 operator that is SQL-expressible appears here as a
+``(spark, sf_dir) -> DataFrame`` callable plus an ANSI-SQL string DuckDB
+runs on the same parquet fixtures. Column names AND types are aligned on
+both sides (computed columns aliased identically; ints cast to BIGINT to
+match DuckDB's len()/count(); doubles rounded on both sides).
+
+Timestamp convention: the events fixture carries TIMESTAMP(NANOS), which
+Spark reads as raw nanos (see sources.fixtures). Queries expose event
+times as ``ts_us`` (bigint microseconds) — DuckDB's ``epoch_us(ts)``
+matches Spark's ``ts div 1000`` exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .sources.fixtures import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Projections / filters / predicates (SURVEY §2.2)
+# --------------------------------------------------------------------------
+
+@register(
+    "p4_regex_include",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '(?i)vector')) AS BIGINT) AS match_cnt
+    FROM documents
+    WHERE len(regexp_extract_all(text, '(?i)vector')) > 0
+    """,
+)
+def p4_regex_include(spark, sf_dir):
+    """P4: include-regex with JS 'ig' match-count semantics
+    (reference src/subscription.ts:291-294)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = F.regexp_count(F.col("text"), F.lit("(?i)vector")).cast("bigint")
+    return docs.select("doc_id", cnt.alias("match_cnt")).filter(F.col("match_cnt") > 0)
+
+
+@register(
+    "p5_regex_exclude",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE len(regexp_extract_all(text, '(?i)join')) > 0
+      AND NOT regexp_matches(text, '(?i)slow\\s+merge')
+    """,
+)
+def p5_regex_exclude(spark, sf_dir):
+    """P4+P5: include 'join', exclude 'slow merge'
+    (reference src/subscription.ts:297-299)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.regexp_count(F.col("text"), F.lit("(?i)join")) > 0)
+        .filter(~F.col("text").rlike("(?i)slow\\s+merge"))
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "p12_lang_filter",
+    """
+    SELECT doc_id, lang, source FROM documents WHERE lang IN ('en', 'de')
+    """,
+)
+def p12_lang_filter(spark, sf_dir):
+    """P12: language predicate, pushed down to the parquet scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("lang").isin("en", "de")).select("doc_id", "lang", "source")
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# --------------------------------------------------------------------------
+
+@register(
+    "j1_broadcast_lookup",
+    """
+    SELECT e.event_id, e.event_type, c.c_name, c.c_mktsegment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def j1_broadcast_lookup(spark, sf_dir):
+    """J1/S3: broadcast hash lookup join posts->profiles
+    (reference src/subscription.ts:241-268)."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return ev.join(
+        F.broadcast(cust), ev["user_id"] == cust["c_custkey"], "left"
+    ).select("event_id", "event_type", "c_name", "c_mktsegment")
+
+
+@register(
+    "j2_anti_join_dedup",
+    """
+    SELECT e.event_id, e.event_type
+    FROM events e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events s WHERE s.value > 100 AND s.event_id = e.event_id
+    )
+    """,
+)
+def j2_anti_join_dedup(spark, sf_dir):
+    """J2/S8: left-anti 'insert if absent' against a stored set
+    (reference src/subscription.ts:274-278,362-366)."""
+    ev = load_table(spark, sf_dir, "events")
+    stored = ev.filter(F.col("value") > 100).select("event_id")
+    return ev.join(stored, "event_id", "left_anti").select("event_id", "event_type")
+
+
+@register(
+    "j4_arrays_overlap",
+    """
+    SELECT doc_id,
+           len(list_intersect(regexp_split_to_array(trim(text), '\\s+'),
+                              ['vector', 'matrix', 'tensor'])) > 0 AS has_overlap
+    FROM documents
+    """,
+)
+def j4_arrays_overlap(spark, sf_dir):
+    """J4/U2: array-intersection-nonempty helper
+    (reference src/subscription.ts:414-416)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.arrays_overlap(words, F.array(F.lit("vector"), F.lit("matrix"), F.lit("tensor"))).alias(
+            "has_overlap"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4)
+# --------------------------------------------------------------------------
+
+@register(
+    "a1_count_per_key",
+    """
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def a1_count_per_key(spark, sf_dir):
+    """A1/A2: per-key row counting (reference src/subscription.ts:183-189).
+    Spark plans a partial (map-side) + final hash aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / top-k / pagination / retention (SURVEY §2.5)
+# --------------------------------------------------------------------------
+
+@register(
+    "t1_topk",
+    """
+    SELECT event_id, epoch_us(ts) AS ts_us
+    FROM events WHERE event_type = 'click'
+    ORDER BY epoch_us(ts) DESC, event_id DESC LIMIT 50
+    """,
+)
+def t1_topk(spark, sf_dir):
+    """T1: newest-first top-k within a key — plans as
+    TakeOrderedAndProject, a true distributed top-k
+    (reference src/algos/starrysky.ts:50-56)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .orderBy(F.col("ts_us").desc(), F.col("event_id").desc())
+        .limit(50)
+        .select("event_id", "ts_us")
+    )
+
+
+_T2_CURSOR_US = 1705276800000000  # 2024-01-15T00:00:00Z
+_T2_CURSOR_ID = 5000
+
+@register(
+    "t2_keyset_page",
+    f"""
+    SELECT event_id, epoch_us(ts) AS ts_us
+    FROM events
+    WHERE event_type = 'click'
+      AND (epoch_us(ts) < {_T2_CURSOR_US}
+           OR (epoch_us(ts) = {_T2_CURSOR_US} AND event_id < {_T2_CURSOR_ID}))
+    ORDER BY epoch_us(ts) DESC, event_id DESC LIMIT 20
+    """,
+)
+def t2_keyset_page(spark, sf_dir):
+    """T2: keyset (cursor) pagination — intended semantics with the key
+    constraint on both branches (reference quirk fixed, SURVEY §2.5;
+    src/algos/starrysky.ts:58-68)."""
+    ev = load_table(spark, sf_dir, "events")
+    pred = (F.col("ts_us") < _T2_CURSOR_US) | (
+        (F.col("ts_us") == _T2_CURSOR_US) & (F.col("event_id") < _T2_CURSOR_ID)
+    )
+    return (
+        ev.filter((F.col("event_type") == "click") & pred)
+        .orderBy(F.col("ts_us").desc(), F.col("event_id").desc())
+        .limit(20)
+        .select("event_id", "ts_us")
+    )
+
+
+@register(
+    "t3_retention_window",
+    """
+    SELECT event_id, event_type FROM (
+      SELECT event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn <= 100
+    """,
+)
+def t3_retention_window(spark, sf_dir):
+    """T3/W7: retention cap — keep the newest N per key via window rank
+    (reference src/subscription.ts:379-393)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .select("event_id", "event_type")
+    )
+
+
+@register(
+    "t4_refresh_delete",
+    """
+    SELECT event_id FROM (
+      SELECT event_id,
+             ROW_NUMBER() OVER (ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events WHERE event_type = 'click'
+    ) WHERE rn > 10
+    """,
+)
+def t4_refresh_delete(spark, sf_dir):
+    """T4: refresh — drop the N newest rows of a key, keep the rest
+    (reference src/subscription.ts:146-158)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    w = Window.orderBy(F.col("ts_us").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 10)
+        .select("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations / projections (SURVEY §2.6, S11)
+# --------------------------------------------------------------------------
+
+@register(
+    "u1_union_pinned",
+    """
+    SELECT 'pin:intro' AS post
+    UNION ALL
+    SELECT 'ev:' || CAST(event_id AS VARCHAR) AS post FROM (
+      SELECT event_id FROM events WHERE event_type = 'click'
+      ORDER BY epoch_us(ts) DESC, event_id DESC LIMIT 5
+    )
+    """,
+)
+def u1_union_pinned(spark, sf_dir):
+    """U1/T5: pinned-posts union serving page
+    (reference src/algos/starrysky.ts:43-48)."""
+    ev = load_table(spark, sf_dir, "events")
+    page = (
+        ev.filter(F.col("event_type") == "click")
+        .orderBy(F.col("ts_us").desc(), F.col("event_id").desc())
+        .limit(5)
+        .select(F.concat(F.lit("ev:"), F.col("event_id").cast("string")).alias("post"))
+    )
+    pinned = spark.createDataFrame([("pin:intro",)], "post string")
+    return pinned.unionByName(page)
+
+
+@register(
+    "s11_feed_catalog",
+    """
+    SELECT 'at://did:ex/app.bsky.feed.generator/' || lower(r_name) AS uri
+    FROM region
+    """,
+)
+def s11_feed_catalog(spark, sf_dir):
+    """S11: describeFeedGenerator catalog projection
+    (reference src/methods/describe-generator.ts:12-18)."""
+    region = load_table(spark, sf_dir, "region")
+    return region.select(
+        F.concat(
+            F.lit("at://did:ex/app.bsky.feed.generator/"), F.lower(F.col("r_name"))
+        ).alias("uri")
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar functions (SURVEY §2.7)
+# --------------------------------------------------------------------------
+
+@register(
+    "f5_time_roundtrip",
+    """
+    SELECT event_id, epoch_ms(ts) AS ts_ms, strftime(ts, '%Y-%m-%d') AS day
+    FROM events WHERE event_type = 'signup'
+    """,
+)
+def f5_time_roundtrip(spark, sf_dir):
+    """F5: ISO/epoch conversions (reference src/algos/starrysky.ts:63,77)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "signup").select(
+        "event_id",
+        F.expr("ts_us div 1000").alias("ts_ms"),
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+    )
+
+
+@register(
+    "f9_json_extract",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    """,
+)
+def f9_json_extract(spark, sf_dir):
+    """F9: JSON access on the open-tail props column
+    (reference src/subscription.ts:65-69)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.select("event_id", k.alias("k")).filter(F.col("k") >= 50)
+
+
+@register(
+    "f7_coalesce_defaults",
+    """
+    SELECT doc_id,
+           COALESCE(NULLIF(lang, ''), 'und') AS lang_or_default,
+           CAST(COALESCE(NULLIF(source, ''), 'unknown') AS VARCHAR) AS source_or_default
+    FROM documents
+    """,
+)
+def f7_coalesce_defaults(spark, sf_dir):
+    """F7: null-coalescing config defaults
+    (reference src/subscription.ts:73-93)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.coalesce(F.nullif(F.col("lang"), F.lit("")), F.lit("und")).alias("lang_or_default"),
+        F.coalesce(F.nullif(F.col("source"), F.lit("")), F.lit("unknown")).alias(
+            "source_or_default"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Relational sanity: joins/aggregates the rebuild gets from Spark
+# (FIXTURES.md "relational sanity"; workload for bench.py)
+# --------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)      AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4)      AS avg_qty,
+           ROUND(AVG(l_discount), 4)      AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary over lineitem (hash aggregate with
+    map-side partials; scan prunes to 7 of 11 columns)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT o.o_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_day
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1996-01-01'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-style: selective dim filter -> fact join -> top-k by
+    aggregate. customer is broadcast; lineitem<->orders shuffle on the
+    join key with AQE sizing."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1996-01-01"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-style multi-way star join; all dims broadcast, single
+    shuffle between the two fact tables."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(
+            F.broadcast(c),
+            (o["o_custkey"] == c["c_custkey"]) & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def get_oracle_sql() -> dict[str, str]:
+    return dict(ORACLE)

@@ -500,9 +500,29 @@ def q5_local_supplier_volume(spark, sf_dir):
     )
 
 
+def _load_extensions() -> None:
+    """Import extension catalogs (registration side effects)."""
+    from . import catalog_text  # noqa: F401
+
+    try:
+        from . import catalog_dedup  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from . import catalog_similarity  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from . import catalog_stream  # noqa: F401
+    except ImportError:
+        pass
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_extensions()
     return dict(QUERIES)
 
 
 def get_oracle_sql() -> dict[str, str]:
+    _load_extensions()
     return dict(ORACLE)

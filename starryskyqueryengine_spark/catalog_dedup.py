@@ -1,0 +1,210 @@
+"""Dedup catalog queries + generated DuckDB oracles.
+
+The oracle SQL is *generated* from the same constants the Spark plans use
+(functions/dedup.py: md5-prefix base hash, MinHash coefficients, band
+layout), so both engines compute identical signatures and identical
+candidate sets — the whole MinHash/LSH pipeline is exactly checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .catalog import register
+from .functions import dedup as dd
+from .sources.fixtures import load_table
+
+JACCARD_THRESHOLD = 0.2     # exact n-gram near-dup cut (planted pairs ~0.9)
+MINHASH_VERIFY_THRESHOLD = 0.5
+SIMHASH_MAX_HAMMING = 4
+
+
+# --- SQL fragment generators (mirror functions/dedup.py exactly) ----------
+
+def _sql_md5int(x: str) -> str:
+    return (
+        "CAST(list_sum(list_transform(range(8), i -> "
+        f"(strpos('0123456789abcdef', substr(md5({x}), i+1, 1)) - 1) "
+        "* power(16, 7-i))) AS BIGINT)"
+    )
+
+
+_SQL_WORDS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+def _sql_shingles(w: str = "w", n: int = dd.SHINGLE_N) -> str:
+    gram = " || ' ' || ".join(f"{w}[i+{k+1}]" for k in range(n))
+    return (
+        f"CASE WHEN len({w}) >= {n} THEN "
+        f"list_distinct(list_transform(range(len({w}) - {n - 1}), i -> {gram})) "
+        "ELSE [] END"
+    )
+
+
+def _sql_minhash_sig(hashes: str = "hs") -> str:
+    parts = [
+        f"list_min(list_transform({hashes}, h -> ({a} * h + {b}) % {dd.MERSENNE_P}))"
+        for a, b in zip(dd.MINHASH_A, dd.MINHASH_B)
+    ]
+    return "[" + ", ".join(parts) + "]"
+
+
+def _sql_band_rows(sig: str = "sig") -> str:
+    """UNION ALL block exploding the signature into (band, band_sig)."""
+    selects = []
+    for b in range(dd.LSH_BANDS):
+        cols = " || '-' || ".join(
+            f"CAST({sig}[{b * dd.LSH_ROWS + r + 1}] AS VARCHAR)"
+            for r in range(dd.LSH_ROWS)
+        )
+        selects.append(f"SELECT doc_id, {b} AS band, {cols} AS band_sig FROM sigs")
+    return " UNION ALL ".join(selects)
+
+
+# --- queries --------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content, keep the lowest id. At scale
+    this is one shuffle on the (high-cardinality, well-distributed) text
+    hash — the canonical exact-dedup plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    rf"""
+    WITH sh AS (
+      SELECT doc_id, {_sql_shingles('w')} AS shingles
+      FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.shingles, b.shingles)) AS c,
+             len(a.shingles) AS na, len(b.shingles) AS nb
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id AND len(a.shingles) > 0 AND len(b.shingles) > 0
+    )
+    SELECT id_a, id_b, ROUND(c * 1.0 / GREATEST(na + nb - c, 1), 6) AS jaccard
+    FROM pairs
+    WHERE c * 1.0 / GREATEST(na + nb - c, 1) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact pairwise n-gram Jaccard (baseline/oracle path; quadratic —
+    the LSH query below is the scale path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dd.with_shingles(docs.select("doc_id", "text")).filter(F.size("shingles") > 0)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("bigint") - inter
+    jac = inter / F.greatest(union, F.lit(1))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    rf"""
+    WITH sh AS (
+      SELECT doc_id, {_sql_shingles('w')} AS shingles
+      FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
+    ),
+    hashed AS (
+      SELECT doc_id, shingles,
+             list_transform(shingles, s -> {_sql_md5int('s')}) AS hs
+      FROM sh WHERE len(shingles) > 0
+    ),
+    sigs AS (SELECT doc_id, shingles, {_sql_minhash_sig('hs')} AS sig FROM hashed),
+    bands AS ({_sql_band_rows()}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(sa.shingles, sb.shingles)) AS i,
+             len(sa.shingles) AS na, len(sb.shingles) AS nb
+      FROM cands c
+      JOIN sigs sa ON sa.doc_id = c.id_a
+      JOIN sigs sb ON sb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, ROUND(i * 1.0 / GREATEST(na + nb - i, 1), 6) AS jaccard
+    FROM verified
+    WHERE i * 1.0 / GREATEST(na + nb - i, 1) >= {MINHASH_VERIFY_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup: shingle -> 16 minhashes -> 4 bands -> bucket
+    equi-join -> exact-Jaccard verify on candidates only. The scale path:
+    no quadratic pair space, one shuffle on the band bucket key."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs)
+    cands = dd.lsh_candidate_pairs(sigs)
+    verified = dd.jaccard_verify(cands, sigs)
+    return verified.filter(F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def _sql_simhash() -> str:
+    terms = []
+    for j in range(32):
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(hs, h -> "
+            f"CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+            f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "dedup_simhash",
+    rf"""
+    WITH sh AS (
+      SELECT doc_id, {_sql_shingles('w')} AS shingles
+      FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
+    ),
+    hashed AS (
+      SELECT doc_id, list_transform(shingles, s -> {_sql_md5int('s')}) AS hs
+      FROM sh WHERE len(shingles) > 0
+    ),
+    sigs AS (SELECT doc_id, {_sql_simhash()} AS simhash FROM hashed)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sigs a, sigs b
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: 32-bit majority-vote signature over shingle
+    hashes; pairs within Hamming distance. Scale path buckets signature
+    bytes (same LSH join shape) instead of the pairwise filter used at
+    fixture size."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = dd.with_shingles(docs.select("doc_id", "text")).filter(
+        F.size("shingles") > 0
+    )
+    hashed = shingled.withColumn("_feat", dd.shingle_hashes())
+    sigs = hashed.select(
+        "doc_id", dd.simhash_from_hashes(F.col("_feat")).alias("simhash")
+    )
+    return dd.simhash_pairs(sigs, SIMHASH_MAX_HAMMING)

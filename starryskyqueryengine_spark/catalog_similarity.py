@@ -1,0 +1,81 @@
+"""Similarity-search catalog queries + DuckDB oracles over the embeddings
+fixture. The LSH approximate path is rows-only checked (its recall is
+measured against the exact path in tests/test_similarity.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .catalog import register
+from .functions import similarity as sim
+from .sources.fixtures import load_table
+
+ANN_K = 10
+ANN_NUM_QUERIES = 5  # vec_id < 5 are the query vectors
+NEAR_DUP_COSINE = 0.45
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    SELECT q_id, nn_id, sim FROM (
+      SELECT q.vec_id AS q_id, b.vec_id AS nn_id,
+             ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 6) AS sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                     b.embedding::DOUBLE[]), 6) DESC,
+                        b.vec_id) AS rn
+      FROM embeddings q, embeddings b
+      WHERE q.vec_id < {ANN_NUM_QUERIES} AND b.vec_id >= {ANN_NUM_QUERIES}
+    ) WHERE rn <= {ANN_K}
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Exact ANN baseline: brute-force cosine top-k, query set broadcast
+    against the base — linear scan, no shuffle of the base table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_NUM_QUERIES)
+    base = emb.filter(F.col("vec_id") >= ANN_NUM_QUERIES)
+    return sim.brute_force_topk(queries, base, ANN_K)
+
+
+@register(
+    "embedding_near_dup",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          >= {NEAR_DUP_COSINE}
+    """,
+)
+def embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (the embedding leg of the
+    dedup family). Pairwise at fixture size; the scale path reuses the
+    LSH sign-bucket join from functions/similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), sim.as_double(F.col("embedding")).alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), sim.as_double(F.col("embedding")).alias("vb"))
+    cos = sim.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cos, 6))
+        .filter(cos >= NEAR_DUP_COSINE)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+@register("ann_lsh_topk")  # approximate: rows-only check (recall in tests)
+def ann_lsh_topk(spark, sf_dir):
+    """Approximate ANN: random-hyperplane LSH bucket probe, ~2^bits
+    candidate reduction. Recall vs the exact path is asserted in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_NUM_QUERIES)
+    base = emb.filter(F.col("vec_id") >= ANN_NUM_QUERIES)
+    return sim.lsh_topk(queries, base, ANN_K, n_bits=4, n_tables=8, dim=64)

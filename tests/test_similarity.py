@@ -1,0 +1,56 @@
+"""Similarity + dedup behavioral tests: LSH ANN recall vs exact top-k,
+planted near-dup recovery, signature determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from starryskyqueryengine_spark.catalog_dedup import (
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+)
+from starryskyqueryengine_spark.functions import similarity as sim
+from starryskyqueryengine_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    base = emb.filter(F.col("vec_id") >= 5)
+    exact = sim.brute_force_topk(queries, base, 10)
+    approx = sim.lsh_topk(queries, base, 10, n_bits=4, n_tables=8, dim=64)
+    e = {(r["q_id"], r["nn_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["nn_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 4-bit hyperplane LSH on random 64-dim data: modest recall is
+    # expected; the point is plumbing + determinism, floor it loosely.
+    assert recall >= 0.5, f"LSH recall collapsed: {recall}"
+    # approx results must be a subset of valid base ids
+    assert all(q < 5 and n >= 5 for q, n in a)
+
+
+def test_lsh_deterministic(spark):
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    b = emb.filter(F.col("vec_id") >= 3)
+    r1 = sorted(map(tuple, sim.lsh_topk(q, b, 5).collect()))
+    r2 = sorted(map(tuple, sim.lsh_topk(q, b, 5).collect()))
+    assert r1 == r2
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    """The documents fixture plants near-dup pairs (jaccard ~0.9); the
+    LSH path must recover what exact pairwise finds at that level."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_ngram_jaccard(spark, SF).filter(F.col("jaccard") >= 0.8).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_minhash_lsh(spark, SF).filter(F.col("jaccard") >= 0.8).collect()
+    }
+    assert exact, "fixture should contain planted near-dups"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, f"minhash LSH missed planted dups: {recall}"

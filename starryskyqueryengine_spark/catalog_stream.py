@@ -1,0 +1,95 @@
+"""Streaming catalog queries: real Structured Streaming runs (availableNow
+drain) whose final state is compared against batch SQL oracles — the
+strongest form of streaming correctness check available to the driver.
+Temp checkpoint/store dirs are fresh per call so repeated driver runs are
+isolated."""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from .catalog import register
+from .sources.fixtures import load_table
+from .store import PostStore
+from .streaming import foreach_batch_upsert, parquet_stream, run_available_now, windowed_counts
+
+
+def _events_stream(spark, sf_dir):
+    # the file stream source requires a *directory*; stage the fixture
+    # file into a fresh temp dir (symlink: no data copy)
+    import os
+
+    batch = load_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix=f"evstream_{uuid.uuid4().hex[:8]}_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = parquet_stream(spark, stage, schema=raw_schema)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+            "ts", F.timestamp_micros(F.col("ts_us"))
+        )
+    return batch, stream
+
+
+@register(
+    "w1_stream_upsert",
+    """
+    SELECT 'ev:' || CAST(event_id AS VARCHAR) AS uri,
+           event_type AS key,
+           epoch_us(ts) AS ts_us
+    FROM events
+    """,
+)
+def w1_stream_upsert(spark, sf_dir):
+    """W1/W2/W3/J3 end-to-end: the events fixture replayed as a stream,
+    micro-batch upserted into a key-partitioned store via the PK
+    anti-join sink, then the final store contents returned. Matching the
+    batch oracle proves exactly-once upsert semantics across the
+    stream/batch boundary."""
+    _, stream = _events_stream(spark, sf_dir)
+    posts = stream.select(
+        F.concat(F.lit("ev:"), F.col("event_id").cast("string")).alias("uri"),
+        F.col("event_type").alias("key"),
+        F.format_string("c%09d", F.col("event_id")).alias("cid"),
+        F.lit(None).cast("string").alias("replyParent"),
+        F.lit(None).cast("string").alias("replyRoot"),
+        F.col("ts").alias("indexedAt"),
+    )
+    tmp = tempfile.mkdtemp(prefix=f"w1_{uuid.uuid4().hex[:8]}_")
+    store = PostStore(spark, f"{tmp}/store")
+    run_available_now(posts, foreach_batch_upsert(store), f"{tmp}/ckpt")
+    return store.read().select(
+        "uri", "key", F.unix_micros("indexedAt").alias("ts_us")
+    )
+
+
+@register(
+    "w8_stream_tumbling_counts",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def w8_stream_tumbling_counts(spark, sf_dir):
+    """W8: event-time tumbling-window aggregation with watermark, drained
+    with availableNow in complete mode; the final window set must equal
+    the batch group-by."""
+    _, stream = _events_stream(spark, sf_dir)
+    agg = windowed_counts(stream, ts_col="ts", key_col="event_type",
+                          window="1 day", watermark="1 hour")
+    table = f"wincounts_{uuid.uuid4().hex[:8]}"
+    tmp = tempfile.mkdtemp(prefix="w8_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(table)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(table)

@@ -52,6 +52,15 @@ class FeedCondition:
     profileMatch: str = ""  # 'term::profileRegex'
     recordCount: int = 0
 
+    def __post_init__(self) -> None:
+        # The reference stores these as comma-separated strings
+        # (src/algos/starrysky.ts:34,44); accept either form so a
+        # stringly-constructed condition doesn't iterate characters.
+        for name in ("pinnedPost", "privateFeed"):
+            v = getattr(self, name)
+            if isinstance(v, str):
+                setattr(self, name, [p for p in v.split(",") if p])
+
     def validate(self) -> "FeedCondition":
         """Fail-fast validation (P13, src/databaseUtil.ts:17-75)."""
         if not _RECORD_NAME_RE.match(self.recordName):

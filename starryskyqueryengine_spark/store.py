@@ -115,6 +115,19 @@ class PostStore:
         remaining = refresh_delete(self.read_key(key), refresh, key)
         self._overwrite_keys(remaining)
 
+    def delete_rows(self, doomed: DataFrame) -> None:
+        """W6 CDC delete-apply: remove specific (uri, key) rows by
+        rewriting only the key partitions that actually contain them."""
+        if not self.exists():
+            return
+        doomed = doomed.select("uri", "key").distinct()
+        keys = [r["key"] for r in doomed.select("key").distinct().collect()]
+        if not keys:
+            return
+        affected = self.read().filter(F.col("key").isin(keys))
+        remaining = affected.join(doomed, ["uri", "key"], "left_anti")
+        self._overwrite_keys(remaining)
+
     def delete_key(self, key: str) -> None:
         """U4 cascade: remove the key's partition entirely."""
         part_dir = os.path.join(self.path, f"key={key}")

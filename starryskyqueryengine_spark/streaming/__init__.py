@@ -1,0 +1,8 @@
+from .pipeline import (  # noqa: F401
+    cdc_apply_batch,
+    foreach_batch_upsert,
+    parquet_stream,
+    run_available_now,
+    validated_json,
+    windowed_counts,
+)

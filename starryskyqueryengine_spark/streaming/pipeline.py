@@ -1,0 +1,138 @@
+"""Structured Streaming building blocks (SURVEY §2.8, W1-W8).
+
+The reference's firehose machinery maps 1:1 onto Spark primitives:
+
+- W1 micro-batch trigger (setInterval reload)    -> trigger(processingTime/availableNow)
+- W2 incremental catch-up (stored-URI watermark) -> source offsets + checkpoint;
+  late-row handling improved via the PK anti-join (see ingest.py)
+- W3 cursor checkpoint every 20 events           -> checkpointLocation (per micro-batch)
+- W4 reconnect with delay                        -> built into Spark sources
+- W5 per-event error isolation (try/catch-continue) -> PERMISSIVE parse +
+  corrupt-record filter
+- W6 CDC creates/deletes routing                 -> foreachBatch merge
+- W7 retention cap per key                       -> window-rank eviction inside
+  the batch hook
+- W8 event-time + late data                      -> withWatermark + windowed aggs
+
+Reference cites: ``src/util/subscription.ts:16-122``,
+``src/subscription.ts:274-412``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..store import PostStore
+
+
+def parquet_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based streaming source standing in for the firehose websocket
+    (S4). New files appearing under ``path`` are new micro-batches; rate
+    is capped with maxFilesPerTrigger (the reference's 100-page cap, T7).
+    """
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def validated_json(df: DataFrame, json_col: str, schema: StructType) -> DataFrame:
+    """S6/W5: lexicon-style record validation. PERMISSIVE parse + null
+    filter = per-event try/catch-continue (poison pills dropped, stream
+    survives), reference ``src/util/subscription.ts:42-46,147-170``."""
+    from pyspark.sql.types import StringType, StructField
+
+    with_corrupt = StructType(
+        list(schema.fields) + [StructField("_corrupt_record", StringType())]
+    )
+    parsed = df.withColumn(
+        "_rec",
+        F.from_json(
+            F.col(json_col),
+            with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ),
+    )
+    return parsed.filter(
+        F.col("_rec").isNotNull() & F.col("_rec._corrupt_record").isNull()
+    ).withColumn("_rec", F.col("_rec").dropFields("_corrupt_record"))
+
+
+def windowed_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """W8: event-time tumbling-window aggregation with a watermark; rows
+    later than the watermark are dropped (the reference silently skips
+    late rows at the catch-up point — same semantics, principled)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
+            key_col,
+            "n",
+        )
+    )
+
+
+def foreach_batch_upsert(store: PostStore, limit_by_key: dict[str, int] | None = None):
+    """W6/W7/J3: the micro-batch sink hook. PK anti-join append (ON
+    CONFLICT DO NOTHING) makes replayed batches idempotent across
+    restarts; retention caps run inside the same hook so state never
+    exceeds the window between checkpoints."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        store.upsert(batch_df)
+        if limit_by_key:
+            store.apply_retention(limit_by_key)
+
+    return apply
+
+
+def cdc_apply_batch(store: PostStore):
+    """W6: CDC routing — batch rows carry an ``_op`` column
+    ('create'|'delete'); creates upsert, deletes remove their PK rows
+    (reference routes ops by action in ``getOpsByType``,
+    ``src/util/subscription.ts:91-118``)."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.cache()
+        try:
+            creates = batch_df.filter(F.col("_op") == "create").drop("_op")
+            deletes = batch_df.filter(F.col("_op") == "delete").select("uri", "key")
+            if not creates.isEmpty():
+                store.upsert(creates)
+            if not deletes.isEmpty():
+                store.delete_rows(deletes)
+        finally:
+            batch_df.unpersist()
+
+    return apply
+
+
+def run_available_now(stream_df: DataFrame, sink_fn, checkpoint_dir: str, timeout: int = 300) -> None:
+    """W1: drain everything currently available as micro-batches, then
+    stop (the batch-catch-up analog of the reference's cron reload)."""
+    q = (
+        stream_df.writeStream.foreachBatch(sink_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    if q.isActive:
+        q.stop()

@@ -1,0 +1,158 @@
+"""Streaming tests (W1-W8): micro-batch upsert with checkpoint resume,
+retention inside foreachBatch, watermark late-data behavior, CDC
+creates/deletes, corrupt-record isolation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from starryskyqueryengine_spark.schemas import POST_SCHEMA
+from starryskyqueryengine_spark.store import PostStore
+from starryskyqueryengine_spark.streaming import (
+    cdc_apply_batch,
+    foreach_batch_upsert,
+    parquet_stream,
+    run_available_now,
+    validated_json,
+    windowed_counts,
+)
+
+
+def posts_rows(spark, ids, key="k1", day=1):
+    rows = [
+        (f"p{i}", key, f"c{i:03d}", None, None, dt.datetime(2024, 1, day, 0, 0, i % 60))
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, POST_SCHEMA)
+
+
+def test_w1_w3_upsert_with_checkpoint_resume(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = PostStore(spark, str(tmp_path / "store"))
+
+    posts_rows(spark, range(10)).write.mode("append").parquet(src)
+    stream = parquet_stream(spark, src, schema=POST_SCHEMA)
+    run_available_now(stream, foreach_batch_upsert(store), ckpt)
+    assert store.read().count() == 10
+
+    # second file overlaps 5 ids: checkpoint resumes past file 1, the PK
+    # anti-join absorbs the overlap (W2/W3 + J3)
+    posts_rows(spark, range(5, 15)).write.mode("append").parquet(src)
+    stream = parquet_stream(spark, src, schema=POST_SCHEMA)
+    run_available_now(stream, foreach_batch_upsert(store), ckpt)
+    assert store.read().count() == 15
+
+    # re-run with nothing new: no-op
+    stream = parquet_stream(spark, src, schema=POST_SCHEMA)
+    run_available_now(stream, foreach_batch_upsert(store), ckpt)
+    assert store.read().count() == 15
+
+
+def test_w7_retention_inside_foreachbatch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    store = PostStore(spark, str(tmp_path / "store"))
+    posts_rows(spark, range(20)).write.mode("append").parquet(src)
+    stream = parquet_stream(spark, src, schema=POST_SCHEMA)
+    run_available_now(stream, foreach_batch_upsert(store, {"k1": 5}), str(tmp_path / "c"))
+    assert store.read_key("k1").count() == 5
+
+
+def test_w6_cdc_creates_and_deletes(spark, tmp_path):
+    src = str(tmp_path / "src")
+    store = PostStore(spark, str(tmp_path / "store"))
+    # note: StructType.add mutates in place — build a fresh schema
+    cdc_schema = StructType(list(POST_SCHEMA.fields) + [StructField("_op", StringType())])
+
+    batch1 = posts_rows(spark, range(5)).withColumn("_op", F.lit("create"))
+    batch1.write.mode("append").parquet(src)
+    stream = parquet_stream(spark, src, schema=cdc_schema)
+    run_available_now(stream, cdc_apply_batch(store), str(tmp_path / "c1"))
+    assert store.read().count() == 5
+
+    b2_create = posts_rows(spark, [5]).withColumn("_op", F.lit("create"))
+    b2_delete = posts_rows(spark, [1, 3]).withColumn("_op", F.lit("delete"))
+    b2_create.unionByName(b2_delete).write.mode("append").parquet(src)
+    stream = parquet_stream(spark, src, schema=cdc_schema)
+    run_available_now(stream, cdc_apply_batch(store), str(tmp_path / "c1"))
+    got = sorted(r["uri"] for r in store.read().collect())
+    assert got == ["p0", "p2", "p4", "p5"]
+
+
+def test_w5_corrupt_record_isolation(spark):
+    schema = StructType(
+        [StructField("a", IntegerType()), StructField("b", StringType())]
+    )
+    df = spark.createDataFrame(
+        [('{"a": 1, "b": "x"}',), ("NOT JSON {{{",), ('{"a": 2, "b": "y"}',)],
+        "payload string",
+    )
+    ok = validated_json(df, "payload", schema)
+    assert [r["_rec"]["a"] for r in ok.collect()] == [1, 2]
+
+
+def test_w8_watermark_finalizes_windows(spark, tmp_path):
+    """W8 event-time semantics, as Spark actually guarantees them: a
+    window is emitted (append mode) only after the watermark passes its
+    end, and once finalized it is never re-emitted — a row arriving after
+    finalization is silently dropped (the reference likewise skips rows
+    older than its catch-up point, src/subscription.ts:274-278).
+
+    Note Spark's watermark is a *finalization* bound, not a hard filter:
+    a late row that arrives while its window is still in state DOES
+    count. The sequence below places the late row after finalization.
+    """
+    import glob as globmod
+    import shutil
+    import tempfile
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_flat(df, name):
+        # the file stream does not descend into *.parquet subdirectories
+        # a spark write would create — move the part file in flat
+        d = tempfile.mkdtemp()
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        shutil.move(globmod.glob(d + "/part-*.parquet")[0], str(src / name))
+        time.sleep(1.05)  # distinct modification times => batch order
+
+    # batch 0: 3 rows on Jan 1, plus a Jan 3 row that advances the watermark
+    write_flat(
+        posts_rows(spark, [0, 1, 2], day=1).unionByName(posts_rows(spark, [9], day=3)),
+        "f1.parquet",
+    )
+    # batch 1: dummy Jan 3 row -> Jan 1 window finalized + emitted (n=3)
+    write_flat(posts_rows(spark, [8], day=3), "f2.parquet")
+    # batch 2: LATE Jan 1 row, after finalization -> dropped forever
+    write_flat(posts_rows(spark, [5], day=1), "f3.parquet")
+
+    stream = parquet_stream(spark, str(src), schema=POST_SCHEMA, max_files_per_trigger=1)
+    agg = windowed_counts(stream, ts_col="indexedAt", key_col="key",
+                          window="1 day", watermark="1 hour")
+    sink: list = []
+
+    def collect_batch(bdf, bid):
+        sink.extend(bdf.collect())
+
+    q = (
+        agg.writeStream.foreachBatch(collect_batch)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    jan1 = [r for r in sink if r["day"] == "2024-01-01"]
+    # exactly one finalized emission, counting only the on-time rows;
+    # the post-finalization row never produces a second emission
+    assert len(jan1) == 1 and jan1[0]["n"] == 3

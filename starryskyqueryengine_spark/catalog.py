@@ -516,6 +516,8 @@ def _load_extensions() -> None:
         from . import catalog_stream  # noqa: F401
     except ImportError:
         pass
+    from . import catalog_conditions  # noqa: F401
+    from . import catalog_multimodal  # noqa: F401
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

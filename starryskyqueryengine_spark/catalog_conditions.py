@@ -1,0 +1,110 @@
+"""Catalog queries that drive the REAL predicate compiler (predicate.py)
+end-to-end for the P6-P10 operators, with post-shaped inputs derived
+deterministically from the documents fixture so a DuckDB oracle can
+replicate them exactly.
+
+P6 alt-text concat   reference src/subscription.ts:284-288
+P7 image-only        reference src/subscription.ts:302-307
+P8 label filter      reference src/subscription.ts:310-312
+P9 reply filter      reference src/subscription.ts:315-317
+P10 profile match    reference src/subscription.ts:319-350
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .catalog import register
+from .config import FeedCondition
+from .predicate import compile_condition
+from .sources.fixtures import load_table
+
+
+def _post_shaped(docs):
+    """documents -> post-shaped rows: images embed (with alt) on every
+    5th doc, moderation label on every 7th, reply parent on every 3rd."""
+    return docs.select(
+        "doc_id",
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.array(F.struct(F.concat(F.lit("ALTTOKEN_"), F.col("lang")).alias("alt"))),
+        ).alias("images"),
+        F.when(F.col("doc_id") % 7 == 0, F.array(F.lit("spam"))).alias("labels"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("at://parent")).alias("replyParent"),
+        F.array(F.col("lang")).alias("langs"),
+    )
+
+
+@register(
+    "p6_p9_condition_chain",
+    """
+    SELECT doc_id
+    FROM documents
+    WHERE doc_id % 5 = 0  -- P7 imageOnly: images embed present
+      AND len(regexp_extract_all(text || chr(10) || 'ALTTOKEN_' || lang,
+                                 '(?i)alttoken_(de|fr)')) > 0  -- P6+P4
+      AND NOT (doc_id % 7 = 0)  -- P8 labelDisable
+      AND NOT (doc_id % 3 = 0)  -- P9 replyDisable
+    """,
+)
+def p6_p9_condition_chain(spark, sf_dir):
+    """P6+P7+P8+P9+P4 as ONE compiled Column over post-shaped rows —
+    the alt text is only reachable through includeAltText, so a match
+    proves the concat ran; the whole chain is a single codegen'd
+    filter (no Python, one scan)."""
+    posts = _post_shaped(load_table(spark, sf_dir, "documents"))
+    cond = FeedCondition(
+        key="chain",
+        recordName="chain",
+        inputRegex="alttoken_(de|fr)",
+        includeAltText=True,
+        imageOnly="imageOnly",
+        labelDisable=True,
+        replyDisable=True,
+    ).validate()
+    return posts.filter(compile_condition(cond)).select("doc_id")
+
+
+@register(
+    "p10_profile_match",
+    """
+    WITH posts AS (
+      SELECT d.doc_id, d.text, c.c_mktsegment AS profile
+      FROM documents d
+      JOIN customer c
+        ON c.c_custkey = d.doc_id % (SELECT count(*) FROM customer)
+    )
+    SELECT doc_id
+    FROM posts
+    WHERE len(regexp_extract_all(text, '(?i)data|stream')) > 0
+      AND NOT (
+        len(regexp_extract_all(text, '(?i)stream')) > 0
+        AND len(regexp_extract_all(text, '(?i)data|stream'))
+            - len(regexp_extract_all(text, '(?i)stream')) = 0
+        AND NOT regexp_matches(profile, '(?i)build|mach')
+      )
+    """,
+)
+def p10_profile_match(spark, sf_dir):
+    """P10 via the real compiler: posts whose text matches ONLY the
+    profile term ('stream' but never 'data') additionally require the
+    author's profile to match the profile regex. The profile lookup is
+    the J1 broadcast hash join (reference's 25-row batched Map cache,
+    src/subscription.ts:241-268)."""
+    docs = load_table(spark, sf_dir, "documents")
+    customer = load_table(spark, sf_dir, "customer")
+    n_cust = customer.count()  # dim-table scalar, driver-side by design
+    profiles = customer.select(
+        F.col("c_custkey").alias("author_key"),
+        F.col("c_mktsegment").alias("author_profile_text"),
+    )
+    posts = docs.select("doc_id", "text", (F.col("doc_id") % n_cust).alias("author_key"))
+    joined = posts.join(F.broadcast(profiles), "author_key")
+    cond = FeedCondition(
+        key="pm",
+        recordName="pm",
+        inputRegex="data|stream",
+        profileMatch="stream::build|mach",
+    ).validate()
+    return joined.filter(compile_condition(cond)).select("doc_id")

@@ -1,0 +1,88 @@
+"""Multimodal catalog queries: binary-column plumbing checked against
+SQL oracles where the semantics are SQL-expressible (metadata projection,
+frame enumeration, checksum features); rows-only where they are not
+(resize plumbing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .catalog import register
+from .multimodal import decode_media, resize_images, sample_frames, synthesize_media
+from .sources.fixtures import load_table
+
+# DuckDB mirror of synthesize_media's metadata derivation
+_MT_SQL = "['image','audio','video','text'][CAST(doc_id % 4 AS INT) + 1]"
+
+
+@register(
+    "mm_metadata_project",
+    f"""
+    SELECT doc_id AS media_id,
+           {_MT_SQL} AS media_type,
+           CASE WHEN {_MT_SQL} = 'image'
+                THEN CAST(64 * (1 + doc_id % 8) AS INT) END AS width,
+           CASE WHEN {_MT_SQL} IN ('audio','video')
+                THEN 1000 * (1 + doc_id % 30) END AS duration_ms,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+    FROM documents
+    """,
+)
+def mm_metadata_project(spark, sf_dir):
+    """Multimodal: typed-metadata projection over opaque payloads —
+    filters/projections on metadata never touch payload bytes (column
+    pruning; payload column absent from this plan's ReadSchema)."""
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.col("meta.byte_len").alias("byte_len"),
+    )
+
+
+@register(
+    "mm_frame_sample",
+    f"""
+    SELECT doc_id AS media_id,
+           unnest(range(0, (1000 * (1 + doc_id % 30)) // 500)) AS frame_idx,
+           unnest(range(0, (1000 * (1 + doc_id % 30)) // 500)) * 500 AS frame_ts_ms
+    FROM documents
+    WHERE {_MT_SQL} = 'video'
+    """,
+)
+def mm_frame_sample(spark, sf_dir):
+    """Multimodal: video frame enumeration at a 500 ms stride — the
+    row-multiplying explode(sequence) stays inside whole-stage codegen
+    (no Python until per-frame payload extraction)."""
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    return sample_frames(media, interval_ms=500)
+
+
+@register(
+    "mm_decode_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def mm_decode_features(spark, sf_dir):
+    """Multimodal: Arrow-batched decode via mapInPandas (stub codec).
+    The oracle checks the SQL-expressible slice (ids + byte length);
+    checksum/mean-byte are covered by unit tests."""
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    return decode_media(media).select("media_id", "n_bytes")
+
+
+@register("mm_resize_plumbing")  # rows-only: output payload is codec-stubbed
+def mm_resize_plumbing(spark, sf_dir):
+    """Multimodal: image-resize plumbing (metadata-pruned filter +
+    mapInPandas resample stub). No SQL oracle — payload semantics are
+    codec-defined; the driver's rows-only check still pins schema and
+    cardinality (= count of image-typed rows)."""
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    return resize_images(media, 32, 32).select(
+        "media_id", "width", "height", F.octet_length("payload").alias("out_bytes")
+    )

@@ -1,0 +1,102 @@
+"""Multimodal column plumbing: schema, batching, metadata pruning,
+frame fan-out, deterministic stub decode."""
+
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from starryskyqueryengine_spark.multimodal import (
+    DECODE_SCHEMA,
+    decode_media,
+    extract_frames,
+    resize_images,
+    sample_frames,
+    synthesize_media,
+)
+from starryskyqueryengine_spark.sources.fixtures import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return synthesize_media(load_table(spark, SF_DIR, "documents")).cache()
+
+
+def test_media_schema(media):
+    assert dict(media.dtypes)["payload"] == "binary"
+    meta_fields = {f.name for f in media.schema["meta"].dataType.fields}
+    assert {"media_type", "width", "height", "duration_ms", "byte_len"} <= meta_fields
+
+
+def test_metadata_consistent_with_payload(media):
+    bad = media.filter(F.octet_length("payload") != F.col("meta.byte_len")).count()
+    assert bad == 0
+
+
+def test_decode_deterministic_checksum(spark, media):
+    out = decode_media(media)
+    assert out.schema == DECODE_SCHEMA
+    row = out.join(media, "media_id").select("media_id", "checksum", "payload").first()
+    assert row["checksum"] == zlib.crc32(bytes(row["payload"]))
+
+
+def test_decode_covers_all_rows(media):
+    assert decode_media(media).count() == media.count()
+
+
+def test_resize_only_touches_images(media):
+    n_images = media.filter(F.col("meta.media_type") == "image").count()
+    out = resize_images(media, 32, 32)
+    assert out.count() == n_images
+    assert out.filter((F.col("width") != 32) | (F.col("height") != 32)).count() == 0
+    # fake resample never grows the payload
+    grown = (
+        out.join(media, "media_id")
+        .filter(F.octet_length(out["payload"]) > F.col("meta.byte_len"))
+        .count()
+    )
+    assert grown == 0
+
+
+def test_frame_sample_counts(media):
+    frames = sample_frames(media, interval_ms=500)
+    per_media = frames.groupBy("media_id").count()
+    expected = media.filter(F.col("meta.media_type") == "video").select(
+        "media_id", (F.col("meta.duration_ms") / 500).cast("long").alias("expected")
+    )
+    mismatches = per_media.join(expected, "media_id").filter(
+        F.col("count") != F.col("expected")
+    )
+    assert mismatches.count() == 0
+    # frame timestamps stride correctly
+    assert frames.filter(F.col("frame_ts_ms") != F.col("frame_idx") * 500).count() == 0
+
+
+def test_frame_sample_is_jvm_side(media):
+    """The row-multiplier must not contain a Python evaluation node."""
+    plan = sample_frames(media)._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan or "explode" in plan.lower()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_extract_frames_payload_window(media):
+    frames = extract_frames(media, interval_ms=500)
+    assert dict(frames.dtypes)["frame_payload"] == "binary"
+    too_big = frames.filter(F.octet_length("frame_payload") > 16).count()
+    assert too_big == 0
+    assert frames.count() == sample_frames(media, 500).count()
+
+
+def test_metadata_projection_prunes_payload(spark):
+    """Metadata-only projection must never materialize the payload
+    column. Uses a different sf dir than the cached module fixture —
+    otherwise Spark substitutes the cached InMemoryRelation (which pins
+    all columns) into this plan."""
+    fresh = synthesize_media(load_table(spark, "/root/testdata/sf0.01", "documents"))
+    proj = fresh.select("media_id", "meta.media_type")
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert "encode(" not in plan  # payload derivation pruned away
+    assert "payload" not in plan

@@ -101,22 +101,15 @@ def dedup_exact(spark, sf_dir):
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact pairwise n-gram Jaccard (baseline/oracle path; quadratic —
-    the LSH query below is the scale path)."""
+    """Exact n-gram Jaccard via inverted-index blocking: explode
+    shingles, equi-join on the shingle, count shared shingles per pair —
+    identical output to all-pairs at any threshold > 0, but the pair
+    space only contains docs that actually co-occur under a shingle
+    (the DuckDB oracle keeps the quadratic formulation as the
+    independent ground truth)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = dd.with_shingles(docs.select("doc_id", "text")).filter(F.size("shingles") > 0)
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("bigint") - inter
-    jac = inter / F.greatest(union, F.lit(1))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", F.round(jac, 6))
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return dd.jaccard_pairs_blocked(sh, JACCARD_THRESHOLD)
 
 
 @register(
@@ -200,11 +193,5 @@ def dedup_simhash(spark, sf_dir):
     bytes (same LSH join shape) instead of the pairwise filter used at
     fixture size."""
     docs = load_table(spark, sf_dir, "documents")
-    shingled = dd.with_shingles(docs.select("doc_id", "text")).filter(
-        F.size("shingles") > 0
-    )
-    hashed = shingled.withColumn("_feat", dd.shingle_hashes())
-    sigs = hashed.select(
-        "doc_id", dd.simhash_from_hashes(F.col("_feat")).alias("simhash")
-    )
+    sigs = dd.simhash_signatures(docs)
     return dd.simhash_pairs(sigs, SIMHASH_MAX_HAMMING)

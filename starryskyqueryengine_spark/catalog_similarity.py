@@ -55,19 +55,11 @@ def ann_cosine_topk(spark, sf_dir):
 )
 def embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (the embedding leg of the
-    dedup family). Pairwise at fixture size; the scale path reuses the
-    LSH sign-bucket join from functions/similarity.py."""
+    dedup family), computed as a vectorized block matrix product
+    (numpy/BLAS inside mapInPandas) — exact same pair set as the
+    quadratic expression form the DuckDB oracle runs."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), sim.as_double(F.col("embedding")).alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), sim.as_double(F.col("embedding")).alias("vb"))
-    cos = sim.cosine(F.col("va"), F.col("vb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(cos, 6))
-        .filter(cos >= NEAR_DUP_COSINE)
-        .select("id_a", "id_b", "sim")
-    )
+    return sim.near_dup_pairs_matrix(emb, NEAR_DUP_COSINE)
 
 
 @register("ann_lsh_topk")  # approximate: rows-only check (recall in tests)

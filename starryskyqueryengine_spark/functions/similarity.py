@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import ensure_parallelism
 from .dedup import md5int
 
 
@@ -72,14 +73,48 @@ def brute_force_topk(
     )
 
 
+def _sign_coeffs(table: int, j: int, dim: int) -> list[float]:
+    """Pseudo-random {-1,+1} hyperplane coefficients from
+    md5(table:bit:dim-index) — same values as the engine-portable md5int
+    formula, but computed ONCE on the driver and shipped as literals, so
+    the per-row work is just the dim-length dot product (the previous
+    formulation re-evaluated dim×bits×tables md5 calls per row)."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = int(hashlib.md5(f"{table}:{j}:{i}".encode()).hexdigest()[:8], 16)
+        out.append(1.0 if h % 2 == 0 else -1.0)
+    return out
+
+
+def hyperplane_signs_sql(vec_field: str, table: int, n_bits: int, dim: int) -> str:
+    """SQL text of the sign-bucket expression for one LSH table. Emitted
+    as one parseable string (a single py4j round-trip) — building the
+    same tree through the Column API costs hundreds of lambda-conversion
+    calls per table and dominates plan construction."""
+    terms = []
+    for j in range(n_bits):
+        arr = "array(" + ",".join(
+            f"{v:.1f}D" for v in _sign_coeffs(table, j, dim)
+        ) + ")"
+        proj = (
+            f"aggregate(zip_with({vec_field}, {arr}, (x, s) -> x * s), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << j}L ELSE 0L END")
+    return "(" + " + ".join(terms) + ")"
+
+
 def hyperplane_signs(vec: Column, table: int, n_bits: int, dim: int) -> Column:
     """Deterministic random-hyperplane sign bucket (bigint bitmask) for
-    one LSH table. Hyperplane coefficients are pseudo-random in {-1,+1}
-    derived from md5(table:bit:dim-index) — reproducible across engines
-    and runs with no RNG state."""
+    one LSH table; coefficients are literal arrays (see _sign_coeffs).
+
+    NOTE: only usable on a named column — prefer hyperplane_signs_sql
+    when composing many tables (plan-construction cost)."""
     bits = []
     for j in range(n_bits):
-        coeff = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), _sign_coeff(table, j))
+        coeff = F.lit(_sign_coeffs(table, j, dim))
         proj = F.aggregate(
             F.zip_with(vec, coeff, lambda x, s: x * s),
             F.lit(0.0),
@@ -94,29 +129,70 @@ def hyperplane_signs(vec: Column, table: int, n_bits: int, dim: int) -> Column:
     return out
 
 
-def _sign_coeff(table: int, j: int):
-    return lambda i: F.when(
-        md5int(F.concat(F.lit(f"{table}:{j}:"), i.cast("string"))) % 2 == 0, F.lit(1.0)
-    ).otherwise(F.lit(-1.0))
-
-
 def _with_table_buckets(
     df: DataFrame, vec_field: str, n_tables: int, n_bits: int, dim: int
 ) -> DataFrame:
     """Explode each vector into (table, bucket) rows — the multi-table
     amplification (OR over tables) that buys recall back from a single
-    sign-hash probe."""
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                hyperplane_signs(F.col(vec_field), t, n_bits, dim).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
+    sign-hash probe. The whole bucket array is one SQL string -> one
+    parse, not n_tables x n_bits x dim Column-API calls."""
+    structs = ", ".join(
+        f"struct({t} AS tbl, {hyperplane_signs_sql(vec_field, t, n_bits, dim)} AS bucket)"
+        for t in range(n_tables)
     )
-    return df.withColumn("tb", F.explode(buckets)).select(
+    return df.withColumn("tb", F.explode(F.expr(f"array({structs})"))).select(
         *df.columns, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+
+
+def near_dup_pairs_matrix(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine near-dup via vectorized block matrix product.
+
+    Each Arrow batch of rows computes ``A_block @ B_all.T`` with BLAS
+    instead of per-pair higher-order-function dots — two orders of
+    magnitude faster than the expression formulation at the same exact
+    semantics (pairs emitted where sim >= threshold, id_a < id_b).
+
+    Scale notes: the comparison side here is one in-memory matrix
+    (fine up to ~10M x small-dim vectors per executor). Past that, grid
+    the base into column blocks and join row-blocks x column-blocks
+    (block-matrix product), or prefilter candidates with the sign-LSH
+    join and use this kernel only to verify — both keep the per-task
+    working set at one block pair.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    pdf = emb.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    bc = spark.sparkContext.broadcast((ids, M))
+
+    def block(batches):
+        b_ids, B = bc.value
+        for chunk in batches:
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in chunk[vec_col]])
+            A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+            a_ids = chunk[id_col].to_numpy()
+            S = A @ B.T
+            ai, bi = np.nonzero((S >= threshold) & (a_ids[:, None] < b_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[ai],
+                    "id_b": b_ids[bi],
+                    "sim": np.round(S[ai, bi], 6),
+                }
+            )
+
+    return ensure_parallelism(emb.select(id_col, vec_col)).mapInPandas(
+        block, schema="id_a long, id_b long, sim double"
     )
 
 
@@ -148,8 +224,10 @@ def lsh_topk(
         dim,
     )
     b = _with_table_buckets(
-        base.select(
-            F.col(id_col).alias("nn_id"), as_double(F.col(vec_col)).alias("b_vec")
+        ensure_parallelism(
+            base.select(
+                F.col(id_col).alias("nn_id"), as_double(F.col(vec_col)).alias("b_vec")
+            )
         ),
         "b_vec",
         n_tables,

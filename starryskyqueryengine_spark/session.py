@@ -36,6 +36,19 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def ensure_parallelism(df, min_parts: int | None = None):
+    """Round-robin repartition ONLY when the input is under-partitioned
+    relative to the cluster. Small local files land in one split (far
+    below files.maxPartitionBytes), which serializes every compute-heavy
+    operator downstream; on a real multi-TB input the scan already has
+    >= cores splits and this is a no-op, so the extra shuffle only ever
+    happens when it is cheap."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target)
+
+
 def get_spark(
     app_name: str = "starrysky-spark",
     master: str | None = None,

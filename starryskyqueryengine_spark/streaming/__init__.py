@@ -6,3 +6,7 @@ from .pipeline import (  # noqa: F401
     validated_json,
     windowed_counts,
 )
+from .stateful import (  # noqa: F401
+    stream_running_stats,
+    stream_topk_retention,
+)

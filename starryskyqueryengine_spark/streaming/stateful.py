@@ -1,0 +1,152 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference's only cross-batch state is the stored-URI set (W2
+catch-up watermark, ``src/subscription.ts:172-189,274-278``) and the
+per-key retention cap (W7, ``src/subscription.ts:379-393``). The
+foreachBatch + PostStore path covers both for the materialization
+pipeline; this module provides the *in-stream* formulation — per-key
+state kept by Spark's state store, no external table — for consumers
+that want feed stats or caps maintained continuously.
+
+Scale notes: state is partitioned by the grouping key across executors
+and checkpointed incrementally (RocksDB-backed state store per task in a
+real deployment, spark.sql.streaming.stateStore.providerClass); each
+micro-batch only touches keys present in that batch. The Arrow batches
+arriving at the Python worker are bounded, so per-task memory stays
+flat regardless of stream length — per-key state must stay small
+(here: counters + a bounded top-N heap), never the full history.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+RUNNING_STATS_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_total", LongType()),
+        StructField("n_batch", LongType()),
+        StructField("max_ts", TimestampType()),
+    ]
+)
+
+_STATE_SCHEMA = "n_total LONG, max_ts_us LONG"
+
+
+def running_key_stats(
+    key: Tuple[Any, ...], batch_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """A2/A5-style per-key running stats as true streaming state:
+    cumulative accepted-row count and newest event time, maintained by
+    the state store across micro-batches (the reference persists the
+    analogous ``recordCount``/``lastExecTime`` into the conditions
+    table, ``src/subscription.ts:373-400``)."""
+    if state.exists:
+        (n_total, max_ts_us) = state.get
+    else:
+        n_total, max_ts_us = 0, None
+
+    n_batch = 0
+    for pdf in batch_iter:
+        if pdf.empty:
+            continue
+        n_batch += len(pdf)
+        batch_max = pdf["indexedAt"].max()
+        batch_max_us = int(batch_max.value // 1_000)
+        if max_ts_us is None or batch_max_us > max_ts_us:
+            max_ts_us = batch_max_us
+
+    n_total += n_batch
+    state.update((n_total, max_ts_us))
+    yield pd.DataFrame(
+        {
+            "key": [key[0]],
+            "n_total": [n_total],
+            "n_batch": [n_batch],
+            "max_ts": [pd.Timestamp(max_ts_us * 1_000) if max_ts_us else pd.NaT],
+        }
+    )
+
+
+def stream_running_stats(posts_stream, timeout: str = "NoTimeout"):
+    """Wire running_key_stats onto a (key, indexedAt) stream. Output
+    mode must be 'update'."""
+    return (
+        posts_stream.groupBy("key")
+        .applyInPandasWithState(
+            running_key_stats,
+            outputStructType=RUNNING_STATS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+TOPK_STATE_SCHEMA = "uris ARRAY<STRING>, ts_us ARRAY<LONG>"
+
+TOPK_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("uri", StringType()),
+        StructField("ts_us", LongType()),
+    ]
+)
+
+
+def make_streaming_topk(k: int):
+    """W7 retention as in-stream state: keep only the newest ``k`` rows
+    per key across the whole stream. State is the bounded (uri, ts)
+    top-k list — O(k) per key, never the full history; each batch merges
+    and truncates, and the operator emits the current survivors."""
+
+    def topk_fn(
+        key: Tuple[Any, ...],
+        batch_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            uris, ts_us = state.get
+            uris, ts_us = list(uris), list(ts_us)
+        else:
+            uris, ts_us = [], []
+
+        for pdf in batch_iter:
+            if pdf.empty:
+                continue
+            uris.extend(pdf["uri"].tolist())
+            ts_us.extend(int(v.value // 1_000) for v in pdf["indexedAt"])
+
+        order = sorted(range(len(uris)), key=lambda i: (-ts_us[i], uris[i]))[:k]
+        uris = [uris[i] for i in order]
+        ts_us = [ts_us[i] for i in order]
+        state.update((uris, ts_us))
+        yield pd.DataFrame(
+            {"key": [key[0]] * len(uris), "uri": uris, "ts_us": ts_us}
+        )
+
+    return topk_fn
+
+
+def stream_topk_retention(posts_stream, k: int):
+    """Wire the bounded per-key retention onto a (key, uri, indexedAt)
+    stream; output mode 'update' (each batch re-emits the survivors for
+    keys it touched)."""
+    return posts_stream.groupBy("key").applyInPandasWithState(
+        make_streaming_topk(k),
+        outputStructType=TOPK_OUTPUT_SCHEMA,
+        stateStructType=TOPK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -156,3 +156,76 @@ def test_w8_watermark_finalizes_windows(spark, tmp_path):
     # exactly one finalized emission, counting only the on-time rows;
     # the post-finalization row never produces a second emission
     assert len(jan1) == 1 and jan1[0]["n"] == 3
+
+
+# --- applyInPandasWithState custom stateful operators ---------------------
+
+def _run_update_stream(spark, df, table, ckpt):
+    q = (
+        df.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(table)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(table)
+
+
+def test_stateful_running_stats_accumulates_across_batches(spark, tmp_path):
+    from starryskyqueryengine_spark.streaming import stream_running_stats
+
+    src = str(tmp_path / "src")
+    posts_rows(spark, range(10), key="a").write.mode("append").parquet(src)
+    posts_rows(spark, range(5), key="b").write.mode("append").parquet(src)
+
+    collected: list = []
+
+    def sink(batch_df, batch_id):
+        collected.extend(batch_df.collect())
+
+    def drain():
+        stream = parquet_stream(spark, src, schema=POST_SCHEMA, max_files_per_trigger=1)
+        out = stream_running_stats(stream.select("key", "indexedAt"))
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "c1"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain()
+    final = {r["key"]: r["n_total"] for r in sorted(collected, key=lambda r: r["n_total"])}
+    assert final["a"] == 10 and final["b"] == 5
+
+    # a second drain with MORE data resumes state from the checkpoint
+    collected.clear()
+    posts_rows(spark, range(10, 30), key="a").write.mode("append").parquet(src)
+    drain()
+    totals = {r["key"]: r["n_total"] for r in collected}
+    assert totals["a"] == 30  # 10 from state + 20 new
+
+
+def test_stateful_topk_retention_bounds_state(spark, tmp_path):
+    from starryskyqueryengine_spark.streaming import stream_topk_retention
+
+    src = str(tmp_path / "src")
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    posts_rows(spark, range(20), key="a", day=1).write.mode("append").parquet(src)
+    posts_rows(spark, range(100, 110), key="a", day=2).write.mode("append").parquet(src)
+
+    stream = parquet_stream(spark, src, schema=POST_SCHEMA, max_files_per_trigger=1)
+    out = stream_topk_retention(stream.select("key", "uri", "indexedAt"), k=8)
+    res = _run_update_stream(spark, out, "topkret", str(tmp_path / "c2"))
+    # the last batch's emission is the surviving set: 8 newest overall,
+    # all from day 2 (10 rows) -> the 8 newest of those
+    import pandas as pd
+
+    pdf = res.toPandas()
+    last = pdf[pdf["ts_us"] >= pdf["ts_us"].max() - 60_000_000]
+    assert len(last) >= 8
+    survivors = pdf.sort_values("ts_us", ascending=False).head(8)
+    assert all(u.startswith("p10") for u in survivors["uri"])

@@ -518,6 +518,7 @@ def _load_extensions() -> None:
         pass
     from . import catalog_conditions  # noqa: F401
     from . import catalog_multimodal  # noqa: F401
+    from . import catalog_sources  # noqa: F401
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

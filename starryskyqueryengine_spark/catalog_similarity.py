@@ -62,6 +62,18 @@ def embedding_near_dup(spark, sf_dir):
     return sim.near_dup_pairs_matrix(emb, NEAR_DUP_COSINE)
 
 
+@register("ann_ivf_topk")  # approximate: rows-only check (recall in tests)
+def ann_ivf_topk(spark, sf_dir):
+    """Approximate ANN via IVF-flat inverted lists: deterministic
+    sampled centroids, n_probe-cell probing, exact scoring within
+    probed cells. Recall vs the exact path asserted in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_NUM_QUERIES)
+    base = emb.filter(F.col("vec_id") >= ANN_NUM_QUERIES)
+    return sim.ivf_topk(queries, base, ANN_K, n_centroids=16, n_probe=4)
+
+
 @register("ann_lsh_topk")  # approximate: rows-only check (recall in tests)
 def ann_lsh_topk(spark, sf_dir):
     """Approximate ANN: random-hyperplane LSH bucket probe, ~2^bits

@@ -1,0 +1,101 @@
+"""Source-layer catalog queries: the S5 firehose block-decode/op-routing
+pattern and the remaining scalar-function family (F1-F8), oracle-checked.
+
+S5 (reference ``src/util/subscription.ts:76-122``) decodes each commit's
+CAR/CBOR blocks, derives ``uri = at://{repo}/{path}``, and routes ops by
+collection into posts/reposts/likes/follows x create/delete. Here the
+events fixture stands in for the commit stream: the payload is an opaque
+binary column (multimodal pattern), the routing is pure columnar
+expressions — exactly how the real CBOR path plugs in (decode UDF
+upstream, everything after stays JVM-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .catalog import register
+from .sources.fixtures import load_table
+
+# event_type -> AT-proto-ish collection (deterministic, mirrored in SQL)
+_COLLECTION_CASE_SQL = """
+    CASE event_type
+      WHEN 'click' THEN 'app.bsky.feed.like'
+      WHEN 'view' THEN 'app.bsky.feed.post'
+      WHEN 'purchase' THEN 'app.bsky.feed.repost'
+      WHEN 'signup' THEN 'app.bsky.graph.follow'
+      ELSE 'unknown'
+    END
+"""
+
+
+@register(
+    "s5_op_routing",
+    f"""
+    WITH ops AS (
+      SELECT 'did:plc:' || CAST(user_id AS VARCHAR) AS repo,
+             {_COLLECTION_CASE_SQL} AS collection,
+             'rk' || CAST(event_id AS VARCHAR) AS rkey,
+             CASE WHEN event_id % 10 = 0 THEN 'delete' ELSE 'create' END AS action,
+             CAST(octet_length(encode(props)) AS BIGINT) AS block_bytes
+      FROM events
+      WHERE event_type <> 'error'
+    )
+    SELECT 'at://' || repo || '/' || collection || '/' || rkey AS uri,
+           collection, action, block_bytes
+    FROM ops
+    """,
+)
+def s5_op_routing(spark, sf_dir):
+    """S5: op routing over an opaque block column. The uri derivation,
+    collection split and create/delete routing are all codegen'd column
+    expressions; the CBOR decode seam is the binary ``block`` column
+    (here: byte length only — the multimodal decode stub pattern)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") != "error")
+    ops = ev.select(
+        F.concat(F.lit("did:plc:"), F.col("user_id").cast("string")).alias("repo"),
+        F.expr(_COLLECTION_CASE_SQL).alias("collection"),
+        F.concat(F.lit("rk"), F.col("event_id").cast("string")).alias("rkey"),
+        F.when(F.col("event_id") % 10 == 0, F.lit("delete"))
+        .otherwise(F.lit("create"))
+        .alias("action"),
+        F.octet_length(F.encode(F.col("props"), "UTF-8")).cast("bigint").alias("block_bytes"),
+    )
+    return ops.select(
+        F.concat_ws("/", F.concat(F.lit("at://"), F.col("repo")), "collection", "rkey").alias("uri"),
+        "collection",
+        "action",
+        "block_bytes",
+    )
+
+
+@register(
+    "f_scalar_family",
+    """
+    SELECT doc_id,
+           str_split(lang || ',' || source, ',')[1] AS first_item,            -- F3 split
+           CAST(len(str_split(trim(text), ' ')) AS BIGINT) AS n_words,        -- F4 size
+           list_contains(str_split(lang || ',' || source, ','), 'en') AS has_en, -- F4 membership
+           lang || '::' || source AS packed,                                  -- F2 concat
+           CAST(doc_id % 7 AS BIGINT) AS bucket,                              -- F8 modulo
+           CAST(TRY_CAST(substr(text, 1, 2) AS INTEGER) AS INTEGER) AS maybe_int -- F6 try_cast
+    FROM documents
+    """,
+)
+def f_scalar_family(spark, sf_dir):
+    """F2/F3/F4/F6/F8 in one projection: split, concat, array size and
+    membership, modulo bucketing, fallible int parse (try_cast) — the
+    scalar vocabulary the reference uses row-at-a-time
+    (src/algos/starrysky.ts:34,44,59; src/subscription.ts:274,291;
+    src/databaseUtil.ts:43-61)."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed_list = F.split(F.concat_ws(",", "lang", "source"), ",")
+    return docs.select(
+        "doc_id",
+        packed_list.getItem(0).alias("first_item"),
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint").alias("n_words"),
+        F.array_contains(packed_list, "en").alias("has_en"),
+        F.concat_ws("::", "lang", "source").alias("packed"),
+        (F.col("doc_id") % 7).cast("bigint").alias("bucket"),
+        F.substring("text", 1, 2).try_cast("int").alias("maybe_int"),
+    )

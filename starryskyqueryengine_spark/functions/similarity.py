@@ -145,6 +145,92 @@ def _with_table_buckets(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate ANN via IVF-flat: partition the base into inverted
+    lists by nearest centroid; each query probes only its ``n_probe``
+    nearest cells and scores those lists exactly.
+
+    Centroids are a deterministic sample of the base (every
+    ceil(n/n_centroids)-th vector by id) — no RNG, reproducible; a real
+    deployment would drop in k-means centroids with zero plan changes.
+    Scale shape: the centroid table is broadcast (tiny); the base is
+    written bucketed by ``cell`` so the probe join is co-located; a
+    query touches n_probe/n_centroids of the data instead of all of it.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    spark = base.sparkSession
+    ids = [r[0] for r in base.select(id_col).orderBy(id_col).collect()]
+    stride = max(1, math.ceil(len(ids) / n_centroids))
+    cent_ids = set(ids[::stride][:n_centroids])
+    cents_pdf = (
+        base.filter(F.col(id_col).isin(list(cent_ids)))
+        .select(id_col, vec_col)
+        .toPandas()
+    )
+    C = np.stack([np.asarray(v, dtype=np.float64) for v in cents_pdf[vec_col]])
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    bc = spark.sparkContext.broadcast(C)
+
+    def assign(n_cells: int):
+        def run(batches):
+            Cn = bc.value
+            for pdf in batches:
+                V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+                S = Vn @ Cn.T
+                order = np.argsort(-S, axis=1)[:, :n_cells]
+                out = pdf.loc[pdf.index.repeat(n_cells)].reset_index(drop=True)
+                out["cell"] = order.ravel()
+                yield out[[id_col, vec_col, "cell"]]
+
+        return run
+
+    schema = f"{id_col} long, {vec_col} array<float>, cell int"
+    b_cells = ensure_parallelism(base.select(id_col, vec_col)).mapInPandas(
+        assign(1), schema=schema
+    )
+    q_cells = queries.select(id_col, vec_col).mapInPandas(assign(n_probe), schema=schema)
+
+    q = q_cells.select(
+        F.col("cell"),
+        F.col(id_col).alias("q_id"),
+        as_double(F.col(vec_col)).alias("q_vec"),
+    )
+    b = b_cells.select(
+        F.col("cell"),
+        F.col(id_col).alias("nn_id"),
+        as_double(F.col(vec_col)).alias("b_vec"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(b, "cell")
+        .select(
+            "q_id",
+            "nn_id",
+            F.round(cosine(F.col("q_vec"), F.col("b_vec")), 6).alias("sim"),
+        )
+        .dropDuplicates(["q_id", "nn_id"])
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "nn_id", "sim")
+    )
+
+
 def near_dup_pairs_matrix(
     emb: DataFrame,
     threshold: float,

@@ -54,3 +54,28 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
     assert exact, "fixture should contain planted near-dups"
     recall = len(exact & lsh) / len(exact)
     assert recall >= 0.9, f"minhash LSH missed planted dups: {recall}"
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    base = emb.filter(F.col("vec_id") >= 5)
+    exact = sim.brute_force_topk(queries, base, 10)
+    approx = sim.ivf_topk(queries, base, 10, n_centroids=16, n_probe=4)
+    e = {(r["q_id"], r["nn_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["nn_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall collapsed: {recall}"
+    assert all(q < 5 and n >= 5 for q, n in a)
+    # every query returns exactly k rows (probed cells are non-empty)
+    counts = approx.groupBy("q_id").count().collect()
+    assert all(r["count"] == 10 for r in counts)
+
+
+def test_ivf_deterministic(spark):
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    b = emb.filter(F.col("vec_id") >= 3)
+    r1 = sorted(map(tuple, sim.ivf_topk(q, b, 5).collect()))
+    r2 = sorted(map(tuple, sim.ivf_topk(q, b, 5).collect()))
+    assert r1 == r2

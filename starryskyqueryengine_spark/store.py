@@ -70,11 +70,25 @@ class PostStore:
         ).parquet(self.path)
 
     def upsert(self, incoming: DataFrame) -> None:
-        """S8: INSERT ... ON CONFLICT DO NOTHING on PK(uri, key)."""
-        batch = dedup_within_batch(incoming, ["uri", "key"])
-        if self.exists():
-            batch = new_rows_anti_join(batch, self.read(), ["uri", "key"])
-        self._append(batch)
+        """S8: INSERT ... ON CONFLICT DO NOTHING on PK(uri, key).
+
+        The anti-join's stored side is pruned to the key partitions the
+        batch actually touches — the feed-key set is small by design
+        (one row per configured feed), so this is a cheap driver-side
+        collect that turns a full-store shuffle into a few-partition
+        scan at any store size."""
+        deduped = dedup_within_batch(incoming, ["uri", "key"]).cache()
+        try:
+            batch = deduped
+            if self.exists():
+                keys = [r["key"] for r in deduped.select("key").distinct().collect()]
+                if not keys:
+                    return
+                stored = self.read().filter(F.col("key").isin(keys))
+                batch = new_rows_anti_join(deduped, stored, ["uri", "key"])
+            self._append(batch)
+        finally:
+            deduped.unpersist()
 
     def _overwrite_keys(self, df: DataFrame) -> None:
         """Rewrite only the key partitions present in ``df`` (dynamic

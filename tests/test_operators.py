@@ -162,3 +162,37 @@ def test_topk_plan_is_take_ordered(spark):
     df = posts_df(spark, BASE)
     plan = top_k(df, "k1", 3)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# --- S1/T7: paginated cursor scan ------------------------------------------
+
+def test_s1_paged_scan_caps_and_short_page(spark):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from starryskyqueryengine_spark.sources import fetcher_from_rows, paged_scan
+
+    schema = StructType([StructField("i", LongType())])
+    rows = [(i,) for i in range(250)]
+
+    # 3 pages of 100/100/50; short final page ends the loop (T7 quirk)
+    df = paged_scan(spark, fetcher_from_rows(rows, 100), schema)
+    assert df.count() == 250
+
+    # page cap: max_pages=2 -> 200 rows
+    df = paged_scan(spark, fetcher_from_rows(rows, 100), schema, max_pages=2)
+    assert df.count() == 200
+
+    # empty source -> empty DataFrame with the right schema
+    df = paged_scan(spark, fetcher_from_rows([], 100), schema)
+    assert df.count() == 0 and df.schema == schema
+
+
+def test_s1_paged_scan_exact_multiple_no_infinite_loop(spark):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from starryskyqueryengine_spark.sources import fetcher_from_rows, paged_scan
+
+    schema = StructType([StructField("i", LongType())])
+    rows = [(i,) for i in range(200)]  # exactly 2 full pages
+    df = paged_scan(spark, fetcher_from_rows(rows, 100), schema)
+    assert df.count() == 200

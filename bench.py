@@ -40,15 +40,19 @@ def main() -> None:
     # warmup: initialize executors/codegen against a tiny table
     run_df(spark.read.parquet(f"{sf_dir}/region.parquet"))
 
+    # lap 1 (cold): includes whole-stage-codegen compilation and Python
+    # worker spin-up; lap 2 is the steady-state number a long-running
+    # cluster actually sees. Both are reported; `value` = steady state.
+    cold: dict[str, float] = {}
     timings: dict[str, float] = {}
-    for name, fn in queries.items():
+    for lap in (cold, timings):
+        for name, fn in queries.items():
+            t0 = time.perf_counter()
+            run_df(fn(spark, sf_dir))
+            lap[name] = round(time.perf_counter() - t0, 4)
         t0 = time.perf_counter()
-        run_df(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
-
-    t0 = time.perf_counter()
-    run_df(entrymod.entry(spark))
-    timings["flagship_materialize"] = round(time.perf_counter() - t0, 4)
+        run_df(entrymod.entry(spark))
+        lap["flagship_materialize"] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -59,6 +63,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "cold_total_sec": round(sum(cold.values()), 4),
             }
         )
     )

@@ -349,8 +349,11 @@ def f5_time_roundtrip(spark, sf_dir):
 )
 def f9_json_extract(spark, sf_dir):
     """F9: JSON access on the open-tail props column
-    (reference src/subscription.ts:65-69)."""
-    ev = load_table(spark, sf_dir, "events")
+    (reference src/subscription.ts:65-69). JSON parsing is CPU-bound —
+    spread an under-partitioned scan across cores first."""
+    from .session import ensure_parallelism
+
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
     k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
     return ev.select("event_id", k.alias("k")).filter(F.col("k") >= 50)
 

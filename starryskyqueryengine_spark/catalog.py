@@ -170,6 +170,26 @@ def a1_count_per_key(spark, sf_dir):
     )
 
 
+@register(
+    "a1_salted_count_per_key",
+    """
+    SELECT event_type, COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def a1_salted_count_per_key(spark, sf_dir):
+    """A1 under skew: deterministic two-phase salted count — a hot key
+    fans out over n_salt reducers in phase 1, the tiny partial table
+    combines in phase 2. Result identical to the plain groupBy (same
+    oracle)."""
+    from .operators.skew import salted_count_by_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_count_by_key(ev, key_col="event_type", salt_from="event_id").select(
+        "event_type", "n"
+    )
+
+
 # --------------------------------------------------------------------------
 # Sorts / top-k / pagination / retention (SURVEY §2.5)
 # --------------------------------------------------------------------------

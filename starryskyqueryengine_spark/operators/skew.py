@@ -1,0 +1,61 @@
+"""Skew mitigation: deterministic salting for hot keys.
+
+The feed workload is skew-prone by construction — one viral feed key can
+hold orders of magnitude more posts than the rest, so a plain
+``groupBy('key')`` or a key-equi-join puts a whole hot key into one
+reducer task. AQE's skew-join splitting handles the join read side at
+runtime; these helpers handle the aggregation side and pre-AQE plans,
+with *deterministic* salt (hash of a high-cardinality column, never
+rand()) so results are reproducible and replay-safe in streaming.
+
+Both helpers are semantically transparent: output equals the unsalted
+formulation exactly (oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALT = 16
+
+
+def salted_count_by_key(
+    df: DataFrame,
+    key_col: str = "key",
+    salt_from: str = "uri",
+    n_salt: int = DEFAULT_SALT,
+) -> DataFrame:
+    """A1 at scale: two-phase count. Phase 1 aggregates (key, salt)
+    partials — a hot key fans out over ``n_salt`` reducers; phase 2
+    combines the tiny partial table. Identical result to
+    ``groupBy(key).count()``."""
+    salted = df.withColumn("_salt", F.pmod(F.hash(F.col(salt_from)), F.lit(n_salt)))
+    partial = salted.groupBy(key_col, "_salt").agg(F.count("*").alias("_c"))
+    return partial.groupBy(key_col).agg(F.sum("_c").cast("bigint").alias("n"))
+
+
+def salted_join_skewed_fact(
+    fact: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    salt_from: str,
+    n_salt: int = DEFAULT_SALT,
+    how: str = "inner",
+) -> DataFrame:
+    """Skewed fact x small dim equi-join: replicate each dim row
+    ``n_salt`` times (explode), salt the fact side deterministically,
+    join on (key, salt) — a hot key's rows spread over ``n_salt`` tasks
+    instead of one. Row-for-row identical to ``fact.join(dim, key_col)``.
+
+    Only worth it when the dim side is small (replication cost x
+    n_salt); for large-large skewed joins rely on AQE skew splitting.
+    """
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.hash(F.col(salt_from)), F.lit(n_salt))
+    )
+    replicated_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    out = salted_fact.join(replicated_dim, [key_col, "_salt"], how)
+    return out.drop("_salt")

@@ -196,3 +196,41 @@ def test_s1_paged_scan_exact_multiple_no_infinite_loop(spark):
     rows = [(i,) for i in range(200)]  # exactly 2 full pages
     df = paged_scan(spark, fetcher_from_rows(rows, 100), schema)
     assert df.count() == 200
+
+
+# --- skew mitigation --------------------------------------------------------
+
+def test_salted_count_matches_plain(spark):
+    from starryskyqueryengine_spark.operators.skew import salted_count_by_key
+    from starryskyqueryengine_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    plain = {r["event_type"]: r["n"] for r in ev.groupBy("event_type").agg(
+        __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n")
+    ).collect()}
+    salted = {r["event_type"]: r["n"] for r in salted_count_by_key(
+        ev, key_col="event_type", salt_from="event_id").collect()}
+    assert plain == salted
+
+
+def test_salted_join_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from starryskyqueryengine_spark.operators.skew import salted_join_skewed_fact
+    from starryskyqueryengine_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    dim = spark.createDataFrame(
+        [("click", 1.5), ("view", 1.0), ("purchase", 10.0)],
+        "event_type string, weight double",
+    )
+    plain = ev.join(dim, "event_type").select("event_id", "weight")
+    salted = salted_join_skewed_fact(
+        ev, dim, key_col="event_type", salt_from="event_id"
+    ).select("event_id", "weight")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # outer joins preserve unmatched fact rows exactly once
+    left = salted_join_skewed_fact(
+        ev, dim, key_col="event_type", salt_from="event_id", how="left"
+    )
+    assert left.count() == ev.count()

@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis) for the pure driver-side pieces:
+cursor codec, condition defaulting/normalization, regex dialect, salt
+determinism. No SparkSession needed — these run in milliseconds."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from starryskyqueryengine_spark.config import FeedCondition
+from starryskyqueryengine_spark.operators.topk import encode_cursor, parse_cursor
+from starryskyqueryengine_spark.regex_dialect import (
+    RegexValidationError,
+    js_to_java,
+    validate_pattern,
+)
+
+cids = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=24
+)
+
+
+@given(ms=st.integers(min_value=0, max_value=4_102_444_800_000), cid=cids)
+def test_cursor_roundtrip(ms, cid):
+    assert parse_cursor(encode_cursor(ms, cid)) == (ms, cid)
+
+
+@given(s=st.text(max_size=30))
+def test_parse_cursor_never_crashes_unexpectedly(s):
+    """Any input either parses to (int, str) or raises ValueError —
+    nothing else (the serving layer maps ValueError to a 400)."""
+    try:
+        ms, cid = parse_cursor(s)
+        assert isinstance(ms, int) and isinstance(cid, str) and cid
+    except ValueError:
+        pass
+
+
+@given(
+    pinned=st.lists(cids, max_size=5).map(",".join),
+    private=st.lists(cids, max_size=5).map(",".join),
+)
+def test_condition_csv_normalization(pinned, private):
+    """CSV-string construction always normalizes to the same list a
+    list-construction would produce — never character iteration."""
+    c = FeedCondition(key="k", recordName="r", pinnedPost=pinned, privateFeed=private)
+    assert c.pinnedPost == [p for p in pinned.split(",") if p]
+    assert c.privateFeed == [p for p in private.split(",") if p]
+
+
+@given(raw=st.dictionaries(st.sampled_from(
+    ["key", "recordName", "refresh", "initPost", "limitCount", "pinnedPost"]),
+    st.one_of(st.none(), st.text(max_size=8), st.integers(-5, 5000))))
+@settings(max_examples=200)
+def test_from_raw_total_on_messy_dicts(raw):
+    """S7 restore accepts arbitrarily messy stringly dicts: defaults
+    fill in, ints parse-or-default, never an exception."""
+    c = FeedCondition.from_raw(raw)
+    assert isinstance(c.refresh, int)
+    assert isinstance(c.initPost, int)
+    assert isinstance(c.limitCount, int)
+    assert isinstance(c.pinnedPost, list)
+
+
+@given(flags=st.text(alphabet="igsmu", max_size=5), pat=st.text(max_size=20))
+def test_js_to_java_flag_translation_total(flags, pat):
+    """Flag translation is total and never duplicates the pattern."""
+    out = js_to_java(pat, flags)
+    assert out.endswith(pat)
+    assert "g" not in out[: len(out) - len(pat)]  # 'g' never leaks into Java
+
+
+@given(pat=st.text(max_size=20))
+@settings(max_examples=200)
+def test_validate_pattern_rejects_or_accepts_consistently(pat):
+    """validate_pattern either returns a Python-compilable translation
+    or raises RegexValidationError — matching the reference's fail-fast
+    new RegExp gate."""
+    try:
+        out = validate_pattern(pat, "ig")
+        re.compile(out)
+    except RegexValidationError:
+        pass

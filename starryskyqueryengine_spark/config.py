@@ -187,3 +187,20 @@ class ConditionsRegistry:
 
     def to_df(self, spark: SparkSession) -> DataFrame:
         return conditions_df(spark, self.all())
+
+    # -- durability (the reference's conditions table is a SQLite table;
+    #    here: a single-partition parquet dim table) ----------------------
+
+    def save(self, spark: SparkSession, path: str) -> None:
+        """Persist the registry; small dim table, one file (coalesce(1))
+        so restores never pay a multi-file listing."""
+        self.to_df(spark).coalesce(1).write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "ConditionsRegistry":
+        """Restore a saved registry (arrays come back as Spark arrays;
+        row -> FeedCondition via the permissive from_raw path)."""
+        reg = cls()
+        for row in spark.read.parquet(path).collect():
+            reg.upsert(FeedCondition.from_raw(row.asDict()))
+        return reg

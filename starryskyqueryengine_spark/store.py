@@ -142,6 +142,21 @@ class PostStore:
         remaining = affected.join(doomed, ["uri", "key"], "left_anti")
         self._overwrite_keys(remaining)
 
+    @staticmethod
+    def save_bucketed(df: DataFrame, table_name: str, n_buckets: int = 64) -> None:
+        """Write a bucketed copy of the store (bucketBy uri) for
+        co-located PK joins: two tables bucketed the same way join
+        bucket-to-bucket with NO exchange on either side — at 100 TB
+        this removes the dominant shuffle from the upsert anti-join
+        (see tests/test_plan_shapes.py::test_bucketed_join_avoids_shuffle).
+        Requires a metastore-backed table (saveAsTable)."""
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n_buckets, "uri")
+            .sortBy("uri")
+            .saveAsTable(table_name)
+        )
+
     def delete_key(self, key: str) -> None:
         """U4 cascade: remove the key's partition entirely."""
         part_dir = os.path.join(self.path, f"key={key}")

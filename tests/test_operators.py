@@ -234,3 +234,24 @@ def test_salted_join_matches_plain(spark):
         ev, dim, key_col="event_type", salt_from="event_id", how="left"
     )
     assert left.count() == ev.count()
+
+
+def test_conditions_registry_save_load_roundtrip(spark, tmp_path):
+    from starryskyqueryengine_spark.config import ConditionsRegistry, FeedCondition
+
+    reg = ConditionsRegistry()
+    reg.upsert(FeedCondition(
+        key="k1", recordName="feed-a", inputRegex="data", invertRegex="slow",
+        labelDisable=True, includeAltText=True, imageOnly="imageOnly",
+        pinnedPost=["at://p/1", "at://p/2"], privateFeed=["did:plc:x"],
+        profileMatch="stream::premium", limitCount=500, refresh=3,
+    ))
+    reg.upsert(FeedCondition(key="k2", recordName="feed-b"))
+    path = str(tmp_path / "conditions")
+    reg.save(spark, path)
+    back = ConditionsRegistry.load(spark, path)
+    assert {c.key for c in back.all()} == {"k1", "k2"}
+    a, b = back.get("k1"), reg.get("k1")
+    import dataclasses
+    for f in dataclasses.fields(b):
+        assert getattr(a, f.name) == getattr(b, f.name), f.name

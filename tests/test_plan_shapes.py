@@ -132,3 +132,35 @@ def test_conditions_registry_broadcasts(spark):
         F.broadcast(cond_df), events["event_type"] == cond_df["key"], "inner"
     )
     assert "BroadcastHashJoin" in plan_of(joined)
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """Two tables bucketed on the join key must sort-merge join with no
+    Exchange on either side — the co-located PK anti-join that removes
+    the dominant shuffle from upserts at scale."""
+    from starryskyqueryengine_spark.store import PostStore
+
+    posts = load_table(spark, SF_DIR, "events").select(
+        F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("uri"),
+        F.col("event_type").alias("key"),
+    )
+    import shutil
+
+    for t in ("bk_stored", "bk_incoming"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    PostStore.save_bucketed(posts, "bk_stored", n_buckets=8)
+    PostStore.save_bucketed(posts.limit(500), "bk_incoming", n_buckets=8)
+    # at fixture size the planner would broadcast (and rightly skip the
+    # bucketed scan); disable broadcast to surface the at-scale shape
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bk_incoming").join(
+            spark.table("bk_stored"), "uri", "left_anti"
+        )
+        plan = plan_of(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # bucket-to-bucket, no shuffle either side

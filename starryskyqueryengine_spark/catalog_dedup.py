@@ -157,6 +157,21 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+@register("dedup_survivors")  # rows-only: CC fixpoint is not one SQL query
+def dedup_survivors(spark, sf_dir):
+    """End-to-end dedup: MinHash-LSH candidate pairs -> exact-Jaccard
+    verify -> connected components -> keep min-id per cluster. The
+    unit test cross-checks components against a driver-side union-find;
+    the driver's rows-only check pins schema + cardinality."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs)
+    cands = dd.lsh_candidate_pairs(sigs)
+    verified = dd.jaccard_verify(cands, sigs).filter(
+        F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD
+    )
+    return dd.dedup_survivors(docs, verified).orderBy("doc_id")
+
+
 def _sql_simhash() -> str:
     terms = []
     for j in range(32):

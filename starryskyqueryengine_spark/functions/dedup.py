@@ -248,6 +248,74 @@ def jaccard_pairs_blocked(
     )
 
 
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Connected components over near-dup pairs via min-label
+    propagation: every node starts labeled with itself; each round a
+    node adopts the minimum label in its neighborhood; converged when a
+    round changes nothing. Rounds needed = graph diameter (near-dup
+    clusters are small and dense, so a handful), each round one join +
+    one aggregate — the standard large-graph CC shape without any graph
+    library.
+
+    Returns (id, component) where component = min id in the cluster.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_survivors(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Pick one canonical doc per near-dup cluster (the min id) and
+    return the surviving doc ids — the final step of a dedup pipeline:
+    pairs -> components -> drop all but one per component."""
+    comp = connected_components(pairs)
+    doomed = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.select(id_col).join(doomed, id_col, "left_anti")
+
+
 def simhash_from_hashes(hash_col: Column) -> Column:
     """32-bit SimHash from an array<bigint> of feature hashes: bit j is
     set when the majority of feature hashes have bit j set (ties -> 0).

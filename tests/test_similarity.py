@@ -79,3 +79,45 @@ def test_ivf_deterministic(spark):
     r1 = sorted(map(tuple, sim.ivf_topk(q, b, 5).collect()))
     r2 = sorted(map(tuple, sim.ivf_topk(q, b, 5).collect()))
     assert r1 == r2
+
+
+def test_connected_components_vs_union_find(spark):
+    from starryskyqueryengine_spark.functions import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (5, 6)],
+        "id_a long, id_b long",
+    )
+    got = {(r["id"], r["component"]) for r in dd.connected_components(pairs).collect()}
+
+    # driver-side union-find ground truth
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (5, 6)]:
+        union(a, b)
+    want = {(x, find(x)) for x in parent}
+    assert got == want
+
+
+def test_dedup_survivors_one_per_cluster(spark):
+    from starryskyqueryengine_spark.functions import dedup as dd
+
+    docs = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    surv = {r["doc_id"] for r in dd.dedup_survivors(docs, pairs).collect()}
+    # clusters {1,2,3}->1, {10,11}->10, {20,21}->20; everything else kept
+    assert 1 in surv and 2 not in surv and 3 not in surv
+    assert 10 in surv and 11 not in surv
+    assert 20 in surv and 21 not in surv
+    assert len(surv) == 30 - 4

@@ -67,6 +67,37 @@ def w1_stream_upsert(spark, sf_dir):
 
 
 @register(
+    "w2_stateful_running_stats",
+    """
+    SELECT event_type AS key, COUNT(*) AS n_total
+    FROM events GROUP BY event_type
+    """,
+)
+def w2_stateful_running_stats(spark, sf_dir):
+    """A2/W2 as applyInPandasWithState: per-key cumulative counters kept
+    in the state store. Drained availableNow in one batch, the final
+    emission per key must equal the batch group-by — proving the state
+    path computes the same totals the batch engine does."""
+    _, stream = _events_stream(spark, sf_dir)
+    from .streaming import stream_running_stats
+
+    posts = stream.select(F.col("event_type").alias("key"), F.col("ts").alias("indexedAt"))
+    stats = stream_running_stats(posts)
+    table = f"runstats_{uuid.uuid4().hex[:8]}"
+    tmp = tempfile.mkdtemp(prefix="w2s_")
+    q = (
+        stats.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(table)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(table).select("key", "n_total")
+
+
+@register(
     "w8_stream_tumbling_counts",
     """
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

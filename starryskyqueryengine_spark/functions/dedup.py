@@ -249,18 +249,47 @@ def jaccard_pairs_blocked(
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 20, id_a: str = "id_a", id_b: str = "id_b"
+    pairs: DataFrame,
+    max_iter: int = 20,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
-    """Connected components over near-dup pairs via min-label
-    propagation: every node starts labeled with itself; each round a
-    node adopts the minimum label in its neighborhood; converged when a
-    round changes nothing. Rounds needed = graph diameter (near-dup
-    clusters are small and dense, so a handful), each round one join +
-    one aggregate — the standard large-graph CC shape without any graph
-    library.
+    """Connected components over near-dup pairs.
+
+    Adaptive strategy (same idea as a broadcast-join threshold): the
+    pair set is tiny relative to the corpus — it only contains actual
+    near-dups — so below ``driver_threshold`` edges the exact union-find
+    runs on the driver in milliseconds. Above it, distributed min-label
+    propagation: every node starts labeled with itself, each round
+    adopts the minimum label in its neighborhood (one join + one
+    aggregate), converged when a round changes nothing (rounds = graph
+    diameter; dup clusters are small and dense).
 
     Returns (id, component) where component = min id in the cluster.
     """
+    n_pairs = pairs.count()
+    if n_pairs <= driver_threshold:
+        edges_local = pairs.select(id_a, id_b).collect()
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edges_local:
+            ra, rb = find(r[id_a]), find(r[id_b])
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        rows = [(x, find(x)) for x in parent]
+        return pairs.sparkSession.createDataFrame(rows, "id long, component long")
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

@@ -121,3 +121,15 @@ def test_dedup_survivors_one_per_cluster(spark):
     assert 10 in surv and 11 not in surv
     assert 20 in surv and 21 not in surv
     assert len(surv) == 30 - 4
+
+
+def test_connected_components_distributed_path_matches_driver_path(spark):
+    from starryskyqueryengine_spark.functions import dedup as dd
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11), (20, 21), (5, 6), (6, 1)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {(r["id"], r["component"])
+            for r in dd.connected_components(pairs).collect()}
+    dist = {(r["id"], r["component"])
+            for r in dd.connected_components(pairs, driver_threshold=0).collect()}
+    assert fast == dist

@@ -142,6 +142,41 @@ class PostStore:
         remaining = affected.join(doomed, ["uri", "key"], "left_anti")
         self._overwrite_keys(remaining)
 
+    def file_counts(self) -> dict[str, int]:
+        """Data files per key partition (compaction signal)."""
+        out: dict[str, int] = {}
+        if not self.exists():
+            return out
+        for entry in os.listdir(self.path):
+            if entry.startswith("key="):
+                part = os.path.join(self.path, entry)
+                n = sum(
+                    1
+                    for f in os.listdir(part)
+                    if f.endswith(".parquet") and not f.startswith((".", "_"))
+                )
+                out[entry[len("key=") :]] = n
+        return out
+
+    def compact(self, max_files_per_key: int = 4) -> list[str]:
+        """Rewrite fragmented key partitions into few files. Micro-batch
+        appends add a file per batch per key; without compaction a
+        long-running feed degrades every read (file-listing + tiny
+        row groups). Only partitions above the threshold are rewritten
+        (same dynamic-partition-overwrite scoping as retention).
+        Returns the keys compacted."""
+        fragmented = [
+            k for k, n in self.file_counts().items() if n > max_files_per_key
+        ]
+        if not fragmented:
+            return []
+        affected = self.read().filter(F.col("key").isin(fragmented))
+        # hash-repartition by key -> one writer task (one file) per key;
+        # a pathologically hot key would add a salt column here to split
+        # output into size-targeted files
+        self._overwrite_keys(affected.repartition(len(fragmented), "key"))
+        return fragmented
+
     @staticmethod
     def save_bucketed(df: DataFrame, table_name: str, n_buckets: int = 64) -> None:
         """Write a bucketed copy of the store (bucketBy uri) for

@@ -255,3 +255,28 @@ def test_conditions_registry_save_load_roundtrip(spark, tmp_path):
     import dataclasses
     for f in dataclasses.fields(b):
         assert getattr(a, f.name) == getattr(b, f.name), f.name
+
+
+def test_store_compaction(spark, tmp_path):
+    import datetime as dt
+
+    from starryskyqueryengine_spark.schemas import POST_SCHEMA
+    from starryskyqueryengine_spark.store import PostStore
+
+    store = PostStore(spark, str(tmp_path / "store"))
+    # 6 micro-batches -> 6 files in the key partition
+    for b in range(6):
+        rows = [
+            (f"p{b}-{i}", "hot", f"c{b}{i:02d}", None, None,
+             dt.datetime(2024, 1, 1, b, i))
+            for i in range(10)
+        ]
+        store.upsert(spark.createDataFrame(rows, POST_SCHEMA))
+    assert store.file_counts()["hot"] >= 6
+    before = store.read().count()
+
+    compacted = store.compact(max_files_per_key=4)
+    assert compacted == ["hot"]
+    assert store.file_counts()["hot"] == 1
+    assert store.read().count() == before  # lossless
+    assert store.compact(max_files_per_key=4) == []  # idempotent

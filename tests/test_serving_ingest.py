@@ -146,3 +146,34 @@ def test_w2_no_resurrection_after_eviction(spark, tmp_path):
     newer = make_posts(spark, [{"uri": "at://u/p/new", "cid": "zzz",
                                 "text": "x", "createdAt": t(59)}])
     assert job.run_once(newer) == {"k": 1}
+
+
+def test_ingest_with_profile_match_join(spark, tmp_path):
+    """P10 end-to-end through IngestJob: a post whose text matches ONLY
+    the profile term requires the author's profile to match; the profile
+    arrives via the J1 broadcast lookup."""
+    reg = ConditionsRegistry()
+    reg.upsert(FeedCondition(key="pm", recordName="pm",
+                             inputRegex="data|quantum",
+                             profileMatch="quantum::physicist"))
+    profiles = spark.createDataFrame(
+        [("did:alice", "Alice", "quantum physicist in Berlin"),
+         ("did:bob", "Bob", "cat photos enthusiast")],
+        "did string, displayName string, description string",
+    )
+    store = PostStore(spark, str(tmp_path / "p"))
+    job = IngestJob(spark, reg, store, profiles=profiles)
+    batch = make_posts(spark, [
+        {"uri": "at://u/p/1", "cid": "c1", "author_did": "did:alice",
+         "text": "quantum stuff", "createdAt": t(1)},       # term-only + profile ok
+        {"uri": "at://u/p/2", "cid": "c2", "author_did": "did:bob",
+         "text": "quantum stuff", "createdAt": t(2)},       # term-only + profile bad
+        {"uri": "at://u/p/3", "cid": "c3", "author_did": "did:bob",
+         "text": "data and quantum", "createdAt": t(3)},    # not term-only -> kept
+        {"uri": "at://u/p/4", "cid": "c4", "author_did": "did:bob",
+         "text": "nothing relevant", "createdAt": t(4)},    # no match at all
+    ])
+    inserted = job.run_once(batch)
+    assert inserted == {"pm": 2}
+    uris = {r["uri"] for r in store.read_key("pm").collect()}
+    assert uris == {"at://u/p/1", "at://u/p/3"}

@@ -96,3 +96,55 @@ def text_fingerprint(spark, sf_dir):
     """Deterministic whitespace-normalized md5 document fingerprint."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "pipeline_clean_corpus",
+    rf"""
+    WITH scored AS (
+      SELECT doc_id, text, lang,
+             ROUND(
+               (len(regexp_extract_all(lower(text), '{_QUALITY_PAT}'))
+                  / GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1)) * 0.4
+               + LEAST(1.0, len(regexp_split_to_array(trim(text), '\s+')) / 50.0) * 0.3
+               + (1.0 - len(regexp_extract_all(text, '[.,!?;:]'))
+                    / GREATEST(length(text), 1)) * 0.3, 4) AS quality,
+             md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    kept AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM scored
+      WHERE quality >= 0.35 AND lang IN ('en', 'de')
+    )
+    SELECT doc_id, lang, quality,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+    FROM kept WHERE rn = 1
+    """,
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    """Composed training-corpus cleaning pipeline: quality gate ->
+    language allowlist -> exact dedup on the normalized fingerprint
+    (keep lowest id) -> token accounting. One declarative plan: the
+    filters fuse into the scan, the dedup is a single window over the
+    fingerprint shuffle — the shape a 100 TB pre-training prep job
+    actually runs."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id", "lang", t.alias("text"),
+        tx.quality_score(t).alias("quality"),
+        tx.fingerprint(t).alias("fp"),
+    )
+    kept = scored.filter((F.col("quality") >= 0.35) & F.col("lang").isin("en", "de"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id", "lang", "quality",
+            tx.word_token_count(F.col("text")).alias("n_tokens"),
+        )
+    )

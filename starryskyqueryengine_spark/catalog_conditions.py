@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from .catalog import register
 from .config import FeedCondition
-from .predicate import compile_condition
+from .predicate import compile_all_conditions, compile_condition
 from .sources.fixtures import load_table
 
 
@@ -108,3 +108,40 @@ def p10_profile_match(spark, sf_dir):
         profileMatch="stream::build|mach",
     ).validate()
     return joined.filter(compile_condition(cond)).select("doc_id")
+
+
+# 32 feeds, one word-regex each (vocabulary of the documents fixture);
+# the same list generates the Spark conditions AND the oracle UNION ALL.
+_MULTIFEED_WORDS = [
+    "key", "agg", "row", "scan", "slow", "fast", "table", "value",
+    "part", "hash", "merge", "batch", "spark", "line", "sort", "window",
+    "customer", "query", "big", "order", "data", "column", "join", "small",
+    "group", "stream", "filter", "vector", "the", "grid", "cloud", "index",
+]
+
+_MULTIFEED_ORACLE = " UNION ALL ".join(
+    f"SELECT doc_id, 'feed_{w}' AS key FROM documents "
+    f"WHERE len(regexp_extract_all(text, '(?i)\\b{w}\\b')) > 0"
+    for w in _MULTIFEED_WORDS
+)
+
+
+@register("flagship_multifeed", _MULTIFEED_ORACLE)
+def flagship_multifeed(spark, sf_dir):
+    """The core scale claim, checkable: 32 feed conditions evaluated in
+    ONE scan via compile_all_conditions (array of CASE WHEN -> explode),
+    vs the reference's one-loop-per-condition rescan
+    (src/subscription.ts:140). The oracle is the equivalent 32-way UNION
+    ALL; identical (doc_id, key) pairs prove the shared-scan evaluator.
+    At 100 TB this is the difference between 1 pass and N passes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    conds = [
+        FeedCondition(key=f"feed_{w}", recordName=f"feed-{w}"[:15],
+                      inputRegex=rf"\b{w}\b").validate()
+        for w in _MULTIFEED_WORDS
+    ]
+    tagged = docs.withColumn("matched_keys", compile_all_conditions(conds))
+    return (
+        tagged.filter(F.size("matched_keys") > 0)
+        .select("doc_id", F.explode("matched_keys").alias("key"))
+    )

@@ -164,3 +164,12 @@ def test_bucketed_join_avoids_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan  # bucket-to-bucket, no shuffle either side
+
+
+def test_multifeed_single_scan(spark, queries):
+    """32 feeds must still be ONE parquet scan (the reference rescans
+    per feed; a regression here multiplies 100 TB reads by feed count)."""
+    plan = plan_of(queries["flagship_multifeed"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "Union"):
+        assert bad not in plan

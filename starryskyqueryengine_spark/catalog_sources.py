@@ -99,3 +99,56 @@ def f_scalar_family(spark, sf_dir):
         (F.col("doc_id") % 7).cast("bigint").alias("bucket"),
         F.substring("text", 1, 2).try_cast("int").alias("maybe_int"),
     )
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH ordered AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  OR LAG(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    tagged AS (
+      SELECT user_id, ts_us,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM ordered
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           MAX(ts_us) - MIN(ts_us) AS dur_us
+    FROM tagged GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag -> new-session
+    flag -> running sum = session id -> per-session aggregates. Two
+    window passes over one shuffle on user_id, then a hash aggregate —
+    the canonical behavioral-analytics op the reference lacks. In
+    Structured Streaming the same semantics come from
+    session_window(ts, '30 minutes')."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.col("ts_us") if "ts_us" in ev.columns else F.unix_micros("ts")
+    ev = ev.select("user_id", "event_id", ts_us.alias("ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    tagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return tagged.groupBy("user_id", F.col("session_seq").cast("bigint").alias("session_seq")).agg(
+        F.count("*").alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).alias("dur_us"),
+    )

@@ -152,3 +152,54 @@ def sessionize_events(spark, sf_dir):
         F.count("*").alias("n_events"),
         (F.max("ts_us") - F.min("ts_us")).alias("dur_us"),
     )
+
+
+@register(
+    "asof_purchase_attribution",
+    """
+    WITH clicks AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id,
+           c.click_id AS asof_click_id,
+           p.ts_us - c.ts_us AS lag_us
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+    """,
+)
+def asof_purchase_attribution(spark, sf_dir):
+    """As-of join: attribute each purchase to the user's most recent
+    prior click. Spark has no native ASOF JOIN; operators/asof.py
+    composes it from a union + carry-forward window (one shuffle on
+    user_id, no range explosion). DuckDB's native ASOF JOIN is the
+    independent oracle."""
+    from .operators.asof import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.col("ts_us") if "ts_us" in ev.columns else F.unix_micros("ts")
+    ev = ev.select("event_id", "user_id", "event_type", ts_us.alias("ts_us"))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts_us"
+    )
+    clicks = clicks.withColumn("click_ts_us", F.col("ts_us"))
+    joined = as_of_join(
+        purchases, clicks, key_col="user_id", ts_col="ts_us",
+        right_payload=["click_id", "click_ts_us"],
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "asof_click_id",
+        (F.col("ts_us") - F.col("asof_click_ts_us")).cast("bigint").alias("lag_us"),
+    )

@@ -1,0 +1,75 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively.
+
+For each left row, attach the latest right row with ``right.ts <=
+left.ts`` within the same partition key (e.g. attribute a purchase to the
+user's most recent prior click). Implemented as a composition of existing
+DataFrame ops — the union + carry-forward-window trick:
+
+1. union both sides tagged (right rows sort before left on ts ties so an
+   equal-timestamp right row matches),
+2. one window over (key) ordered by (ts, side, tiebreak) carries the last
+   non-null right payload forward,
+3. keep left rows.
+
+Cost: ONE shuffle on the partition key and a single sort — no range
+explosion, no per-row subquery. This is the scalable shape: a naive
+``left.ts >= right.ts`` range join is quadratic per key; here hot keys
+cost n log n. (DuckDB's native ASOF JOIN is the oracle in
+catalog_sources.py.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    right_payload: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Left as-of join: every left row, plus the latest right payload at
+    or before its timestamp (nulls when no prior right row exists).
+
+    ``right`` must be deterministic per (key, ts) — pre-aggregate if the
+    source can hold duplicates, or pass ``tiebreak_col`` to make the
+    carry order total.
+    """
+    lcols = [c for c in left.columns]
+    l = left.withColumn("_side", F.lit(1))
+    for p in right_payload:
+        l = l.withColumn(f"_r_{p}", F.lit(None).cast(dict(right.dtypes)[p]))
+    r = right.select(
+        key_col,
+        ts_col,
+        *[F.col(p).alias(f"_r_{p}") for p in right_payload],
+    ).withColumn("_side", F.lit(0))
+    for c in lcols:
+        if c not in (key_col, ts_col) and c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(dict(l.dtypes)[c]))
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    order = [F.col(ts_col), F.col("_side")]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc_nulls_first())
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{p}", ignorenulls=True).over(w).alias(f"_c_{p}")
+            for p in right_payload
+        ],
+    )
+    out = carried.filter(F.col("_side") == 1).select(
+        *lcols,
+        *[F.col(f"_c_{p}").alias(f"asof_{p}") for p in right_payload],
+    )
+    return out

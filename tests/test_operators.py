@@ -280,3 +280,25 @@ def test_store_compaction(spark, tmp_path):
     assert store.file_counts()["hot"] == 1
     assert store.read().count() == before  # lossless
     assert store.compact(max_files_per_key=4) == []  # idempotent
+
+
+def test_asof_join_semantics(spark):
+    from starryskyqueryengine_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 20, "p2"), (2, 15, "p3"), (3, 5, "p4")],
+        "uid long, ts long, pid string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "c1"), (1, 18, "c2"), (1, 20, "c3"), (2, 99, "c4")],
+        "uid long, ts long, cid string",
+    )
+    out = {r["pid"]: r["asof_cid"] for r in as_of_join(
+        left, right, key_col="uid", ts_col="ts", right_payload=["cid"]
+    ).collect()}
+    assert out == {
+        "p1": "c1",   # latest right at/before ts=10 is c1 (ts=5)
+        "p2": "c3",   # equal-timestamp right row matches (ts=20)
+        "p3": None,   # right exists only after the left row
+        "p4": None,   # no right rows for the key at all
+    }

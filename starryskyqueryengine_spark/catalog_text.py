@@ -148,3 +148,45 @@ def pipeline_clean_corpus(spark, sf_dir):
             tx.word_token_count(F.col("text")).alias("n_tokens"),
         )
     )
+
+
+@register(
+    "split_train_val",
+    """
+    SELECT doc_id,
+           CASE WHEN CAST(list_sum(list_transform(range(8), i ->
+                  (strpos('0123456789abcdef',
+                          substr(md5('split:' || CAST(doc_id AS VARCHAR)), i+1, 1)) - 1)
+                  * power(16, 7-i))) AS BIGINT) % 100 < 90
+                THEN 'train' ELSE 'val' END AS split
+    FROM documents
+    """,
+)
+def split_train_val(spark, sf_dir):
+    """Deterministic 90/10 train/val split by content-independent hash
+    of the id (md5-prefix bucket) — reproducible across runs, engines
+    and partitionings; never rand(). The standard leakage-safe split for
+    training pipelines (hash the ID, not the row position)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("bigint") % 100
+    )
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 90, "train").otherwise("val").alias("split"),
+    )
+
+
+@register("sketch_distinct_users")  # rows-only: HLL sketches differ per engine
+def sketch_distinct_users(spark, sf_dir):
+    """Sketch aggregation: approx_count_distinct (HyperLogLog++) per
+    event type — the O(1)-memory distinct count a 100 TB pipeline uses
+    where exact distinct would shuffle every value. Accuracy vs exact is
+    asserted in tests (engine sketches differ, so no value oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )

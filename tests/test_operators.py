@@ -302,3 +302,20 @@ def test_asof_join_semantics(spark):
         "p3": None,   # right exists only after the left row
         "p4": None,   # no right rows for the key at all
     }
+
+
+def test_sketch_distinct_within_tolerance(spark):
+    from pyspark.sql import functions as F
+
+    from starryskyqueryengine_spark.catalog_text import sketch_distinct_users
+    from starryskyqueryengine_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    approx = {r["event_type"]: r["approx_users"]
+              for r in sketch_distinct_users(spark, sf).collect()}
+    ev = load_table(spark, sf, "events")
+    exact = {r["event_type"]: r["n"]
+             for r in ev.groupBy("event_type").agg(
+                 F.countDistinct("user_id").alias("n")).collect()}
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)

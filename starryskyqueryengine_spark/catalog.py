@@ -539,6 +539,7 @@ def _load_extensions() -> None:
         from . import catalog_stream  # noqa: F401
     except ImportError:
         pass
+    from . import catalog_analytics  # noqa: F401
     from . import catalog_conditions  # noqa: F401
     from . import catalog_multimodal  # noqa: F401
     from . import catalog_sources  # noqa: F401

@@ -1,0 +1,308 @@
+"""Analytics catalog: window functions, grouping sets, percentiles, pivot,
+range join, native session windows, exact distinct — oracle-checked.
+
+The reference engine has none of these (SURVEY §2.4/§2.8 note no multi-key
+GROUP BY, no distinct-agg, no grouping sets, no session windows); they are
+north-star analytics operators a 100 TB training-data pipeline leans on
+daily. Each query is a declarative DataFrame plan (no UDFs) so Catalyst
+keeps pushdown/pruning, and each has an exact DuckDB oracle.
+
+Scale notes are per-query; the common theme is one shuffle on a
+well-distributed key and codegen'd aggregates/windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .catalog import register
+from .operators.rangejoin import interval_count_join
+from .sources.fixtures import load_table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+RANGE_WIDTH_US = 10 * 60 * 1_000_000
+
+
+@register(
+    "q6_revenue_delta",
+    """
+    SELECT CAST(round(sum(l_extendedprice * l_discount), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q6_revenue_delta(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter + single aggregate. The whole WHERE
+    clause reaches the parquet scan as PushedFilters (min/max row-group
+    skipping on l_shipdate) — at 100 TB this query reads only the
+    matching date range's row groups, no shuffle at all (partial aggs
+    merge into one row)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join. The semi
+    join shuffles on orderkey but never materializes lineitem columns
+    past the probe — at scale this is a shuffled-hash/sort-merge semi
+    join with the date filter pushed to both scans."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o["o_orderkey"] == l["l_orderkey"]) & (l["l_shipdate"] > o["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+    )
+
+
+@register(
+    "window_user_activity",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+    )
+    SELECT user_id, event_id, ts_us,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           ts_us - lag(ts_us) OVER w AS gap_us,
+           CAST(round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS run_value
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    """,
+)
+def window_user_activity(spark, sf_dir):
+    """Window-function family (row_number / lag / running sum) over the
+    event stream — per-user ordered analytics. One shuffle on user_id,
+    then all three windows share the same sort (single Window physical
+    node); the (ts_us, event_id) tie-breaker makes every frame — and the
+    float running sum's addition order — deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+        F.round(F.sum("value").over(run), 4).alias("run_value"),
+    )
+
+
+@register(
+    "rollup_revenue",
+    """
+    WITH o AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+                      o_orderpriority, o_totalprice
+               FROM orders)
+    SELECT order_year, o_orderpriority,
+           CAST(grouping(order_year) AS BIGINT) AS g_year,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM o
+    GROUP BY ROLLUP(order_year, o_orderpriority)
+    """,
+)
+def rollup_revenue(spark, sf_dir):
+    """Grouping sets (ROLLUP year -> priority -> grand total) in one
+    aggregate pass — Spark expands the sets map-side and shuffles once;
+    grouping() flags disambiguate real NULL keys from subtotal rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    return o.rollup("order_year", "o_orderpriority").agg(
+        F.grouping("order_year").cast("bigint").alias("g_year"),
+        F.grouping("o_orderpriority").cast("bigint").alias("g_prio"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+
+
+@register(
+    "percentile_prices",
+    """
+    SELECT l_returnflag,
+           CAST(round(quantile_cont(l_extendedprice, 0.5), 4) AS DOUBLE) AS p50,
+           CAST(round(quantile_cont(l_extendedprice, 0.9), 4) AS DOUBLE) AS p90,
+           CAST(round(quantile_cont(l_extendedprice, 0.99), 4) AS DOUBLE) AS p99,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_prices(spark, sf_dir):
+    """Exact linear-interpolation percentiles per group (matches DuckDB
+    quantile_cont). Exact percentile is a sort-based aggregate — fine
+    per bounded group; the 100 TB path swaps in approx_percentile
+    (t-digest sketch, mergeable map-side) at identical call shape."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PIVOT_ALIASES = ["urgent", "high", "medium", "not_specified", "low"]
+
+
+@register(
+    "pivot_segment_priority",
+    """
+    SELECT c.c_mktsegment,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+           CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+           CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+           CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS not_specified,
+           CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def pivot_segment_priority(spark, sf_dir):
+    """Pivot (long -> wide) with an explicit value list: with values
+    given, Spark compiles the pivot into one pass of conditional
+    aggregates — no extra distinct-values job, one shuffle on the
+    grouping key. Customer dim is broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    wide = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)).cast("bigint"))
+        .na.fill(0)
+    )
+    renamed = wide
+    for src, dst in zip(_PRIORITIES, _PIVOT_ALIASES):
+        renamed = renamed.withColumnRenamed(src, dst)
+    return renamed
+
+
+@register(
+    "range_join_click_attribution",
+    f"""
+    WITH p AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT epoch_us(ts) AS ts_us FROM events
+               WHERE event_type = 'click')
+    SELECT p.event_id,
+           CAST(count(c.ts_us) AS BIGINT) AS n_in_range
+    FROM p LEFT JOIN c
+      ON c.ts_us > p.ts_us - {RANGE_WIDTH_US} AND c.ts_us <= p.ts_us
+    GROUP BY p.event_id
+    """,
+)
+def range_join_click_attribution(spark, sf_dir):
+    """Pure range join (no equi-key): clicks in the 10 minutes before
+    each purchase. Implemented via temporal bucketing
+    (operators/rangejoin.py) — explode each probe into its <=2 covering
+    buckets, equi-join on the bucket id, exact range re-check — so the
+    plan is a shuffled equi-join instead of the quadratic
+    BroadcastNestedLoopJoin the naive predicate produces."""
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select("event_id", "ts_us")
+    build = ev.filter(F.col("event_type") == "click").select("ts_us")
+    out = interval_count_join(probe, build, "ts_us", "ts_us", RANGE_WIDTH_US)
+    return out.select("event_id", "n_in_range")
+
+
+@register(
+    "sessionize_native",
+    f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+    flagged AS (
+      SELECT user_id, ts_us,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w >= {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    ),
+    sess AS (
+      SELECT user_id, ts_us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts_us) AS sess_start_us,
+           MAX(ts_us) + {SESSION_GAP_US} AS sess_end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def sessionize_native(spark, sf_dir):
+    """Spark-native session windows: groupBy(session_window(ts, gap)) —
+    the same operator Structured Streaming uses for stateful session
+    aggregation, here in batch. One shuffle on user_id, sessions merged
+    by the SessionWindow physical node (no self-join, no window-function
+    cascade). Oracle reproduces the semantics via classic gap
+    sessionization (new session when gap >= 30 min; window end = last
+    event + gap)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.timestamp_micros(F.col("ts_us")).alias("ts")
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("sess_start_us"),
+            F.unix_micros("w.end").alias("sess_end_us"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "distinct_users_daily",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+)
+def distinct_users_daily(spark, sf_dir):
+    """Exact distinct-aggregate per day (Spark expands it to a two-phase
+    partial-distinct aggregate: dedup map-side on (day, user_id), then
+    count — no full-row shuffle). The sketch_distinct_users query is
+    the approximate/mergeable counterpart for 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )

@@ -78,12 +78,20 @@ class IngestJob:
         )
 
         # W2/W8 high-watermark: the reference scans newest-first and stops
-        # at the first already-stored URI, so posts older than the
-        # retention floor never re-enter (src/subscription.ts:274-278).
-        # Spark-first improvement: accept late rows via the anti-join, but
-        # never resurrect evicted ones — for keys at their retention cap,
-        # drop incoming rows at/below the oldest retained indexedAt.
-        caps = {c.key: c.limitCount for c in self.registry.all() if c.limitCount}
+        # at the first already-stored URI, so posts older than the point
+        # where a key's history started — init-mode truncation (T6) or
+        # retention eviction (T3) — never re-enter
+        # (src/subscription.ts:274-278). Spark-first improvement: accept
+        # late rows via the anti-join, but keep the low-watermark — for
+        # keys past their initial fill (stored >= initPost) or at their
+        # retention cap (stored >= limitCount), drop incoming rows
+        # at/below the oldest retained indexedAt. This also makes
+        # run_once idempotent under full-batch replay.
+        caps = {}
+        for c in self.registry.all():
+            bounds = [x for x in (c.initPost, c.limitCount) if x]
+            if bounds:
+                caps[c.key] = min(bounds)
         if caps and self.store.exists():
             caps_df = self.spark.createDataFrame(
                 list(caps.items()), "key string, _cap int"

@@ -1,0 +1,141 @@
+"""Unit + plan-shape tests for the analytics catalog (window functions,
+range join, native session windows, grouping sets). Value parity with
+DuckDB is covered by test_oracle_parity; these pin operator semantics on
+hand-built inputs and the plan shapes that matter at 100 TB."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from starryskyqueryengine_spark import catalog
+from starryskyqueryengine_spark.operators.rangejoin import interval_count_join
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------- range join
+
+def _probe_build(spark):
+    probe = spark.createDataFrame(
+        [(1, 1_000_000), (2, 10_000_000), (3, 100)], "pid long, ts long"
+    )
+    build = spark.createDataFrame(
+        [(900_000,), (1_000_000,), (1_000_001,), (9_500_000,), (50,)],
+        "ts long",
+    )
+    return probe, build
+
+
+def test_interval_count_join_semantics(spark):
+    """Window is half-open (lo, ts]: build rows strictly after ts-width
+    and at-or-before ts count; rows outside contribute nothing; probes
+    with no matches survive with count 0."""
+    probe, build = _probe_build(spark)
+    out = interval_count_join(probe, build, "ts", "ts", width_us=1_000_000)
+    got = {r["pid"]: r["n_in_range"] for r in out.collect()}
+    # pid 1 @1M: (0, 1M] -> 50, 900k, 1M (1.000001M excluded as > ts)
+    # pid 2 @10M: (9M, 10M] -> 9.5M only
+    # pid 3 @100: (-999900, 100] -> 50 only
+    assert got == {1: 3, 2: 1, 3: 1}
+
+
+def test_interval_count_join_no_nested_loop(spark):
+    """The bucketed rewrite must plan as an equi-join (hash/sort-merge),
+    never BroadcastNestedLoopJoin — that is the whole point of the
+    operator at scale."""
+    probe, build = _probe_build(spark)
+    out = interval_count_join(probe, build, "ts", "ts", width_us=1_000_000)
+    plan = plan_of(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_count_join_bucket_boundary(spark):
+    """A build row exactly on the probe's bucket boundary (different
+    bucket than the probe) is still found via the exploded lo-bucket."""
+    probe = spark.createDataFrame([(1, 2_000_000)], "pid long, ts long")
+    build = spark.createDataFrame([(1_000_001,), (1_999_999,)], "ts long")
+    out = interval_count_join(probe, build, "ts", "ts", width_us=1_000_000)
+    assert out.collect()[0]["n_in_range"] == 2
+
+
+# ------------------------------------------------------- native session window
+
+def test_session_window_gap_semantics(spark):
+    """Events exactly gap-apart start a NEW session (Spark merges only
+    when the next event is strictly inside the previous window); events
+    inside the gap merge, and the window end extends gap past the last
+    event."""
+    gap_us = 30 * 60 * 1_000_000
+    rows = [
+        (1, 0),
+        (1, gap_us - 1),          # merges (strictly inside)
+        (1, 2 * gap_us - 1 + gap_us),  # exactly gap after prev end -> new session
+        (2, 0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_us long").select(
+        "user_id", F.timestamp_micros("ts_us").alias("ts")
+    )
+    sess = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("s"),
+            F.unix_micros("w.end").alias("e"),
+            "n",
+        )
+    )
+    got = sorted((r["user_id"], r["s"], r["e"], r["n"]) for r in sess.collect())
+    assert got == [
+        (1, 0, 2 * gap_us - 1, 2),
+        (1, 3 * gap_us - 1, 4 * gap_us - 1, 1),
+        (2, 0, gap_us, 1),
+    ]
+
+
+# ---------------------------------------------------------------- plan shapes
+
+def test_q6_filters_pushed_to_scan(spark):
+    """Q6's whole WHERE clause must reach the parquet scan."""
+    q = catalog.get_queries()["q6_revenue_delta"]
+    plan = plan_of(q(spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_q4_plans_semi_join(spark):
+    """The EXISTS must stay a semi join (never materialize lineitem)."""
+    q = catalog.get_queries()["q4_order_priority"]
+    plan = plan_of(q(spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+
+def test_window_family_single_window_node(spark):
+    """row_number/lag/running-sum share one partition+sort: exactly one
+    Window node and at most one Sort in the executed plan."""
+    q = catalog.get_queries()["window_user_activity"]
+    plan = plan_of(q(spark, SF_DIR))
+    assert plan.count("Window ") <= 2  # header line per Window node
+    assert plan.count("Exchange") <= 2  # one shuffle for the window (+AQE read)
+
+
+def test_rollup_single_expand_aggregate(spark):
+    """ROLLUP plans one Expand + one aggregate pass, not a union of
+    per-level scans."""
+    q = catalog.get_queries()["rollup_revenue"]
+    plan = plan_of(q(spark, SF_DIR))
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_pivot_no_extra_distinct_job(spark):
+    """Pivot with explicit values compiles to conditional aggregates in
+    one pass — a single scan of orders."""
+    q = catalog.get_queries()["pivot_segment_priority"]
+    plan = plan_of(q(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 2  # orders + broadcast customer
+    assert "BroadcastHashJoin" in plan

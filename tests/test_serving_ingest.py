@@ -102,8 +102,14 @@ def test_init_cap_t6(spark, tmp_path):
     job.run_once(incoming(spark, 0, 8))
     # first materialization keeps only the 2 newest accepted
     assert store.read_key("k").count() == 2
-    # subsequent (delta) runs are not init-capped
-    job.run_once(incoming(spark, 100, 4))
+    # replaying the same batch resurrects nothing: rows the init cap
+    # truncated sit below the key's low-watermark (reference analog:
+    # newest-first scan stops at the first stored URI,
+    # src/subscription.ts:274-278)
+    job.run_once(incoming(spark, 0, 8))
+    assert store.read_key("k").count() == 2
+    # delta rows newer than the low-watermark are not init-capped
+    job.run_once(incoming(spark, 108, 4))  # ts t(8)..t(11) > floor t(6)
     assert store.read_key("k").count() == 6
 
 

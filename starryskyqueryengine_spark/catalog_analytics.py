@@ -167,11 +167,19 @@ def percentile_prices(spark, sf_dir):
     per bounded group; the 100 TB path swaps in approx_percentile
     (t-digest sketch, mergeable map-side) at identical call shape."""
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
-        F.count("*").cast("bigint").alias("n"),
+    # one percentile aggregate with an array of percentages: a single
+    # sort/digest per group instead of three
+    qs = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        l.groupBy("l_returnflag")
+        .agg(qs.alias("_q"), F.count("*").cast("bigint").alias("n"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("_q")[0], 4).alias("p50"),
+            F.round(F.col("_q")[1], 4).alias("p90"),
+            F.round(F.col("_q")[2], 4).alias("p99"),
+            "n",
+        )
     )
 
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import functions as F
 
@@ -15,6 +16,24 @@ from .catalog import register
 from .sources.fixtures import load_table
 from .store import PostStore
 from .streaming import foreach_batch_upsert, parquet_stream, run_available_now, windowed_counts
+
+
+@contextmanager
+def _stream_shuffle(spark, n: int = 8):
+    """Scope shuffle partitions down for the availableNow drain.
+
+    The stateful operators allocate one state-store instance per shuffle
+    partition, fixed at the stream's first checkpoint; at this fixture
+    volume 64 instances are pure per-task overhead (measured 2-7x the
+    whole drain). A production stream sizes this to sustained throughput
+    BEFORE first start — it cannot change under an existing checkpoint —
+    so the knob lives here at the query edge, not in the session."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _events_stream(spark, sf_dir):
@@ -60,7 +79,8 @@ def w1_stream_upsert(spark, sf_dir):
     )
     tmp = tempfile.mkdtemp(prefix=f"w1_{uuid.uuid4().hex[:8]}_")
     store = PostStore(spark, f"{tmp}/store")
-    run_available_now(posts, foreach_batch_upsert(store), f"{tmp}/ckpt")
+    with _stream_shuffle(spark):
+        run_available_now(posts, foreach_batch_upsert(store), f"{tmp}/ckpt")
     return store.read().select(
         "uri", "key", F.unix_micros("indexedAt").alias("ts_us")
     )
@@ -85,15 +105,16 @@ def w2_stateful_running_stats(spark, sf_dir):
     stats = stream_running_stats(posts)
     table = f"runstats_{uuid.uuid4().hex[:8]}"
     tmp = tempfile.mkdtemp(prefix="w2s_")
-    q = (
-        stats.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(table)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_shuffle(spark):
+        q = (
+            stats.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(table).select("key", "n_total")
 
 
@@ -114,13 +135,14 @@ def w8_stream_tumbling_counts(spark, sf_dir):
                           window="1 day", watermark="1 hour")
     table = f"wincounts_{uuid.uuid4().hex[:8]}"
     tmp = tempfile.mkdtemp(prefix="w8_")
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(table)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(table)

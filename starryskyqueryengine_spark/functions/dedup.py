@@ -107,6 +107,10 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     sh = (
         with_shingles(df.select(id_col, text_col), text_col)
         .filter(F.size("shingles") > 0)
+        # the raw text is dead weight past this point (downstream
+        # banding/verify only touch id + shingles) — dropping it keeps
+        # the cached signature table small
+        .select(id_col, "shingles")
     )
     h = sh.select(id_col, F.explode("shingles").alias("_s")).select(
         id_col, md5int(F.col("_s")).alias("_h")
@@ -268,9 +272,11 @@ def connected_components(
 
     Returns (id, component) where component = min id in the cluster.
     """
-    n_pairs = pairs.count()
-    if n_pairs <= driver_threshold:
-        edges_local = pairs.select(id_a, id_b).collect()
+    # single probing job: pull at most threshold+1 edges — decides the
+    # strategy AND supplies the edge list, instead of a count() job
+    # followed by a collect() job re-running the whole pair pipeline
+    edges_local = pairs.select(id_a, id_b).limit(driver_threshold + 1).collect()
+    if len(edges_local) <= driver_threshold:
         parent: dict = {}
 
         def find(x):

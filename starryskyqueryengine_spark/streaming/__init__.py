@@ -3,6 +3,7 @@ from .pipeline import (  # noqa: F401
     foreach_batch_upsert,
     parquet_stream,
     run_available_now,
+    session_counts,
     validated_json,
     windowed_counts,
 )

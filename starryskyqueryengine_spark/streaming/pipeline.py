@@ -89,6 +89,34 @@ def windowed_counts(
     )
 
 
+def session_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stateful streaming session windows: the same session_window
+    operator the batch ``sessionize_native`` query uses, here driven by
+    the streaming state store — events merge into a session while each
+    arrives within ``gap`` of the window's end; a session finalizes (and
+    emits, in append mode) once the watermark passes its end. This is
+    the operator the reference's per-key stored-URI state (W2) grows up
+    into at scale: per-key session state lives in the state store, not
+    the driver."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap).alias("win"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n_events",
+        )
+    )
+
+
 def foreach_batch_upsert(store: PostStore, limit_by_key: dict[str, int] | None = None):
     """W6/W7/J3: the micro-batch sink hook. PK anti-join append (ON
     CONFLICT DO NOTHING) makes replayed batches idempotent across

@@ -229,3 +229,67 @@ def test_stateful_topk_retention_bounds_state(spark, tmp_path):
     assert len(last) >= 8
     survivors = pdf.sort_values("ts_us", ascending=False).head(8)
     assert all(u.startswith("p10") for u in survivors["uri"])
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """Stateful session windows in a real stream: events within the gap
+    merge into one session (state-store backed), sessions finalize only
+    after the watermark passes their end, and a session still in state
+    never emits in append mode."""
+    import glob as globmod
+    import shutil
+    import tempfile
+    import time
+
+    from starryskyqueryengine_spark.streaming import session_counts
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+
+    def write_flat(df, name):
+        d = tempfile.mkdtemp()
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        shutil.move(globmod.glob(d + "/part-*.parquet")[0], str(src / name))
+        time.sleep(1.05)
+
+    def rows(spec):
+        data = [
+            (uid, dt.datetime(2024, 1, day, hh, mm, 0))
+            for uid, day, hh, mm in spec
+        ]
+        return spark.createDataFrame(data, "user_id long, ts timestamp")
+
+    # u1: 00:00/00:10/00:20 merge (one session); 02:00 is a second session.
+    # u2: a single event.
+    write_flat(
+        rows([(1, 1, 0, 0), (1, 1, 0, 10), (1, 1, 0, 20), (1, 1, 2, 0), (2, 1, 0, 0)]),
+        "f1.parquet",
+    )
+    # far-future row advances the watermark past every u1/u2 session end,
+    # flushing them; its own session stays open (must NOT emit)
+    write_flat(rows([(99, 5, 0, 0)]), "f2.parquet")
+
+    schema = spark.read.parquet(str(src / "f1.parquet")).schema
+    stream = parquet_stream(spark, str(src), schema=schema, max_files_per_trigger=1)
+    agg = session_counts(stream, ts_col="ts", key_col="user_id",
+                         gap="30 minutes", watermark="1 hour")
+    sink: list = []
+
+    q = (
+        agg.writeStream.foreachBatch(lambda bdf, bid: sink.extend(bdf.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = sorted(
+        (r["user_id"], r["win_start"].isoformat(), r["win_end"].isoformat(), r["n_events"])
+        for r in sink
+    )
+    assert got == [
+        (1, "2024-01-01T00:00:00", "2024-01-01T00:50:00", 3),
+        (1, "2024-01-01T02:00:00", "2024-01-01T02:30:00", 1),
+        (2, "2024-01-01T00:00:00", "2024-01-01T00:30:00", 1),
+    ]

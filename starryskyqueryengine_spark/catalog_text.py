@@ -5,6 +5,7 @@ constant-for-constant."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .catalog import register
@@ -189,4 +190,171 @@ def sketch_distinct_users(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-pipeline corpus operations (sampling, vocabulary, batching, tf-idf)
+# --------------------------------------------------------------------------
+
+STRATUM_QUOTA = 50
+TOP_TERMS = 100
+TFIDF_TOP_K = 3
+
+
+@register(
+    "sample_stratified",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang FROM ranked WHERE rn <= {STRATUM_QUOTA}
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Exact-quota stratified sampling: N docs per language, picked by
+    ranking on a content-independent md5 of the id — deterministic
+    across runs/engines/partitionings, unlike rand()-based sampleBy.
+    One shuffle on the (low-cardinality) stratum key; when a stratum is
+    huge, the shuffle-free variant is the hash-threshold filter
+    (split_train_val's shape) at the cost of an approximate quota."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= STRATUM_QUOTA)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "vocab_top_terms",
+    f"""
+    SELECT t.term, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents) t
+    GROUP BY t.term
+    ORDER BY n DESC, t.term
+    LIMIT {TOP_TERMS}
+    """,
+)
+def vocab_top_terms(spark, sf_dir):
+    """Vocabulary build: explode word tokens, count, global top-k with a
+    (count, term) total order so ties at the cut are deterministic.
+    Partial aggregation runs map-side before the single shuffle on the
+    term, and the final top-k is a TakeOrderedAndProject (per-partition
+    heap + driver merge), never a full sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(TOP_TERMS)
+    )
+
+
+@register(
+    "seq_length_histogram",
+    r"""
+    WITH toks AS (
+      SELECT CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+                WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+                WHEN n_tok <= 256 THEN 256 ELSE 512 END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM toks GROUP BY 1
+    """,
+)
+def seq_length_histogram(spark, sf_dir):
+    """Sequence-length histogram for training batch packing: bucket docs
+    by power-of-two token-count bins (explicit CASE ladder — portable,
+    no float log2 edge cases) and report docs + token mass per bin. The
+    input to a length-bucketed batching / sequence-packing stage; one
+    map-side partial agg, one tiny shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    ).cast("bigint")
+    bucket = (
+        F.when(n_tok <= 16, 16).when(n_tok <= 32, 32).when(n_tok <= 64, 64)
+        .when(n_tok <= 128, 128).when(n_tok <= 256, 256).otherwise(512)
+    )
+    return (
+        docs.select(bucket.alias("bucket"), n_tok.alias("n_tok"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS score
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, score FROM ranked WHERE rn <= {TFIDF_TOP_K}
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """TF-IDF keyword extraction: top-k terms per document. The document
+    frequency table is vocabulary-sized — orders of magnitude smaller
+    than the corpus — so it broadcasts; the only big shuffles are the
+    two term aggregations, both with map-side partials. The corpus size
+    joins in as a broadcast single-row aggregate (no driver round trip,
+    stays one lazy plan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.select("doc_id", "term", "score", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "score")
     )

@@ -139,3 +139,20 @@ def test_pivot_no_extra_distinct_job(spark):
     plan = plan_of(q(spark, SF_DIR))
     assert plan.count("Scan parquet") == 2  # orders + broadcast customer
     assert "BroadcastHashJoin" in plan
+
+
+def test_vocab_topk_plans_take_ordered(spark):
+    """Global top-k vocabulary must plan TakeOrderedAndProject after the
+    term aggregate — not a full sort of the vocabulary."""
+    q = catalog.get_queries()["vocab_top_terms"]
+    plan = plan_of(q(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_broadcasts_small_sides(spark):
+    """The df (vocabulary) and corpus-count sides must broadcast — the
+    only non-broadcast shuffles are the two term aggregations."""
+    q = catalog.get_queries()["tfidf_top_terms"]
+    plan = plan_of(q(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+    assert "SortMergeJoin" not in plan

@@ -4,6 +4,7 @@ from .pipeline import (  # noqa: F401
     parquet_stream,
     run_available_now,
     session_counts,
+    stream_dedup,
     validated_json,
     windowed_counts,
 )

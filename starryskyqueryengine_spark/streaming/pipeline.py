@@ -117,6 +117,26 @@ def session_counts(
     )
 
 
+def stream_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """In-stream exact dedup on ``keys`` — the state-store form of the
+    reference's stored-URI membership set (J2/W2,
+    src/subscription.ts:172-178,274-278). Without a watermark the seen-keys
+    state grows forever (the reference has the same unbounded growth,
+    capped only by retention); passing ``ts_col`` switches to
+    dropDuplicatesWithinWatermark so state for keys older than the
+    watermark is evicted — the only formulation that survives an
+    unbounded stream. Downstream the PK anti-join upsert (J3/S8) still
+    guards cross-restart duplicates."""
+    if ts_col is None:
+        return df.dropDuplicates(keys)
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def foreach_batch_upsert(store: PostStore, limit_by_key: dict[str, int] | None = None):
     """W6/W7/J3: the micro-batch sink hook. PK anti-join append (ON
     CONFLICT DO NOTHING) makes replayed batches idempotent across

@@ -293,3 +293,66 @@ def test_streaming_session_windows(spark, tmp_path):
         (1, "2024-01-01T02:00:00", "2024-01-01T02:30:00", 1),
         (2, "2024-01-01T00:00:00", "2024-01-01T00:30:00", 1),
     ]
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """In-stream dedup drops repeats of a key while its state is inside
+    the watermark, across micro-batches; state for expired keys is
+    evicted (a repeat arriving after expiry passes through again —
+    bounded state is the price of an unbounded stream)."""
+    import glob as globmod
+    import shutil
+    import tempfile
+    import time
+
+    from starryskyqueryengine_spark.streaming import stream_dedup
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+
+    def write_flat(df, name):
+        d = tempfile.mkdtemp()
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        shutil.move(globmod.glob(d + "/part-*.parquet")[0], str(src / name))
+        time.sleep(1.05)
+
+    def rows(spec):
+        return spark.createDataFrame(
+            [(u, dt.datetime(2024, 1, day, h, 0, 0)) for u, day, h in spec],
+            "uri string, ts timestamp",
+        )
+
+    # batch 0: a + duplicate a (same batch) + b
+    write_flat(rows([("a", 1, 0), ("a", 1, 0), ("b", 1, 1)]), "f1.parquet")
+    # batch 1: duplicate a within watermark -> dropped; c advances time
+    write_flat(rows([("a", 1, 2), ("c", 1, 3)]), "f2.parquet")
+    # batch 2: d pushes the watermark (7h - 2h = 5h) past a's expiry
+    # (last dup 2h + 2h delay = 4h)
+    write_flat(rows([("d", 1, 7)]), "f3.parquet")
+    # batch 3: state eviction happens at the END of the batch that runs
+    # with the advanced watermark — e's batch is where a is evicted
+    write_flat(rows([("e", 1, 8)]), "f4.parquet")
+    # batch 4: duplicate of a, after its state expired -> passes again
+    write_flat(rows([("a", 9, 0)]), "f5.parquet")
+
+    schema = spark.read.parquet(str(src / "f1.parquet")).schema
+    stream = parquet_stream(spark, str(src), schema=schema, max_files_per_trigger=1)
+    deduped = stream_dedup(stream, ["uri"], ts_col="ts", watermark="2 hours")
+    sink: list = []
+    q = (
+        deduped.writeStream.foreachBatch(lambda bdf, bid: sink.extend(bdf.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted((r["uri"], r["ts"].isoformat()) for r in sink)
+    assert got == [
+        ("a", "2024-01-01T00:00:00"),
+        ("a", "2024-01-09T00:00:00"),
+        ("b", "2024-01-01T01:00:00"),
+        ("c", "2024-01-01T03:00:00"),
+        ("d", "2024-01-01T07:00:00"),
+        ("e", "2024-01-01T08:00:00"),
+    ]

@@ -314,3 +314,34 @@ def distinct_users_daily(spark, sf_dir):
         F.count_distinct("user_id").cast("bigint").alias("n_users"),
         F.count("*").cast("bigint").alias("n_events"),
     )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: orders-per-customer distribution. Aggregate
+    BEFORE the join — orders collapse to (custkey, n) with map-side
+    partials first, so the join moves one row per customer instead of
+    one per order; customers with no orders enter via the left join as
+    count 0. The naive join-then-aggregate shuffles the full orders
+    table twice."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        o.groupBy("o_custkey").agg(F.count("*").alias("_n"))
+        .join(c.select("c_custkey"), c["c_custkey"] == F.col("o_custkey"), "right")
+        .select(F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("bigint").alias("custdist")
+    )

@@ -83,3 +83,34 @@ def ann_lsh_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < ANN_NUM_QUERIES)
     base = emb.filter(F.col("vec_id") >= ANN_NUM_QUERIES)
     return sim.lsh_topk(queries, base, ANN_K, n_bits=4, n_tables=8, dim=64)
+
+
+N_CENTROIDS = 16
+
+
+@register(
+    "knn_centroid_assign",
+    f"""
+    WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+               FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+         p AS (SELECT vec_id, embedding::DOUBLE[] AS pv
+               FROM embeddings WHERE vec_id >= {N_CENTROIDS}),
+         s AS (SELECT p.vec_id, c.centroid_id,
+                      ROUND(list_cosine_similarity(pv, cv), 6) AS sim
+               FROM p, c)
+    SELECT vec_id, centroid_id, sim FROM (
+      SELECT vec_id, centroid_id, sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, centroid_id) AS rn
+      FROM s
+    ) WHERE rn = 1
+    """,
+)
+def knn_centroid_assign(spark, sf_dir):
+    """Nearest-centroid assignment (k-means assignment / IVF list
+    building): broadcast the centroid set, keep each vector's argmax
+    via one max_by aggregate — linear in the vector table, no window
+    sort (the oracle's row_number formulation is the semantic spec;
+    the Spark plan avoids the per-vector sort entirely)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.centroid_assign(emb, N_CENTROIDS)

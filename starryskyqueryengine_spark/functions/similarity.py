@@ -73,6 +73,41 @@ def brute_force_topk(
     )
 
 
+def centroid_assign(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment by cosine — the assignment step of
+    k-means / the list-building step of an IVF index. Centroids are the
+    first ``n_centroids`` ids (deterministic stand-in for learned
+    centroids); every other vector joins against the broadcast centroid
+    set and keeps its argmax via one max_by aggregate — a pure broadcast
+    + single hash aggregate, no shuffle of the vector table beyond the
+    agg, which is how the assignment step stays linear at 100 TB.
+
+    Ties break toward the lower centroid id (similarity rounded to 6
+    decimals first, so the tie rule is engine-portable).
+    """
+    cents = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), as_double(F.col(vec_col)).alias("c_vec")
+    )
+    pts = emb.filter(F.col(id_col) >= n_centroids).select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("p_vec")
+    )
+    scored = pts.join(F.broadcast(cents)).select(
+        id_col,
+        "centroid_id",
+        F.round(cosine(F.col("p_vec"), F.col("c_vec")), 6).alias("sim"),
+    )
+    order = F.struct(F.col("sim").alias("s"), (-F.col("centroid_id")).alias("t"))
+    return scored.groupBy(id_col).agg(
+        F.max_by(F.col("centroid_id"), order).alias("centroid_id"),
+        F.max("sim").alias("sim"),
+    )
+
+
 def _sign_coeffs(table: int, j: int, dim: int) -> list[float]:
     """Pseudo-random {-1,+1} hyperplane coefficients from
     md5(table:bit:dim-index) — same values as the engine-portable md5int

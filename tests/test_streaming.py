@@ -356,3 +356,74 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         ("d", "2024-01-01T07:00:00"),
         ("e", "2024-01-01T08:00:00"),
     ]
+
+
+def test_streaming_multifeed_ingest_end_to_end(spark, tmp_path):
+    """The reference's whole cron loop as a stream: posts arrive in
+    micro-batches, foreachBatch runs IngestJob.run_once (all feed
+    predicates in one scan -> PK anti-join upsert -> retention), and the
+    final store equals what one batch run over all posts would produce
+    — including dedup of a post replayed across micro-batches."""
+    import glob as globmod
+    import shutil
+    import tempfile
+    import time
+
+    from starryskyqueryengine_spark.config import ConditionsRegistry, FeedCondition
+    from starryskyqueryengine_spark.ingest import IngestJob
+    from starryskyqueryengine_spark.schemas import INGEST_POST_SCHEMA
+    from tests.conftest import make_posts, ts
+
+    src = tmp_path / "mf_src"
+    src.mkdir()
+
+    def write_flat(df, name):
+        d = tempfile.mkdtemp()
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        shutil.move(globmod.glob(d + "/part-*.parquet")[0], str(src / name))
+        time.sleep(1.05)
+
+    def posts(specs):
+        return make_posts(
+            spark,
+            [
+                {"uri": f"at://u/p/{i}", "cid": f"c{i:03d}", "text": text,
+                 "createdAt": ts(f"2024-01-01T00:{i:02d}:00")}
+                for i, text in specs
+            ],
+        )
+
+    # batch 0: spark x2, data x1; batch 1: replays uri 0 + new posts
+    write_flat(posts([(0, "spark rocks"), (1, "data rocks"), (2, "spark again")]), "f1.parquet")
+    write_flat(posts([(0, "spark rocks"), (3, "more data"), (4, "spark plus data")]), "f2.parquet")
+
+    reg = ConditionsRegistry()
+    reg.upsert(FeedCondition(key="sparkfeed", recordName="sparkfeed", inputRegex="spark"))
+    reg.upsert(FeedCondition(key="datafeed", recordName="datafeed", inputRegex="data"))
+    from starryskyqueryengine_spark.store import PostStore
+
+    store = PostStore(spark, str(tmp_path / "mf_store"))
+    job = IngestJob(spark, reg, store)
+
+    stream = parquet_stream(spark, str(src), schema=INGEST_POST_SCHEMA,
+                            max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(lambda bdf, bid: job.run_once(bdf))
+        .option("checkpointLocation", str(tmp_path / "mf_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = sorted((r["key"], r["uri"]) for r in store.read().select("key", "uri").collect())
+    assert got == [
+        ("datafeed", "at://u/p/1"),
+        ("datafeed", "at://u/p/3"),
+        ("datafeed", "at://u/p/4"),
+        ("sparkfeed", "at://u/p/0"),
+        ("sparkfeed", "at://u/p/2"),
+        ("sparkfeed", "at://u/p/4"),
+    ]
+    # stats carried across micro-batches
+    assert reg.get("sparkfeed").recordCount == 3
+    assert reg.get("datafeed").recordCount == 3

@@ -141,7 +141,6 @@ def flagship_multifeed(spark, sf_dir):
         for w in _MULTIFEED_WORDS
     ]
     tagged = docs.withColumn("matched_keys", compile_all_conditions(conds))
-    return (
-        tagged.filter(F.size("matched_keys") > 0)
-        .select("doc_id", F.explode("matched_keys").alias("key"))
-    )
+    # non-outer explode drops empty arrays; Catalyst infers the size() > 0
+    # pruning filter itself (InferFiltersFromGenerate)
+    return tagged.select("doc_id", F.explode("matched_keys").alias("key"))

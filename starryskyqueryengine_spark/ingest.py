@@ -49,11 +49,11 @@ class IngestJob:
             elif "author_profile_text" not in df.columns:
                 df = df.withColumn("author_profile_text", F.lit(None).cast("string"))
         tagged = df.withColumn("matched_keys", compile_all_conditions(conds))
-        return (
-            tagged.filter(F.size("matched_keys") > 0)
-            .withColumn("key", F.explode("matched_keys"))
-            .drop("matched_keys")
-        )
+        # no explicit filter before the explode: non-outer explode drops
+        # empty arrays itself, and Catalyst's InferFiltersFromGenerate
+        # adds the size() > 0 pruning filter on its own (codegen CSE
+        # shares the array expression between the two)
+        return tagged.withColumn("key", F.explode("matched_keys")).drop("matched_keys")
 
     def run_once(self, incoming: DataFrame) -> dict[str, int]:
         """One micro-batch / cron tick (W1). Returns inserted-per-key."""

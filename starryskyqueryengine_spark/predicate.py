@@ -57,9 +57,17 @@ def compile_condition(cond: FeedCondition) -> Column:
     txt = search_text(cond)
     pred = F.lit(True)
 
-    # P4 include regex: keep iff match count > 0 (src/subscription.ts:291-294)
+    # P4 include regex: keep iff match count > 0 (src/subscription.ts:291-294).
+    # When nothing downstream needs the actual count (no profileMatch
+    # arithmetic), count > 0 === rlike — and rlike stops at the first
+    # match while regexp_count materializes every match
+    # (size(regexp_extract_all(...)) in the physical plan): measurably
+    # cheaper per condition in the N-feed single-scan.
     if cond.inputRegex:
-        pred = pred & (match_count(txt, cond.inputRegex, "ig") > 0)
+        if cond.profile_match_parts() is not None:
+            pred = pred & (match_count(txt, cond.inputRegex, "ig") > 0)
+        else:
+            pred = pred & txt.rlike(js_to_java(cond.inputRegex, "ig"))
 
     # P5 exclude regex (src/subscription.ts:297-299)
     if cond.invertRegex:

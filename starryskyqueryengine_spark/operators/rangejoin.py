@@ -38,8 +38,14 @@ def interval_count_join(
     most two buckets of size ``width_us``, so the explode fan-out is
     exactly 2 rows per probe row.
     """
+    # bucket ids via exact integer `div`, never double `/` + cast: a
+    # double division loses ULPs at large epoch-micros, and a build ts
+    # exactly on a bucket boundary could round into the neighboring
+    # bucket on one side of the join only — a silently missed match.
+    # `div` truncates toward zero on both sides, so coverage holds for
+    # any sign.
     b = build.select(
-        (F.col(build_ts) / F.lit(width_us)).cast("bigint").alias("_bkt"),
+        F.expr(f"{build_ts} div {width_us}").alias("_bkt"),
         F.col(build_ts).alias("_bts"),
     )
     lo = F.col(probe_ts) - F.lit(width_us)
@@ -48,8 +54,8 @@ def interval_count_join(
         F.explode(
             F.array_distinct(
                 F.array(
-                    (lo / F.lit(width_us)).cast("bigint"),
-                    (F.col(probe_ts) / F.lit(width_us)).cast("bigint"),
+                    F.expr(f"({probe_ts} - {width_us}) div {width_us}"),
+                    F.expr(f"{probe_ts} div {width_us}"),
                 )
             )
         ),
@@ -65,6 +71,8 @@ def interval_count_join(
     )
 
 
-def bucket_key(ts: Column, width_us: int) -> Column:
-    """Bucket id for a bigint-micros timestamp (exposed for tests)."""
-    return (ts / F.lit(width_us)).cast("bigint")
+def trunc_div(a: int, w: int) -> int:
+    """Python mirror of SQL ``div`` (truncation toward zero; Python //
+    floors) — exposed for the bucket-coverage property test."""
+    q = abs(a) // w
+    return q if a >= 0 else -q

@@ -83,3 +83,21 @@ def test_validate_pattern_rejects_or_accepts_consistently(pat):
         re.compile(out)
     except RegexValidationError:
         pass
+
+
+@given(
+    pts=st.integers(min_value=0, max_value=2**62),
+    w=st.integers(min_value=1, max_value=10**12),
+    delta=st.integers(min_value=0, max_value=10**12),
+)
+def test_range_join_bucket_coverage(pts, w, delta):
+    """Range-join invariant: every build timestamp inside the probe's
+    half-open window (pts - w, pts] lands in one of the probe's two
+    exploded buckets, under the exact trunc-toward-zero `div` both sides
+    of the join use. This is the property the double-division form
+    violated at large epoch values (ULP loss at bucket boundaries)."""
+    from starryskyqueryengine_spark.operators.rangejoin import trunc_div
+
+    delta = delta % w  # bts in (pts - w, pts]
+    bts = pts - delta
+    assert trunc_div(bts, w) in {trunc_div(pts - w, w), trunc_div(pts, w)}

@@ -5,6 +5,7 @@ from .pipeline import (  # noqa: F401
     run_available_now,
     session_counts,
     stream_dedup,
+    stream_interval_join,
     validated_json,
     windowed_counts,
 )

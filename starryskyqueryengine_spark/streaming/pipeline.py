@@ -137,6 +137,52 @@ def stream_dedup(
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    width_us: int,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each left row pairs with right rows
+    whose event time falls in (left_ts - width_us, left_ts]. The
+    streaming twin of operators/rangejoin.py, and the same rewrite makes
+    it legal: Spark rejects stream-stream joins without an equality
+    predicate, so both sides get a time-bucket key (exact integer `div`
+    over epoch-micros, bucket size = the window width), the left side
+    explodes into its <=2 covering buckets, and the join is equi on the
+    bucket plus the exact range re-check. Watermarks + the event-time
+    range condition let Spark evict join state once a row can no longer
+    match — state is O(width x rate), not the stream so far."""
+    l = (
+        left.withWatermark(left_ts, watermark)
+        .withColumn("_lus", F.unix_micros(F.col(left_ts)))
+        .withColumn(
+            "_bkt",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.expr(f"(unix_micros({left_ts}) - {width_us}) div {width_us}"),
+                        F.expr(f"unix_micros({left_ts}) div {width_us}"),
+                    )
+                )
+            ),
+        )
+    )
+    r = (
+        right.withWatermark(right_ts, watermark)
+        .withColumn("_rus", F.unix_micros(F.col(right_ts)))
+        .withColumn("_rbkt", F.expr(f"unix_micros({right_ts}) div {width_us}"))
+    )
+    cond = (
+        (F.col("_bkt") == F.col("_rbkt"))
+        & (F.col(right_ts) > F.col(left_ts) - F.expr(f"INTERVAL {width_us} MICROSECOND"))
+        & (F.col(right_ts) <= F.col(left_ts))
+    )
+    return l.join(r, cond, "inner").drop("_lus", "_bkt", "_rus", "_rbkt")
+
+
 def foreach_batch_upsert(store: PostStore, limit_by_key: dict[str, int] | None = None):
     """W6/W7/J3: the micro-batch sink hook. PK anti-join append (ON
     CONFLICT DO NOTHING) makes replayed batches idempotent across

@@ -427,3 +427,55 @@ def test_streaming_multifeed_ingest_end_to_end(spark, tmp_path):
     # stats carried across micro-batches
     assert reg.get("sparkfeed").recordCount == 3
     assert reg.get("datafeed").recordCount == 3
+
+
+def test_stream_interval_join(spark, tmp_path):
+    """Stream-stream interval join: purchases pair with clicks from the
+    preceding 10 minutes, across micro-batch boundaries, with watermarks
+    bounding the join state. The batch twin (operators/rangejoin.py) is
+    oracle-checked; this pins the streaming semantics on a hand-built
+    sequence."""
+    import glob as globmod
+    import shutil
+    import tempfile
+    import time
+
+    from starryskyqueryengine_spark.streaming import stream_interval_join
+
+    csrc, psrc = tmp_path / "clicks", tmp_path / "purch"
+    csrc.mkdir(); psrc.mkdir()
+
+    def write_flat(df, dirpath, name):
+        d = tempfile.mkdtemp()
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        shutil.move(globmod.glob(d + "/part-*.parquet")[0], str(dirpath / name))
+        time.sleep(1.05)
+
+    def rows(kind, spec):
+        return spark.createDataFrame(
+            [(f"{kind}{i}", dt.datetime(2024, 1, 1, 0, mm, 0)) for i, mm in spec],
+            f"{kind}_id string, {kind}_ts timestamp",
+        )
+
+    # clicks at :00 :05 :11; purchases at :08 (matches :00,:05) and
+    # :20 (matches :11 only — :05 is 15 min earlier, outside the window)
+    write_flat(rows("c", [(1, 0), (2, 5)]), csrc, "f1.parquet")
+    write_flat(rows("c", [(3, 11)]), csrc, "f2.parquet")
+    write_flat(rows("p", [(1, 8)]), psrc, "f1.parquet")
+    write_flat(rows("p", [(2, 20)]), psrc, "f2.parquet")
+
+    cs = parquet_stream(spark, str(csrc), schema=spark.read.parquet(str(csrc / "f1.parquet")).schema)
+    ps = parquet_stream(spark, str(psrc), schema=spark.read.parquet(str(psrc / "f1.parquet")).schema)
+    joined = stream_interval_join(ps, cs, "p_ts", "c_ts", 10 * 60 * 1_000_000,
+                                  watermark="30 minutes")
+    sink: list = []
+    q = (
+        joined.writeStream.foreachBatch(lambda bdf, bid: sink.extend(bdf.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ij_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted((r["p_id"], r["c_id"]) for r in sink)
+    assert got == [("p1", "c1"), ("p1", "c2"), ("p2", "c3")]

@@ -173,8 +173,14 @@ class PostStore:
         affected = self.read().filter(F.col("key").isin(fragmented))
         # hash-repartition by key -> one writer task (one file) per key;
         # a pathologically hot key would add a salt column here to split
-        # output into size-targeted files
-        self._overwrite_keys(affected.repartition(len(fragmented), "key"))
+        # output into size-targeted files. Rows are written newest-first
+        # within each partition so parquet row-group min/max stats on
+        # indexedAt become selective — keyset pagination (T2) filters on
+        # indexedAt and skips whole row groups in a compacted store.
+        self._overwrite_keys(
+            affected.repartition(len(fragmented), "key")
+            .sortWithinPartitions("key", F.col("indexedAt").desc(), F.col("cid").desc())
+        )
         return fragmented
 
     @staticmethod

@@ -281,6 +281,14 @@ def test_store_compaction(spark, tmp_path):
     assert store.read().count() == before  # lossless
     assert store.compact(max_files_per_key=4) == []  # idempotent
 
+    # compaction writes newest-first so row-group indexedAt stats are
+    # selective for keyset (T2) scans
+    import glob
+
+    f = glob.glob(str(tmp_path / "store" / "key=hot" / "*.parquet"))[0]
+    ts_in_file = [r["indexedAt"] for r in spark.read.parquet(f).collect()]
+    assert ts_in_file == sorted(ts_in_file, reverse=True)
+
 
 def test_asof_join_semantics(spark):
     from starryskyqueryengine_spark.operators.asof import as_of_join

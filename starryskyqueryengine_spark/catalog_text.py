@@ -358,3 +358,76 @@ def tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rn") <= TFIDF_TOP_K)
         .select("doc_id", "term", "score")
     )
+
+
+@register(
+    "text_repetition_stats",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+    words AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             ROUND(max(c) * 1.0 / sum(c), 6) AS top_word_frac,
+             ROUND(count(*) * 1.0 / sum(c), 6) AS distinct_word_ratio
+      FROM wc GROUP BY doc_id
+    ),
+    big AS (
+      SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+               generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+        FROM documents
+      )
+    ),
+    grams AS (
+      SELECT doc_id,
+             ROUND(1.0 - count(DISTINCT g) * 1.0 / count(*), 6) AS dup_2gram_frac
+      FROM big WHERE g IS NOT NULL GROUP BY doc_id
+    )
+    SELECT words.doc_id, n_tokens, top_word_frac, distinct_word_ratio,
+           COALESCE(dup_2gram_frac, 0.0) AS dup_2gram_frac
+    FROM words LEFT JOIN grams ON words.doc_id = grams.doc_id
+    """,
+)
+def text_repetition_stats(spark, sf_dir):
+    """Gopher/C4-style repetition quality signals: top-word fraction,
+    distinct-word ratio, duplicate-2-gram fraction — the filters a
+    pretraining pipeline uses to drop low-entropy documents. Both legs
+    are explode -> codegen hash aggregates sharing the doc_id
+    partitioning; the bigram leg builds grams as an array expression
+    (one O(len) zip_with pass), so no window sort is needed."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    tok = docs.select("doc_id", F.explode(words).alias("w"))
+    wc = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    word_stats = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_word_frac"),
+        F.round(F.count("*") / F.sum("c"), 6).alias("distinct_word_ratio"),
+    )
+    grams_arr = F.expr(
+        "CASE WHEN size(_w) >= 2 THEN "
+        "zip_with(slice(_w, 1, size(_w) - 1), slice(_w, 2, size(_w) - 1), "
+        "(a, b) -> concat(a, ' ', b)) ELSE array() END"
+    )
+    grams = (
+        docs.select("doc_id", words.alias("_w"))
+        .select("doc_id", F.explode(grams_arr).alias("g"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.lit(1.0) - F.count_distinct("g") / F.count("*"), 6
+            ).alias("dup_2gram_frac")
+        )
+    )
+    return word_stats.join(grams, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "top_word_frac",
+        "distinct_word_ratio",
+        F.coalesce("dup_2gram_frac", F.lit(0.0)).alias("dup_2gram_frac"),
+    )

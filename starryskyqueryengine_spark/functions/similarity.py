@@ -73,11 +73,22 @@ def brute_force_topk(
     )
 
 
+def unrolled_dot(a_field: str, b_field: str, dim: int) -> Column:
+    """Dot product as an unrolled SQL expression over element accesses.
+
+    The zip_with + aggregate form stays interpreted (higher-order array
+    functions don't enter whole-stage codegen); the unrolled sum is
+    plain arithmetic Janino compiles — measured several times faster on
+    the all-pairs inner loops. ``dim`` must match the vector length."""
+    return F.expr(" + ".join(f"{a_field}[{i}] * {b_field}[{i}]" for i in range(dim)))
+
+
 def centroid_assign(
     emb: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """Nearest-centroid assignment by cosine — the assignment step of
     k-means / the list-building step of an IVF index. Centroids are the
@@ -90,16 +101,23 @@ def centroid_assign(
     Ties break toward the lower centroid id (similarity rounded to 6
     decimals first, so the tie rule is engine-portable).
     """
+    # norms once per vector BEFORE the join (the naive per-pair cosine
+    # recomputes each point's norm n_centroids times), dot product as an
+    # unrolled codegen expression rather than interpreted zip_with
     cents = emb.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"), as_double(F.col(vec_col)).alias("c_vec")
-    )
+        F.col(id_col).alias("centroid_id"),
+        as_double(F.col(vec_col)).alias("c_vec"),
+    ).withColumn("c_norm", F.sqrt(unrolled_dot("c_vec", "c_vec", dim)))
     pts = emb.filter(F.col(id_col) >= n_centroids).select(
-        F.col(id_col), as_double(F.col(vec_col)).alias("p_vec")
-    )
+        F.col(id_col),
+        as_double(F.col(vec_col)).alias("p_vec"),
+    ).withColumn("p_norm", F.sqrt(unrolled_dot("p_vec", "p_vec", dim)))
     scored = pts.join(F.broadcast(cents)).select(
         id_col,
         "centroid_id",
-        F.round(cosine(F.col("p_vec"), F.col("c_vec")), 6).alias("sim"),
+        F.round(
+            unrolled_dot("p_vec", "c_vec", dim) / (F.col("p_norm") * F.col("c_norm")), 6
+        ).alias("sim"),
     )
     order = F.struct(F.col("sim").alias("s"), (-F.col("centroid_id")).alias("t"))
     return scored.groupBy(id_col).agg(

@@ -146,3 +146,60 @@ def w8_stream_tumbling_counts(spark, sf_dir):
         )
         q.awaitTermination(300)
     return spark.table(table)
+
+
+RANGE_WIDTH_US = 10 * 60 * 1_000_000  # mirrors catalog_analytics
+
+
+@register(
+    "w_stream_interval_join",
+    f"""
+    WITH p AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT epoch_us(ts) AS ts_us FROM events
+               WHERE event_type = 'click')
+    SELECT p.event_id, CAST(count(*) AS BIGINT) AS n_in_range
+    FROM p JOIN c
+      ON c.ts_us > p.ts_us - {RANGE_WIDTH_US} AND c.ts_us <= p.ts_us
+    GROUP BY p.event_id
+    """,
+)
+def w_stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join, value-checked against the batch SQL
+    ground truth: purchases and clicks arrive as two streams, pair up
+    via the bucketed interval join (streaming/pipeline.py), and the
+    drained pair set aggregates to exactly the batch range-join counts
+    (inner-join form: only purchases with >= 1 click in the window).
+    The strongest check available for a stateful stream-stream operator:
+    same rows a batch engine would produce, computed with bounded join
+    state."""
+    from .streaming import stream_interval_join
+
+    _, s1 = _events_stream(spark, sf_dir)
+    _, s2 = _events_stream(spark, sf_dir)
+    purchases = s1.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("ts").alias("p_ts")
+    )
+    clicks = s2.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("c_ts")
+    )
+    joined = stream_interval_join(
+        purchases, clicks, "p_ts", "c_ts", RANGE_WIDTH_US, watermark="1 hour"
+    )
+    table = f"ij_{uuid.uuid4().hex[:8]}"
+    tmp = tempfile.mkdtemp(prefix="wij_")
+    with _stream_shuffle(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return (
+        spark.table(table)
+        .groupBy("event_id")
+        .agg(F.count("*").cast("bigint").alias("n_in_range"))
+    )

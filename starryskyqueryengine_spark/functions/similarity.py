@@ -48,22 +48,29 @@ def brute_force_topk(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the query set, rank per query.
 
     Ranking uses the similarity ROUNDED to 6 decimals with the id as
-    tie-break so the cut is deterministic and engine-portable.
+    tie-break so the cut is deterministic and engine-portable. The
+    pairwise dot runs as an unrolled codegen expression with norms
+    precomputed once per vector (see unrolled_dot).
     """
-    q = queries.select(
-        F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("q_vec")
+    q = _with_norm(
+        queries.select(
+            F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("q_vec")
+        ),
+        "q_vec", "_qn", dim,
     )
-    b = base.select(
-        F.col(id_col).alias("nn_id"), as_double(F.col(vec_col)).alias("b_vec")
+    b = _with_norm(
+        base.select(
+            F.col(id_col).alias("nn_id"), as_double(F.col(vec_col)).alias("b_vec")
+        ),
+        "b_vec", "_bn", dim,
     )
     scored = F.broadcast(q).crossJoin(b).select(
-        "q_id",
-        "nn_id",
-        F.round(cosine(F.col("q_vec"), F.col("b_vec")), 6).alias("sim"),
+        "q_id", "nn_id", _sim_unrolled(dim)
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
     return (
@@ -81,6 +88,19 @@ def unrolled_dot(a_field: str, b_field: str, dim: int) -> Column:
     plain arithmetic Janino compiles — measured several times faster on
     the all-pairs inner loops. ``dim`` must match the vector length."""
     return F.expr(" + ".join(f"{a_field}[{i}] * {b_field}[{i}]" for i in range(dim)))
+
+
+def _with_norm(df: DataFrame, vec_field: str, out: str, dim: int) -> DataFrame:
+    """Precompute a vector's L2 norm once, before any pairwise join —
+    the naive per-pair cosine recomputes it fan-out times."""
+    return df.withColumn(out, F.sqrt(unrolled_dot(vec_field, vec_field, dim)))
+
+
+def _sim_unrolled(dim: int) -> Column:
+    """Rounded cosine from q_vec/b_vec with precomputed _qn/_bn norms."""
+    return F.round(
+        unrolled_dot("q_vec", "b_vec", dim) / (F.col("_qn") * F.col("_bn")), 6
+    ).alias("sim")
 
 
 def centroid_assign(
@@ -206,6 +226,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """Approximate ANN via IVF-flat: partition the base into inverted
     lists by nearest centroid; each query probes only its ``n_probe``
@@ -256,24 +277,26 @@ def ivf_topk(
     )
     q_cells = queries.select(id_col, vec_col).mapInPandas(assign(n_probe), schema=schema)
 
-    q = q_cells.select(
-        F.col("cell"),
-        F.col(id_col).alias("q_id"),
-        as_double(F.col(vec_col)).alias("q_vec"),
+    q = _with_norm(
+        q_cells.select(
+            F.col("cell"),
+            F.col(id_col).alias("q_id"),
+            as_double(F.col(vec_col)).alias("q_vec"),
+        ),
+        "q_vec", "_qn", dim,
     )
-    b = b_cells.select(
-        F.col("cell"),
-        F.col(id_col).alias("nn_id"),
-        as_double(F.col(vec_col)).alias("b_vec"),
+    b = _with_norm(
+        b_cells.select(
+            F.col("cell"),
+            F.col(id_col).alias("nn_id"),
+            as_double(F.col(vec_col)).alias("b_vec"),
+        ),
+        "b_vec", "_bn", dim,
     )
     scored = (
         F.broadcast(q)
         .join(b, "cell")
-        .select(
-            "q_id",
-            "nn_id",
-            F.round(cosine(F.col("q_vec"), F.col("b_vec")), 6).alias("sim"),
-        )
+        .select("q_id", "nn_id", _sim_unrolled(dim))
         .dropDuplicates(["q_id", "nn_id"])
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
@@ -379,11 +402,8 @@ def lsh_topk(
         .select("q_id", "q_vec", "nn_id", "b_vec")
         .dropDuplicates(["q_id", "nn_id"])
     )
-    scored = cands.select(
-        "q_id",
-        "nn_id",
-        F.round(cosine(F.col("q_vec"), F.col("b_vec")), 6).alias("sim"),
-    )
+    cands = _with_norm(_with_norm(cands, "q_vec", "_qn", dim), "b_vec", "_bn", dim)
+    scored = cands.select("q_id", "nn_id", _sim_unrolled(dim))
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

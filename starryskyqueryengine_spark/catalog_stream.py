@@ -186,20 +186,32 @@ def w_stream_interval_join(spark, sf_dir):
     joined = stream_interval_join(
         purchases, clicks, "p_ts", "c_ts", RANGE_WIDTH_US, watermark="1 hour"
     )
-    table = f"ij_{uuid.uuid4().hex[:8]}"
     tmp = tempfile.mkdtemp(prefix="wij_")
+    out_dir = f"{tmp}/partials"
+
+    # aggregate inside foreachBatch and append the per-batch partial
+    # counts as parquet — the raw pair set never funnels through the
+    # driver (a memory sink collects every row); partials sum to exact
+    # totals because the join emits each pair exactly once
+    def sink(bdf, _bid):
+        (
+            bdf.groupBy("event_id")
+            .agg(F.count("*").alias("n"))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
     with _stream_shuffle(spark):
         q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(table)
+            joined.writeStream.foreachBatch(sink)
+            .outputMode("append")
             .option("checkpointLocation", f"{tmp}/ckpt")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(300)
     return (
-        spark.table(table)
+        spark.read.parquet(out_dir)
         .groupBy("event_id")
-        .agg(F.count("*").cast("bigint").alias("n_in_range"))
+        .agg(F.sum("n").cast("bigint").alias("n_in_range"))
     )

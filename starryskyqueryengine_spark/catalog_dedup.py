@@ -157,12 +157,63 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-@register("dedup_survivors")  # rows-only: CC fixpoint is not one SQL query
+@register(
+    "dedup_survivors",
+    rf"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, {_sql_shingles('w')} AS shingles
+      FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
+    ),
+    hashed AS (
+      SELECT doc_id, shingles,
+             list_transform(shingles, s -> {_sql_md5int('s')}) AS hs
+      FROM sh WHERE len(shingles) > 0
+    ),
+    sigs AS (SELECT doc_id, shingles, {_sql_minhash_sig('hs')} AS sig FROM hashed),
+    bands AS ({_sql_band_rows()}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT c.id_a, c.id_b,
+               len(list_intersect(sa.shingles, sb.shingles)) AS i,
+               len(sa.shingles) AS na, len(sb.shingles) AS nb
+        FROM cands c
+        JOIN sigs sa ON sa.doc_id = c.id_a
+        JOIN sigs sb ON sb.doc_id = c.id_b
+      ) WHERE i * 1.0 / GREATEST(na + nb - i, 1) >= {MINHASH_VERIFY_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    -- transitive closure by recursive CTE: reach(id, r) = r reachable
+    -- from id; UNION dedups so the recursion reaches a fixpoint. Near-dup
+    -- clusters are tiny, so the closure stays small.
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+    doomed AS (SELECT id FROM comp WHERE id != component)
+    SELECT d.doc_id FROM documents d
+    LEFT JOIN doomed ON doomed.id = d.doc_id
+    WHERE doomed.id IS NULL
+    ORDER BY d.doc_id
+    """,
+)
 def dedup_survivors(spark, sf_dir):
     """End-to-end dedup: MinHash-LSH candidate pairs -> exact-Jaccard
     verify -> connected components -> keep min-id per cluster. The
-    unit test cross-checks components against a driver-side union-find;
-    the driver's rows-only check pins schema + cardinality."""
+    unit test cross-checks components against a driver-side union-find,
+    and the DuckDB oracle recomputes the full pipeline with a
+    recursive-CTE transitive closure standing in for the CC fixpoint —
+    the whole dedup path is value-checked end to end."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(docs)
     cands = dd.lsh_candidate_pairs(sigs)

@@ -92,8 +92,21 @@ def unrolled_dot(a_field: str, b_field: str, dim: int) -> Column:
 
 def _with_norm(df: DataFrame, vec_field: str, out: str, dim: int) -> DataFrame:
     """Precompute a vector's L2 norm once, before any pairwise join —
-    the naive per-pair cosine recomputes it fan-out times."""
-    return df.withColumn(out, F.sqrt(unrolled_dot(vec_field, vec_field, dim)))
+    the naive per-pair cosine recomputes it fan-out times. Fails loudly
+    when a vector is shorter than ``dim`` (out-of-range element access
+    would otherwise NULL out the dot product silently)."""
+    return df.withColumn(
+        out,
+        F.when(
+            F.size(F.col(vec_field)) < dim,
+            F.raise_error(
+                F.format_string(
+                    f"{vec_field}: expected dim >= {dim}, got %s",
+                    F.size(F.col(vec_field)).cast("string"),
+                )
+            ).cast("double"),
+        ).otherwise(F.sqrt(unrolled_dot(vec_field, vec_field, dim))),
+    )
 
 
 def _sim_unrolled(dim: int) -> Column:

@@ -431,3 +431,73 @@ def text_repetition_stats(spark, sf_dir):
         "distinct_word_ratio",
         F.coalesce("dup_2gram_frac", F.lit(0.0)).alias("dup_2gram_frac"),
     )
+
+
+PACK_CAPACITY = 2048
+PACK_SHARD = 1000  # docs per cumsum shard
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS end_off
+      FROM toks WHERE n_tok > 0
+    )
+    SELECT doc_id, n_tok,
+           end_off - n_tok AS start_off,
+           (end_off - n_tok) // {PACK_CAPACITY} AS first_seq,
+           (end_off - 1) // {PACK_CAPACITY} AS last_seq
+    FROM c
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing: concatenate the corpus in doc_id
+    order and assign each document its token span and the fixed-size
+    training sequences it lands in. The global running sum is computed
+    scalably as a two-level cumsum — per-shard window (contiguous
+    doc_id div PACK_SHARD shards) plus a broadcast of per-shard totals'
+    prefix sums — so no single-task global window touches the corpus;
+    the only flat window runs over the tiny shard-totals table. The
+    oracle states the same semantics as one flat window (the textbook
+    mistake at 100 TB: one reducer holds the whole corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    ).cast("bigint")
+    toks = docs.select(
+        "doc_id", n_tok.alias("n_tok"), F.expr(f"doc_id div {PACK_SHARD}").alias("_shard")
+    ).filter(F.col("n_tok") > 0)
+
+    in_shard = Window.partitionBy("_shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = toks.withColumn("_local_end", F.sum("n_tok").over(in_shard))
+
+    shard_order = Window.orderBy("_shard").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        toks.groupBy("_shard")
+        .agg(F.sum("n_tok").alias("_total"))
+        .select(
+            "_shard",
+            (F.sum("_total").over(shard_order) - F.col("_total")).alias("_base"),
+        )
+    )
+    packed = local.join(F.broadcast(offsets), "_shard").select(
+        "doc_id",
+        "n_tok",
+        (F.col("_base") + F.col("_local_end") - F.col("n_tok")).alias("start_off"),
+        F.expr(f"(_base + _local_end - n_tok) div {PACK_CAPACITY}").alias("first_seq"),
+        F.expr(f"(_base + _local_end - 1) div {PACK_CAPACITY}").alias("last_seq"),
+    )
+    return packed.select("doc_id", "n_tok", "start_off", "first_seq", "last_seq")

@@ -156,3 +156,15 @@ def test_tfidf_broadcasts_small_sides(spark):
     plan = plan_of(q(spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_no_global_corpus_window(spark):
+    """The corpus-wide cumsum must run as per-shard windows (hash
+    partitioning on the shard key); only the tiny shard-totals table may
+    pass through a single-partition exchange."""
+    q = catalog.get_queries()["pack_sequences"]
+    plan = plan_of(q(spark, SF_DIR))
+    assert "hashpartitioning(_shard" in plan
+    # the doc-bearing side never collapses to one partition: the
+    # single-partition exchanges sit above the per-shard aggregate
+    assert "Scan parquet" in plan

@@ -501,3 +501,69 @@ def pack_sequences(spark, sf_dir):
         F.expr(f"(_base + _local_end - 1) div {PACK_CAPACITY}").alias("last_seq"),
     )
     return packed.select("doc_id", "n_tok", "start_off", "first_seq", "last_seq")
+
+
+N_NEGATIVES = 4
+
+
+def _sql_md5int_text(x: str) -> str:
+    # portable 32-bit md5-prefix hash (same formula as catalog_dedup)
+    return (
+        "CAST(list_sum(list_transform(range(8), i -> "
+        f"(strpos('0123456789abcdef', substr(md5({x}), i+1, 1)) - 1) "
+        "* power(16, 7-i))) AS BIGINT)"
+    )
+
+
+@register(
+    "contrastive_negatives",
+    f"""
+    WITH n AS (SELECT count(*) AS n_docs FROM documents),
+    raw AS (
+      SELECT d.doc_id AS anchor_id, j.j,
+             {_sql_md5int_text("'neg:' || CAST(d.doc_id AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)")}
+               % n.n_docs AS neg0,
+             n.n_docs
+      FROM documents d CROSS JOIN n
+      CROSS JOIN (SELECT unnest(range({N_NEGATIVES})) AS j) j
+    ),
+    pairs AS (
+      SELECT anchor_id, CAST(j AS BIGINT) AS j,
+             CASE WHEN neg0 = anchor_id THEN (neg0 + 1) % n_docs ELSE neg0 END AS neg_id
+      FROM raw
+    )
+    SELECT p.anchor_id, p.j, p.neg_id, d.lang AS neg_lang
+    FROM pairs p JOIN documents d ON d.doc_id = p.neg_id
+    """,
+)
+def contrastive_negatives(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training: each
+    anchor gets k pseudo-random negatives via a seeded id hash modulo
+    the corpus size (self-collisions remap to the next id) — fully
+    reproducible across runs/engines/partitionings, never rand(). The
+    corpus count rides in as a broadcast single-row aggregate; fetching
+    the negatives' payload is one shuffle equi-join on neg_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").alias("n_docs"))
+    raw = (
+        docs.select("doc_id")
+        .join(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(N_NEGATIVES - 1))).alias("j"),
+            "n_docs",
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.format_string("neg:%s:%s", F.col("anchor_id"), F.col("j"))), 1, 8
+        ),
+        16, 10,
+    ).cast("bigint") % F.col("n_docs")
+    pairs = raw.select(
+        "anchor_id",
+        F.col("j").cast("bigint").alias("j"),
+        F.when(h == F.col("anchor_id"), (h + 1) % F.col("n_docs")).otherwise(h).alias("neg_id"),
+    )
+    neg = docs.select(F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang"))
+    return pairs.join(neg, "neg_id").select("anchor_id", "j", "neg_id", "neg_lang")

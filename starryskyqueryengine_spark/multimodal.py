@@ -190,6 +190,16 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
 # Frame sampling (row-multiplier stays JVM-side)
 # --------------------------------------------------------------------------
 
+def _frame_range(n):
+    """[0, n) as an array, empty when n <= 0. A bare sequence(0, n-1)
+    is a trap: with n = 0 Spark infers step -1 and yields [0, -1] —
+    a video shorter than the sample interval would emit two bogus
+    frames (one negative) instead of none."""
+    return F.when(
+        n > 0, F.sequence(F.lit(0).cast("long"), n - 1)
+    ).otherwise(F.array().cast("array<long>"))
+
+
 def sample_frames(df: DataFrame, interval_ms: int = 500) -> DataFrame:
     """Enumerate video frames every ``interval_ms``. The explode is pure
     Catalyst (``sequence`` + ``explode``) so a 100 TB video table fans
@@ -198,7 +208,7 @@ def sample_frames(df: DataFrame, interval_ms: int = 500) -> DataFrame:
     vids = df.filter(F.col("meta.media_type") == "video")
     n = (F.col("meta.duration_ms") / F.lit(interval_ms)).cast("long")
     return (
-        vids.withColumn("frame_idx", F.explode(F.sequence(F.lit(0).cast("long"), n - 1)))
+        vids.withColumn("frame_idx", F.explode(_frame_range(n)))
         .select(
             "media_id",
             "frame_idx",
@@ -223,9 +233,9 @@ def extract_frames(df: DataFrame, interval_ms: int = 500) -> DataFrame:
     would call the codec."""
     vids = df.filter(F.col("meta.media_type") == "video")
     n = (F.col("meta.duration_ms") / F.lit(interval_ms)).cast("long")
-    frames = vids.withColumn(
-        "frame_idx", F.explode(F.sequence(F.lit(0).cast("long"), n - 1))
-    ).select("media_id", "frame_idx", "payload")
+    frames = vids.withColumn("frame_idx", F.explode(_frame_range(n))).select(
+        "media_id", "frame_idx", "payload"
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

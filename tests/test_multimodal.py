@@ -100,3 +100,19 @@ def test_metadata_projection_prunes_payload(spark):
     plan = proj._jdf.queryExecution().executedPlan().toString()
     assert "encode(" not in plan  # payload derivation pruned away
     assert "payload" not in plan
+
+
+def test_frame_sample_short_video_emits_no_frames(spark):
+    """A video shorter than the sample interval yields zero frames —
+    never the [0, -1] pair a bare sequence(0, n-1) produces at n=0."""
+    from starryskyqueryengine_spark.multimodal import MEDIA_SCHEMA, sample_frames
+
+    rows = [
+        (1, b"x", ("video", None, None, 300, None, 1)),   # 300ms < 500ms
+        (2, b"y", ("video", None, None, 1000, None, 1)),  # exactly 2 frames
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = sorted(
+        (r["media_id"], r["frame_idx"]) for r in sample_frames(df, 500).collect()
+    )
+    assert got == [(2, 0), (2, 1)]

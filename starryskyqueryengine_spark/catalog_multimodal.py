@@ -46,8 +46,8 @@ def mm_metadata_project(spark, sf_dir):
     "mm_frame_sample",
     f"""
     SELECT doc_id AS media_id,
-           unnest(range(0, (1000 * (1 + doc_id % 30)) // 500)) AS frame_idx,
-           unnest(range(0, (1000 * (1 + doc_id % 30)) // 500)) * 500 AS frame_ts_ms
+           unnest(range(0, GREATEST((1000 * (1 + doc_id % 30)) // 500, 1))) AS frame_idx,
+           unnest(range(0, GREATEST((1000 * (1 + doc_id % 30)) // 500, 1))) * 500 AS frame_ts_ms
     FROM documents
     WHERE {_MT_SQL} = 'video'
     """,

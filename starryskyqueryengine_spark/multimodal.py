@@ -190,13 +190,22 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
 # Frame sampling (row-multiplier stays JVM-side)
 # --------------------------------------------------------------------------
 
-def _frame_range(n):
-    """[0, n) as an array, empty when n <= 0. A bare sequence(0, n-1)
-    is a trap: with n = 0 Spark infers step -1 and yields [0, -1] —
-    a video shorter than the sample interval would emit two bogus
-    frames (one negative) instead of none."""
+def _frame_range(duration_col, interval_ms: int):
+    """Frame indices [0, n) where n = max(1, duration // interval) for a
+    nonempty duration, else empty. Two deliberate choices live here (and
+    only here — both call sites share this helper):
+
+    - a video shorter than the interval still yields its t=0 frame
+      (floor alone would silently drop the whole clip from the frame
+      pipeline);
+    - the guard avoids the bare sequence(0, n-1) trap: with n = 0 Spark
+      infers step -1 and yields [0, -1] — two bogus frames, one with a
+      negative index."""
+    n = F.greatest(
+        (duration_col / F.lit(interval_ms)).cast("long"), F.lit(1).cast("long")
+    )
     return F.when(
-        n > 0, F.sequence(F.lit(0).cast("long"), n - 1)
+        duration_col > 0, F.sequence(F.lit(0).cast("long"), n - 1)
     ).otherwise(F.array().cast("array<long>"))
 
 
@@ -206,9 +215,10 @@ def sample_frames(df: DataFrame, interval_ms: int = 500) -> DataFrame:
     out to frames without leaving codegen; pair with ``extract_frame``
     only on the frames you keep."""
     vids = df.filter(F.col("meta.media_type") == "video")
-    n = (F.col("meta.duration_ms") / F.lit(interval_ms)).cast("long")
     return (
-        vids.withColumn("frame_idx", F.explode(_frame_range(n)))
+        vids.withColumn(
+            "frame_idx", F.explode(_frame_range(F.col("meta.duration_ms"), interval_ms))
+        )
         .select(
             "media_id",
             "frame_idx",
@@ -232,10 +242,9 @@ def extract_frames(df: DataFrame, interval_ms: int = 500) -> DataFrame:
     byte-window of the payload keyed by frame_idx) where a real build
     would call the codec."""
     vids = df.filter(F.col("meta.media_type") == "video")
-    n = (F.col("meta.duration_ms") / F.lit(interval_ms)).cast("long")
-    frames = vids.withColumn("frame_idx", F.explode(_frame_range(n))).select(
-        "media_id", "frame_idx", "payload"
-    )
+    frames = vids.withColumn(
+        "frame_idx", F.explode(_frame_range(F.col("meta.duration_ms"), interval_ms))
+    ).select("media_id", "frame_idx", "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

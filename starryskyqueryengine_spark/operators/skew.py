@@ -51,6 +51,11 @@ def salted_join_skewed_fact(
     Only worth it when the dim side is small (replication cost x
     n_salt); for large-large skewed joins rely on AQE skew splitting.
     """
+    if n_salt < 1:
+        # n_salt=0 would be a silent wrong answer, not an error: pmod(h, 0)
+        # NULLs the fact salts while sequence(0, -1) gives the dim salts
+        # [0, -1], so the join returns zero rows
+        raise ValueError(f"n_salt must be >= 1, got {n_salt}")
     salted_fact = fact.withColumn(
         "_salt", F.pmod(F.hash(F.col(salt_from)), F.lit(n_salt))
     )

@@ -102,17 +102,21 @@ def test_metadata_projection_prunes_payload(spark):
     assert "payload" not in plan
 
 
-def test_frame_sample_short_video_emits_no_frames(spark):
-    """A video shorter than the sample interval yields zero frames —
-    never the [0, -1] pair a bare sequence(0, n-1) produces at n=0."""
-    from starryskyqueryengine_spark.multimodal import MEDIA_SCHEMA, sample_frames
+def test_frame_sample_short_and_empty_videos(spark):
+    """A video shorter than the sample interval still yields its t=0
+    frame (floor alone would drop the clip entirely); a zero/absent
+    duration yields nothing — and never the [0, -1] pair a bare
+    sequence(0, n-1) produces at n=0."""
+    from starryskyqueryengine_spark.multimodal import MEDIA_SCHEMA
 
     rows = [
-        (1, b"x", ("video", None, None, 300, None, 1)),   # 300ms < 500ms
+        (1, b"x", ("video", None, None, 300, None, 1)),   # short -> frame 0
         (2, b"y", ("video", None, None, 1000, None, 1)),  # exactly 2 frames
+        (3, b"z", ("video", None, None, 0, None, 1)),     # empty -> none
+        (4, b"w", ("video", None, None, None, None, 1)),  # unknown -> none
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     got = sorted(
         (r["media_id"], r["frame_idx"]) for r in sample_frames(df, 500).collect()
     )
-    assert got == [(2, 0), (2, 1)]
+    assert got == [(1, 0), (2, 0), (2, 1)]

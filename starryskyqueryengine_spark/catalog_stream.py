@@ -13,7 +13,7 @@ from contextlib import contextmanager
 from pyspark.sql import functions as F
 
 from .catalog import register
-from .sources.fixtures import load_table
+from .catalog_analytics import RANGE_WIDTH_US
 from .store import PostStore
 from .streaming import foreach_batch_upsert, parquet_stream, run_available_now, windowed_counts
 
@@ -36,21 +36,26 @@ def _stream_shuffle(spark, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
-def _events_stream(spark, sf_dir):
-    # the file stream source requires a *directory*; stage the fixture
-    # file into a fresh temp dir (symlink: no data copy)
+def _events_stream(spark, sf_dir, schema=None):
+    """Events fixture as a file stream. The file stream source requires a
+    *directory*; stage the fixture file into a fresh temp dir (symlink:
+    no data copy). Pass ``schema`` to skip the inference read when
+    staging the same fixture twice (stream-stream joins)."""
     import os
 
-    batch = load_table(spark, sf_dir, "events")
+    from .session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
     stage = tempfile.mkdtemp(prefix=f"evstream_{uuid.uuid4().hex[:8]}_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = parquet_stream(spark, stage, schema=raw_schema)
+    if schema is None:
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = parquet_stream(spark, stage, schema=schema)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
             "ts", F.timestamp_micros(F.col("ts_us"))
         )
-    return batch, stream
+    return stream, schema
 
 
 @register(
@@ -68,7 +73,7 @@ def w1_stream_upsert(spark, sf_dir):
     anti-join sink, then the final store contents returned. Matching the
     batch oracle proves exactly-once upsert semantics across the
     stream/batch boundary."""
-    _, stream = _events_stream(spark, sf_dir)
+    stream, _ = _events_stream(spark, sf_dir)
     posts = stream.select(
         F.concat(F.lit("ev:"), F.col("event_id").cast("string")).alias("uri"),
         F.col("event_type").alias("key"),
@@ -98,7 +103,7 @@ def w2_stateful_running_stats(spark, sf_dir):
     in the state store. Drained availableNow in one batch, the final
     emission per key must equal the batch group-by — proving the state
     path computes the same totals the batch engine does."""
-    _, stream = _events_stream(spark, sf_dir)
+    stream, _ = _events_stream(spark, sf_dir)
     from .streaming import stream_running_stats
 
     posts = stream.select(F.col("event_type").alias("key"), F.col("ts").alias("indexedAt"))
@@ -130,7 +135,7 @@ def w8_stream_tumbling_counts(spark, sf_dir):
     """W8: event-time tumbling-window aggregation with watermark, drained
     with availableNow in complete mode; the final window set must equal
     the batch group-by."""
-    _, stream = _events_stream(spark, sf_dir)
+    stream, _ = _events_stream(spark, sf_dir)
     agg = windowed_counts(stream, ts_col="ts", key_col="event_type",
                           window="1 day", watermark="1 hour")
     table = f"wincounts_{uuid.uuid4().hex[:8]}"
@@ -146,9 +151,6 @@ def w8_stream_tumbling_counts(spark, sf_dir):
         )
         q.awaitTermination(300)
     return spark.table(table)
-
-
-RANGE_WIDTH_US = 10 * 60 * 1_000_000  # mirrors catalog_analytics
 
 
 @register(
@@ -175,8 +177,8 @@ def w_stream_interval_join(spark, sf_dir):
     state."""
     from .streaming import stream_interval_join
 
-    _, s1 = _events_stream(spark, sf_dir)
-    _, s2 = _events_stream(spark, sf_dir)
+    s1, schema = _events_stream(spark, sf_dir)
+    s2, _ = _events_stream(spark, sf_dir, schema=schema)
     purchases = s1.filter(F.col("event_type") == "purchase").select(
         "event_id", F.col("ts").alias("p_ts")
     )
@@ -188,6 +190,10 @@ def w_stream_interval_join(spark, sf_dir):
     )
     tmp = tempfile.mkdtemp(prefix="wij_")
     out_dir = f"{tmp}/partials"
+    # seed the output dir with a zero-row typed file so an empty drain
+    # (no pairs, or no batch at all) still reads back as a 0-row result
+    # instead of failing schema inference
+    spark.createDataFrame([], "event_id long, n long").write.mode("append").parquet(out_dir)
 
     # aggregate inside foreachBatch and append the per-batch partial
     # counts as parquet — the raw pair set never funnels through the

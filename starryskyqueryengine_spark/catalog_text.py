@@ -9,6 +9,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .catalog import register
+from .catalog_dedup import _sql_md5int
 from .functions import text as tx
 from .sources.fixtures import load_table
 
@@ -506,22 +507,13 @@ def pack_sequences(spark, sf_dir):
 N_NEGATIVES = 4
 
 
-def _sql_md5int_text(x: str) -> str:
-    # portable 32-bit md5-prefix hash (same formula as catalog_dedup)
-    return (
-        "CAST(list_sum(list_transform(range(8), i -> "
-        f"(strpos('0123456789abcdef', substr(md5({x}), i+1, 1)) - 1) "
-        "* power(16, 7-i))) AS BIGINT)"
-    )
-
-
 @register(
     "contrastive_negatives",
     f"""
     WITH n AS (SELECT count(*) AS n_docs FROM documents),
     raw AS (
       SELECT d.doc_id AS anchor_id, j.j,
-             {_sql_md5int_text("'neg:' || CAST(d.doc_id AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)")}
+             {_sql_md5int("'neg:' || CAST(d.doc_id AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)")}
                % n.n_docs AS neg0,
              n.n_docs
       FROM documents d CROSS JOIN n

@@ -51,6 +51,12 @@ class FeedCondition:
     feedAvatar: str = ""
     profileMatch: str = ""  # 'term::profileRegex'
     recordCount: int = 0
+    # set by IngestJob when the first (init-mode) run truncated to
+    # initPost — the truncation point then acts as a permanent low
+    # watermark for the key (reference analog: the newest-first delta
+    # scan never reaches below its catch-up stop point,
+    # src/subscription.ts:274-278)
+    initTruncated: bool = False
 
     def __post_init__(self) -> None:
         # The reference stores these as comma-separated strings

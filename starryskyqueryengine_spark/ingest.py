@@ -82,26 +82,29 @@ class IngestJob:
         # where a key's history started — init-mode truncation (T6) or
         # retention eviction (T3) — never re-enter
         # (src/subscription.ts:274-278). Spark-first improvement: accept
-        # late rows via the anti-join, but keep the low-watermark — for
-        # keys past their initial fill (stored >= initPost) or at their
-        # retention cap (stored >= limitCount), drop incoming rows
-        # at/below the oldest retained indexedAt. This also makes
-        # run_once idempotent under full-batch replay.
-        caps = {}
-        for c in self.registry.all():
-            bounds = [x for x in (c.initPost, c.limitCount) if x]
-            if bounds:
-                caps[c.key] = min(bounds)
+        # late rows via the anti-join, but keep the low-watermark where a
+        # truncation point actually exists: keys whose FIRST run was
+        # init-truncated (cond.initTruncated) and keys at their retention
+        # cap drop incoming rows at/below the oldest retained indexedAt.
+        # A key that merely grew past initPost organically was never
+        # truncated — its late rows are genuinely new and stay accepted.
+        # This also makes run_once idempotent under full-batch replay.
+        caps = {
+            c.key: (c.limitCount or 2**31 - 1, c.initTruncated)
+            for c in self.registry.all()
+            if c.limitCount or c.initTruncated
+        }
         if caps and self.store.exists():
             caps_df = self.spark.createDataFrame(
-                list(caps.items()), "key string, _cap int"
+                [(k, cap, tr) for k, (cap, tr) in caps.items()],
+                "key string, _cap int, _trunc boolean",
             )
             floors = (
                 self.store.read()
                 .groupBy("key")
                 .agg(F.min("indexedAt").alias("_floor"), F.count("*").alias("_n"))
                 .join(F.broadcast(caps_df), "key", "inner")
-                .filter(F.col("_n") >= F.col("_cap"))
+                .filter(F.col("_trunc") | (F.col("_n") >= F.col("_cap")))
                 .select("key", "_floor")
             )
             posts = (
@@ -123,6 +126,22 @@ class IngestJob:
         }
         fresh_keys = [k for k in init_caps if stored_counts.get(k, 0) == 0]
         if fresh_keys:
+            # record which keys the cap actually truncates — only those
+            # carry a low-watermark into later runs (see floors above)
+            accepted_counts = {
+                r["key"]: r["n"]
+                for r in posts.filter(F.col("key").isin(fresh_keys))
+                .groupBy("key")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            for c in self.registry.all():
+                if (
+                    c.key in accepted_counts
+                    and init_caps.get(c.key)
+                    and accepted_counts[c.key] > init_caps[c.key]
+                ):
+                    c.initTruncated = True
             caps = self.spark.createDataFrame(
                 [(k, init_caps[k]) for k in fresh_keys], "key string, _init int"
             )

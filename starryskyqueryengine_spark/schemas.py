@@ -64,6 +64,8 @@ CONDITIONS_SCHEMA = T.StructType(
         T.StructField("feedAvatar", T.StringType(), True),
         T.StructField("profileMatch", T.StringType(), True),  # 'term::profileRegex'
         T.StructField("recordCount", T.LongType(), True),
+        # low-watermark flag: set when the key's first run was T6-truncated
+        T.StructField("initTruncated", T.BooleanType(), True),
     ]
 )
 

@@ -155,32 +155,28 @@ def stream_interval_join(
     bucket plus the exact range re-check. Watermarks + the event-time
     range condition let Spark evict join state once a row can no longer
     match — state is O(width x rate), not the stream so far."""
-    l = (
-        left.withWatermark(left_ts, watermark)
-        .withColumn("_lus", F.unix_micros(F.col(left_ts)))
-        .withColumn(
-            "_bkt",
-            F.explode(
-                F.array_distinct(
-                    F.array(
-                        F.expr(f"(unix_micros({left_ts}) - {width_us}) div {width_us}"),
-                        F.expr(f"unix_micros({left_ts}) div {width_us}"),
-                    )
+    l = left.withWatermark(left_ts, watermark).withColumn(
+        "_bkt",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr(f"(unix_micros({left_ts}) - {width_us}) div {width_us}"),
+                    F.expr(f"unix_micros({left_ts}) div {width_us}"),
                 )
-            ),
-        )
+            )
+        ),
     )
-    r = (
-        right.withWatermark(right_ts, watermark)
-        .withColumn("_rus", F.unix_micros(F.col(right_ts)))
-        .withColumn("_rbkt", F.expr(f"unix_micros({right_ts}) div {width_us}"))
+    r = right.withWatermark(right_ts, watermark).withColumn(
+        "_rbkt", F.expr(f"unix_micros({right_ts}) div {width_us}")
     )
+    # instance-qualified refs: both streams may carry the SAME timestamp
+    # column name (e.g. 'ts'), which bare F.col would resolve ambiguously
     cond = (
-        (F.col("_bkt") == F.col("_rbkt"))
-        & (F.col(right_ts) > F.col(left_ts) - F.expr(f"INTERVAL {width_us} MICROSECOND"))
-        & (F.col(right_ts) <= F.col(left_ts))
+        (l["_bkt"] == r["_rbkt"])
+        & (r[right_ts] > l[left_ts] - F.expr(f"INTERVAL {width_us} MICROSECOND"))
+        & (r[right_ts] <= l[left_ts])
     )
-    return l.join(r, cond, "inner").drop("_lus", "_bkt", "_rus", "_rbkt")
+    return l.join(r, cond, "inner").drop("_bkt", "_rbkt")
 
 
 def foreach_batch_upsert(store: PostStore, limit_by_key: dict[str, int] | None = None):

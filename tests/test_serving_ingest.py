@@ -183,3 +183,21 @@ def test_ingest_with_profile_match_join(spark, tmp_path):
     assert inserted == {"pm": 2}
     uris = {r["uri"] for r in store.read_key("pm").collect()}
     assert uris == {"at://u/p/1", "at://u/p/3"}
+
+
+def test_no_init_watermark_without_truncation(spark, tmp_path):
+    """A key whose first run matched FEWER posts than initPost was never
+    truncated — late rows older than its oldest stored post are genuinely
+    new and must be accepted (the low-watermark exists only where a
+    truncation point exists: init truncation or retention eviction)."""
+    reg = ConditionsRegistry()
+    reg.upsert(FeedCondition(key="k", recordName="k", inputRegex=".", initPost=10))
+    store = PostStore(spark, str(tmp_path / "p3"))
+    job = IngestJob(spark, reg, store)
+    # first run: 3 accepted (< initPost) at t(5..7) -> no truncation
+    job.run_once(incoming(spark, 105, 3))  # ts t(5), t(6), t(7)
+    assert store.read_key("k").count() == 3
+    assert reg.get("k").initTruncated is False
+    # late rows OLDER than the stored min arrive next run -> accepted
+    job.run_once(incoming(spark, 100, 2))  # ts t(0), t(1)
+    assert store.read_key("k").count() == 5

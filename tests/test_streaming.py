@@ -479,3 +479,22 @@ def test_stream_interval_join(spark, tmp_path):
     q.awaitTermination(300)
     got = sorted((r["p_id"], r["c_id"]) for r in sink)
     assert got == [("p1", "c1"), ("p1", "c2"), ("p2", "c3")]
+
+
+def test_stream_interval_join_same_named_ts_columns(spark):
+    """Both sides may keep their source column name (e.g. 'ts'): the
+    join condition uses instance-qualified references, so same-named
+    timestamp columns resolve without ambiguity. (Batch DataFrames:
+    withWatermark is a no-op, join semantics identical.)"""
+    from starryskyqueryengine_spark.streaming import stream_interval_join
+
+    left = spark.createDataFrame(
+        [("p1", dt.datetime(2024, 1, 1, 0, 8))], "pid string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("c1", dt.datetime(2024, 1, 1, 0, 0)),
+         ("c2", dt.datetime(2024, 1, 1, 0, 20))],
+        "cid string, ts timestamp",
+    )
+    out = stream_interval_join(left, right, "ts", "ts", 10 * 60 * 1_000_000)
+    assert sorted((r["pid"], r["cid"]) for r in out.collect()) == [("p1", "c1")]

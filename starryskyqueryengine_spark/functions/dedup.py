@@ -334,6 +334,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent non-convergence would split real clusters into several
+        # "canonical" survivors — fail loudly; raise max_iter (rounds
+        # needed = cluster diameter) for pathological chain-shaped data
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(last round changed {changed} labels) — raise max_iter"
+        )
     edges.unpersist()
     return labels
 

@@ -89,23 +89,33 @@ class IngestJob:
         # A key that merely grew past initPost organically was never
         # truncated — its late rows are genuinely new and stay accepted.
         # This also makes run_once idempotent under full-batch replay.
+        # ONE full-store aggregate per tick: (min indexedAt, count) per
+        # key feeds both the floors filter and the init-mode detection
+        # below (previously three separate store scans per run).
+        store_stats = (
+            self.store.read()
+            .groupBy("key")
+            .agg(F.min("indexedAt").alias("_floor"), F.count("*").alias("_n"))
+            .collect()
+            if self.store.exists()
+            else []
+        )
+        stored_counts = {r["key"]: r["_n"] for r in store_stats}
+
         caps = {
             c.key: (c.limitCount or 2**31 - 1, c.initTruncated)
             for c in self.registry.all()
             if c.limitCount or c.initTruncated
         }
-        if caps and self.store.exists():
-            caps_df = self.spark.createDataFrame(
-                [(k, cap, tr) for k, (cap, tr) in caps.items()],
-                "key string, _cap int, _trunc boolean",
-            )
-            floors = (
-                self.store.read()
-                .groupBy("key")
-                .agg(F.min("indexedAt").alias("_floor"), F.count("*").alias("_n"))
-                .join(F.broadcast(caps_df), "key", "inner")
-                .filter(F.col("_trunc") | (F.col("_n") >= F.col("_cap")))
-                .select("key", "_floor")
+        floor_rows = [
+            (r["key"], r["_floor"])
+            for r in store_stats
+            if r["key"] in caps
+            and (caps[r["key"]][1] or r["_n"] >= caps[r["key"]][0])
+        ]
+        if floor_rows:
+            floors = self.spark.createDataFrame(
+                floor_rows, "key string, _floor timestamp"
             )
             posts = (
                 posts.join(F.broadcast(floors), "key", "left")
@@ -120,9 +130,6 @@ class IngestJob:
             c.key: c.initPost
             for c in self.registry.all()
             if c.initPost is not None
-        }
-        stored_counts = {
-            r["key"]: r["n"] for r in self.store.count_by_key().collect()
         }
         fresh_keys = [k for k in init_caps if stored_counts.get(k, 0) == 0]
         if fresh_keys:
@@ -155,11 +162,10 @@ class IngestJob:
                 .drop("_init", "_rn")
             )
 
-        # J2 + S8: PK anti-join upsert; count inserts per key for stats.
-        before = stored_counts
-        self.store.upsert(posts)
-        after = {r["key"]: r["n"] for r in self.store.count_by_key().collect()}
-        inserted = {k: after.get(k, 0) - before.get(k, 0) for k in after}
+        # J2 + S8: PK anti-join upsert; the store counts the actually
+        # appended batch per key — no before/after full-store rescans.
+        appended = self.store.upsert(posts)
+        inserted = {c.key: appended.get(c.key, 0) for c in self.registry.all()}
 
         # T3/W7 retention caps per key (src/subscription.ts:379-393)
         self.store.apply_retention(

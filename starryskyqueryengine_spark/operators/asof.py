@@ -40,13 +40,22 @@ def as_of_join(
     carry order total.
     """
     lcols = [c for c in left.columns]
-    l = left.withColumn("_side", F.lit(1))
-    for p in right_payload:
-        l = l.withColumn(f"_r_{p}", F.lit(None).cast(dict(right.dtypes)[p]))
+    rtypes = dict(right.dtypes)
+    # carry ONE struct of all payload columns, not each column
+    # independently: per-column last(ignorenulls) would stitch values
+    # from DIFFERENT right rows whenever a payload field is NULL (a
+    # NULL in the latest right row resurrecting a superseded older
+    # value). The struct is non-null exactly for right rows, so
+    # last(struct, ignorenulls) always carries the latest right row
+    # wholesale — NULL fields stay NULL.
+    struct_type = "struct<" + ",".join(f"{p}:{rtypes[p]}" for p in right_payload) + ">"
+    l = left.withColumn("_side", F.lit(1)).withColumn(
+        "_r", F.lit(None).cast(struct_type)
+    )
     r = right.select(
         key_col,
         ts_col,
-        *[F.col(p).alias(f"_r_{p}") for p in right_payload],
+        F.struct(*[F.col(p) for p in right_payload]).alias("_r"),
     ).withColumn("_side", F.lit(0))
     for c in lcols:
         if c not in (key_col, ts_col) and c not in r.columns:
@@ -62,14 +71,10 @@ def as_of_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"_r_{p}", ignorenulls=True).over(w).alias(f"_c_{p}")
-            for p in right_payload
-        ],
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_c")
     )
     out = carried.filter(F.col("_side") == 1).select(
         *lcols,
-        *[F.col(f"_c_{p}").alias(f"asof_{p}") for p in right_payload],
+        *[F.col(f"_c.{p}").alias(f"asof_{p}") for p in right_payload],
     )
     return out

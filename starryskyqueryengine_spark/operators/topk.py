@@ -20,24 +20,29 @@ from pyspark.sql import functions as F
 
 
 def parse_cursor(cursor: str) -> tuple[int, str]:
-    """Parse ``"{epochMillis}::{cid}"`` (src/algos/starrysky.ts:58-63)."""
-    ms_str, _, cid = cursor.partition("::")
-    if not ms_str or not cid:
+    """Parse ``"{epochMicros}::{cid}"`` (reference format
+    src/algos/starrysky.ts:58-63, precision-widened — see encode)."""
+    us_str, _, cid = cursor.partition("::")
+    if not us_str or not cid:
         raise ValueError(f"malformed cursor {cursor!r}")
-    return int(ms_str), cid
+    return int(us_str), cid
 
 
-def encode_cursor(indexed_at_ms: int, cid: str) -> str:
+def encode_cursor(indexed_at_us: int, cid: str) -> str:
     """Encode the next-page cursor from the last row
-    (src/algos/starrysky.ts:75-78). Millisecond truncation is preserved
-    from the reference (``new Date(s).getTime()`` loses sub-ms)."""
-    return f"{indexed_at_ms}::{cid}"
+    (src/algos/starrysky.ts:75-78). Documented improvement over the
+    reference: the cursor carries epoch MICROseconds. The reference's
+    ms truncation was lossless for its ms-precision ISO strings, but
+    this store keeps microsecond timestamps — an ms cursor would make
+    the keyset predicate silently skip rows whose timestamp differs
+    from the page boundary only below the millisecond."""
+    return f"{indexed_at_us}::{cid}"
 
 
 def keyset_predicate(cursor: str, ts_col: str = "indexedAt", cid_col: str = "cid") -> Column:
     """(indexedAt, cid) lexicographically before the cursor row."""
-    ms, cid = parse_cursor(cursor)
-    t = F.timestamp_millis(F.lit(ms))
+    us, cid = parse_cursor(cursor)
+    t = F.timestamp_micros(F.lit(us))
     return (F.col(ts_col) < t) | ((F.col(ts_col) == t) & (F.col(cid_col) < F.lit(cid)))
 
 

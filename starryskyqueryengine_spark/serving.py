@@ -59,7 +59,7 @@ class FeedServer:
             return FeedPage(feed=[], cursor=None)
 
         page_df = keyset_page(self.store.read(), cond.key, limit, cursor)
-        rows = page_df.select("uri", "cid", F.unix_millis("indexedAt").alias("ms")).collect()
+        rows = page_df.select("uri", "cid", F.unix_micros("indexedAt").alias("us")).collect()
 
         feed: list[dict] = []
         if cursor is None and cond.pinnedPost:  # T5 first page only
@@ -69,7 +69,7 @@ class FeedServer:
         next_cursor = None
         if rows:
             last = rows[-1]  # src/algos/starrysky.ts:75-78
-            next_cursor = encode_cursor(last["ms"], last["cid"])
+            next_cursor = encode_cursor(last["us"], last["cid"])
         return FeedPage(feed=feed, cursor=next_cursor)
 
     def get_feed_skeleton_df(self, record_name: str, limit: int, cursor: str | None = None):

@@ -69,8 +69,10 @@ class PostStore:
             "key"
         ).parquet(self.path)
 
-    def upsert(self, incoming: DataFrame) -> None:
+    def upsert(self, incoming: DataFrame) -> dict[str, int]:
         """S8: INSERT ... ON CONFLICT DO NOTHING on PK(uri, key).
+        Returns rows actually inserted per key (counted on the deduped
+        anti-joined batch — no store rescan).
 
         The anti-join's stored side is pruned to the key partitions the
         batch actually touches — the feed-key set is small by design
@@ -78,24 +80,44 @@ class PostStore:
         collect that turns a full-store shuffle into a few-partition
         scan at any store size."""
         deduped = dedup_within_batch(incoming, ["uri", "key"]).cache()
+        batch = deduped
         try:
-            batch = deduped
             if self.exists():
                 keys = [r["key"] for r in deduped.select("key").distinct().collect()]
                 if not keys:
-                    return
+                    return {}
                 stored = self.read().filter(F.col("key").isin(keys))
-                batch = new_rows_anti_join(deduped, stored, ["uri", "key"])
+                batch = new_rows_anti_join(deduped, stored, ["uri", "key"]).cache()
+            inserted = {
+                r["key"]: r["n"]
+                for r in batch.groupBy("key").agg(F.count("*").alias("n")).collect()
+            }
             self._append(batch)
+            return inserted
         finally:
             deduped.unpersist()
+            if batch is not deduped:
+                batch.unpersist()
 
-    def _overwrite_keys(self, df: DataFrame) -> None:
+    def _overwrite_keys(self, df: DataFrame, expected_keys: list[str] | None = None) -> None:
         """Rewrite only the key partitions present in ``df`` (dynamic
-        partition overwrite — untouched keys keep their files)."""
-        df.select([f.name for f in POST_SCHEMA.fields]).write.mode(
-            "overwrite"
-        ).partitionBy("key").parquet(self.path)
+        partition overwrite — untouched keys keep their files).
+
+        Dynamic overwrite has a deletion blind spot: a key with ZERO
+        remaining rows writes no partition, so the old files silently
+        survive. Callers that may empty a partition pass
+        ``expected_keys``; any expected key absent from ``df`` gets its
+        partition dropped explicitly."""
+        written: set[str] = set()
+        if expected_keys is not None:
+            written = {r["key"] for r in df.select("key").distinct().collect()}
+        if expected_keys is None or written:
+            df.select([f.name for f in POST_SCHEMA.fields]).write.mode(
+                "overwrite"
+            ).partitionBy("key").parquet(self.path)
+        if expected_keys is not None:
+            for k in set(expected_keys) - written:
+                self.delete_key(k)
 
     def apply_retention(self, limit_by_key: dict[str, int]) -> None:
         """T3/W7: evict rows beyond each key's cap, rewriting only keys
@@ -127,7 +149,7 @@ class PostStore:
             self.delete_key(key)
             return
         remaining = refresh_delete(self.read_key(key), refresh, key)
-        self._overwrite_keys(remaining)
+        self._overwrite_keys(remaining, expected_keys=[key])
 
     def delete_rows(self, doomed: DataFrame) -> None:
         """W6 CDC delete-apply: remove specific (uri, key) rows by
@@ -140,7 +162,7 @@ class PostStore:
             return
         affected = self.read().filter(F.col("key").isin(keys))
         remaining = affected.join(doomed, ["uri", "key"], "left_anti")
-        self._overwrite_keys(remaining)
+        self._overwrite_keys(remaining, expected_keys=keys)
 
     def file_counts(self) -> dict[str, int]:
         """Data files per key partition (compaction signal)."""

@@ -48,10 +48,15 @@ def running_key_stats(
     key: Tuple[Any, ...], batch_iter: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """A2/A5-style per-key running stats as true streaming state:
-    cumulative accepted-row count and newest event time, maintained by
-    the state store across micro-batches (the reference persists the
-    analogous ``recordCount``/``lastExecTime`` into the conditions
-    table, ``src/subscription.ts:373-400``)."""
+    cumulative row count and newest event time, maintained by the state
+    store across micro-batches (the reference persists the analogous
+    ``recordCount``/``lastExecTime`` into the conditions table,
+    ``src/subscription.ts:373-400``).
+
+    Counting semantics: rows DELIVERED — a source that re-delivers a row
+    (at-least-once) counts it again; O(1) state cannot dedup by uri.
+    Where exactly-once accepted-counts matter, use the foreachBatch
+    upsert path (PK anti-join) whose insert counts are replay-safe."""
     if state.exists:
         (n_total, max_ts_us) = state.get
     else:
@@ -74,7 +79,9 @@ def running_key_stats(
             "key": [key[0]],
             "n_total": [n_total],
             "n_batch": [n_batch],
-            "max_ts": [pd.Timestamp(max_ts_us * 1_000) if max_ts_us else pd.NaT],
+            # `is not None`, not truthiness: epoch-0 (max_ts_us == 0) is a
+            # legitimate timestamp and must not collapse to NaT
+            "max_ts": [pd.Timestamp(max_ts_us * 1_000) if max_ts_us is not None else pd.NaT],
         }
     )
 
@@ -122,11 +129,21 @@ def make_streaming_topk(k: int):
         else:
             uris, ts_us = [], []
 
+        # dedup against state AND within the batch: file/cursor sources
+        # re-deliver rows across micro-batches (at-least-once); without
+        # this a re-delivered uri occupies a second top-k slot and
+        # evicts a genuinely distinct post. O(k) state makes the
+        # membership check cheap.
+        seen = set(uris)
         for pdf in batch_iter:
             if pdf.empty:
                 continue
-            uris.extend(pdf["uri"].tolist())
-            ts_us.extend(int(v.value // 1_000) for v in pdf["indexedAt"])
+            for u, v in zip(pdf["uri"].tolist(), pdf["indexedAt"]):
+                if u in seen:
+                    continue
+                seen.add(u)
+                uris.append(u)
+                ts_us.append(int(v.value // 1_000))
 
         order = sorted(range(len(uris)), key=lambda i: (-ts_us[i], uris[i]))[:k]
         uris = [uris[i] for i in order]

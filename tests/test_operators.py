@@ -51,7 +51,7 @@ def test_t2_keyset_pagination_round_trip(spark):
     page1 = top_k(df, "k1", 2).collect()
     last = page1[-1]
     cur = encode_cursor(
-        int(last["indexedAt"].replace(tzinfo=dt.timezone.utc).timestamp() * 1000),
+        int(last["indexedAt"].replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000),
         last["cid"],
     )
     page2 = [r["uri"] for r in keyset_page(df, "k1", 2, cur).collect()]
@@ -62,8 +62,8 @@ def test_t2_keyset_pagination_round_trip(spark):
 def test_t2_cursor_tie_break(spark):
     df = posts_df(spark, BASE)
     # cursor at (:03, c4) must yield u3 (same ts, smaller cid) next
-    ms = int(dt.datetime.fromisoformat("2024-01-01T00:00:03+00:00").timestamp() * 1000)
-    got = [r["uri"] for r in keyset_page(df, "k1", 10, encode_cursor(ms, "c4")).collect()]
+    us = int(dt.datetime.fromisoformat("2024-01-01T00:00:03+00:00").timestamp() * 1_000_000)
+    got = [r["uri"] for r in keyset_page(df, "k1", 10, encode_cursor(us, "c4")).collect()]
     assert got == ["u3", "u2", "u1"]
 
 
@@ -327,3 +327,37 @@ def test_sketch_distinct_within_tolerance(spark):
                  F.countDistinct("user_id").alias("n")).collect()}
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)
+
+
+def test_asof_join_null_payload_not_stitched(spark):
+    """A NULL payload field in the latest right row must stay NULL — not
+    resurrect the value from an older right row (the per-column carry
+    bug: columns stitched from different right rows)."""
+    from starryskyqueryengine_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame([(1, 10, "p1")], "uid long, ts long, pid string")
+    right = spark.createDataFrame(
+        [(1, 1, 5, None), (1, 2, None, 7)],
+        "uid long, ts long, a long, b long",
+    )
+    out = as_of_join(left, right, "uid", "ts", ["a", "b"]).collect()[0]
+    # latest right row at ts<=10 is (ts=2, a=NULL, b=7): both fields
+    # must come from THAT row
+    assert out["asof_a"] is None and out["asof_b"] == 7
+
+
+def test_store_delete_to_empty_partition(spark, tmp_path):
+    """Deleting ALL rows of a key must actually empty the partition —
+    dynamic partition overwrite writes no files for a key with zero
+    remaining rows, silently keeping the old ones without the explicit
+    partition drop."""
+    store = PostStore(spark, str(tmp_path / "posts"))
+    store.upsert(posts_df(spark, BASE))
+    # CDC-delete every row of k2
+    doomed = spark.createDataFrame([("u5", "k2")], "uri string, key string")
+    store.delete_rows(doomed)
+    assert store.read_key("k2").count() == 0
+    assert store.read_key("k1").count() == 4  # untouched
+    # refresh larger than the key's row count empties it too
+    store.apply_refresh("k1", 99)
+    assert store.read_key("k1").count() == 0

@@ -144,3 +144,23 @@ def flagship_multifeed(spark, sf_dir):
     # non-outer explode drops empty arrays; Catalyst infers the size() > 0
     # pruning filter itself (InferFiltersFromGenerate)
     return tagged.select("doc_id", F.explode("matched_keys").alias("key"))
+
+
+@register("multifeed_datadriven", _MULTIFEED_ORACLE)
+def multifeed_datadriven(spark, sf_dir):
+    """The same 32-feed evaluation with conditions kept as DATA
+    (posts x broadcast(conditions), column-valued regex) — the
+    plan-size-bounded path for very large feed counts: the physical plan
+    is identical whether 10 or 100k conditions are registered, where the
+    compiled form (flagship_multifeed) inlines one expression per feed.
+    Same oracle as the compiled form: both must produce identical
+    (doc_id, key) pairs."""
+    from .predicate import evaluate_conditions_datadriven
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    conds = [
+        FeedCondition(key=f"feed_{w}", recordName=f"feed-{w}"[:15],
+                      inputRegex=rf"\b{w}\b").validate()
+        for w in _MULTIFEED_WORDS
+    ]
+    return evaluate_conditions_datadriven(docs, conds).select("doc_id", "key")

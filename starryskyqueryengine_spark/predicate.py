@@ -119,6 +119,52 @@ def compile_condition(cond: FeedCondition) -> Column:
     return pred
 
 
+def evaluate_conditions_datadriven(
+    posts, conditions: list[FeedCondition], text_col: str = "text"
+):
+    """Plan-size-bounded multi-feed evaluation: conditions stay DATA.
+
+    ``compile_all_conditions`` inlines one expression per feed — optimal
+    for tens of feeds, but the plan (and its codegen) grows linearly
+    with feed count; at 10k+ feeds analysis/compile time and generated
+    code size become the bottleneck. This variant keeps the plan O(1):
+    posts x broadcast(conditions) with COLUMN-valued regex predicates
+    (rlike with a non-literal pattern), so 10 feeds and 100k feeds run
+    the same plan. Tradeoff: per-row pattern compilation (the regex is
+    not a constant the codegen can pre-compile) — roughly the cost the
+    reference pays per row anyway, and the broadcast join stays a single
+    pass over the posts.
+
+    Supports the include/exclude/lang legs (the hot path); conditions
+    needing the full P6-P10 surface use the compiled path. Returns one
+    (post, key) row per accepting condition, like the compiled+explode
+    form.
+    """
+    rows = [
+        (
+            c.key,
+            js_to_java(c.inputRegex, "ig") if c.inputRegex else None,
+            js_to_java(c.invertRegex, "i") if c.invertRegex else None,
+            c.lang or None,
+        )
+        for c in conditions
+    ]
+    spark = posts.sparkSession
+    conds = spark.createDataFrame(
+        rows, "key string, _inc string, _exc string, _lang string"
+    )
+    pairs = posts.join(F.broadcast(conds))
+    keep = F.col("_inc").isNull() | F.expr(f"{text_col} rlike _inc")
+    if any(r[2] is not None for r in rows):
+        keep = keep & (F.col("_exc").isNull() | ~F.expr(f"{text_col} rlike _exc"))
+    if any(r[3] is not None for r in rows):
+        keep = keep & (
+            F.col("_lang").isNull()
+            | F.array_contains(F.coalesce(F.col("langs"), F.array()), F.col("_lang"))
+        )
+    return pairs.filter(keep).drop("_inc", "_exc", "_lang")
+
+
 def compile_all_conditions(conditions: list[FeedCondition]) -> Column:
     """Single-pass multi-condition evaluation (SURVEY §7.2 step 7).
 

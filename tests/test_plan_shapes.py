@@ -173,3 +173,14 @@ def test_multifeed_single_scan(spark, queries):
     assert plan.count("Scan parquet") == 1
     for bad in ("BatchEvalPython", "ArrowEvalPython", "Union"):
         assert bad not in plan
+
+
+def test_datadriven_multifeed_plan_size_constant(spark, queries):
+    """The data-driven evaluator's plan must NOT grow with feed count:
+    the 32 conditions appear as broadcast DATA, not as 32 inlined regex
+    expressions (compare: the compiled form embeds one per feed)."""
+    compiled = plan_of(queries["flagship_multifeed"](spark, SF_DIR))
+    datadriven = plan_of(queries["multifeed_datadriven"](spark, SF_DIR))
+    assert compiled.count("regexp_extract_all") + compiled.count("RLIKE") >= 32
+    assert datadriven.count("regexp_extract_all") + datadriven.count("RLIKE") <= 4
+    assert "Scan parquet" in datadriven

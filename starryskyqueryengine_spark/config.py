@@ -139,6 +139,10 @@ class FeedCondition:
             feedAvatar=s("feedAvatar"),
             profileMatch=s("profileMatch"),
             recordCount=i("recordCount", 0),
+            # accepts bool (parquet restore) and the stringly 'true'
+            # (reference-shaped dicts); missing -> False
+            initTruncated=raw.get("initTruncated") is True
+            or str(raw.get("initTruncated", "")).lower() == "true",
         )
 
     def profile_match_parts(self) -> tuple[str, str] | None:

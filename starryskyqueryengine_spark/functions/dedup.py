@@ -308,6 +308,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .cache()
     )
+    changed = -1  # -1 = loop never ran (max_iter <= 0)
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -339,6 +340,7 @@ def connected_components(
         # "canonical" survivors — fail loudly; raise max_iter (rounds
         # needed = cluster diameter) for pathological chain-shaped data
         edges.unpersist()
+        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"(last round changed {changed} labels) — raise max_iter"

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from .config import ConditionsRegistry
+from .operators.dedup import dedup_within_batch
 from .operators.lookup import with_author_profiles
 from .predicate import compile_all_conditions
 from .store import PostStore
@@ -133,6 +134,12 @@ class IngestJob:
         }
         fresh_keys = [k for k in init_caps if stored_counts.get(k, 0) == 0]
         if fresh_keys:
+            # dedup (uri, key) BEFORE counting and ranking: duplicated
+            # delivery is an expected input (upsert dedups too), and
+            # duplicate rows must neither inflate the truncation
+            # detection past initPost nor consume row_number ranks and
+            # push distinct posts over the cap
+            posts = dedup_within_batch(posts, ["uri", "key"])
             # record which keys the cap actually truncates — only those
             # carry a low-watermark into later runs (see floors above)
             accepted_counts = {
@@ -149,14 +156,14 @@ class IngestJob:
                     and accepted_counts[c.key] > init_caps[c.key]
                 ):
                     c.initTruncated = True
-            caps = self.spark.createDataFrame(
+            init_caps_df = self.spark.createDataFrame(
                 [(k, init_caps[k]) for k in fresh_keys], "key string, _init int"
             )
             w = Window.partitionBy("key").orderBy(
                 F.col("indexedAt").desc(), F.col("cid").desc()
             )
             posts = (
-                posts.join(F.broadcast(caps), "key", "left")
+                posts.join(F.broadcast(init_caps_df), "key", "left")
                 .withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_init").isNull() | (F.col("_rn") <= F.col("_init")))
                 .drop("_init", "_rn")

@@ -140,6 +140,18 @@ def evaluate_conditions_datadriven(
     (post, key) row per accepting condition, like the compiled+explode
     form.
     """
+    unsupported = [
+        c.key
+        for c in conditions
+        if c.imageOnly or c.labelDisable or c.replyDisable
+        or c.includeAltText or c.profileMatch
+    ]
+    if unsupported:
+        raise ValueError(
+            "evaluate_conditions_datadriven supports include/exclude/lang "
+            f"only; conditions {unsupported} use P6-P10 legs — route them "
+            "through compile_all_conditions"
+        )
     rows = [
         (
             c.key,
@@ -154,9 +166,12 @@ def evaluate_conditions_datadriven(
         rows, "key string, _inc string, _exc string, _lang string"
     )
     pairs = posts.join(F.broadcast(conds))
-    keep = F.col("_inc").isNull() | F.expr(f"{text_col} rlike _inc")
+    # coalesce to '' exactly like the compiled path's search_text: a
+    # NULL text must behave as empty, not NULL out the whole predicate
+    txt = f"coalesce({text_col}, '')"
+    keep = F.col("_inc").isNull() | F.expr(f"{txt} rlike _inc")
     if any(r[2] is not None for r in rows):
-        keep = keep & (F.col("_exc").isNull() | ~F.expr(f"{text_col} rlike _exc"))
+        keep = keep & (F.col("_exc").isNull() | ~F.expr(f"{txt} rlike _exc"))
     if any(r[3] is not None for r in rows):
         keep = keep & (
             F.col("_lang").isNull()

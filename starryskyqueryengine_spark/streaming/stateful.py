@@ -132,18 +132,22 @@ def make_streaming_topk(k: int):
         # dedup against state AND within the batch: file/cursor sources
         # re-deliver rows across micro-batches (at-least-once); without
         # this a re-delivered uri occupies a second top-k slot and
-        # evicts a genuinely distinct post. O(k) state makes the
-        # membership check cheap.
-        seen = set(uris)
+        # evicts a genuinely distinct post. A re-delivery with a NEWER
+        # timestamp (edit/update) refreshes the stored one instead of
+        # being discarded. O(k) state keeps both checks cheap.
+        idx = {u: i for i, u in enumerate(uris)}
         for pdf in batch_iter:
             if pdf.empty:
                 continue
             for u, v in zip(pdf["uri"].tolist(), pdf["indexedAt"]):
-                if u in seen:
+                vus = int(v.value // 1_000)
+                if u in idx:
+                    if vus > ts_us[idx[u]]:
+                        ts_us[idx[u]] = vus
                     continue
-                seen.add(u)
+                idx[u] = len(uris)
                 uris.append(u)
-                ts_us.append(int(v.value // 1_000))
+                ts_us.append(vus)
 
         order = sorted(range(len(uris)), key=lambda i: (-ts_us[i], uris[i]))[:k]
         uris = [uris[i] for i in order]

@@ -201,3 +201,23 @@ def test_no_init_watermark_without_truncation(spark, tmp_path):
     # late rows OLDER than the stored min arrive next run -> accepted
     job.run_once(incoming(spark, 100, 2))  # ts t(0), t(1)
     assert store.read_key("k").count() == 5
+
+
+def test_init_watermark_survives_registry_persistence(spark, tmp_path):
+    """initTruncated must survive a registry save/load roundtrip — a
+    restart that forgets the flag would re-admit rows below the
+    truncation point."""
+    reg = ConditionsRegistry()
+    reg.upsert(FeedCondition(key="k", recordName="k", inputRegex=".", initPost=2))
+    store = PostStore(spark, str(tmp_path / "p4"))
+    job = IngestJob(spark, reg, store)
+    job.run_once(incoming(spark, 0, 8))
+    assert reg.get("k").initTruncated is True
+
+    reg.save(spark, str(tmp_path / "conds"))
+    reg2 = ConditionsRegistry.load(spark, str(tmp_path / "conds"))
+    assert reg2.get("k").initTruncated is True
+
+    # replay through the RESTORED registry still inserts nothing
+    job2 = IngestJob(spark, reg2, store)
+    assert job2.run_once(incoming(spark, 0, 8)) == {"k": 0}

@@ -27,7 +27,8 @@ RANGE_WIDTH_US = 10 * 60 * 1_000_000
 @register(
     "q6_revenue_delta",
     """
-    SELECT CAST(round(sum(l_extendedprice * l_discount), 2) AS DOUBLE) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
       AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -48,7 +49,14 @@ def q6_revenue_delta(spark, sf_dir):
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * F.col("l_discount").cast("decimal(18,4)")
+                ), 2
+            ).cast("double").alias("revenue")
+        )
     )
 
 

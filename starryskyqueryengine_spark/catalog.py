@@ -157,7 +157,8 @@ def j4_arrays_overlap(spark, sf_dir):
 @register(
     "a1_count_per_key",
     """
-    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    SELECT event_type, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
     FROM events GROUP BY event_type
     """,
 )
@@ -166,7 +167,8 @@ def a1_count_per_key(spark, sf_dir):
     Spark plans a partial (map-side) + final hash aggregate."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("sum_value"),
     )
 
 

@@ -135,7 +135,7 @@ def window_user_activity(spark, sf_dir):
     SELECT order_year, o_orderpriority,
            CAST(grouping(order_year) AS BIGINT) AS g_year,
            CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
-           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
            CAST(count(*) AS BIGINT) AS n_orders
     FROM o
     GROUP BY ROLLUP(order_year, o_orderpriority)
@@ -153,7 +153,8 @@ def rollup_revenue(spark, sf_dir):
     return o.rollup("order_year", "o_orderpriority").agg(
         F.grouping("order_year").cast("bigint").alias("g_year"),
         F.grouping("o_orderpriority").cast("bigint").alias("g_prio"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double").alias("revenue"),
         F.count("*").cast("bigint").alias("n_orders"),
     )
 

@@ -63,20 +63,30 @@ def main() -> None:
     # noise — the per-query min is the reproducible steady-state figure
     best = {k: min(cold[k], timings[k]) for k in timings}
     total = round(sum(best.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": best,
-                "sf": sf,
-                "cold_total_sec": round(sum(cold.values()), 4),
-                "lap2_total_sec": round(sum(timings.values()), 4),
-            }
-        )
-    )
+    payload = {
+        "metric": "catalog_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": best,
+        "sf": sf,
+        "cold_total_sec": round(sum(cold.values()), 4),
+        "lap2_total_sec": round(sum(timings.values()), 4),
+    }
+    # Round-1 driver capture truncated the wide per-query line
+    # ("parsed": null): full detail goes to stderr + a sidecar file, and
+    # stdout carries exactly ONE compact JSON line, emitted last, after
+    # spark.stop() so no logging can trail it.
+    print(json.dumps(payload), file=sys.stderr)
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_full.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
     spark.stop()
+    compact = {k: payload[k] for k in
+               ("metric", "value", "unit", "sf", "cold_total_sec", "lap2_total_sec")}
+    compact["queries"] = {k: best[k] for k in sorted(best, key=best.get, reverse=True)[:5]}
+    compact["queries_full"] = "bench_full.json"
+    sys.stdout.flush()
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":

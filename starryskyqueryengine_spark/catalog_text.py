@@ -447,16 +447,18 @@ PACK_SHARD = 1000  # docs per cumsum shard
       FROM documents
     ),
     c AS (
+      -- DuckDB windowed SUM(BIGINT) yields HUGEINT; cast back so the
+      -- driver's type-sensitive value hash matches Spark's BIGINT.
       SELECT doc_id, n_tok,
-             SUM(n_tok) OVER (ORDER BY doc_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS end_off
+             CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS end_off
       FROM toks WHERE n_tok > 0
     )
     SELECT doc_id, n_tok,
-           end_off - n_tok AS start_off,
-           (end_off - n_tok) // {PACK_CAPACITY} AS first_seq,
-           (end_off - 1) // {PACK_CAPACITY} AS last_seq
+           CAST(end_off - n_tok AS BIGINT) AS start_off,
+           CAST((end_off - n_tok) // {PACK_CAPACITY} AS BIGINT) AS first_seq,
+           CAST((end_off - 1) // {PACK_CAPACITY} AS BIGINT) AS last_seq
     FROM c
     """,
 )

@@ -49,6 +49,54 @@ def normalize(rows, columns):
 
 QUERY_NAMES = sorted(entrymod.oracle_sql().keys())
 
+# -- type-drift guard -------------------------------------------------------
+# The driver's value hash is type-sensitive: values can match while the
+# oracle returns e.g. HUGEINT (DuckDB windowed SUM(BIGINT)) or DECIMAL and
+# the row still fails (round-1 pack_sequences). Stringified comparison
+# above can't see that, so map DuckDB's DESCRIBE types onto Spark dtypes
+# and require exact agreement, forbidding HUGEINT/DECIMAL outright.
+
+_DUCK_TO_SPARK = {
+    "TINYINT": "tinyint",
+    "SMALLINT": "smallint",
+    "INTEGER": "int",
+    "BIGINT": "bigint",
+    "FLOAT": "float",
+    "DOUBLE": "double",
+    "VARCHAR": "string",
+    "BOOLEAN": "boolean",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP WITH TIME ZONE": "timestamp",
+    "BLOB": "binary",
+}
+
+
+def duck_type_to_spark(t: str) -> str:
+    t = t.strip()
+    if t.endswith("[]"):
+        return f"array<{duck_type_to_spark(t[:-2])}>"
+    if t == "HUGEINT" or t.startswith("DECIMAL") or t.startswith("UHUGEINT"):
+        return f"FORBIDDEN({t})"
+    return _DUCK_TO_SPARK.get(t, t.lower())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_oracle_types_match_spark(spark, duck, name):
+    sdf = entrymod.queries()[name](spark, SF_DIR)
+    spark_types = dict(sdf.dtypes)
+    desc = duck.execute("DESCRIBE " + entrymod.oracle_sql()[name]).fetchall()
+    duck_types = {r[0]: duck_type_to_spark(r[1]) for r in desc}
+    assert set(duck_types) == set(spark_types), (
+        f"{name}: columns {sorted(duck_types)} vs {sorted(spark_types)}"
+    )
+    bad = {
+        c: (duck_types[c], spark_types[c])
+        for c in duck_types
+        if duck_types[c] != spark_types[c]
+    }
+    assert not bad, f"{name}: oracle/Spark type drift: {bad}"
+
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, duck, name):

@@ -101,7 +101,8 @@ def q4_order_priority(spark, sf_dir):
     SELECT user_id, event_id, ts_us,
            CAST(row_number() OVER w AS BIGINT) AS rn,
            ts_us - lag(ts_us) OVER w AS gap_us,
-           CAST(round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+           CAST(round(sum(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS run_value
     FROM e
     WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
@@ -111,8 +112,9 @@ def window_user_activity(spark, sf_dir):
     """Window-function family (row_number / lag / running sum) over the
     event stream — per-user ordered analytics. One shuffle on user_id,
     then all three windows share the same sort (single Window physical
-    node); the (ts_us, event_id) tie-breaker makes every frame — and the
-    float running sum's addition order — deterministic."""
+    node); the (ts_us, event_id) tie-breaker makes every frame
+    deterministic, and the running sum accumulates in DECIMAL(18,6) so
+    the rounded value is engine-exact regardless of addition order."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -122,7 +124,9 @@ def window_user_activity(spark, sf_dir):
         "ts_us",
         F.row_number().over(w).cast("bigint").alias("rn"),
         (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
-        F.round(F.sum("value").over(run), 4).alias("run_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(run), 4)
+        .cast("double")
+        .alias("run_value"),
     )
 
 

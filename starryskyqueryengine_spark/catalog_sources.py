@@ -13,8 +13,10 @@ upstream, everything after stays JVM-side).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .catalog import register
+from .functions import cbor
 from .sources.fixtures import load_table
 
 # event_type -> AT-proto-ish collection (deterministic, mirrored in SQL)
@@ -29,6 +31,79 @@ _COLLECTION_CASE_SQL = """
 """
 
 
+# JS collection map mirrored by the block PRODUCER (firehose stand-in);
+# the routing side below never sees it — it reads the decoded block.
+_COLLECTION_MAP = {
+    "click": "app.bsky.feed.like",
+    "view": "app.bsky.feed.post",
+    "purchase": "app.bsky.feed.repost",
+    "signup": "app.bsky.graph.follow",
+}
+
+
+# explicit DataType return types: DDL-string returnType would be parsed
+# through the JVM at import time and require a live SparkContext
+@F.pandas_udf(T.BinaryType())
+def _encode_op_block(user_id, event_type, event_id, props):
+    """Producer seam: serialize each commit op into a genuine CBOR block
+    (RFC 8949 subset codec, functions/cbor.py), shaped like the
+    reference's firehose commit payload — repo, collection path, action,
+    record body, and a tag-42 CID link."""
+    import hashlib
+
+    import pandas as pd
+
+    out = []
+    for uid, et, eid, pr in zip(user_id, event_type, event_id, props):
+        rkey = f"rk{eid}"
+        out.append(
+            cbor.encode(
+                {
+                    "repo": f"did:plc:{uid}",
+                    "collection": _COLLECTION_MAP.get(et, "unknown"),
+                    "rkey": rkey,
+                    "action": "delete" if eid % 10 == 0 else "create",
+                    "record": pr if pr is not None else "",
+                    "cid": cbor.CidLink(hashlib.md5(rkey.encode()).digest()),
+                }
+            )
+        )
+    return pd.Series(out)
+
+
+_OP_STRUCT = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("collection", T.StringType()),
+        T.StructField("rkey", T.StringType()),
+        T.StructField("action", T.StringType()),
+        T.StructField("record_bytes", T.LongType()),
+    ]
+)
+
+
+@F.pandas_udf(_OP_STRUCT)
+def _decode_op_block(block):
+    """Consumer seam: decode the CBOR block and surface the op fields.
+    Everything downstream routes on THESE columns — the decode is
+    load-bearing, not a byte-length stub."""
+    import pandas as pd
+
+    rows = []
+    for raw in block:
+        op = cbor.decode(raw)
+        rows.append(
+            {
+                "repo": op["repo"],
+                "collection": op["collection"],
+                "rkey": op["rkey"],
+                "action": op["action"],
+                "record_bytes": len(op["record"].encode("utf-8")),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 @register(
     "s5_op_routing",
     f"""
@@ -37,35 +112,37 @@ _COLLECTION_CASE_SQL = """
              {_COLLECTION_CASE_SQL} AS collection,
              'rk' || CAST(event_id AS VARCHAR) AS rkey,
              CASE WHEN event_id % 10 = 0 THEN 'delete' ELSE 'create' END AS action,
-             CAST(octet_length(encode(props)) AS BIGINT) AS block_bytes
+             CAST(octet_length(encode(props)) AS BIGINT) AS record_bytes
       FROM events
       WHERE event_type <> 'error'
     )
     SELECT 'at://' || repo || '/' || collection || '/' || rkey AS uri,
-           collection, action, block_bytes
+           collection, action, record_bytes
     FROM ops
     """,
 )
 def s5_op_routing(spark, sf_dir):
-    """S5: op routing over an opaque block column. The uri derivation,
-    collection split and create/delete routing are all codegen'd column
-    expressions; the CBOR decode seam is the binary ``block`` column
-    (here: byte length only — the multimodal decode stub pattern)."""
+    """S5: block decode + op routing (reference
+    ``src/util/subscription.ts:76-122``). The events fixture stands in
+    for the commit stream: each op is serialized into a real CBOR block
+    (binary column), then decoded by an Arrow-batched UDF, and the uri
+    derivation / collection split / create-delete routing run over the
+    DECODED fields only — the oracle recomputes the same answer from the
+    source columns, proving the encode→decode round trip is faithful.
+    At scale both seams are Arrow-batched (no row-at-a-time Python) and
+    everything after the decode stays JVM-side codegen."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") != "error")
-    ops = ev.select(
-        F.concat(F.lit("did:plc:"), F.col("user_id").cast("string")).alias("repo"),
-        F.expr(_COLLECTION_CASE_SQL).alias("collection"),
-        F.concat(F.lit("rk"), F.col("event_id").cast("string")).alias("rkey"),
-        F.when(F.col("event_id") % 10 == 0, F.lit("delete"))
-        .otherwise(F.lit("create"))
-        .alias("action"),
-        F.octet_length(F.encode(F.col("props"), "UTF-8")).cast("bigint").alias("block_bytes"),
+    blocks = ev.select(
+        _encode_op_block("user_id", "event_type", "event_id", "props").alias("block")
     )
+    ops = blocks.select(_decode_op_block("block").alias("op")).select("op.*")
     return ops.select(
-        F.concat_ws("/", F.concat(F.lit("at://"), F.col("repo")), "collection", "rkey").alias("uri"),
+        F.concat_ws(
+            "/", F.concat(F.lit("at://"), F.col("repo")), "collection", "rkey"
+        ).alias("uri"),
         "collection",
         "action",
-        "block_bytes",
+        "record_bytes",
     )
 
 

@@ -1,0 +1,92 @@
+"""Unit tests for the minimal RFC 8949 CBOR codec (functions/cbor.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from starryskyqueryengine_spark.functions import cbor
+
+
+@pytest.mark.parametrize(
+    "obj",
+    [
+        0,
+        23,
+        24,
+        255,
+        256,
+        65535,
+        65536,
+        2**32,
+        2**63 - 1,
+        -1,
+        -24,
+        -25,
+        -(2**32),
+        "",
+        "a",
+        "x" * 23,
+        "x" * 24,
+        "x" * 300,
+        "x" * 70000,
+        "héllo ☃",
+        b"",
+        b"\x00\xff" * 40,
+        [],
+        [1, "two", b"3"],
+        {},
+        {"k": 1},
+        {"a": [1, 2, {"deep": "yes"}], "bb": -7, "c": b"raw"},
+        cbor.CidLink(b"\x01" * 16),
+        {"cid": cbor.CidLink(b"\xaa" * 8), "rest": ["n", 9]},
+    ],
+)
+def test_roundtrip(obj):
+    assert cbor.decode(cbor.encode(obj)) == obj
+
+
+def test_known_encodings():
+    # spot-check against RFC 8949 appendix-A vectors
+    assert cbor.encode(0) == bytes.fromhex("00")
+    assert cbor.encode(10) == bytes.fromhex("0a")
+    assert cbor.encode(100) == bytes.fromhex("1864")
+    assert cbor.encode(1000) == bytes.fromhex("1903e8")
+    assert cbor.encode(-10) == bytes.fromhex("29")
+    assert cbor.encode("IETF") == bytes.fromhex("6449455446")
+    assert cbor.encode([1, 2, 3]) == bytes.fromhex("83010203")
+
+
+def test_map_key_order_deterministic():
+    a = cbor.encode({"bb": 1, "a": 2, "ccc": 3})
+    b = cbor.encode({"ccc": 3, "a": 2, "bb": 1})
+    assert a == b
+    # length-first ordering: "a" < "bb" < "ccc"
+    assert list(cbor.decode(a).keys()) == ["a", "bb", "ccc"]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        b"",  # empty
+        bytes.fromhex("18"),  # uint8 head, missing byte
+        bytes.fromhex("62 61"),  # text len 2, one byte body
+        bytes.fromhex("5f"),  # indefinite bytes: rejected profile-wide
+        bytes.fromhex("82 01"),  # array of 2, one element
+        bytes.fromhex("0001"),  # trailing bytes
+        bytes.fromhex("f6"),  # null: outside supported subset
+        bytes.fromhex("c1 00"),  # tag 1: only tag 42 accepted
+        bytes.fromhex("d8 2a 00"),  # tag 42 wrapping non-bytes
+    ],
+)
+def test_malformed_raises(bad):
+    with pytest.raises(ValueError):
+        cbor.decode(bytes(bad.replace(b" ", b"")))
+
+
+def test_unsupported_encode_types():
+    with pytest.raises(TypeError):
+        cbor.encode(1.5)
+    with pytest.raises(TypeError):
+        cbor.encode(True)
+    with pytest.raises(TypeError):
+        cbor.encode(None)

@@ -498,3 +498,111 @@ def test_stream_interval_join_same_named_ts_columns(spark):
     )
     out = stream_interval_join(left, right, "ts", "ts", 10 * 60 * 1_000_000)
     assert sorted((r["pid"], r["cid"]) for r in out.collect()) == [("p1", "c1")]
+
+
+def test_stream_interval_join_checkpoint_resume(spark, tmp_path):
+    """Kill-and-resume proof for the bucketed interval-join state: drain
+    the first half of each stream, stop the query, append more files,
+    then start a NEW query on the SAME checkpoint. The resumed query
+    must join late purchases against clicks it saw before the restart,
+    and the union of both drains' emissions must equal the single-run
+    pair set exactly (no loss, no duplicates)."""
+    import glob as globmod
+    import shutil
+    import tempfile
+    import time
+
+    from starryskyqueryengine_spark.streaming import stream_interval_join
+
+    csrc, psrc = tmp_path / "clicks", tmp_path / "purch"
+    csrc.mkdir(); psrc.mkdir()
+
+    def write_flat(df, dirpath, name):
+        d = tempfile.mkdtemp()
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        shutil.move(globmod.glob(d + "/part-*.parquet")[0], str(dirpath / name))
+        time.sleep(1.05)
+
+    def rows(kind, spec):
+        return spark.createDataFrame(
+            [(f"{kind}{i}", dt.datetime(2024, 1, 1, 0, mm, 0)) for i, mm in spec],
+            f"{kind}_id string, {kind}_ts timestamp",
+        )
+
+    sink: list = []
+
+    def drain():
+        cs = parquet_stream(spark, str(csrc), schema=rows("c", []).schema)
+        ps = parquet_stream(spark, str(psrc), schema=rows("p", []).schema)
+        joined = stream_interval_join(
+            ps, cs, "p_ts", "c_ts", 10 * 60 * 1_000_000, watermark="30 minutes"
+        )
+        q = (
+            joined.writeStream.foreachBatch(lambda bdf, bid: sink.extend(bdf.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ij_resume_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # drain 1: clicks at :00 :05, purchase at :08 -> (p1,c1) (p1,c2)
+    write_flat(rows("c", [(1, 0), (2, 5)]), csrc, "f1.parquet")
+    write_flat(rows("p", [(1, 8)]), psrc, "f1.parquet")
+    drain()
+    assert sorted((r["p_id"], r["c_id"]) for r in sink) == [("p1", "c1"), ("p1", "c2")]
+
+    # restart: click at :11 and purchase at :12 arrive after the stop.
+    # p2@:12 matches c3@:11 AND pre-restart c2@:05 (7 min earlier) — the
+    # second pair only exists if the click state survived the restart.
+    write_flat(rows("c", [(3, 11)]), csrc, "f2.parquet")
+    write_flat(rows("p", [(2, 12)]), psrc, "f2.parquet")
+    drain()
+    got = sorted((r["p_id"], r["c_id"]) for r in sink)
+    assert got == [
+        ("p1", "c1"), ("p1", "c2"), ("p2", "c2"), ("p2", "c3"),
+    ], got
+    assert len(got) == len(set(got)), "duplicate pairs after resume"
+
+
+def test_stateful_topk_checkpoint_resume(spark, tmp_path):
+    """Kill-and-resume proof for the bounded top-k state: after a
+    restart from checkpoint, the survivor set must mix pre-restart state
+    (day-1 rows) with post-restart arrivals (day-2 rows) — k exceeds the
+    day-2 count, so day-1 entries can only come from restored state."""
+    from starryskyqueryengine_spark.streaming import stream_topk_retention
+
+    src = str(tmp_path / "src")
+    batches: list = []
+
+    def drain():
+        stream = parquet_stream(spark, src, schema=POST_SCHEMA, max_files_per_trigger=1)
+        out = stream_topk_retention(stream.select("key", "uri", "indexedAt"), k=15)
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda bdf, bid: batches.append(bdf.collect()))
+            .option("checkpointLocation", str(tmp_path / "topk_resume_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    def last_emission():
+        nonempty = [b for b in batches if b]
+        return nonempty[-1]
+
+    posts_rows(spark, range(20), key="a", day=1).write.mode("append").parquet(src)
+    drain()
+    assert len(last_emission()) == 15  # k newest of the 20 day-1 rows
+
+    batches.clear()
+    posts_rows(spark, range(100, 110), key="a", day=2).write.mode("append").parquet(src)
+    drain()  # new query object, same checkpoint
+    final = last_emission()
+    assert len(final) == 15
+    day2 = [r for r in final if r["uri"].startswith("p10")]
+    day1 = [r for r in final if not r["uri"].startswith("p10")]
+    assert len(day2) == 10, "post-restart arrivals missing from survivors"
+    assert len(day1) == 5, "pre-restart state lost across resume"
+    # all day-2 rows outrank every surviving day-1 row
+    assert min(r["ts_us"] for r in day2) > max(r["ts_us"] for r in day1)

@@ -632,9 +632,10 @@ PRIORITY: list[str] = [
     "mm_metadata_project",
     "mm_frame_sample",
     "mm_decode_features",
-    # Text headliners
+    # Text headliners + changed-this-round analytics
     "text_quality_score",
-    "pipeline_clean_corpus",
+    # decimal running sum landed after the r01 gate ran -> re-verify
+    "window_user_activity",
 ]
 
 

@@ -326,6 +326,7 @@ def near_dup_pairs_matrix(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rows_per_block: int = 100_000,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """All-pairs cosine near-dup via a DISTRIBUTED block matrix product.
 
@@ -349,15 +350,21 @@ def near_dup_pairs_matrix(
     import numpy as np
     import pandas as pd
 
-    n = emb.count()
+    # pass n_rows when the caller already knows the cardinality; the
+    # fallback count() is an extra (column-pruned) job per plan build
+    n = n_rows if n_rows is not None else emb.count()
     # enough blocks to bound per-task memory AND to keep nb(nb+1)/2
     # block-pair tasks busy even when the table is small
     nb = max(-(-n // rows_per_block), min(8, max(1, n // 256)))
 
+    # block by a HASH of the id, not the raw id: id % nb collapses to a
+    # single block whenever ids share a residue class (snowflake-style
+    # low bits, ids all multiples of nb), which would put the whole
+    # table into one task and void the per-task memory bound
     src = emb.select(
         F.col(id_col).alias("_id"),
         as_double(F.col(vec_col)).alias("_vec"),
-        F.pmod(F.col(id_col), F.lit(nb)).cast("int").alias("_blk"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int").alias("_blk"),
     )
     # side A joins every pair (my block, bb >= my block); side B every
     # pair (ba <= my block, my block). Diagonal groups get both copies.

@@ -126,3 +126,23 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert set(df.columns) == {"key", "uri", "cid", "indexedAt"}
+
+
+def test_priority_window_integrity():
+    """The external gate verifies registration order[:50] only. PRIORITY
+    must therefore (a) hold exactly 50 distinct names, (b) reference only
+    registered queries — `_ordered` silently DROPS unknown names, which
+    would slide an unprioritized query into the verified window after a
+    rename/typo — and (c) every windowed query must have an oracle (a
+    rows-only query would waste a gate slot)."""
+    from starryskyqueryengine_spark.catalog import PRIORITY
+
+    qs = entrymod.queries()
+    osql = entrymod.oracle_sql()
+    assert len(PRIORITY) == 50, f"PRIORITY has {len(PRIORITY)} entries"
+    assert len(set(PRIORITY)) == len(PRIORITY), "duplicate PRIORITY entries"
+    unknown = [n for n in PRIORITY if n not in qs]
+    assert not unknown, f"PRIORITY names not registered: {unknown}"
+    assert list(qs)[:50] == PRIORITY, "window does not match PRIORITY order"
+    no_oracle = [n for n in PRIORITY if n not in osql]
+    assert not no_oracle, f"windowed queries without oracle: {no_oracle}"

@@ -596,12 +596,14 @@ def test_stateful_topk_checkpoint_resume(spark, tmp_path):
     assert len(last_emission()) == 15  # k newest of the 20 day-1 rows
 
     batches.clear()
-    posts_rows(spark, range(100, 110), key="a", day=2).write.mode("append").parquet(src)
+    # day-2 ids start at 200 so no day-2 uri prefix ("p20x") collides
+    # with a day-1 uri (p0..p19 — "p10".startswith("p10") is true!)
+    posts_rows(spark, range(200, 210), key="a", day=2).write.mode("append").parquet(src)
     drain()  # new query object, same checkpoint
     final = last_emission()
     assert len(final) == 15
-    day2 = [r for r in final if r["uri"].startswith("p10")]
-    day1 = [r for r in final if not r["uri"].startswith("p10")]
+    day2 = [r for r in final if r["uri"].startswith("p20")]
+    day1 = [r for r in final if not r["uri"].startswith("p20")]
     assert len(day2) == 10, "post-restart arrivals missing from survivors"
     assert len(day1) == 5, "pre-restart state lost across resume"
     # all day-2 rows outrank every surviving day-1 row

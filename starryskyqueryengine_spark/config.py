@@ -89,6 +89,13 @@ class FeedCondition:
             v = getattr(self, name)
             if not isinstance(v, int):
                 raise ConditionValidationError(f"{name} must be an integer, got {v!r}")
+        # `lang` is a single language code in the reference (appended to the
+        # search query as `lang:xx`, src/subscription.ts:220-221). A list here
+        # would otherwise surface as an opaque Catalyst type error at ingest.
+        if not isinstance(self.lang, str):
+            raise ConditionValidationError(
+                f"lang must be a single language-code string, got {self.lang!r}"
+            )
         if self.imageOnly not in ("", "imageOnly", "textOnly"):
             raise ConditionValidationError(f"bad imageOnly {self.imageOnly!r}")
         return self

@@ -72,6 +72,35 @@ class FeedServer:
             next_cursor = encode_cursor(last["us"], last["cid"])
         return FeedPage(feed=feed, cursor=next_cursor)
 
+    def get_feed_skeleton_authed(
+        self,
+        record_name: str,
+        headers: dict,
+        service_did: str,
+        key_lookup,
+        limit: int = DEFAULT_PAGE_LIMIT,
+        cursor: str | None = None,
+        verifier=None,
+    ) -> FeedPage:
+        """Full reference read path incl. auth (src/methods/feed-generation.ts):
+        JWT verify -> requester DID -> ACL-gated skeleton. Auth is lazy in the
+        reference too — only private feeds force it (src/algos/starrysky.ts:26-31);
+        public feeds serve without a token.
+        """
+        from .auth import validate_auth
+
+        cond = self.registry.by_record_name(record_name)
+        if cond is None:
+            raise UnknownFeedError(record_name)
+        requester_did = None
+        if cond.privateFeed:
+            requester_did = validate_auth(
+                headers, service_did, key_lookup, verifier=verifier
+            )
+        return self.get_feed_skeleton(
+            record_name, limit=limit, cursor=cursor, requester_did=requester_did
+        )
+
     def get_feed_skeleton_df(self, record_name: str, limit: int, cursor: str | None = None):
         """DataFrame-returning variant (for tests / distributed consumers):
         pinned ∪ page as one plan (U1)."""

@@ -1,0 +1,156 @@
+"""S12 DID document + P11 JWT auth path (reference src/auth.ts, src/well-known.ts)."""
+
+import time
+
+import pytest
+
+from starryskyqueryengine_spark.auth import (
+    AuthRequiredError,
+    decode_jwt,
+    did_document,
+    sign_jwt_hs256,
+    validate_auth,
+    verify_jwt,
+)
+
+SERVICE_DID = "did:web:feeds.example.com"
+HOST = "feeds.example.com"
+KEY = b"test-signing-key"
+
+
+def lookup(did):
+    return KEY if did == "did:plc:alice" else None
+
+
+def token(**over):
+    payload = {
+        "iss": "did:plc:alice",
+        "aud": SERVICE_DID,
+        "exp": time.time() + 600,
+    }
+    payload.update(over)
+    return sign_jwt_hs256(payload, KEY)
+
+
+# -- did document (S12, src/well-known.ts:7-23) -----------------------------
+
+def test_did_document_shape():
+    doc = did_document(SERVICE_DID, HOST)
+    assert doc["id"] == SERVICE_DID
+    assert doc["@context"] == ["https://www.w3.org/ns/did/v1"]
+    svc = doc["service"][0]
+    assert svc == {
+        "id": "#bsky_fg",
+        "type": "BskyFeedGenerator",
+        "serviceEndpoint": f"https://{HOST}",
+    }
+
+
+def test_did_document_hostname_mismatch_is_404():
+    assert did_document("did:web:other.example.net", HOST) is None
+
+
+# -- jwt verify (P11 auth, src/auth.ts:5-18) --------------------------------
+
+def test_happy_path_returns_iss_did():
+    assert verify_jwt(token(), SERVICE_DID, lookup) == "did:plc:alice"
+
+
+def test_bearer_extraction():
+    hdrs = {"authorization": f"Bearer {token()}"}
+    assert validate_auth(hdrs, SERVICE_DID, lookup) == "did:plc:alice"
+
+
+def test_missing_bearer_raises():
+    with pytest.raises(AuthRequiredError):
+        validate_auth({}, SERVICE_DID, lookup)
+    with pytest.raises(AuthRequiredError):
+        validate_auth({"authorization": "Basic xyz"}, SERVICE_DID, lookup)
+
+
+def test_bad_signature_rejected():
+    tampered = sign_jwt_hs256({"iss": "did:plc:alice", "aud": SERVICE_DID}, b"wrong")
+    with pytest.raises(AuthRequiredError, match="signature"):
+        verify_jwt(tampered, SERVICE_DID, lookup)
+
+
+def test_aud_mismatch_rejected():
+    with pytest.raises(AuthRequiredError, match="aud"):
+        verify_jwt(token(aud="did:web:evil.example"), SERVICE_DID, lookup)
+
+
+def test_expired_rejected():
+    with pytest.raises(AuthRequiredError, match="expired"):
+        verify_jwt(token(exp=time.time() - 10), SERVICE_DID, lookup)
+
+
+def test_unknown_issuer_key_rejected():
+    with pytest.raises(AuthRequiredError, match="no signing key"):
+        verify_jwt(token(iss="did:plc:nobody"), SERVICE_DID, lookup)
+
+
+def test_malformed_token_rejected():
+    for bad in ["", "a.b", "not-a-jwt", "a.b.c.d"]:
+        with pytest.raises(AuthRequiredError):
+            verify_jwt(bad, SERVICE_DID, lookup)
+
+
+def test_unsupported_alg_needs_injected_verifier():
+    import base64
+    import json
+
+    def b64(d):
+        return base64.urlsafe_b64encode(json.dumps(d).encode()).rstrip(b"=").decode()
+
+    es_token = (
+        b64({"alg": "ES256K", "typ": "JWT"})
+        + "."
+        + b64({"iss": "did:plc:alice", "aud": SERVICE_DID})
+        + ".AAAA"
+    )
+    # ES256K seam: without an injected verifier the alg is refused loudly...
+    with pytest.raises(AuthRequiredError, match="ES256K"):
+        verify_jwt(es_token, SERVICE_DID, lookup)
+
+    calls = []
+
+    def verifier(alg, key, signing_input, signature):
+        calls.append(alg)
+        return True
+
+    # ...and with one, the seam receives (alg, key, input, sig) and decides.
+    assert verify_jwt(es_token, SERVICE_DID, lookup, verifier=verifier) == "did:plc:alice"
+    assert calls == ["ES256K"]
+
+
+# -- integration with FeedServer (private feed gate) ------------------------
+
+def test_private_feed_via_authed_endpoint(spark, tmp_path):
+    from starryskyqueryengine_spark.config import ConditionsRegistry, FeedCondition
+    from starryskyqueryengine_spark.serving import FeedServer
+    from starryskyqueryengine_spark.store import PostStore
+
+    reg = ConditionsRegistry()
+    reg.upsert(FeedCondition(key="k1", recordName="priv", query="x",
+                             privateFeed=["did:plc:alice"]))
+    store = PostStore(spark, str(tmp_path / "store"))
+    server = FeedServer(spark, reg, store)
+
+    hdrs = {"authorization": f"Bearer {token()}"}
+    page = server.get_feed_skeleton_authed("priv", hdrs, SERVICE_DID, lookup)
+    assert page.feed == [] and page.cursor is None  # empty store, but authorized
+
+    # Wrong DID in allowlist -> empty page, not an error (starrysky.ts:35-39)
+    reg.upsert(FeedCondition(key="k1", recordName="priv", query="x",
+                             privateFeed=["did:plc:bob"]))
+    page = server.get_feed_skeleton_authed("priv", hdrs, SERVICE_DID, lookup)
+    assert page.feed == []
+
+    # No/invalid token on a private feed -> AuthRequiredError
+    with pytest.raises(AuthRequiredError):
+        server.get_feed_skeleton_authed("priv", {}, SERVICE_DID, lookup)
+
+    # Public feed: no auth demanded (reference only authenticates private feeds)
+    reg.upsert(FeedCondition(key="k2", recordName="pub", query="x"))
+    page = server.get_feed_skeleton_authed("pub", {}, SERVICE_DID, lookup)
+    assert page.feed == []

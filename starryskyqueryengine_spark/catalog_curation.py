@@ -1,0 +1,196 @@
+"""Corpus-curation catalog queries + DuckDB oracles: PII redaction,
+benchmark decontamination, URL/domain stats, quality-filter funnel.
+
+The fixtures' synthetic ``documents.text`` carries no natural PII or URLs,
+so the PII and domain queries first append a deterministic, doc_id-derived
+suffix (identically in Spark and in the oracle SQL) and then run the real
+extraction/redaction expressions over the combined text — the regex paths
+are genuinely exercised with nonzero match counts while staying
+value-reproducible across engines.
+
+All expressions live in the Java-regex ∩ RE2 common dialect (no
+lookaround/backrefs) so the oracle mirrors the Spark pattern verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .catalog import register
+from .catalog_dedup import _SQL_WORDS, _sql_shingles
+from .functions import curation as cu
+from .functions import dedup as dd
+from .functions import text as tx
+from .sources.fixtures import load_table
+
+_QUALITY_PAT = r"\b(" + "|".join(tx.QUALITY_STOPWORDS) + r")\b"
+
+# doc_id-derived PII suffix, byte-identical across engines.
+_SQL_PII_AUG = (
+    "text || ' Contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com from 10.' || CAST(doc_id % 200 AS VARCHAR)"
+    " || '.0.' || CAST(doc_id % 250 AS VARCHAR)"
+    " || ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def _pii_aug_col():
+    return F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com from 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" tel +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+
+
+@register(
+    "text_pii_redact",
+    rf"""
+    WITH aug AS (SELECT doc_id, {_SQL_PII_AUG} AS t FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '{cu.EMAIL_PAT}', '<EMAIL>', 'g'),
+             '{cu.IPV4_PAT}', '<IP>', 'g'),
+             '{cu.PHONE_PAT}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(t, '{cu.EMAIL_PAT}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{cu.IPV4_PAT}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t, '{cu.PHONE_PAT}')) AS BIGINT) AS n_phones
+    FROM aug
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    """PII redaction: email -> IPv4 -> phone tag replacement + per-class
+    counts. Pure per-row projection — no shuffle, scales linearly."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", _pii_aug_col().alias("t"))
+    counts = cu.pii_counts(F.col("t"))
+    return aug.select(
+        "doc_id",
+        cu.redact_pii(F.col("t")).alias("redacted"),
+        counts["n_emails"].alias("n_emails"),
+        counts["n_ips"].alias("n_ips"),
+        counts["n_phones"].alias("n_phones"),
+    )
+
+
+@register(
+    "decontaminate_overlap",
+    rf"""
+    WITH sh AS (
+      SELECT doc_id, {_sql_shingles('w')} AS shingles
+      FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(shingles) AS sh FROM sh WHERE doc_id % 29 = 0
+    ),
+    corp AS (
+      SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_shingles,
+             unnest(shingles) AS sh
+      FROM sh WHERE doc_id % 29 <> 0 AND len(shingles) > 0
+    )
+    SELECT c.doc_id, c.n_shingles, CAST(count(*) AS BIGINT) AS n_overlap,
+           ROUND(count(*) * 1.0 / c.n_shingles, 6) AS contamination
+    FROM corp c JOIN bench b ON c.sh = b.sh
+    GROUP BY c.doc_id, c.n_shingles
+    HAVING count(*) * 1.0 / c.n_shingles >= 0.3
+    """,
+)
+def decontaminate_overlap(spark, sf_dir):
+    """Eval-set decontamination: docs sharing >=30% of their 3-word
+    shingles with the 'benchmark' slice (doc_id % 29 == 0 stands in for a
+    held-out eval set). Benchmark shingle set broadcast; corpus side one
+    shuffle. See functions/curation.py for the 100 TB shape."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = dd.with_shingles(docs)
+    bench = sh.filter(F.col("doc_id") % 29 == 0).select("doc_id", "shingles")
+    corp = sh.filter(F.col("doc_id") % 29 != 0).select("doc_id", "shingles")
+    return cu.decontaminate(corp, bench, min_fraction=0.3)
+
+
+@register(
+    "domain_stats",
+    rf"""
+    WITH aug AS (
+      SELECT doc_id, n_chars,
+             text || ' see https://' || lower(source)
+                  || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/'
+                  || CAST(doc_id AS VARCHAR) AS t
+      FROM documents
+    )
+    SELECT regexp_extract(t, '{cu.URL_DOMAIN_PAT}', 1) AS domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM aug
+    GROUP BY 1
+    """,
+)
+def domain_stats(spark, sf_dir):
+    """URL/domain extraction + per-domain corpus stats (the curation view
+    behind per-domain sampling caps). Single scan, one small-key shuffle;
+    domain cardinality is bounded, so the agg is map-side combinable."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://"),
+            F.lower(F.col("source")),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("t"),
+    )
+    return aug.select(cu.url_domain(F.col("t")).alias("domain"), "n_chars").groupBy(
+        "domain"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
+    "quality_filter_funnel",
+    rf"""
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_total,
+      CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS n_lang,
+      CAST(count(*) FILTER (lang = 'en' AND n_chars BETWEEN 100 AND 20000)
+           AS BIGINT) AS n_len,
+      CAST(count(*) FILTER (lang = 'en' AND n_chars BETWEEN 100 AND 20000
+             AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 10)
+           AS BIGINT) AS n_tok,
+      CAST(count(*) FILTER (lang = 'en' AND n_chars BETWEEN 100 AND 20000
+             AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 10
+             AND len(regexp_extract_all(lower(text), '{_QUALITY_PAT}')) >= 1)
+           AS BIGINT) AS n_pass
+    FROM documents
+    """,
+)
+def quality_filter_funnel(spark, sf_dir):
+    """Curation funnel: cumulative survivor counts per filter stage
+    (language -> length -> token floor -> stopword signal) in ONE scan via
+    conditional aggregation — the standard curation-report shape; fully
+    map-side combinable, O(1) result."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    lang_ok = F.col("lang") == "en"
+    len_ok = lang_ok & F.col("n_chars").between(100, 20000)
+    tok_ok = len_ok & (tx.word_token_count(t) >= 10)
+    pass_ok = tok_ok & (tx.stopword_count(t) >= 1)
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    return docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        cnt(lang_ok).alias("n_lang"),
+        cnt(len_ok).alias("n_len"),
+        cnt(tok_ok).alias("n_tok"),
+        cnt(pass_ok).alias("n_pass"),
+    )

@@ -1,0 +1,78 @@
+"""Unit tests for curation primitives (edge semantics the catalog parity
+tests don't isolate)."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from starryskyqueryengine_spark.functions import curation as cu
+from starryskyqueryengine_spark.functions import dedup as dd
+
+
+def _one(spark, text):
+    df = spark.createDataFrame([Row(t=text)])
+    return df.select(
+        cu.redact_pii(F.col("t")).alias("red"),
+        *[v.alias(k) for k, v in cu.pii_counts(F.col("t")).items()],
+    ).first()
+
+
+def test_redact_all_three_classes(spark):
+    r = _one(spark, "mail a.b+c@x-y.example.org ip 192.168.0.1 tel +1-555-0100 end")
+    assert r["red"] == "mail <EMAIL> ip <IP> tel <PHONE> end"
+    assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (1, 1, 1)
+
+
+def test_redact_email_before_host_like_tokens(spark):
+    # The email's domain must be swallowed by <EMAIL>, not left for the
+    # later passes to mangle.
+    r = _one(spark, "x user@10.0.0.1.example.com y")
+    assert "<EMAIL>" in r["red"] and "10.0.0.1" not in r["red"]
+
+
+def test_ip_not_reredacted_as_phone(spark):
+    r = _one(spark, "addr 10.20.30.40")
+    assert r["red"] == "addr <IP>"
+    assert r["n_phones"] == 0
+
+
+def test_clean_text_unchanged(spark):
+    r = _one(spark, "no pii here at all")
+    assert r["red"] == "no pii here at all"
+    assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (0, 0, 0)
+
+
+def test_url_domain_extraction(spark):
+    df = spark.createDataFrame(
+        [Row(t="see https://sub.Example-2.com/path?q=1 more"),
+         Row(t="http://plain.org"),
+         Row(t="no url")]
+    )
+    got = [r[0] for r in df.select(cu.url_domain(F.col("t"))).collect()]
+    assert got == ["sub.Example-2.com", "plain.org", ""]
+
+
+def test_decontaminate_fraction_gate(spark):
+    # bench doc shares all 3 shingles with doc 1, one shingle with doc 2.
+    mk = lambda i, t: Row(doc_id=i, text=t)
+    corpus = spark.createDataFrame(
+        [mk(1, "alpha beta gamma delta epsilon"),
+         mk(2, "alpha beta gamma zeta unrelated words here entirely"),
+         mk(3, "totally different content altogether")]
+    )
+    bench = spark.createDataFrame([mk(100, "alpha beta gamma delta epsilon")])
+    out = cu.decontaminate(
+        dd.with_shingles(corpus), dd.with_shingles(bench), min_fraction=0.5
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert 1 in by_id and by_id[1]["contamination"] == 1.0
+    assert 2 not in by_id  # 2/6 shingles < 0.5
+    assert 3 not in by_id
+
+
+def test_decontaminate_empty_benchmark(spark):
+    corpus = spark.createDataFrame([Row(doc_id=1, text="alpha beta gamma delta")])
+    bench = spark.createDataFrame([Row(doc_id=9, text="")])
+    out = cu.decontaminate(
+        dd.with_shingles(corpus), dd.with_shingles(bench)
+    ).collect()
+    assert out == []

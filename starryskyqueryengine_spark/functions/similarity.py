@@ -231,6 +231,100 @@ def _with_table_buckets(
     )
 
 
+def kmeans_fit(
+    base: DataFrame,
+    k: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tol: float = 1e-4,
+):
+    """Distributed Lloyd k-means over an embedding column; returns a
+    ``(k, dim)`` numpy array of L2-normalized centroids.
+
+    Init is the same deterministic hash-ordered sample ``ivf_topk`` uses
+    (no RNG — reproducible across runs and partitionings). Each iteration:
+
+    1. broadcast current centroids (k x dim doubles — tiny);
+    2. one ``mapInPandas`` pass emits ONE partial (cell, count, vec-sum)
+       per cell per Arrow batch, pre-reduced within the batch — never a
+       per-point row;
+    3. partials reduce in Spark (posexplode -> groupBy (cell, pos)), so
+       driver traffic is exactly ``k`` rows of ``dim`` doubles per
+       iteration regardless of base size or partition count;
+    4. empty cells keep their previous centroid; stop early when the max
+       centroid shift drops under ``tol``.
+
+    The driver never holds more than the centroid matrix — the round-1
+    scale-killer (collecting base ids) does not reappear here.
+    """
+    import numpy as np
+
+    spark = base.sparkSession
+    init_pdf = (
+        base.select(id_col, vec_col)
+        .orderBy(md5int(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .toPandas()
+    )
+    C = np.stack([np.asarray(v, dtype=np.float64) for v in init_pdf[vec_col]])
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+
+    pts = ensure_parallelism(base.select(vec_col))
+
+    for _ in range(max(0, iters)):
+        bc = spark.sparkContext.broadcast(C)
+
+        def partials(batches):
+            import numpy as np  # noqa: F811 (executor-side)
+            import pandas as pd
+
+            Cn = bc.value
+            kk, dd_ = Cn.shape
+            cnt = np.zeros(kk, dtype=np.int64)
+            acc = np.zeros((kk, dd_), dtype=np.float64)
+            for pdf in batches:
+                V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+                cells = np.argmax(Vn @ Cn.T, axis=1)
+                for c in range(kk):
+                    m = cells == c
+                    n = int(m.sum())
+                    if n:
+                        cnt[c] += n
+                        acc[c] += V[m].sum(axis=0)
+            live = np.nonzero(cnt)[0]
+            yield pd.DataFrame(
+                {"cell": live, "cnt": cnt[live], "vsum": [acc[c].tolist() for c in live]}
+            )
+
+        part = pts.mapInPandas(partials, schema="cell int, cnt long, vsum array<double>")
+        agg = (
+            part.select("cell", "cnt", F.posexplode("vsum").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("v").alias("v"), F.sum("cnt").alias("cnt_dup"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"),
+                # cnt was duplicated once per pos by the explode; any single
+                # pos slice carries the true total, so divide back out.
+                (F.sum("cnt_dup") / F.count(F.lit(1))).cast("long").alias("cnt"),
+            )
+            .select("cell", "cnt", F.col("pv.v").alias("vsum"))
+            .collect()
+        )
+        bc.destroy()
+        C_new = C.copy()
+        for row in agg:
+            C_new[row["cell"]] = np.asarray(row["vsum"]) / max(row["cnt"], 1)
+        C_new /= np.maximum(np.linalg.norm(C_new, axis=1, keepdims=True), 1e-300)
+        shift = float(np.max(np.linalg.norm(C_new - C, axis=1)))
+        C = C_new
+        if shift < tol:
+            break
+    return C
+
+
 def ivf_topk(
     queries: DataFrame,
     base: DataFrame,
@@ -240,6 +334,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    train_iters: int = 0,
 ) -> DataFrame:
     """Approximate ANN via IVF-flat: partition the base into inverted
     lists by nearest centroid; each query probes only its ``n_probe``
@@ -250,24 +345,30 @@ def ivf_topk(
     ``n_centroids`` — a distributed TakeOrdered that ships only
     n_centroids rows to the driver (the round-1 version collected ALL
     base ids — fatal at 100 TB). No RNG, reproducible across runs and
-    partitionings; a real deployment would drop in k-means centroids
-    with zero plan changes. Scale shape: the centroid table is
+    partitionings; ``train_iters > 0`` refines that init with
+    distributed Lloyd k-means (``kmeans_fit``) for tighter cells at the
+    same plan shape. Scale shape: the centroid table is
     broadcast (tiny); the base is written bucketed by ``cell`` so the
     probe join is co-located; a query touches n_probe/n_centroids of
     the data instead of all of it.
     """
     import numpy as np
-    import pandas as pd
 
     spark = base.sparkSession
-    cents_pdf = (
-        base.select(id_col, vec_col)
-        .orderBy(md5int(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(n_centroids)
-        .toPandas()
-    )
-    C = np.stack([np.asarray(v, dtype=np.float64) for v in cents_pdf[vec_col]])
-    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    if train_iters > 0:
+        # Learned centroids: distributed Lloyd refinement of the same
+        # deterministic init — tighter cells, better recall at equal probe.
+        C = kmeans_fit(base, n_centroids, iters=train_iters,
+                       id_col=id_col, vec_col=vec_col)
+    else:
+        cents_pdf = (
+            base.select(id_col, vec_col)
+            .orderBy(md5int(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(n_centroids)
+            .toPandas()
+        )
+        C = np.stack([np.asarray(v, dtype=np.float64) for v in cents_pdf[vec_col]])
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
     bc = spark.sparkContext.broadcast(C)
 
     def assign(n_cells: int):

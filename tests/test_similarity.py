@@ -133,3 +133,51 @@ def test_connected_components_distributed_path_matches_driver_path(spark):
     dist = {(r["id"], r["component"])
             for r in dd.connected_components(pairs, driver_threshold=0).collect()}
     assert fast == dist
+
+
+def test_kmeans_fit_recovers_planted_clusters(spark):
+    """Three well-separated direction clusters -> trained centroids align
+    with the true cluster directions (cos > 0.99) and beat the raw init."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    rng = np.random.default_rng(7)
+    true = np.eye(3, 8)  # three orthogonal direction prototypes in 8-d
+    rows = []
+    for i in range(120):
+        c = i % 3
+        v = true[c] + rng.normal(0, 0.05, 8)
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    df = spark.createDataFrame(rows)
+    C = sim.kmeans_fit(df, 3, iters=6, tol=1e-6)
+    # each true direction matched by some centroid
+    Tn = true / np.linalg.norm(true, axis=1, keepdims=True)
+    sims = C @ Tn.T
+    assert float(np.min(np.max(sims, axis=0))) > 0.99, sims
+
+
+def test_kmeans_fit_deterministic(spark):
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 200)
+    import numpy as np
+
+    C1 = sim.kmeans_fit(emb, 8, iters=3)
+    C2 = sim.kmeans_fit(emb.repartition(7), 8, iters=3)
+    assert np.allclose(C1, C2, atol=1e-9)
+
+
+def test_ivf_trained_recall_not_worse(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    base = emb.filter(F.col("vec_id") >= 5)
+    exact = {(r["q_id"], r["nn_id"])
+             for r in sim.brute_force_topk(queries, base, 10).collect()}
+
+    def recall(train_iters):
+        a = {(r["q_id"], r["nn_id"])
+             for r in sim.ivf_topk(queries, base, 10, n_centroids=16,
+                                   n_probe=4, train_iters=train_iters).collect()}
+        return len(exact & a) / len(exact)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= r0 - 0.05, f"training degraded recall: {r0} -> {r2}"
+    assert r2 >= 0.5

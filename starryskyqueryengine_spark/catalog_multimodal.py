@@ -86,3 +86,77 @@ def mm_resize_plumbing(spark, sf_dir):
     return resize_images(media, 32, 32).select(
         "media_id", "width", "height", F.octet_length("payload").alias("out_bytes")
     )
+
+
+@register(
+    "mm_ppm_decode",
+    """
+    WITH px AS (
+      SELECT doc_id,
+             unnest(range(3 * (8 + doc_id % 8) * (6 + doc_id % 6))) AS i
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(8 + doc_id % 8 AS INTEGER) AS width,
+           CAST(6 + doc_id % 6 AS INTEGER) AS height,
+           ROUND(CAST(sum((31 * doc_id + 7 * i) % 256) AS DOUBLE) / count(*), 6)
+             AS mean_px,
+           CAST(count(*) AS BIGINT) AS n_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def mm_ppm_decode(spark, sf_dir):
+    """REAL image-codec round trip: per doc, build an actual binary PPM
+    (P6) whose pixel bytes follow a closed-form generator, ship it
+    through the payload column, decode it with the pure-numpy codec
+    (header parse + pixel reshape), and report decoded dims + exact
+    pixel statistics. The oracle recomputes the same stats from the
+    generator formula alone — any header/stride/reshape bug in the codec
+    breaks the match. Both hops are Arrow-batched mapInPandas; pixel
+    sums are int64-exact before the one double division."""
+    import numpy as np
+    import pandas as pd
+
+    from .multimodal import ppm_decode, ppm_encode
+    from .session import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 + d % 8, 6 + d % 6
+                n = 3 * w * h
+                px = ((31 * d + 7 * np.arange(n, dtype=np.int64)) % 256).astype(
+                    np.uint8
+                ).reshape(h, w, 3)
+                payloads.append(ppm_encode(px))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    enc = docs.mapInPandas(gen, "media_id long, payload binary")
+
+    def dec(batches):
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "px_sum": [], "n_px": []}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = ppm_decode(bytes(b))
+                flat = px.reshape(-1)
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_sum"].append(int(np.sum(flat, dtype=np.int64)))
+                out["n_px"].append(flat.size)
+            yield pd.DataFrame(out)
+
+    decd = enc.mapInPandas(
+        dec, "media_id long, width int, height int, px_sum long, n_px long"
+    )
+    return decd.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.col("px_sum") / F.col("n_px"), 6).alias("mean_px"),
+        F.col("n_px"),
+    )

@@ -64,14 +64,16 @@ def embedding_near_dup(spark, sf_dir):
 
 @register("ann_ivf_topk")  # approximate: rows-only check (recall in tests)
 def ann_ivf_topk(spark, sf_dir):
-    """Approximate ANN via IVF-flat inverted lists: deterministic
-    sampled centroids, n_probe-cell probing, exact scoring within
+    """Approximate ANN via IVF-flat inverted lists: k-means-trained
+    centroids (distributed Lloyd, 2 iterations over the deterministic
+    hash-sample init), n_probe-cell probing, exact scoring within
     probed cells. Recall vs the exact path asserted in
     tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < ANN_NUM_QUERIES)
     base = emb.filter(F.col("vec_id") >= ANN_NUM_QUERIES)
-    return sim.ivf_topk(queries, base, ANN_K, n_centroids=16, n_probe=4)
+    return sim.ivf_topk(queries, base, ANN_K, n_centroids=16, n_probe=4,
+                        train_iters=2)
 
 
 @register("ann_lsh_topk")  # approximate: rows-only check (recall in tests)

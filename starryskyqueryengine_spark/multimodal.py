@@ -20,11 +20,14 @@ Scale design:
   batch per task regardless of partition size — this is what makes a
   100 TB media scan feasible (spark.sql.execution.arrow.maxRecordsPerBatch
   bounds the batch).
-- The actual codec step is STUBBED: this container has no image/audio
-  libs. ``decode_image`` computes a deterministic fake "pixel summary"
-  from the payload bytes; the real-library path is gated behind an
-  import-try and raises NotImplementedError. Everything around it —
-  schema, batching, partitioning, UDF signatures — is real and tested.
+- The codec step is REAL for binary PPM (P6 netpbm): a pure-numpy
+  encode/decode/nearest-neighbor-resize (``ppm_encode`` / ``ppm_decode``
+  / ``ppm_resize_nn``) runs on actual pixel bytes, format-sniffed per
+  payload, and is oracle-round-trip-checked (``mm_ppm_decode``). Formats
+  that need external codecs (JPEG/PNG/audio) remain STUBBED behind the
+  deterministic fake + ``_HAVE_PIL`` import-try; everything around the
+  seam — schema, batching, partitioning, UDF signatures — is identical
+  for both paths.
 """
 
 from __future__ import annotations
@@ -98,6 +101,86 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Real codec: binary PPM (P6 netpbm) — pure numpy, no external libs.
+#
+# The decode seam is REAL for this format: header parse, pixel reshape,
+# nearest-neighbor resample all operate on actual image bytes. Formats
+# needing external codecs (JPEG/PNG/...) still fall through to the
+# clearly-marked deterministic fake below; ``decode_media`` /
+# ``resize_images`` sniff the magic bytes per payload.
+# --------------------------------------------------------------------------
+
+PPM_MAGIC = b"P6"
+
+
+def ppm_encode(arr) -> bytes:
+    """(h, w, 3) uint8 array -> binary PPM bytes."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) array, got shape {a.shape}")
+    h, w, _ = a.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def ppm_decode(payload: bytes):
+    """Binary PPM bytes -> (width, height, (h, w, 3) uint8 array).
+
+    Tolerates comment lines and arbitrary whitespace in the header, per
+    the netpbm spec; raises ValueError on malformed input.
+    """
+    import numpy as np
+
+    if not payload.startswith(PPM_MAGIC):
+        raise ValueError("not a P6 PPM payload")
+    # Header = magic, width, height, maxval as whitespace-separated tokens
+    # (comments '#...\n' allowed), then a single whitespace byte, then raw
+    # pixel data.
+    pos, tokens = 2, []
+    n = len(payload)
+    while len(tokens) < 3 and pos < n:
+        c = payload[pos:pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":
+            nl = payload.find(b"\n", pos)
+            pos = n if nl < 0 else nl + 1
+        else:
+            end = pos
+            while end < n and not payload[end:end + 1].isspace():
+                end += 1
+            tokens.append(payload[pos:end])
+            pos = end
+    if len(tokens) < 3:
+        raise ValueError("truncated PPM header")
+    w, h, maxval = (int(t) for t in tokens)
+    if w <= 0 or h <= 0 or maxval != 255:
+        raise ValueError(f"unsupported PPM dims/maxval: {w}x{h}/{maxval}")
+    pos += 1  # exactly one whitespace byte after maxval
+    need = w * h * 3
+    raw = payload[pos:pos + need]
+    if len(raw) != need:
+        raise ValueError(f"PPM pixel data truncated: {len(raw)} != {need}")
+    return w, h, np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+
+
+def ppm_resize_nn(arr, width: int, height: int):
+    """Nearest-neighbor resample of an (h, w, 3) array to (height, width, 3).
+
+    Index map: src = floor((dst + 0.5) * src_size / dst_size) — the
+    standard pixel-center mapping, deterministic, pure index arithmetic.
+    """
+    import numpy as np
+
+    a = np.asarray(arr)
+    h, w = a.shape[:2]
+    ys = np.minimum((((np.arange(height) + 0.5) * h / height)).astype(np.int64), h - 1)
+    xs = np.minimum((((np.arange(width) + 0.5) * w / width)).astype(np.int64), w - 1)
+    return a[ys][:, xs]
+
+
+# --------------------------------------------------------------------------
 # Decode / feature extraction (Arrow-batched Python)
 # --------------------------------------------------------------------------
 
@@ -120,12 +203,30 @@ def _fake_decode(payload: bytes) -> tuple[int, float, int]:
     return zlib.crc32(payload), sum(payload) / len(payload), len(payload)
 
 
+def _decode_one(payload: bytes) -> tuple[int, float, int]:
+    """Per-payload decode: REAL for P6 PPM (crc32 + mean over actual
+    pixel values via the numpy codec), deterministic fake otherwise."""
+    if payload.startswith(PPM_MAGIC):
+        import numpy as np
+
+        _, _, px = ppm_decode(payload)
+        flat = px.reshape(-1)
+        return (
+            zlib.crc32(flat.tobytes()),
+            float(int(np.sum(flat, dtype=np.int64))) / flat.size,
+            len(payload),
+        )
+    return _fake_decode(payload)
+
+
 def decode_media(df: DataFrame) -> DataFrame:
     """Decode payloads to per-item summary features via ``mapInPandas``.
 
-    Iterator-of-batches signature: constant memory per task. With PIL et
-    al. absent the decode is the deterministic fake; a real deployment
-    flips ``_HAVE_PIL`` and fills in the library call.
+    Iterator-of-batches signature: constant memory per task. Per-payload
+    format sniffing: P6 PPM payloads go through the REAL numpy codec
+    (header parse + pixel stats); other formats fall back to the
+    deterministic fake (this container ships no JPEG/PNG codecs — a real
+    deployment fills in the ``_HAVE_PIL`` branch).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -133,7 +234,7 @@ def decode_media(df: DataFrame) -> DataFrame:
             if _HAVE_PIL:
                 # real path would be: Image.open(io.BytesIO(b)) ...
                 raise NotImplementedError("real image decode not wired in this build")
-            feats = [_fake_decode(bytes(b)) for b in pdf["payload"]]
+            feats = [_decode_one(bytes(b)) for b in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -159,9 +260,10 @@ RESIZE_SCHEMA = StructType(
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: filters to images on the *metadata* column (no
-    payload touched for non-images — columnar pruning), then runs the
-    stubbed resample. Fake output payload = payload truncated
-    proportionally to the pixel-count ratio (deterministic)."""
+    payload touched for non-images — columnar pruning), then resamples.
+    P6 PPM payloads get a REAL nearest-neighbor resample (output is a
+    valid PPM of the target dims); other formats use the deterministic
+    fake (payload truncated proportionally to the pixel-count ratio)."""
     imgs = df.filter(F.col("meta.media_type") == "image")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -171,6 +273,10 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
             out_payload = []
             for b, m in zip(pdf["payload"], pdf["meta"]):
                 raw = bytes(b)
+                if raw.startswith(PPM_MAGIC):
+                    _, _, px = ppm_decode(raw)
+                    out_payload.append(ppm_encode(ppm_resize_nn(px, width, height)))
+                    continue
                 src_px = max(1, (m["width"] or 1) * (m["height"] or 1))
                 keep = max(1, int(len(raw) * min(1.0, (width * height) / src_px)))
                 out_payload.append(raw[:keep])

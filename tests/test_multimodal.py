@@ -120,3 +120,106 @@ def test_frame_sample_short_and_empty_videos(spark):
         (r["media_id"], r["frame_idx"]) for r in sample_frames(df, 500).collect()
     )
     assert got == [(1, 0), (2, 0), (2, 1)]
+
+
+# -- real PPM codec ---------------------------------------------------------
+
+def test_ppm_roundtrip_exact():
+    import numpy as np
+    from starryskyqueryengine_spark.multimodal import ppm_decode, ppm_encode
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, size=(13, 7, 3), dtype=np.uint8)
+    w, h, back = ppm_decode(ppm_encode(a))
+    assert (w, h) == (7, 13)
+    assert np.array_equal(back, a)
+
+
+def test_ppm_decode_tolerates_comments_and_whitespace():
+    import numpy as np
+    from starryskyqueryengine_spark.multimodal import ppm_decode
+
+    raw = b"P6 # a comment\n# another\n  2\t1 \n255\n" + bytes(range(6))
+    w, h, px = ppm_decode(raw)
+    assert (w, h) == (2, 1)
+    assert px.tolist() == [[[0, 1, 2], [3, 4, 5]]]
+
+
+def test_ppm_decode_rejects_malformed():
+    import pytest
+    from starryskyqueryengine_spark.multimodal import ppm_decode, ppm_encode
+    import numpy as np
+
+    good = ppm_encode(np.zeros((2, 2, 3), dtype=np.uint8))
+    for bad in [b"JFIF....", b"P6\n2 2\n255\n" + b"\x00" * 5, b"P6\n2", good[:-1]]:
+        with pytest.raises(ValueError):
+            ppm_decode(bad)
+
+
+def test_ppm_resize_nn_matches_reference():
+    import numpy as np
+    from starryskyqueryengine_spark.multimodal import ppm_resize_nn
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 256, size=(9, 16, 3), dtype=np.uint8)
+    out = ppm_resize_nn(a, 4, 3)
+    assert out.shape == (3, 4, 3)
+    for y in range(3):
+        for x in range(4):
+            sy = min(int((y + 0.5) * 9 / 3), 8)
+            sx = min(int((x + 0.5) * 16 / 4), 15)
+            assert np.array_equal(out[y, x], a[sy, sx])
+    # identity resize is exact
+    assert np.array_equal(ppm_resize_nn(a, 16, 9), a)
+
+
+def test_resize_images_real_path_for_ppm(spark):
+    """A PPM payload through resize_images comes back as a VALID PPM of
+    the target dims with nearest-neighbor pixels (not a truncation)."""
+    import numpy as np
+    from pyspark.sql import Row
+    from starryskyqueryengine_spark.multimodal import (
+        ppm_decode, ppm_encode, ppm_resize_nn, resize_images,
+    )
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 256, size=(8, 12, 3), dtype=np.uint8)
+    from starryskyqueryengine_spark.multimodal import MEDIA_SCHEMA
+    df = spark.createDataFrame(
+        [Row(media_id=1, payload=bytearray(ppm_encode(a)),
+             meta=Row(media_type="image", width=12, height=8,
+                      duration_ms=None, sample_rate=None, byte_len=None))],
+        schema=MEDIA_SCHEMA,
+    )
+    out = resize_images(df, 6, 4).collect()
+    assert len(out) == 1
+    w, h, px = ppm_decode(bytes(out[0]["payload"]))
+    assert (w, h) == (6, 4) and (out[0]["width"], out[0]["height"]) == (6, 4)
+    assert np.array_equal(px, ppm_resize_nn(a, 6, 4))
+
+
+def test_decode_media_sniffs_ppm(spark):
+    """decode_media: PPM payloads yield pixel stats from the REAL codec;
+    non-PPM payloads keep the deterministic fake path."""
+    import numpy as np
+    import zlib
+    from pyspark.sql import Row
+    from starryskyqueryengine_spark.multimodal import decode_media, ppm_encode
+
+    a = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    rows = [
+        Row(media_id=1, payload=bytearray(ppm_encode(a)),
+            meta=Row(media_type="image", width=4, height=2,
+                     duration_ms=None, sample_rate=None, byte_len=None)),
+        Row(media_id=2, payload=bytearray(b"plain text payload"),
+            meta=Row(media_type="text", width=None, height=None,
+                     duration_ms=None, sample_rate=None, byte_len=18)),
+    ]
+    from starryskyqueryengine_spark.multimodal import MEDIA_SCHEMA
+    got = {r["media_id"]: r
+           for r in decode_media(spark.createDataFrame(rows, schema=MEDIA_SCHEMA)).collect()}
+    assert got[1]["checksum"] == zlib.crc32(a.tobytes())
+    assert got[1]["mean_byte"] == float(np.arange(24).sum()) / 24
+    raw = b"plain text payload"
+    assert got[2]["checksum"] == zlib.crc32(raw)
+    assert got[2]["mean_byte"] == sum(raw) / len(raw)

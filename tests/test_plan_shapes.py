@@ -184,3 +184,39 @@ def test_datadriven_multifeed_plan_size_constant(spark, queries):
     assert compiled.count("regexp_extract_all") + compiled.count("RLIKE") >= 32
     assert datadriven.count("regexp_extract_all") + datadriven.count("RLIKE") <= 4
     assert "Scan parquet" in datadriven
+
+
+def test_q19_disjunction_factored_to_both_scans(spark, queries):
+    """Q19's OR-of-ANDs must be factored: quantity-bound union pushed to
+    the lineitem scan, brand/size union pushed to the part scan — never a
+    post-join-only filter over a full cross of both tables."""
+    plan = plan_of(queries["q19_disjunctive_pred"](spark, SF_DIR))
+    # scan-level data filters carry the per-side disjunctions
+    assert plan.count("l_quantity") >= 2  # join residual AND scan filter
+    li_scan = [l for l in plan.splitlines()
+               if "FileScan" in l and "l_quantity" in l]
+    assert li_scan, "lineitem scan lost the quantity disjunction"
+    p_scan = [l for l in plan.splitlines()
+              if "FileScan" in l and "p_brand" in l and "DataFilters" in l]
+    assert p_scan, "part scan lost the brand/size disjunction"
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, queries):
+    """Q22: NOT EXISTS must compile to a LeftAnti join on the date-pruned
+    orders scan; the scalar AVG must be a broadcast, not a collect."""
+    plan = plan_of(queries["q22_dormant_customers"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "o_orderdate" in plan and "2000-01-01" in plan  # pruned scan
+    assert "BroadcastExchange" in plan
+
+
+def test_q18_aggregates_before_join(spark, queries):
+    """Q18: the quantity aggregate + threshold filter must sit BELOW the
+    orders/customer joins (shrink first, then attach dimensions)."""
+    plan = plan_of(queries["q18_large_orders"](spark, SF_DIR))
+    agg_pos = plan.find("HashAggregate")
+    assert agg_pos != -1
+    # the aggregate's output feeds a join above it: every join string
+    # index is smaller (toString prints parents before children)
+    join_pos = plan.find("Join")
+    assert join_pos != -1 and join_pos < agg_pos

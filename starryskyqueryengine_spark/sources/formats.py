@@ -1,0 +1,111 @@
+"""Format-agnostic table IO: parquet / ORC / CSV / JSON(L) behind one call.
+
+The reference ingests from HTTP JSON and persists to SQLite
+(``src/db/index.ts:6-12``); on Spark the storage boundary is a columnar
+file format plus optional text interchange formats. This module gives the
+engine one entry point for each direction with schema discipline:
+
+- ``read_any`` requires an explicit schema for text formats (CSV/JSON
+  carry no types — silent inference drift is how timestamp and decimal
+  bugs enter a pipeline; pass the authoritative StructType instead).
+  Columnar formats read their embedded schema.
+- Text reads run PERMISSIVE with a ``_corrupt_record`` rescue column the
+  caller can route to a quarantine sink (same stance as the streaming
+  validator, ``streaming/pipeline.py::validated_json`` — W5).
+
+Scale notes: all four formats split by file; parquet/ORC additionally
+split by row group/stripe and support predicate pushdown + column
+pruning. CSV/JSON are interchange-only — a 100 TB pipeline lands them
+into parquet in one pass (``convert_to_parquet``) and queries the
+parquet.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructField, StructType, StringType
+
+_EXT_FORMAT = {
+    ".parquet": "parquet",
+    ".orc": "orc",
+    ".csv": "csv",
+    ".json": "json",
+    ".jsonl": "json",
+    ".ndjson": "json",
+}
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def sniff_format(path: str) -> str:
+    """Format from the file/directory extension; parquet if none."""
+    base = path.rstrip("/")
+    _, ext = os.path.splitext(base)
+    try:
+        return _EXT_FORMAT[ext.lower()]
+    except KeyError:
+        if ext == "":
+            return "parquet"
+        raise ValueError(
+            f"unrecognized extension {ext!r} (known: {sorted(_EXT_FORMAT)})"
+        ) from None
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    schema: Optional[StructType] = None,
+    fmt: Optional[str] = None,
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """Read ``path`` in the sniffed (or given) format.
+
+    Text formats demand ``schema``; with ``keep_corrupt`` the PERMISSIVE
+    rescue column stays in the result (else unparseable rows are dropped,
+    matching the validator's stance).
+    """
+    fmt = fmt or sniff_format(path)
+    if fmt in ("parquet", "orc"):
+        return spark.read.format(fmt).load(path)
+    if schema is None:
+        raise ValueError(
+            f"{fmt} carries no types: pass the authoritative schema "
+            "(inference drift is a correctness bug, not a convenience)"
+        )
+    full = StructType(list(schema.fields) + [StructField(CORRUPT_COL, StringType())])
+    reader = (
+        spark.read.format(fmt)
+        .schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    df = reader.load(path)
+    if keep_corrupt:
+        return df
+    return df.filter(df[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
+
+
+def write_any(df: DataFrame, path: str, fmt: Optional[str] = None, mode: str = "overwrite") -> None:
+    fmt = fmt or sniff_format(path)
+    writer = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.save(path)
+
+
+def convert_to_parquet(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    schema: Optional[StructType] = None,
+    fmt: Optional[str] = None,
+) -> DataFrame:
+    """Land an interchange file as parquet (the one-pass 100 TB move) and
+    return the parquet-backed DataFrame."""
+    read_any(spark, src, schema=schema, fmt=fmt).write.mode("overwrite").parquet(dest)
+    return spark.read.parquet(dest)

@@ -1,0 +1,71 @@
+"""Format-agnostic IO: round trips across orc/csv/json must reproduce the
+parquet fixture exactly (schema-disciplined), corrupt text rows must be
+isolated not fatal."""
+
+import pytest
+
+from starryskyqueryengine_spark.sources.fixtures import load_table
+from starryskyqueryengine_spark.sources.formats import (
+    CORRUPT_COL,
+    convert_to_parquet,
+    read_any,
+    sniff_format,
+    write_any,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_sniff_format():
+    assert sniff_format("/a/b/nation.parquet") == "parquet"
+    assert sniff_format("/a/b/dir") == "parquet"
+    assert sniff_format("x.ORC") == "orc"
+    assert sniff_format("x.jsonl") == "json"
+    with pytest.raises(ValueError):
+        sniff_format("x.xlsx")
+
+
+@pytest.mark.parametrize("fmt", ["orc", "csv", "json"])
+def test_roundtrip_matches_parquet(spark, tmp_path, fmt):
+    src = load_table(spark, SF_DIR, "nation")
+    path = str(tmp_path / f"nation.{fmt}")
+    write_any(src, path)
+    got = read_any(spark, path, schema=src.schema)
+    if fmt == "orc":
+        assert got.schema == src.schema
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_text_formats_require_schema(spark, tmp_path):
+    src = load_table(spark, SF_DIR, "region")
+    path = str(tmp_path / "region.csv")
+    write_any(src, path)
+    with pytest.raises(ValueError, match="authoritative schema"):
+        read_any(spark, path)
+
+
+def test_corrupt_json_rows_isolated(spark, tmp_path):
+    p = tmp_path / "rows.jsonl"
+    p.write_text(
+        '{"a": 1, "b": "x"}\n'
+        'not json at all\n'
+        '{"a": 2, "b": "y"}\n'
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([StructField("a", LongType()), StructField("b", StringType())])
+    clean = read_any(spark, str(p), schema=schema, fmt="json")
+    assert sorted((r["a"], r["b"]) for r in clean.collect()) == [(1, "x"), (2, "y")]
+    kept = read_any(spark, str(p), schema=schema, fmt="json", keep_corrupt=True)
+    corrupt = [r for r in kept.collect() if r[CORRUPT_COL] is not None]
+    assert len(corrupt) == 1 and "not json" in corrupt[0][CORRUPT_COL]
+
+
+def test_convert_to_parquet(spark, tmp_path):
+    src = load_table(spark, SF_DIR, "region")
+    csv_path = str(tmp_path / "region.csv")
+    write_any(src, csv_path)
+    pq = convert_to_parquet(spark, csv_path, str(tmp_path / "region_pq"),
+                            schema=src.schema)
+    assert sorted(map(tuple, pq.collect())) == sorted(map(tuple, src.collect()))
+    assert pq.schema == src.schema

@@ -101,3 +101,80 @@ def test_range_join_bucket_coverage(pts, w, delta):
     delta = delta % w  # bts in (pts - w, pts]
     bts = pts - delta
     assert trunc_div(bts, w) in {trunc_div(pts - w, w), trunc_div(pts, w)}
+
+
+# -- PPM codec (pure driver-side numpy) ------------------------------------
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_ppm_roundtrip_any_dims(w, h, seed):
+    import numpy as np
+    from starryskyqueryengine_spark.multimodal import ppm_decode, ppm_encode
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    ww, hh, back = ppm_decode(ppm_encode(a))
+    assert (ww, hh) == (w, h) and np.array_equal(back, a)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=16),
+    tw=st.integers(min_value=1, max_value=16),
+    th=st.integers(min_value=1, max_value=16),
+)
+@settings(max_examples=40, deadline=None)
+def test_ppm_resize_dims_and_range(w, h, tw, th):
+    """Resize to any target dims yields exactly those dims with pixels
+    drawn from the source (nearest-neighbor never invents values)."""
+    import numpy as np
+    from starryskyqueryengine_spark.multimodal import ppm_resize_nn
+
+    a = (np.arange(h * w * 3, dtype=np.int64) % 256).astype(np.uint8).reshape(h, w, 3)
+    out = ppm_resize_nn(a, tw, th)
+    assert out.shape == (th, tw, 3)
+    src_px = {tuple(p) for p in a.reshape(-1, 3)}
+    assert all(tuple(p) in src_px for p in out.reshape(-1, 3))
+
+
+# -- PII patterns (regex behavior, engine-independent) ---------------------
+
+_pii_free = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz ABCDEFGHIJKLMNOPQRSTUVWXYZ,;:!?'\"()",
+    max_size=60,
+)
+
+
+@given(t=_pii_free)
+@settings(max_examples=60)
+def test_redaction_patterns_leave_clean_text_alone(t):
+    """Text with no digits/@ can never match any PII pattern."""
+    import re
+    from starryskyqueryengine_spark.functions import curation as cu
+
+    for pat, _tag in cu.REDACTIONS:
+        assert re.search(pat, t) is None
+
+
+@given(t=_pii_free, n=st.integers(min_value=0, max_value=3))
+@settings(max_examples=40)
+def test_redaction_idempotent(t, n):
+    """Applying the redaction chain twice equals applying it once: the
+    tags contain no digits or '@', so they can't re-match (driver-side
+    replica of the Spark expression chain)."""
+    import re
+    from starryskyqueryengine_spark.functions import curation as cu
+
+    body = t + " user@h.example.org 1.2.3.4 +1-555-0000" * n
+
+    def redact(s):
+        for pat, tag in cu.REDACTIONS:
+            s = re.sub(pat, tag, s)
+        return s
+
+    once = redact(body)
+    assert redact(once) == once

@@ -116,3 +116,71 @@ def knn_centroid_assign(spark, sf_dir):
     the Spark plan avoids the per-vector sort entirely)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.centroid_assign(emb, N_CENTROIDS)
+
+
+@register(
+    "kmeans_update_step",
+    f"""
+    WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+               FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+         p AS (SELECT vec_id, embedding::DOUBLE[] AS pv
+               FROM embeddings WHERE vec_id >= {N_CENTROIDS}),
+         a AS (SELECT vec_id, centroid_id FROM (
+                 SELECT p.vec_id, c.centroid_id,
+                        row_number() OVER (
+                          PARTITION BY p.vec_id
+                          ORDER BY ROUND(list_cosine_similarity(pv, cv), 6) DESC,
+                                   c.centroid_id) AS rn
+                 FROM p, c) WHERE rn = 1),
+         px AS (SELECT a.centroid_id, t.i AS pos,
+                       CAST(p.pv[t.i] AS DECIMAL(18,9)) AS vd
+                FROM a JOIN p ON a.vec_id = p.vec_id,
+                     unnest(generate_series(1, len(p.pv))) AS t(i)),
+         m AS (SELECT centroid_id, pos,
+                      CAST(sum(vd) AS DOUBLE) / count(*) AS mp,
+                      count(*) AS n
+               FROM px GROUP BY centroid_id, pos)
+    SELECT centroid_id,
+           CAST(max(n) AS BIGINT) AS n_assigned,
+           ROUND(CAST(sum(CAST(mp AS DECIMAL(18,9))) AS DOUBLE) / 64, 6)
+             AS mean_component,
+           ROUND(sqrt(CAST(sum(CAST(mp * mp AS DECIMAL(18,12))) AS DOUBLE)), 6)
+             AS centroid_l2
+    FROM m GROUP BY centroid_id
+    """,
+)
+def kmeans_update_step(spark, sf_dir):
+    """Lloyd k-means UPDATE step as a relational plan (the declarative
+    spec of what ``kmeans_fit``'s mapInPandas iteration computes):
+    assign every vector to its argmax-cosine centroid (reusing the
+    oracle-proven assignment operator), then per cell take the
+    element-wise mean and report its summary stats. Distribution shape:
+    broadcast centroids -> one shuffle on (cell, pos) -> one tiny
+    per-cell aggregate. All cross-row sums run in DECIMAL so addition
+    order can't move the rounded output (doubles are dyadic; the
+    decimal cast boundaries aren't — no rounding ties exist)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = sim.centroid_assign(emb, N_CENTROIDS).select("vec_id", "centroid_id")
+    p = emb.filter(F.col("vec_id") >= N_CENTROIDS).select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("pv")
+    )
+    ex = assigned.join(p, "vec_id").select(
+        "centroid_id", F.posexplode("pv").alias("pos", "v")
+    )
+    per = ex.groupBy("centroid_id", "pos").agg(
+        (
+            F.sum(F.col("v").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mp"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per.groupBy("centroid_id").agg(
+        F.max("n").cast("bigint").alias("n_assigned"),
+        F.round(
+            F.sum(F.col("mp").cast("decimal(18,9)")).cast("double") / 64, 6
+        ).alias("mean_component"),
+        F.round(
+            F.sqrt(F.sum((F.col("mp") * F.col("mp")).cast("decimal(18,12)")).cast("double")),
+            6,
+        ).alias("centroid_l2"),
+    )

@@ -67,6 +67,28 @@ def validated_json(df: DataFrame, json_col: str, schema: StructType) -> DataFram
     ).withColumn("_rec", F.col("_rec").dropFields("_corrupt_record"))
 
 
+def stream_static_enrich(
+    stream_df: DataFrame,
+    static_df: DataFrame,
+    on: list[str] | str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: the streaming leg of S3's profile enrichment
+    (reference builds a DID->profile Map and probes it per post,
+    ``src/subscription.ts:241-268,336``; here each micro-batch hash-joins
+    against the broadcast static side).
+
+    Semantics worth knowing (and tested): Spark re-evaluates the STATIC
+    side per micro-batch, so a file-backed dimension picks up slowly-
+    changing updates between batches without restarting the stream —
+    strictly better than the reference's process-lifetime memo Map.
+    State: none (this is not a stream-stream join); the static side must
+    stay broadcast-sized or be a pruned scan.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    return stream_df.join(F.broadcast(static_df), keys, how)
+
+
 def windowed_counts(
     df: DataFrame,
     ts_col: str = "ts",

@@ -608,3 +608,86 @@ def test_stateful_topk_checkpoint_resume(spark, tmp_path):
     assert len(day1) == 5, "pre-restart state lost across resume"
     # all day-2 rows outrank every surviving day-1 row
     assert min(r["ts_us"] for r in day2) > max(r["ts_us"] for r in day1)
+
+
+def test_stream_static_enrich_joins_profiles(spark, tmp_path):
+    """S3 streaming leg: micro-batches enrich against a broadcast static
+    dim; rows without a match keep NULLs (left join)."""
+    from starryskyqueryengine_spark.streaming.pipeline import (
+        parquet_stream,
+        stream_static_enrich,
+    )
+
+    src = tmp_path / "posts"
+    posts = spark.createDataFrame(
+        [("at://u/1", "did:plc:a"), ("at://u/2", "did:plc:b"),
+         ("at://u/3", "did:plc:zz")],
+        "uri string, did string",
+    )
+    posts.write.parquet(str(src))
+    profiles = spark.createDataFrame(
+        [("did:plc:a", "Alice dev"), ("did:plc:b", "Bob writer")],
+        "did string, profile_text string",
+    )
+    stream = parquet_stream(spark, str(src))
+    enriched = stream_static_enrich(stream, profiles, "did")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["uri"]: r["profile_text"]
+           for r in spark.sql("select * from enrich_t").collect()}
+    assert got == {"at://u/1": "Alice dev", "at://u/2": "Bob writer",
+                   "at://u/3": None}
+
+
+def test_stream_static_picks_up_dim_updates_between_batches(spark, tmp_path):
+    """The static side is re-read per micro-batch: a dimension file
+    updated mid-stream is visible to later batches (SCD behavior the
+    reference's process-lifetime memo Map cannot give)."""
+    from starryskyqueryengine_spark.streaming.pipeline import (
+        parquet_stream,
+        stream_static_enrich,
+    )
+
+    src = tmp_path / "posts2"
+    dim_dir = str(tmp_path / "dim")
+    spark.createDataFrame([("did:plc:a", "v1")],
+                          "did string, profile_text string").write.parquet(dim_dir)
+    batch1 = spark.createDataFrame([("at://u/1", "did:plc:a")], "uri string, did string")
+    batch1.write.parquet(str(src))
+
+    profiles = spark.read.parquet(dim_dir)
+    stream = parquet_stream(spark, str(src), max_files_per_trigger=1)
+    enriched = stream_static_enrich(stream, profiles, "did")
+
+    collected = []
+
+    def sink(batch_df, batch_id):
+        collected.extend((r["uri"], r["profile_text"]) for r in batch_df.collect())
+        if batch_id == 0:
+            # update the dimension AND add a second source file -> batch 1
+            spark.createDataFrame(
+                [("did:plc:a", "v2")], "did string, profile_text string"
+            ).write.mode("overwrite").parquet(dim_dir)
+            spark.createDataFrame(
+                [("at://u/2", "did:plc:a")], "uri string, did string"
+            ).write.mode("append").parquet(str(src))
+
+    q = (
+        enriched.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time as _t
+    deadline = _t.time() + 120
+    while _t.time() < deadline and len(collected) < 2:
+        _t.sleep(0.5)
+    q.stop()
+    got = dict(collected)
+    assert got.get("at://u/1") == "v1"
+    assert got.get("at://u/2") == "v2", collected

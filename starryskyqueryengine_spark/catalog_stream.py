@@ -51,9 +51,14 @@ def _events_stream(spark, sf_dir, schema=None):
     if schema is None:
         schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = parquet_stream(spark, stage, schema=schema)
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":  # legacy fixture: nanoseconds since epoch
         stream = stream.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
             "ts", F.timestamp_micros(F.col("ts_us"))
+        )
+    elif ts_type in ("timestamp_ntz", "timestamp"):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+            "ts_us", F.unix_micros(F.col("ts"))
         )
     return stream, schema
 

@@ -1,11 +1,13 @@
 """Readers for the driver-generated fixture tables (TESTDATA.md).
 
 All reads are plain ``spark.read.parquet`` so Catalyst keeps pushdown /
-pruning; the only normalization is the ``events.ts`` nanosecond timestamp,
-which Spark's Parquet reader cannot represent natively — it is read as raw
-nanos (LongType, via spark.sql.legacy.parquet.nanosAsLong) and exposed
-both as ``ts_us`` (bigint micros, exact, matches DuckDB ``epoch_us(ts)``)
-and ``ts`` (TimestampType, microsecond truncation).
+pruning; the only normalization is the ``events.ts`` timestamp, which is
+exposed both as ``ts_us`` (bigint micros, exact, matches DuckDB
+``epoch_us(ts)``) and ``ts`` (TimestampType).  Two fixture generations are
+handled: nanosecond BIGINT ``ts`` (read as raw nanos via
+spark.sql.legacy.parquet.nanosAsLong) and native parquet TIMESTAMP
+(read as timestamp_ntz; the session timezone is pinned to UTC so the
+NTZ→TZ cast is the identity instant DuckDB uses for ``epoch_us``).
 """
 
 from __future__ import annotations
@@ -32,11 +34,20 @@ TABLES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = (
-            df.withColumn("ts_us", F.expr("ts div 1000"))
-            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
-        )
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # legacy fixture: nanoseconds since epoch
+            df = (
+                df.withColumn("ts_us", F.expr("ts div 1000"))
+                .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+            )
+        elif ts_type in ("timestamp_ntz", "timestamp"):
+            df = (
+                df.withColumn(
+                    "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+                )
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+            )
     return df
 
 

@@ -78,15 +78,48 @@ def stream_static_enrich(
     ``src/subscription.ts:241-268,336``; here each micro-batch hash-joins
     against the broadcast static side).
 
-    Semantics worth knowing (and tested): Spark re-evaluates the STATIC
-    side per micro-batch, so a file-backed dimension picks up slowly-
-    changing updates between batches without restarting the stream —
-    strictly better than the reference's process-lifetime memo Map.
+    Semantics worth knowing (and tested): Spark re-executes the STATIC
+    side's scan per micro-batch, but the file *listing* is pinned in the
+    plan's InMemoryFileIndex at definition time — an overwritten parquet
+    dimension makes later batches fail with FILE_NOT_EXIST (and appended
+    files are invisible).  For a slowly-changing dimension use
+    :func:`foreach_batch_enrich` instead, which re-reads the dimension
+    path fresh inside every micro-batch (the Spark-idiomatic SCD join for
+    non-transactional file dims; table formats with snapshot isolation
+    make the inline join safe, plain parquet does not).
     State: none (this is not a stream-stream join); the static side must
     stay broadcast-sized or be a pruned scan.
     """
     keys = [on] if isinstance(on, str) else list(on)
     return stream_df.join(F.broadcast(static_df), keys, how)
+
+
+def foreach_batch_enrich(
+    spark,
+    dim_path: str,
+    on: list[str] | str,
+    sink,
+    how: str = "left",
+):
+    """Per-micro-batch SCD enrichment: returns a ``foreachBatch`` function
+    that re-reads the dimension at ``dim_path`` at the START of each batch
+    and broadcast-joins it onto the batch, then hands the enriched batch
+    to ``sink(batch_df, batch_id)``.
+
+    This is the streaming leg of S3's profile enrichment (reference
+    ``src/subscription.ts:241-268,336``) for dimensions that are rewritten
+    while the stream runs: each batch sees the dimension as of its own
+    start, which is strictly fresher than the reference's process-lifetime
+    memo Map.  Cost per batch is one dim scan + broadcast — sized for
+    broadcast-small dims (the only kind a memo Map could hold either).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        dim = spark.read.parquet(dim_path)
+        sink(batch_df.join(F.broadcast(dim), keys, how), batch_id)
+
+    return _fn
 
 
 def windowed_counts(

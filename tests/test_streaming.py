@@ -645,12 +645,15 @@ def test_stream_static_enrich_joins_profiles(spark, tmp_path):
 
 
 def test_stream_static_picks_up_dim_updates_between_batches(spark, tmp_path):
-    """The static side is re-read per micro-batch: a dimension file
-    updated mid-stream is visible to later batches (SCD behavior the
-    reference's process-lifetime memo Map cannot give)."""
+    """SCD enrichment via foreach_batch_enrich: the dimension path is
+    re-read at the start of every micro-batch, so a dim overwritten
+    mid-stream is visible to later batches (behavior the reference's
+    process-lifetime memo Map cannot give).  The inline stream-static
+    join pins its parquet file listing at plan time, so the per-batch
+    re-read is the correct Spark idiom for rewritable file dims."""
     from starryskyqueryengine_spark.streaming.pipeline import (
+        foreach_batch_enrich,
         parquet_stream,
-        stream_static_enrich,
     )
 
     src = tmp_path / "posts2"
@@ -660,9 +663,7 @@ def test_stream_static_picks_up_dim_updates_between_batches(spark, tmp_path):
     batch1 = spark.createDataFrame([("at://u/1", "did:plc:a")], "uri string, did string")
     batch1.write.parquet(str(src))
 
-    profiles = spark.read.parquet(dim_dir)
     stream = parquet_stream(spark, str(src), max_files_per_trigger=1)
-    enriched = stream_static_enrich(stream, profiles, "did")
 
     collected = []
 
@@ -678,7 +679,9 @@ def test_stream_static_picks_up_dim_updates_between_batches(spark, tmp_path):
             ).write.mode("append").parquet(str(src))
 
     q = (
-        enriched.writeStream.foreachBatch(sink)
+        stream.writeStream.foreachBatch(
+            foreach_batch_enrich(spark, dim_dir, "did", sink)
+        )
         .option("checkpointLocation", str(tmp_path / "ck"))
         .trigger(processingTime="1 second")
         .start()

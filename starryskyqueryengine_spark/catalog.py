@@ -563,6 +563,7 @@ def _load_extensions() -> None:
     from . import catalog_sources  # noqa: F401
     from . import catalog_surface  # noqa: F401
     from . import catalog_curation  # noqa: F401
+    from . import catalog_mixture  # noqa: F401
 
 
 # The external correctness gate verifies only the FIRST 50 registered

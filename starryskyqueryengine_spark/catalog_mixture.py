@@ -1,0 +1,273 @@
+"""Training-order and mixture operators: temperature-weighted source
+sampling to a token budget, deterministic global shuffle + shard
+assignment, and CCNet-style line-level dedup across the corpus.
+
+These extend the reference's ingest surface (which samples nothing —
+`/root/reference/src/subscription.ts` takes every matching post) with the
+operations a pretraining-data pipeline runs after curation: decide how
+much of each source to keep, fix a reproducible training order, and strip
+boilerplate lines repeated across documents.
+
+Everything is seeded-hash deterministic (never ``rand()``), so results are
+reproducible across runs, engines, and partitionings — the same property
+the contrastive-negatives sampler in catalog_text.py establishes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from .catalog import register
+from .catalog_dedup import _sql_md5int
+from .sources.fixtures import load_table
+
+# -- shared seeded hash (Spark side of catalog_dedup._sql_md5int) ----------
+
+
+def _md5int(col: Column) -> Column:
+    """First 8 hex chars of md5 as a non-negative bigint — matches the
+    DuckDB ``_sql_md5int`` expression bit-for-bit."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+# -- 1. temperature-weighted mixture sampling ------------------------------
+
+MIX_BUDGET_NUM = 1  # budget = 1/4 of corpus tokens
+MIX_BUDGET_DEN = 4
+# integerized sqrt weight: w_s = floor(sqrt(T_s) * 1000). Summing BIGINTs
+# is exact and order-independent, unlike summing doubles, so every engine
+# derives bit-identical sampling thresholds regardless of partitioning.
+_W_SCALE = 1000
+
+# rate_s = min(1, budget_share_s / T_s); all operands are exact integers
+# cast to double inside one fixed expression tree, so both engines
+# evaluate the identical IEEE sequence.
+_RATE_SQL = (
+    "least(CAST(1.0 AS DOUBLE), "
+    f"(CAST({MIX_BUDGET_NUM} AS DOUBLE) * CAST(t_tot AS DOUBLE) * CAST(w AS DOUBLE)) / "
+    f"(CAST({MIX_BUDGET_DEN} AS DOUBLE) * CAST(w_sum AS DOUBLE) * CAST(t_src AS DOUBLE)))"
+)
+_THRESH_SQL = f"CAST(floor({_RATE_SQL} * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+
+_TOK_SQL = r"CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)"
+
+
+@register(
+    "mixture_sample",
+    rf"""
+    WITH d AS (
+      SELECT doc_id, source, {_TOK_SQL} AS tok FROM documents
+    ),
+    per_src AS (
+      SELECT source, SUM(tok) AS t_src,
+             CAST(floor(sqrt(CAST(SUM(tok) AS DOUBLE)) * {_W_SCALE}) AS BIGINT) AS w
+      FROM d GROUP BY source
+    ),
+    totals AS (SELECT SUM(w) AS w_sum, SUM(t_src) AS t_tot FROM per_src),
+    rates AS (
+      SELECT source, t_src, w, w_sum, t_tot, {_THRESH_SQL} AS threshold
+      FROM per_src CROSS JOIN totals
+    )
+    SELECT d.source, r.threshold,
+           CAST(count(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(d.tok) AS BIGINT) AS tok_kept
+    FROM d JOIN rates r ON d.source = r.source
+    WHERE {_sql_md5int("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000 < r.threshold
+    GROUP BY d.source, r.threshold
+    """,
+)
+def mixture_sample(spark, sf_dir):
+    """Temperature-weighted source mixture to a token budget: per-source
+    sampling rates ∝ sqrt(source tokens) (alpha=0.5 upweights rare
+    sources), scaled so expected kept tokens ≈ 1/4 of the corpus, then
+    deterministic Bernoulli keep via a seeded id hash against the
+    per-source threshold.
+
+    Scale shape: one scan computes doc token counts; the per-source
+    totals are a tiny aggregate (|sources| rows) broadcast back onto the
+    corpus, so the sample itself is a single filtered pass — no shuffle
+    of the document payload at all.  Thresholds are derived from exact
+    BIGINT sums (see _W_SCALE) so a 1000-executor run and DuckDB agree
+    bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("tok"),
+    )
+    per_src = d.groupBy("source").agg(
+        F.sum("tok").alias("t_src"),
+        F.expr(
+            f"CAST(floor(sqrt(CAST(SUM(tok) AS DOUBLE)) * {_W_SCALE}) AS BIGINT)"
+        ).alias("w"),
+    )
+    glob = per_src.agg(
+        F.sum("w").alias("w_sum"), F.sum("t_src").alias("t_tot")
+    )
+    rates = per_src.join(F.broadcast(glob)).select(
+        "source", F.expr(_THRESH_SQL).alias("threshold")
+    )
+    keep = (
+        d.join(F.broadcast(rates), "source")
+        .filter(
+            _md5int(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+            % 1000000
+            < F.col("threshold")
+        )
+    )
+    return keep.groupBy("source", "threshold").agg(
+        F.count("*").cast("bigint").alias("n_docs_kept"),
+        F.sum("tok").cast("bigint").alias("tok_kept"),
+    )
+
+
+# -- 2. deterministic global shuffle + shard manifest ----------------------
+
+N_SHARDS = 16
+
+
+@register(
+    "shuffle_shard_manifest",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             {_sql_md5int("'shuf:' || CAST(doc_id AS VARCHAR)")} AS skey
+      FROM documents
+    )
+    SELECT CAST(skey % {N_SHARDS} AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY skey % {N_SHARDS} ORDER BY skey, doc_id
+           ) AS BIGINT) AS pos,
+           doc_id
+    FROM keyed
+    """,
+)
+def shuffle_shard_manifest(spark, sf_dir):
+    """Deterministic global training-order shuffle: every document gets a
+    seeded hash key; shard = key mod N_SHARDS, position = rank of the key
+    within its shard.  The (shard, pos) pair is a reproducible total
+    order for epoch-0 data loading — same manifest on every run, engine,
+    and cluster size, with no rand() and no driver-side zipWithIndex.
+
+    Scale shape: one hash-partition shuffle on shard followed by a
+    per-shard sort — exactly the physical layout a shard writer needs
+    anyway, so the manifest is free at write time.  N_SHARDS scales with
+    corpus size (shards of ~256MB-1GB at 100 TB => tens of thousands);
+    the per-shard sort stays bounded because shard count grows with the
+    data."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    keyed = docs.select(
+        "doc_id",
+        _md5int(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))).alias(
+            "skey"
+        ),
+    ).withColumn("shard", (F.col("skey") % N_SHARDS).cast("bigint"))
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return keyed.select(
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        "doc_id",
+    )
+
+
+# -- 3. CCNet-style line-level dedup ---------------------------------------
+
+LINE_WORDS = 10
+_CHUNK_CAP = 1_000_000  # max chunks per document for the packed arg-min key
+
+
+@register(
+    "line_dedup_stats",
+    rf"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, ws,
+             unnest(range(CAST(ceil(len(ws) / {LINE_WORDS}.0) AS BIGINT))) AS i
+      FROM w
+    ),
+    ch AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             array_to_string(ws[i * {LINE_WORDS} + 1 : (i + 1) * {LINE_WORDS}], ' ') AS line
+      FROM idx
+    ),
+    keep AS (
+      SELECT doc_id, chunk_idx,
+             ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, chunk_idx) AS rn
+      FROM ch
+    ),
+    totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM ch GROUP BY doc_id),
+    kept AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept
+             FROM keep WHERE rn = 1 GROUP BY doc_id)
+    SELECT t.doc_id, t.n_lines, COALESCE(k.n_kept, 0) AS n_kept
+    FROM totals t LEFT JOIN kept k ON t.doc_id = k.doc_id
+    """,
+)
+def line_dedup_stats(spark, sf_dir):
+    """Line-level dedup across the corpus (CCNet's boilerplate removal,
+    adapted to the fixture's flat word streams: a "line" is a
+    LINE_WORDS-word chunk).  A chunk survives only at its first
+    occurrence corpus-wide (ordered by doc_id, chunk position); the
+    output is per-document total vs surviving line counts — the shape a
+    cleaning pipeline uses to rewrite documents and to flag
+    high-boilerplate sources.
+
+    Scale shape: explode to (line, doc, pos), then a single
+    hash-aggregate on the line key computing min(struct(doc_id, pos)) —
+    map-side partial aggregation keeps the shuffle at one record per
+    DISTINCT line, not per occurrence (the window-function formulation
+    in the oracle would shuffle every occurrence; the groupBy-min here
+    is the 100-TB form).  Hot lines (the whole point of the operator)
+    therefore cost one combiner slot each, no skew salting needed."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+    )
+    n_chunks = F.ceil(F.size("ws") / F.lit(LINE_WORDS)).cast("int")
+    ch = w.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("ws"), i * LINE_WORDS + 1, LINE_WORDS), " "
+                ),
+            )
+        ).alias("chunk_idx", "line"),
+    ).select("doc_id", F.col("chunk_idx").cast("bigint").alias("chunk_idx"), "line")
+    totals = ch.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_lines"))
+    # (doc_id, chunk_idx) packed into one bigint so the arg-min is a plain
+    # codegen HashAggregate (min over struct falls back to SortAggregate);
+    # chunk_idx < _CHUNK_CAP bounds documents at _CHUNK_CAP * LINE_WORDS
+    # words, loudly enforced rather than silently mis-ranked.
+    first = (
+        ch.select(
+            "line",
+            (
+                F.col("doc_id") * _CHUNK_CAP
+                + F.when(
+                    F.col("chunk_idx") < _CHUNK_CAP, F.col("chunk_idx")
+                ).otherwise(
+                    F.raise_error(
+                        F.lit(f"line_dedup_stats: document exceeds {_CHUNK_CAP} chunks")
+                    ).cast("bigint")
+                )
+            ).alias("k"),
+        )
+        .groupBy("line")
+        .agg(F.min("k").alias("k"))
+    )
+    kept = (
+        first.select(F.expr(f"k div {_CHUNK_CAP}").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_kept"))
+    )
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+    )

@@ -1,0 +1,92 @@
+"""Semantic tests for catalog_mixture: budget adherence and monotone
+upweighting for mixture_sample, shard balance + reproducibility for
+shuffle_shard_manifest, first-occurrence semantics for line_dedup_stats.
+Value parity with DuckDB is covered by test_oracle_parity.py; these pin
+the *meaning* of the numbers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from starryskyqueryengine_spark import catalog
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _q(name):
+    return catalog.get_queries()[name]
+
+
+def test_mixture_sample_respects_token_budget(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    total_tok = docs.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("t")
+    ).collect()[0]["t"]
+    out = _q("mixture_sample")(spark, SF_DIR).collect()
+    kept_tok = sum(r["tok_kept"] for r in out)
+    # expected kept ≈ 1/4 of corpus tokens; hash sampling at 500 docs has
+    # real variance, so assert a generous band around the target
+    assert 0.15 * total_tok < kept_tok < 0.40 * total_tok, (kept_tok, total_tok)
+
+
+def test_mixture_sample_upweights_rare_sources(spark):
+    """alpha=0.5: smaller sources get HIGHER sampling thresholds (rates)
+    than larger ones — the whole point of temperature mixing."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sizes = {
+        r["source"]: r["t"]
+        for r in docs.groupBy("source")
+        .agg(F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("t"))
+        .collect()
+    }
+    thresholds = {
+        r["source"]: r["threshold"]
+        for r in _q("mixture_sample")(spark, SF_DIR).collect()
+    }
+    pairs = sorted(sizes.items(), key=lambda kv: kv[1])
+    small, large = pairs[0][0], pairs[-1][0]
+    if small in thresholds and large in thresholds and sizes[small] < sizes[large]:
+        assert thresholds[small] >= thresholds[large]
+
+
+def test_shuffle_shard_manifest_is_a_permutation_and_reproducible(spark):
+    from starryskyqueryengine_spark.catalog_mixture import N_SHARDS
+
+    out = _q("shuffle_shard_manifest")(spark, SF_DIR)
+    rows = out.collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs  # every doc exactly once
+    # positions within each shard are 1..count(shard) with no gaps
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(N_SHARDS))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # no shard is empty or pathologically skewed at 500 docs / 16 shards
+    counts = [len(v) for v in by_shard.values()]
+    assert len(by_shard) == N_SHARDS and max(counts) < 4 * (n_docs // N_SHARDS)
+    # reproducible: a second run yields the identical manifest
+    again = {(r["shard"], r["pos"], r["doc_id"]) for r in out.collect()}
+    assert again == {(r["shard"], r["pos"], r["doc_id"]) for r in rows}
+
+
+def test_line_dedup_keeps_first_occurrence_only(spark, tmp_path):
+    """Three docs where doc 2 repeats doc 1's only line and doc 3 is half
+    novel: survivors follow (doc_id, chunk) order exactly."""
+    from starryskyqueryengine_spark.catalog_mixture import LINE_WORDS, line_dedup_stats
+
+    a = " ".join(["alpha"] * LINE_WORDS)
+    b = " ".join(["beta"] * LINE_WORDS)
+    df = spark.createDataFrame(
+        [(1, a, "en", "s", 1), (2, a, "en", "s", 1), (3, a + " " + b, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "fx")
+    df.write.parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: (r["n_lines"], r["n_kept"])
+           for r in line_dedup_stats(spark, d).collect()}
+    assert out[1] == (1, 1)  # first occurrence of line a
+    assert out[2] == (1, 0)  # exact repeat, fully deduped
+    assert out[3] == (2, 1)  # line a deduped, line b novel

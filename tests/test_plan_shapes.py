@@ -220,3 +220,28 @@ def test_q18_aggregates_before_join(spark, queries):
     # index is smaller (toString prints parents before children)
     join_pos = plan.find("Join")
     assert join_pos != -1 and join_pos < agg_pos
+
+
+def test_mixture_sample_broadcasts_rates(spark, queries):
+    """mixture_sample: the per-source rate table must attach via
+    BroadcastHashJoin — the document payload crosses no join shuffle."""
+    plan = plan_of(queries["mixture_sample"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_shuffle_shard_manifest_single_exchange(spark, queries):
+    """shuffle_shard_manifest: exactly one shuffle (hash-partition on
+    shard) — the manifest must not add exchanges beyond the shard
+    writer's own layout."""
+    plan = plan_of(queries["shuffle_shard_manifest"](spark, SF_DIR))
+    assert plan.count("Exchange") == 1
+
+
+def test_line_dedup_all_hash_aggregates(spark, queries):
+    """line_dedup_stats: the packed-bigint arg-min must keep every
+    aggregation a codegen HashAggregate (min over a struct would fall
+    back to SortAggregate and lose map-side combine)."""
+    plan = plan_of(queries["line_dedup_stats"](spark, SF_DIR))
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan

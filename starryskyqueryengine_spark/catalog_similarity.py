@@ -184,3 +184,64 @@ def kmeans_update_step(spark, sf_dir):
             6,
         ).alias("centroid_l2"),
     )
+
+
+# scale = 127 / max|x|: one division on exactly-derived operands, written
+# as the same expression tree on both engines so the double is
+# bit-identical everywhere.
+_QSCALE_SQL = "CAST(127 AS DOUBLE) / greatest(maxabs, CAST(1.0e-30 AS DOUBLE))"
+
+
+@register(
+    "embedding_quantize",
+    f"""
+    WITH m AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS maxabs
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, {_QSCALE_SQL} AS scale,
+             list_transform(e, x -> CAST(floor(x * ({_QSCALE_SQL}) + 0.5) AS INTEGER)) AS qv
+      FROM m
+    )
+    SELECT vec_id, scale,
+           CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_l1,
+           CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS q_sq
+    FROM q
+    """,
+)
+def embedding_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column: per-vector
+    scale = 127/max|x|, element q_i = floor(x_i*scale + 0.5) (half-up —
+    floor arithmetic, not round(), because engine round() tie rules
+    differ).  Emits the scale plus integer L1/L2 checksums of the
+    quantized vector — exact BIGINT sums, so the oracle comparison is
+    bit-strict with no float accumulation anywhere.
+
+    This is the vector-store compression step of an embedding pipeline
+    (4x smaller than float32, SIMD int8 dot products downstream).  Scale
+    shape: pure per-row projection — no shuffle, no UDF, all
+    whole-stage-codegen higher-order functions; at 100 TB it rides the
+    same scan as any other column projection."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ed = sim.as_double(F.col("embedding"))
+    m = emb.select(
+        "vec_id",
+        ed.alias("e"),
+        F.array_max(F.transform(ed, lambda x: F.abs(x))).alias("maxabs"),
+    )
+    q = m.select(
+        "vec_id",
+        F.expr(_QSCALE_SQL).alias("scale"),
+        F.expr(
+            f"transform(e, x -> CAST(floor(x * ({_QSCALE_SQL}) + 0.5) AS INT))"
+        ).alias("qv"),
+    )
+    zero = F.lit(0).cast("bigint")
+    return q.select(
+        "vec_id",
+        "scale",
+        F.aggregate("qv", zero, lambda acc, v: acc + F.abs(v).cast("bigint")).alias("q_l1"),
+        F.aggregate("qv", zero, lambda acc, v: acc + (v * v).cast("bigint")).alias("q_sq"),
+    )

@@ -181,3 +181,31 @@ def test_ivf_trained_recall_not_worse(spark):
     r0, r2 = recall(0), recall(2)
     assert r2 >= r0 - 0.05, f"training degraded recall: {r0} -> {r2}"
     assert r2 >= 0.5
+
+
+def test_embedding_quantize_reconstruction_bound(spark):
+    """int8 quantization invariant: every element reconstructs within
+    half a quantization step (|x - q/scale| <= 0.5/scale), and the
+    largest-magnitude element maps to +/-127."""
+    from starryskyqueryengine_spark.catalog import get_queries
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    out = get_queries()["embedding_quantize"](spark, sf).collect()
+    emb = {r["vec_id"]: r["embedding"]
+           for r in spark.read.parquet(f"{sf}/embeddings.parquet")
+           .filter(F.col("vec_id") < 20).collect()}
+    checked = 0
+    for row in out:
+        if row["vec_id"] not in emb:
+            continue
+        x = emb[row["vec_id"]]
+        scale = row["scale"]
+        qv = [int(round(v * scale)) for v in x]  # reference half-even vs our
+        # half-up differ only at exact ties, impossible for these values
+        assert max(abs(q) for q in qv) == 127
+        assert sum(abs(q) for q in qv) == row["q_l1"]
+        assert sum(q * q for q in qv) == row["q_sq"]
+        assert all(abs(v - q / scale) <= 0.5 / scale + 1e-12 for v, q in zip(x, qv))
+        checked += 1
+    assert checked == 20

@@ -271,3 +271,128 @@ def line_dedup_stats(spark, sf_dir):
         "n_lines",
         F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
     )
+
+
+# -- 4. substring-span dedup (suffix-array-style) --------------------------
+
+SPAN_WORDS = 15
+
+
+@register(
+    "span_dedup_stats",
+    rf"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, ws,
+             unnest(range(GREATEST(len(ws) - {SPAN_WORDS} + 1, 0))) AS pos
+      FROM w
+    ),
+    sh AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             {_sql_md5int(f"array_to_string(ws[pos + 1 : pos + {SPAN_WORDS}], ' ')")} AS h
+      FROM g
+    ),
+    first AS (
+      SELECT h, MIN(doc_id * {_CHUNK_CAP} + pos) AS mk FROM sh GROUP BY h
+    ),
+    dup AS (
+      SELECT s.doc_id, s.pos
+      FROM sh s JOIN first f ON s.h = f.h
+      WHERE s.doc_id * {_CHUNK_CAP} + s.pos <> f.mk
+    ),
+    cov AS (
+      SELECT doc_id,
+             GREATEST(pos + {SPAN_WORDS}
+               - GREATEST(COALESCE(MAX(pos + {SPAN_WORDS}) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), pos),
+               0) AS covered
+      FROM dup
+    ),
+    perdoc AS (
+      SELECT doc_id, CAST(SUM(covered) AS BIGINT) AS dup_tokens
+      FROM cov GROUP BY doc_id
+    )
+    SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+           COALESCE(p.dup_tokens, 0) AS dup_tokens
+    FROM w LEFT JOIN perdoc p ON w.doc_id = p.doc_id
+    """,
+)
+def span_dedup_stats(spark, sf_dir):
+    """Substring-span dedup, the suffix-array dedup of Lee et al.
+    ("Deduplicating Training Data Makes Language Models Better")
+    re-expressed as a distributed plan: every SPAN_WORDS-gram is hashed
+    with its (doc, position); a gram survives only at its corpus-first
+    occurrence, every later occurrence marks its span duplicated, and
+    overlapping duplicated spans merge via a per-document running-max
+    interval union.  Output = per-document total vs duplicated token
+    counts (the rewrite step cuts the covered intervals).
+
+    Scale shape: the shingle shuffle carries (hash BIGINT, packed
+    position BIGINT) — 16 bytes per corpus token, never the text; the
+    first-occurrence arg-min is a codegen HashAggregate with map-side
+    combine; the interval union is one window sorted within doc_id.
+    That linear-in-corpus shuffle IS the honest cost of exact substring
+    dedup (single-node suffix arrays trade it for a global sort); at
+    100 TB you front it with the MinHash candidate filter
+    (functions/dedup.py) and run this exact pass only on candidate
+    groups.  All arithmetic is integer, so every partitioning and the
+    DuckDB oracle agree exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws"))
+    n_spans = F.size("ws") - F.lit(SPAN_WORDS - 1)
+    # sequence(0, -k) would DESCEND; short docs contribute no shingles
+    # (they still appear in the totals via the left join below)
+    sh = w.filter(n_spans > 0).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_spans - 1)).alias("pos"),
+        F.col("ws"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        _md5int(
+            F.array_join(F.slice("ws", F.col("pos") + 1, SPAN_WORDS), " ")
+        ).alias("h"),
+    )
+    packed = (F.col("doc_id") * _CHUNK_CAP + F.col("pos")).alias("pk")
+    keyed = sh.select("doc_id", "pos", "h", packed)
+    first = keyed.groupBy("h").agg(F.min("pk").alias("mk"))
+    dup = (
+        keyed.join(first, "h")
+        .filter(F.col("pk") != F.col("mk"))
+        .select("doc_id", "pos")
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cov = dup.select(
+        "doc_id",
+        F.greatest(
+            F.col("pos")
+            + SPAN_WORDS
+            - F.greatest(
+                F.coalesce(F.max(F.col("pos") + SPAN_WORDS).over(win), F.lit(0)),
+                F.col("pos"),
+            ),
+            F.lit(0),
+        ).alias("covered"),
+    )
+    perdoc = cov.groupBy("doc_id").agg(
+        F.sum("covered").cast("bigint").alias("dup_tokens")
+    )
+    return (
+        w.select("doc_id", F.size("ws").cast("bigint").alias("n_tokens"))
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0).cast("bigint")).alias("dup_tokens"),
+        )
+    )

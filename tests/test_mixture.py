@@ -90,3 +90,34 @@ def test_line_dedup_keeps_first_occurrence_only(spark, tmp_path):
     assert out[1] == (1, 1)  # first occurrence of line a
     assert out[2] == (1, 0)  # exact repeat, fully deduped
     assert out[3] == (2, 1)  # line a deduped, line b novel
+
+
+def test_span_dedup_marks_copied_passage_exactly(spark, tmp_path):
+    """Doc 2 copies a 20-word passage from doc 1 inside otherwise-unique
+    text: the merged duplicated interval must cover exactly those 20
+    tokens. Short docs (< SPAN_WORDS words) get dup_tokens = 0."""
+    import random
+
+    from starryskyqueryengine_spark.catalog_mixture import SPAN_WORDS, span_dedup_stats
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(1000)]
+    uniq = lambda n: " ".join(rng.choice(vocab) for _ in range(n))  # noqa: E731
+    passage = " ".join(f"p{i}" for i in range(20))
+    d1 = passage + " " + uniq(30)
+    d2 = uniq(25) + " " + passage + " " + uniq(25)
+    d3 = uniq(40)
+    d4 = "tiny doc under span width"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d4)],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "fx")
+    df.write.parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+           for r in span_dedup_stats(spark, d).collect()}
+    assert out[1][1] == 0          # first occurrence survives in doc 1
+    assert out[2][1] == 20         # exactly the copied passage
+    assert out[3][1] == 0
+    assert out[4] == (5, 0)        # too short for any span
+    assert SPAN_WORDS == 15        # the 20-token expectation assumes this

@@ -276,6 +276,28 @@ def line_dedup_stats(spark, sf_dir):
 # -- 4. substring-span dedup (suffix-array-style) --------------------------
 
 SPAN_WORDS = 15
+# 60-bit gram hash (15 md5 hex chars): the 32-bit _sql_md5int is fine for
+# banding/bucketing, but here a collision silently deletes a unique span;
+# at 100 TB (~10^13 grams) 32 bits guarantee collisions while 60 bits keep
+# the expected count harmless. 16^15 < 2^63, so the value is an exact
+# BIGINT in both engines.
+_HASH_HEX = 15
+# DuckDB's power() is DOUBLE and 16^14 > 2^53, so the value is assembled
+# from two halves that each stay exactly representable: hi = hex chars
+# 1-7 (< 16^7), lo = chars 8-15 (< 16^8); h = hi * 16^8 + lo.
+_SQL_GRAM_HASH = (
+    "(CAST(list_sum(list_transform(range(7), i -> "
+    "(strpos('0123456789abcdef', substr(md5({x}), i+1, 1)) - 1) "
+    "* power(16, 6-i))) AS BIGINT) * 4294967296 + "
+    "CAST(list_sum(list_transform(range(8), i -> "
+    "(strpos('0123456789abcdef', substr(md5({x}), i+8, 1)) - 1) "
+    "* power(16, 7-i))) AS BIGINT))"
+)
+
+
+def _gram_hash(col: Column) -> Column:
+    """Spark side of _SQL_GRAM_HASH: first 15 md5 hex chars as bigint."""
+    return F.conv(F.substring(F.md5(col), 1, _HASH_HEX), 16, 10).cast("bigint")
 
 
 @register(
@@ -292,7 +314,7 @@ SPAN_WORDS = 15
     ),
     sh AS (
       SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-             {_sql_md5int(f"array_to_string(ws[pos + 1 : pos + {SPAN_WORDS}], ' ')")} AS h
+             {_SQL_GRAM_HASH.replace("{x}", f"array_to_string(ws[pos + 1 : pos + {SPAN_WORDS}], ' ')")} AS h
       FROM g
     ),
     first AS (
@@ -355,7 +377,7 @@ def span_dedup_stats(spark, sf_dir):
     ).select(
         "doc_id",
         F.col("pos").cast("bigint").alias("pos"),
-        _md5int(
+        _gram_hash(
             F.array_join(F.slice("ws", F.col("pos") + 1, SPAN_WORDS), " ")
         ).alias("h"),
     )

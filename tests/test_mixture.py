@@ -6,6 +6,7 @@ the *meaning* of the numbers."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from starryskyqueryengine_spark import catalog
@@ -121,3 +122,47 @@ def test_span_dedup_marks_copied_passage_exactly(spark, tmp_path):
     assert out[3][1] == 0
     assert out[4] == (5, 0)        # too short for any span
     assert SPAN_WORDS == 15        # the 20-token expectation assumes this
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_span_dedup_matches_bruteforce(spark, tmp_path, seed):
+    """Randomized corpora with a tiny vocabulary (forcing accidental
+    shingle collisions within and across docs) against a brute-force
+    Python reference of the same first-occurrence + interval-union
+    semantics."""
+    import random
+
+    from starryskyqueryengine_spark.catalog_mixture import SPAN_WORDS, span_dedup_stats
+
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(6)]  # tiny vocab => many repeats
+    docs = {
+        i: [rng.choice(vocab) for _ in range(rng.randint(1, 60))]
+        for i in range(1, 13)
+    }
+
+    # brute-force reference
+    seen: dict[tuple, tuple] = {}
+    expected = {}
+    for did in sorted(docs):
+        ws = docs[did]
+        dup_pos = []
+        for pos in range(max(0, len(ws) - SPAN_WORDS + 1)):
+            gram = tuple(ws[pos:pos + SPAN_WORDS])
+            if gram in seen:
+                dup_pos.append(pos)
+            else:
+                seen[gram] = (did, pos)
+        covered = set()
+        for pos in dup_pos:
+            covered.update(range(pos, pos + SPAN_WORDS))
+        expected[did] = (len(ws), len(covered))
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in docs.items()], "doc_id long, text string"
+    )
+    d = str(tmp_path / "fx")
+    df.write.parquet(f"{d}/documents.parquet")
+    got = {r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+           for r in span_dedup_stats(spark, d).collect()}
+    assert got == expected

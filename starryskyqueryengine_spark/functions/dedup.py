@@ -153,14 +153,11 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return agg.select(id_col, F.expr(sig_sql).alias("simhash"))
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """MinHash-LSH banding: same signature in any band -> candidate pair.
-
-    One explode (BANDS rows/doc) + one shuffle on (band, band_sig); the
-    self-join happens inside buckets only. Distinct de-dups pairs caught
-    by multiple bands.
-    """
-    bands = sigs.select(
+def lsh_band_rows(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, band_sig) rows from a signature table: one explode to
+    BANDS rows per doc; band_sig joins equal iff the band's LSH_ROWS
+    signature slots all match."""
+    return sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -180,6 +177,16 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.band_sig")
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """MinHash-LSH banding: same signature in any band -> candidate pair.
+
+    One explode (BANDS rows/doc) + one shuffle on (band, band_sig); the
+    self-join happens inside buckets only. Distinct de-dups pairs caught
+    by multiple bands.
+    """
+    bands = lsh_band_rows(sigs, id_col)
     bands = bands.cache()  # self-joined below: compute the banding once
     a = bands.alias("a")
     b = bands.alias("b")
@@ -432,3 +439,72 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int, id_col: str = "doc_id") -> 
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+class NearDupGate:
+    """Incremental near-dup admission gate: a parquet-backed LSH band
+    store that each ingest batch probes before admission.
+
+    ``admit(docs)`` computes MinHash band rows for the batch, flags any
+    document sharing a (band, band_sig) bucket with an already-admitted
+    document — or with a lower-id document in the same batch — and
+    appends the *admitted* documents' band rows to the store.  This is
+    the continuous-pipeline form of ``dedup_minhash_lsh``: instead of
+    re-deduplicating the whole corpus per run, each batch costs one
+    signature pass plus one equi-join against the store.
+
+    Scale shape: the store holds LSH_BANDS rows per admitted doc (ids +
+    two small keys, no text); the probe is a broadcast- or
+    bucket-joinable equi-join on (band, band_sig).  At 100 TB the store
+    is written bucketed by band_sig so batch probes co-locate without a
+    store-side shuffle (operators/bucketed.py pattern).  Idempotent
+    replay: re-admitting an already-admitted doc_id flags itself via its
+    own stored bands, so crashed-and-retried batches do not duplicate
+    (same property PostStore.upsert gives the serving store).
+    """
+
+    def __init__(self, spark, path: str, id_col: str = "doc_id"):
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+
+    def _stored_bands(self) -> DataFrame | None:
+        import os
+
+        if not os.path.isdir(self.path):
+            return None
+        return self.spark.read.parquet(self.path)
+
+    def admit(self, docs: DataFrame, text_col: str = "text") -> DataFrame:
+        """Returns (id, is_dup) for the batch and appends admitted docs'
+        bands to the store. ``is_dup`` is true when a band bucket
+        collides with the store or with an earlier (lower-id) batch doc."""
+        idc = self.id_col
+        sigs = minhash_signatures(docs, text_col=text_col, id_col=idc)
+        bands = lsh_band_rows(sigs.select(idc, "sig"), idc).cache()
+
+        stored = self._stored_bands()
+        hits_store = (
+            bands.join(stored, ["band", "band_sig"], "left_semi").select(idc)
+            if stored is not None
+            else bands.limit(0).select(idc)
+        )
+        # within-batch: lower id wins its bucket (same rule as dedup_exact)
+        m = bands.groupBy("band", "band_sig").agg(F.min(idc).alias("_w"))
+        hits_batch = (
+            bands.join(m, ["band", "band_sig"])
+            .filter(F.col(idc) != F.col("_w"))
+            .select(idc)
+        )
+        dups = hits_store.union(hits_batch).distinct()
+        verdict = (
+            docs.select(idc)
+            .join(dups.withColumn("_d", F.lit(True)), idc, "left")
+            .select(idc, F.coalesce("_d", F.lit(False)).alias("is_dup"))
+        )
+        admitted_bands = bands.join(
+            verdict.filter(~F.col("is_dup")).select(idc), idc, "left_semi"
+        )
+        admitted_bands.write.mode("append").parquet(self.path)
+        bands.unpersist()
+        return verdict

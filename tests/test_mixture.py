@@ -166,3 +166,39 @@ def test_span_dedup_matches_bruteforce(spark, tmp_path, seed):
     got = {r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
            for r in span_dedup_stats(spark, d).collect()}
     assert got == expected
+
+
+def test_neardup_gate_flags_across_batches_and_survives_restart(spark, tmp_path):
+    """Batch 1 admits all; batch 2 near-copies (one word changed) are
+    flagged against the STORE, exact within-batch copies flag the lower
+    id; a fresh gate instance over the same path keeps the state."""
+    from starryskyqueryengine_spark.functions.dedup import NearDupGate
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight alone")
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "completely different text about spark plans and "
+                        "shuffle exchanges broadcast joins and catalyst rules ok")],
+        "doc_id long, text string",
+    )
+    gate = NearDupGate(spark, str(tmp_path / "sigstore"))
+    v1 = {r["doc_id"]: r["is_dup"] for r in gate.admit(b1).collect()}
+    assert v1 == {1: False, 2: False}
+
+    near = base.replace("tonight", "yesterday")  # near-dup of doc 1
+    b2 = spark.createDataFrame(
+        [(10, near), (11, "fresh unique content nothing shared with any "
+                          "other document in this corpus at all really truly"),
+         (12, "fresh unique content nothing shared with any "
+              "other document in this corpus at all really truly")],
+        "doc_id long, text string",
+    )
+    gate2 = NearDupGate(spark, str(tmp_path / "sigstore"))  # restart
+    v2 = {r["doc_id"]: r["is_dup"] for r in gate2.admit(b2).collect()}
+    assert v2[10] is True    # near-dup vs stored doc 1
+    assert v2[11] is False   # novel, lower id wins its bucket
+    assert v2[12] is True    # exact within-batch copy of 11
+
+    # idempotent replay: re-admitting batch 2 flags everything
+    v3 = {r["doc_id"]: r["is_dup"] for r in gate2.admit(b2).collect()}
+    assert v3 == {10: True, 11: True, 12: True}

@@ -202,3 +202,47 @@ def test_neardup_gate_flags_across_batches_and_survives_restart(spark, tmp_path)
     # idempotent replay: re-admitting batch 2 flags everything
     v3 = {r["doc_id"]: r["is_dup"] for r in gate2.admit(b2).collect()}
     assert v3 == {10: True, 11: True, 12: True}
+
+
+def test_neardup_gate_in_streaming_ingest(spark, tmp_path):
+    """The gate as a streaming stage: a document file-stream drains
+    through foreachBatch -> NearDupGate.admit; across micro-batches the
+    store accumulates, so a doc repeated in a LATER file is flagged
+    while its first arrival was admitted."""
+    import time as _t
+
+    from starryskyqueryengine_spark.functions.dedup import NearDupGate
+    from starryskyqueryengine_spark.streaming.pipeline import parquet_stream
+
+    src = str(tmp_path / "docs")
+    t1 = ("one two three four five six seven eight nine ten eleven "
+          "twelve thirteen fourteen fifteen sixteen")
+    t2 = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+          "lambda mu nu xi omicron pi")
+    spark.createDataFrame([(1, t1)], "doc_id long, text string").coalesce(1).write.parquet(src)
+
+    gate = NearDupGate(spark, str(tmp_path / "store"))
+    verdicts = {}
+
+    def sink(bdf, bid):
+        if bdf.isEmpty():
+            return
+        for r in gate.admit(bdf).collect():
+            verdicts[r["doc_id"]] = r["is_dup"]
+        if bid == 0:
+            spark.createDataFrame(
+                [(2, t2), (3, t1)], "doc_id long, text string"
+            ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = parquet_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = _t.time() + 120
+    while _t.time() < deadline and len(verdicts) < 3:
+        _t.sleep(0.5)
+    q.stop()
+    assert verdicts == {1: False, 2: False, 3: True}

@@ -30,6 +30,33 @@ def _md5int(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
+# 60-bit content hash (15 md5 hex chars) for the dedup group keys below:
+# the 32-bit _sql_md5int is fine for banding/bucketing, but a dedup-key
+# collision silently deletes unique content; at 100 TB (~10^13 grams)
+# 32 bits guarantee collisions while 60 bits keep the expected count
+# harmless. 16^15 < 2^63, so the value is an exact BIGINT in both engines.
+_HASH_HEX = 15
+# DuckDB's power() is DOUBLE and 16^14 > 2^53, so the value is assembled
+# from two halves that each stay exactly representable: hi = hex chars
+# 1-7 (< 16^7), lo = chars 8-15 (< 16^8); h = hi * 16^8 + lo.
+# the lambda variable is deliberately obscure: DuckDB lambda parameters
+# shadow outer column aliases, so a generic `i` would capture callers'
+# unnest indexes inside {x}
+_SQL_GRAM_HASH = (
+    "(CAST(list_sum(list_transform(range(7), _gh -> "
+    "(strpos('0123456789abcdef', substr(md5({x}), _gh+1, 1)) - 1) "
+    "* power(16, 6-_gh))) AS BIGINT) * 4294967296 + "
+    "CAST(list_sum(list_transform(range(8), _gh -> "
+    "(strpos('0123456789abcdef', substr(md5({x}), _gh+8, 1)) - 1) "
+    "* power(16, 7-_gh))) AS BIGINT))"
+)
+
+
+def _gram_hash(col: Column) -> Column:
+    """Spark side of _SQL_GRAM_HASH: first 15 md5 hex chars as bigint."""
+    return F.conv(F.substring(F.md5(col), 1, _HASH_HEX), 16, 10).cast("bigint")
+
+
 # -- 1. temperature-weighted mixture sampling ------------------------------
 
 MIX_BUDGET_NUM = 1  # budget = 1/4 of corpus tokens
@@ -192,12 +219,12 @@ _CHUNK_CAP = 1_000_000  # max chunks per document for the packed arg-min key
     ),
     ch AS (
       SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
-             array_to_string(ws[i * {LINE_WORDS} + 1 : (i + 1) * {LINE_WORDS}], ' ') AS line
+             {_SQL_GRAM_HASH.replace("{x}", f"array_to_string(ws[i * {LINE_WORDS} + 1 : (i + 1) * {LINE_WORDS}], ' ')")} AS lh
       FROM idx
     ),
     keep AS (
       SELECT doc_id, chunk_idx,
-             ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, chunk_idx) AS rn
+             ROW_NUMBER() OVER (PARTITION BY lh ORDER BY doc_id, chunk_idx) AS rn
       FROM ch
     ),
     totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM ch GROUP BY doc_id),
@@ -216,13 +243,14 @@ def line_dedup_stats(spark, sf_dir):
     cleaning pipeline uses to rewrite documents and to flag
     high-boilerplate sources.
 
-    Scale shape: explode to (line, doc, pos), then a single
-    hash-aggregate on the line key computing min(struct(doc_id, pos)) —
-    map-side partial aggregation keeps the shuffle at one record per
-    DISTINCT line, not per occurrence (the window-function formulation
-    in the oracle would shuffle every occurrence; the groupBy-min here
-    is the 100-TB form).  Hot lines (the whole point of the operator)
-    therefore cost one combiner slot each, no skew salting needed."""
+    Scale shape: explode to (line-hash, doc, pos), then a single
+    hash-aggregate on the 60-bit line hash (never the line text — the
+    shuffle record is two BIGINTs) — map-side partial aggregation keeps
+    the shuffle at one record per DISTINCT line, not per occurrence (the
+    window-function formulation in the oracle would shuffle every
+    occurrence; the groupBy-min here is the 100-TB form).  Hot lines
+    (the whole point of the operator) cost one combiner slot each, no
+    skew salting needed."""
     docs = load_table(spark, sf_dir, "documents")
     w = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
@@ -238,7 +266,11 @@ def line_dedup_stats(spark, sf_dir):
                 ),
             )
         ).alias("chunk_idx", "line"),
-    ).select("doc_id", F.col("chunk_idx").cast("bigint").alias("chunk_idx"), "line")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        _gram_hash(F.col("line")).alias("lh"),
+    )
     totals = ch.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_lines"))
     # (doc_id, chunk_idx) packed into one bigint so the arg-min is a plain
     # codegen HashAggregate (min over struct falls back to SortAggregate);
@@ -246,7 +278,7 @@ def line_dedup_stats(spark, sf_dir):
     # words, loudly enforced rather than silently mis-ranked.
     first = (
         ch.select(
-            "line",
+            "lh",
             (
                 F.col("doc_id") * _CHUNK_CAP
                 + F.when(
@@ -258,7 +290,7 @@ def line_dedup_stats(spark, sf_dir):
                 )
             ).alias("k"),
         )
-        .groupBy("line")
+        .groupBy("lh")
         .agg(F.min("k").alias("k"))
     )
     kept = (
@@ -276,28 +308,6 @@ def line_dedup_stats(spark, sf_dir):
 # -- 4. substring-span dedup (suffix-array-style) --------------------------
 
 SPAN_WORDS = 15
-# 60-bit gram hash (15 md5 hex chars): the 32-bit _sql_md5int is fine for
-# banding/bucketing, but here a collision silently deletes a unique span;
-# at 100 TB (~10^13 grams) 32 bits guarantee collisions while 60 bits keep
-# the expected count harmless. 16^15 < 2^63, so the value is an exact
-# BIGINT in both engines.
-_HASH_HEX = 15
-# DuckDB's power() is DOUBLE and 16^14 > 2^53, so the value is assembled
-# from two halves that each stay exactly representable: hi = hex chars
-# 1-7 (< 16^7), lo = chars 8-15 (< 16^8); h = hi * 16^8 + lo.
-_SQL_GRAM_HASH = (
-    "(CAST(list_sum(list_transform(range(7), i -> "
-    "(strpos('0123456789abcdef', substr(md5({x}), i+1, 1)) - 1) "
-    "* power(16, 6-i))) AS BIGINT) * 4294967296 + "
-    "CAST(list_sum(list_transform(range(8), i -> "
-    "(strpos('0123456789abcdef', substr(md5({x}), i+8, 1)) - 1) "
-    "* power(16, 7-i))) AS BIGINT))"
-)
-
-
-def _gram_hash(col: Column) -> Column:
-    """Spark side of _SQL_GRAM_HASH: first 15 md5 hex chars as bigint."""
-    return F.conv(F.substring(F.md5(col), 1, _HASH_HEX), 16, 10).cast("bigint")
 
 
 @register(
@@ -417,4 +427,64 @@ def span_dedup_stats(spark, sf_dir):
             "n_tokens",
             F.coalesce("dup_tokens", F.lit(0).cast("bigint")).alias("dup_tokens"),
         )
+    )
+
+
+# -- 5. overlapping chunking (RAG / context windows) -----------------------
+
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 40  # 10-token overlap between consecutive chunks
+
+
+@register(
+    "chunk_documents",
+    rf"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, ws,
+             unnest(range(CAST(
+               ceil(GREATEST(len(ws) - {CHUNK_TOKENS}, 0) / {CHUNK_STRIDE}.0)
+             AS BIGINT) + 1)) AS i
+      FROM w
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           CAST(i * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+           CAST(LEAST({CHUNK_TOKENS}, len(ws) - i * {CHUNK_STRIDE}) AS BIGINT) AS n_tok,
+           array_to_string(ws[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ') AS chunk_text
+    FROM idx
+    """,
+)
+def chunk_documents(spark, sf_dir):
+    """Overlapping sliding-window chunking (the RAG / context-window
+    splitter): CHUNK_TOKENS-token windows advancing CHUNK_STRIDE tokens,
+    so consecutive chunks share CHUNK_TOKENS-CHUNK_STRIDE tokens of
+    context.  Chunk count = ceil(max(n-W,0)/S)+1 — every token lands in
+    at least one chunk and the final chunk is never empty.
+
+    Scale shape: pure per-row explode+projection, no shuffle at all;
+    the chunk table feeds the embedding pipeline (embeddings fixture /
+    ann_* queries) one chunk per row."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws"))
+    n_chunks = (
+        F.ceil(F.greatest(F.size("ws") - F.lit(CHUNK_TOKENS), F.lit(0)) / F.lit(CHUNK_STRIDE))
+        + 1
+    ).cast("int")
+    return w.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
+        "ws",
+    ).select(
+        "doc_id",
+        F.col("i").cast("bigint").alias("chunk_id"),
+        (F.col("i") * CHUNK_STRIDE).cast("bigint").alias("start_tok"),
+        F.least(
+            F.lit(CHUNK_TOKENS), F.size("ws") - F.col("i") * CHUNK_STRIDE
+        ).cast("bigint").alias("n_tok"),
+        F.array_join(
+            F.slice(F.col("ws"), F.col("i") * CHUNK_STRIDE + 1, CHUNK_TOKENS), " "
+        ).alias("chunk_text"),
     )

@@ -246,3 +246,34 @@ def test_neardup_gate_in_streaming_ingest(spark, tmp_path):
         _t.sleep(0.5)
     q.stop()
     assert verdicts == {1: False, 2: False, 3: True}
+
+
+def test_chunk_documents_cover_and_overlap(spark, tmp_path):
+    """100-word doc with W=50/S=40: chunks start at 0/40/80 with sizes
+    50/50/20; consecutive chunks overlap by exactly 10 tokens; a short
+    doc yields one full-copy chunk."""
+    from starryskyqueryengine_spark.catalog_mixture import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        chunk_documents,
+    )
+
+    assert (CHUNK_TOKENS, CHUNK_STRIDE) == (50, 40)
+    words = [f"w{i}" for i in range(100)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "just five words right here")],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "fx")
+    df.write.parquet(f"{d}/documents.parquet")
+    rows = chunk_documents(spark, d).collect()
+    c1 = sorted([r for r in rows if r["doc_id"] == 1], key=lambda r: r["chunk_id"])
+    assert [(r["start_tok"], r["n_tok"]) for r in c1] == [(0, 50), (40, 50), (80, 20)]
+    # overlap: chunk k's last 10 tokens == chunk k+1's first 10
+    t0, t1 = c1[0]["chunk_text"].split(), c1[1]["chunk_text"].split()
+    assert t0[-10:] == t1[:10]
+    # full reconstruction: stride-aligned prefixes concatenate to the doc
+    recon = t0 + t1[10:] + c1[2]["chunk_text"].split()[10:]
+    assert recon == words
+    c2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(c2) == 1 and c2[0]["chunk_text"] == "just five words right here"

@@ -194,3 +194,33 @@ def quality_filter_funnel(spark, sf_dir):
         cnt(tok_ok).alias("n_tok"),
         cnt(pass_ok).alias("n_pass"),
     )
+
+
+@register(
+    "corpus_overview",
+    r"""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tok,
+           CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    """,
+)
+def corpus_overview(spark, sf_dir):
+    """One-scan corpus dashboard: doc and token counts by language,
+    by source, by (language, source), and the grand total — a single
+    CUBE aggregation (one Expand pass, one shuffle), the first thing a
+    pipeline run reports before any curation decision.  GROUPING() ids
+    disambiguate rollup NULLs from (hypothetical) real NULL keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("tok"),
+    )
+    return d.cube("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("n_tok"),
+        (F.grouping("lang") * 2 + F.grouping("source")).cast("bigint").alias("gid"),
+    )

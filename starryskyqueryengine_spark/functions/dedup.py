@@ -508,3 +508,41 @@ class NearDupGate:
         admitted_bands.write.mode("append").parquet(self.path)
         bands.unpersist()
         return verdict
+
+    def file_count(self) -> int:
+        import os
+
+        if not os.path.isdir(self.path):
+            return 0
+        return sum(
+            1
+            for f in os.listdir(self.path)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+
+    def compact(self, max_files: int = 8, n_output_files: int = 4) -> bool:
+        """Rewrite the band store into few files. Each admitted batch
+        appends one file set; a long-running gate degrades every probe
+        (file listing + tiny row groups).  Rewrites into a temp dir and
+        atomically renames, so a concurrent crash never loses admitted
+        signatures.  Sorted by band_sig so parquet row-group min/max
+        stats prune probe joins.  Returns True when a rewrite happened."""
+        import os
+        import shutil
+        import uuid
+
+        if self.file_count() <= max_files:
+            return False
+        tmp = f"{self.path}__compact_{uuid.uuid4().hex[:8]}"
+        (
+            self.spark.read.parquet(self.path)
+            .repartition(n_output_files, "band_sig")
+            .sortWithinPartitions("band_sig", "band")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old)
+        return True

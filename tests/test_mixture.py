@@ -277,3 +277,28 @@ def test_chunk_documents_cover_and_overlap(spark, tmp_path):
     assert recon == words
     c2 = [r for r in rows if r["doc_id"] == 2]
     assert len(c2) == 1 and c2[0]["chunk_text"] == "just five words right here"
+
+
+def test_neardup_gate_compaction_preserves_state(spark, tmp_path):
+    """After many small admits the store fragments; compact() rewrites it
+    into few files without changing verdicts for subsequent batches."""
+    from starryskyqueryengine_spark.functions.dedup import NearDupGate
+
+    gate = NearDupGate(spark, str(tmp_path / "store"))
+    texts = {}
+    for i in range(6):
+        t = " ".join(f"batch{i} tok{j} filler word number {j}" for j in range(6))
+        texts[i] = t
+        gate.admit(spark.createDataFrame([(i, t)], "doc_id long, text string"))
+    n_before = gate.file_count()
+    assert gate.compact(max_files=4) is True
+    assert gate.file_count() < n_before
+    # replaying an old doc still flags; a novel doc still passes
+    v = {r["doc_id"]: r["is_dup"] for r in gate.admit(
+        spark.createDataFrame(
+            [(100, texts[3]), (101, "entirely novel content not seen in any "
+                                    "previous batch of this little corpus")],
+            "doc_id long, text string",
+        )
+    ).collect()}
+    assert v == {100: True, 101: False}

@@ -245,3 +245,18 @@ def test_line_dedup_all_hash_aggregates(spark, queries):
     plan = plan_of(queries["line_dedup_stats"](spark, SF_DIR))
     assert "SortAggregate" not in plan
     assert "HashAggregate" in plan
+
+
+def test_chunk_documents_no_shuffle(spark, queries):
+    """chunk_documents: pure explode+projection — zero exchanges; the
+    chunker must ride the scan."""
+    plan = plan_of(queries["chunk_documents"](spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_corpus_overview_single_expand(spark, queries):
+    """corpus_overview: the lang x source x total report is ONE Expand
+    pass feeding one aggregation — never a union of per-grouping scans."""
+    plan = plan_of(queries["corpus_overview"](spark, SF_DIR))
+    assert plan.count("Expand") == 1
+    assert "Union" not in plan

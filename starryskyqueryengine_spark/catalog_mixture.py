@@ -488,3 +488,148 @@ def chunk_documents(spark, sf_dir):
             F.slice(F.col("ws"), F.col("i") * CHUNK_STRIDE + 1, CHUNK_TOKENS), " "
         ).alias("chunk_text"),
     )
+
+
+# -- 6. capstone: composed pretraining-prep pipeline -----------------------
+
+
+@register(
+    "pipeline_pretrain_prep",
+    None,  # SQL assembled below (needs catalog_text constants)
+)
+def pipeline_pretrain_prep(spark, sf_dir):
+    """The end-to-end pretraining-prep pipeline as ONE declarative plan:
+    quality + language gate -> exact dedup on the normalized fingerprint
+    -> temperature mixture sampling to a token budget -> GPT-style
+    sequence packing of the surviving corpus.  Every stage reuses the
+    individually-oracled operator's exact formula (catalog_text quality /
+    fingerprint / packing, catalog_mixture thresholds), so this query
+    proves the operators COMPOSE: the driver value-checks the whole
+    chain against a single DuckDB CTE pipeline.
+
+    Scale shape inherits from the pieces: gates fuse into the scan, the
+    dedup is one shuffle on the fingerprint, mixture rates are a tiny
+    broadcast, and the packing cumsum is the sharded two-level form (no
+    single-task global window)."""
+    from pyspark.sql import Window
+
+    from .catalog_text import PACK_CAPACITY, PACK_SHARD
+    from .functions import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        tx.word_token_count(t).alias("n_tok"),
+        tx.quality_score(t).alias("quality"),
+        tx.fingerprint(t).alias("fp"),
+        "lang",
+    ).filter((F.col("quality") >= 0.35) & F.col("lang").isin("en", "de"))
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        scored.withColumn("_rn", F.row_number().over(w_fp))
+        .filter((F.col("_rn") == 1) & (F.col("n_tok") > 0))
+        .select("doc_id", "source", "n_tok")
+    )
+    per_src = deduped.groupBy("source").agg(
+        F.sum("n_tok").alias("t_src"),
+        F.expr(
+            f"CAST(floor(sqrt(CAST(SUM(n_tok) AS DOUBLE)) * {_W_SCALE}) AS BIGINT)"
+        ).alias("w"),
+    )
+    glob = per_src.agg(F.sum("w").alias("w_sum"), F.sum("t_src").alias("t_tot"))
+    rates = per_src.join(F.broadcast(glob)).select(
+        "source", F.expr(_THRESH_SQL).alias("threshold")
+    )
+    sampled = (
+        deduped.join(F.broadcast(rates), "source")
+        .filter(
+            _md5int(F.concat(F.lit("prep:"), F.col("doc_id").cast("string")))
+            % 1000000
+            < F.col("threshold")
+        )
+        .select("doc_id", "source", "n_tok")
+    )
+    toks = sampled.withColumn("_shard", F.expr(f"doc_id div {PACK_SHARD}"))
+    in_shard = Window.partitionBy("_shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = toks.withColumn("_local_end", F.sum("n_tok").over(in_shard))
+    shard_order = Window.orderBy("_shard").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        toks.groupBy("_shard")
+        .agg(F.sum("n_tok").alias("_total"))
+        .select(
+            "_shard",
+            (F.sum("_total").over(shard_order) - F.col("_total")).alias("_base"),
+        )
+    )
+    return local.join(F.broadcast(offsets), "_shard").select(
+        "doc_id",
+        "source",
+        "n_tok",
+        (F.col("_base") + F.col("_local_end") - F.col("n_tok")).alias("start_off"),
+        F.expr(f"(_base + _local_end - n_tok) div {PACK_CAPACITY}").alias("first_seq"),
+        F.expr(f"(_base + _local_end - 1) div {PACK_CAPACITY}").alias("last_seq"),
+    )
+
+
+def _pretrain_prep_oracle() -> str:
+    from .catalog_text import _QUALITY_PAT, PACK_CAPACITY
+
+    return rf"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok,
+             ROUND(
+               (len(regexp_extract_all(lower(text), '{_QUALITY_PAT}'))
+                  / GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1)) * 0.4
+               + LEAST(1.0, len(regexp_split_to_array(trim(text), '\s+')) / 50.0) * 0.3
+               + (1.0 - len(regexp_extract_all(text, '[.,!?;:]'))
+                    / GREATEST(length(text), 1)) * 0.3, 4) AS quality,
+             md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+             lang
+      FROM documents
+    ),
+    deduped AS (
+      SELECT doc_id, source, n_tok FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM scored WHERE quality >= 0.35 AND lang IN ('en', 'de')
+      ) WHERE rn = 1 AND n_tok > 0
+    ),
+    per_src AS (
+      SELECT source, SUM(n_tok) AS t_src,
+             CAST(floor(sqrt(CAST(SUM(n_tok) AS DOUBLE)) * {_W_SCALE}) AS BIGINT) AS w
+      FROM deduped GROUP BY source
+    ),
+    totals AS (SELECT SUM(w) AS w_sum, SUM(t_src) AS t_tot FROM per_src),
+    rates AS (
+      SELECT source, {_THRESH_SQL} AS threshold
+      FROM per_src CROSS JOIN totals
+    ),
+    sampled AS (
+      SELECT d.doc_id, d.source, d.n_tok
+      FROM deduped d JOIN rates r ON d.source = r.source
+      WHERE {_sql_md5int("'prep:' || CAST(d.doc_id AS VARCHAR)")} % 1000000 < r.threshold
+    ),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS end_off
+      FROM sampled
+    )
+    SELECT doc_id, source, n_tok,
+           CAST(end_off - n_tok AS BIGINT) AS start_off,
+           CAST((end_off - n_tok) // {PACK_CAPACITY} AS BIGINT) AS first_seq,
+           CAST((end_off - 1) // {PACK_CAPACITY} AS BIGINT) AS last_seq
+    FROM c
+    """
+
+
+from .catalog import ORACLE as _ORACLE  # noqa: E402
+
+_ORACLE["pipeline_pretrain_prep"] = _pretrain_prep_oracle()

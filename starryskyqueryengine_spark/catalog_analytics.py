@@ -707,3 +707,233 @@ def q22_dormant_customers(spark, sf_dir):
             .alias("total_acctbal"),
         )
     )
+
+
+@register(
+    "q8_market_share",
+    """
+    WITH all_nations AS (
+        SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+               CAST(l.l_extendedprice AS DECIMAL(18,4))
+                 * CAST(1 - l.l_discount AS DECIMAL(18,4)) AS volume,
+               n2.n_name AS supp_nation
+        FROM part p, lineitem l, supplier s, orders o, customer c,
+             nation n1, nation n2, region r
+        WHERE p.p_partkey = l.l_partkey
+          AND s.s_suppkey = l.l_suppkey
+          AND l.l_orderkey = o.o_orderkey
+          AND o.o_custkey = c.c_custkey
+          AND c.c_nationkey = n1.n_nationkey
+          AND n1.n_regionkey = r.r_regionkey
+          AND r.r_name = 'ASIA'
+          AND s.s_nationkey = n2.n_nationkey
+          AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                                AND TIMESTAMP '1997-12-31'
+          AND p.p_type = 'PROMO'
+    )
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           CAST(round(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                               ELSE 0 END) / sum(volume), 6) AS DOUBLE)
+             AS mkt_share
+    FROM all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: national market share inside a region. Seven-table
+    star join — part/supplier/nation/region are broadcast dims (each far
+    under the 10 MB threshold even at 100 TB-of-facts scale, where dims
+    grow sub-linearly); orders->lineitem is the one real shuffle, on
+    orderkey. The p_type and r_name filters prune the broadcast sides
+    before the build, and the date range reaches the orders parquet scan
+    as PushedFilters. Conditional market-share numerator compiles to a
+    codegen'd CASE inside the same hash aggregate — no second pass."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").alias("n1")
+    n2 = load_table(spark, sf_dir, "nation").alias("n2")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), c["c_nationkey"] == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r), F.col("n1.n_regionkey") == r["r_regionkey"])
+        .join(F.broadcast(n2), s["s_nationkey"] == F.col("n2.n_nationkey"))
+    )
+    vol = _dec_rev()
+    return (
+        joined.select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            vol.alias("volume"),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", F.col("volume"))
+                      .otherwise(F.lit(0).cast("decimal(18,4)")))
+                / F.sum("volume"),
+                6,
+            ).cast("double").alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                   * CAST(1 - l_discount AS DECIMAL(18,4))) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(round(r.total_revenue, 2) AS DOUBLE) AS total_revenue
+    FROM supplier s, revenue r
+    WHERE s.s_suppkey = r.supplier_no
+      AND r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) hitting the quarter's max revenue.
+    The revenue CTE is computed ONCE (cached logical subtree reused for
+    both the scalar MAX and the probe side — Spark reuses the exchange
+    under AQE); the scalar max is a 1-row broadcast joined as a filter,
+    never a driver collect. Supplier is a broadcast dim."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_dec_rev()).alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) / 7.0, 2)
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem l, part p
+    WHERE p.p_partkey = l.l_partkey
+      AND p.p_brand = 'Brand#3'
+      AND p.p_type = 'PROMO'
+      AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar AVG decorrelated into a
+    per-part aggregate joined back. (Fixtures lack p_container, so the
+    part filter is brand+type — same plan shape.) The per-part avg is a
+    hash aggregate on l_partkey reused as the join probe — one shuffle
+    on partkey shared by both sides; the filtered part dim broadcasts.
+    At 100 TB the avg side aggregates BEFORE the join so the shuffle
+    carries one row per part, not per lineitem."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "PROMO")
+    )
+    part_avg = l.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(part_avg, l["l_partkey"] == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")) / 7.0, 2
+            ).cast("double").alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    """
+    WITH late AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l, orders o
+        WHERE o.o_orderkey = l.l_orderkey
+          AND o.o_orderstatus = 'F'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s, late l1
+    WHERE s.s_suppkey = l1.l_suppkey
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: the supplier who alone shipped late on a
+    multi-supplier finished order. (Fixtures lack commit/receipt dates,
+    so 'late' = shipped >60 days after order date — identical plan
+    shape: base join + EXISTS semi + NOT EXISTS anti, both correlated
+    on orderkey with a supplier inequality.) All three legs shuffle on
+    orderkey, so AQE reuses one exchange; supplier is broadcast. The
+    inequality predicates ride on the join condition — no post-filter
+    pass over a wider join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select(F.col("l_orderkey").alias("lk"), F.col("l_suppkey").alias("sk"))
+    )
+    l2 = l.select(F.col("l_orderkey").alias("lk2"), F.col("l_suppkey").alias("sk2"))
+    l3 = late.select(F.col("lk").alias("lk3"), F.col("sk").alias("sk3"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        late.join(
+            l2, (F.col("lk") == F.col("lk2")) & (F.col("sk") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            l3, (F.col("lk") == F.col("lk3")) & (F.col("sk") != F.col("sk3")),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("sk") == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

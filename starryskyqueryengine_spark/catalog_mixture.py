@@ -633,3 +633,88 @@ def _pretrain_prep_oracle() -> str:
 from .catalog import ORACLE as _ORACLE  # noqa: E402
 
 _ORACLE["pipeline_pretrain_prep"] = _pretrain_prep_oracle()
+
+# -- CCNet-style quality-bucket resampling ---------------------------------
+
+QB_RATES = {"head": 100, "middle": 50, "tail": 10}  # keep-rate percent
+
+
+def _qb_oracle() -> str:
+    from .catalog_text import _QUALITY_PAT
+
+    quality = rf"""ROUND(
+             (len(regexp_extract_all(lower(text), '{_QUALITY_PAT}'))
+                / GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1)) * 0.4
+             + LEAST(1.0, len(regexp_split_to_array(trim(text), '\s+')) / 50.0) * 0.3
+             + (1.0 - len(regexp_extract_all(text, '[.,!?;:]'))
+                  / GREATEST(length(text), 1)) * 0.3, 4)"""
+    keep_hash = _sql_md5int("'qb:' || CAST(q.doc_id AS VARCHAR)")
+    return f"""
+    WITH q AS (SELECT doc_id, {quality} AS quality FROM documents),
+    h AS (SELECT quality, count(*) AS c FROM q GROUP BY quality),
+    cu AS (SELECT quality, sum(c) OVER (ORDER BY quality DESC
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+           FROM h),
+    n AS (SELECT count(*) AS n_docs FROM q)
+    SELECT q.doc_id, q.quality,
+           CASE WHEN cu.cum * 3 <= n.n_docs THEN 'head'
+                WHEN cu.cum * 3 <= 2 * n.n_docs THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           ({keep_hash}) % 100 <
+             CASE WHEN cu.cum * 3 <= n.n_docs THEN {QB_RATES["head"]}
+                  WHEN cu.cum * 3 <= 2 * n.n_docs THEN {QB_RATES["middle"]}
+                  ELSE {QB_RATES["tail"]} END AS kept
+    FROM q JOIN cu ON q.quality = cu.quality CROSS JOIN n
+    """
+
+
+@register("quality_bucket_sample", _qb_oracle())
+def quality_bucket_sample(spark, sf_dir):
+    """CCNet-style quality-tercile resampling (Wenzek et al. 2020 bucket
+    documents by LM perplexity into head/middle/tail and keep each bucket
+    at a different rate; here the composite quality score stands in for
+    perplexity). Bucket boundaries come from the score's VALUE histogram,
+    not a global row sort: quality is rounded to 4 decimals, so the
+    histogram has at most 10^4 rows regardless of corpus size — the
+    cumulative window runs over that tiny table while the corpus itself
+    only does one hash aggregate and one broadcast join back. (A naive
+    NTILE(3) over all documents would be a single-task global sort — the
+    classic 100 TB bottleneck this formulation avoids.) Ties share a
+    value, hence a bucket, so the split is deterministic; per-doc keep
+    decisions are seeded-hash, never rand()."""
+    from .functions import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
+    h = q.groupBy("quality").agg(F.count("*").alias("c"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("quality").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cu = h.select("quality", F.sum("c").over(w).alias("cum"))
+    n = q.agg(F.count("*").alias("n_docs"))
+    bucket = (
+        F.when(F.col("cum") * 3 <= F.col("n_docs"), "head")
+        .when(F.col("cum") * 3 <= 2 * F.col("n_docs"), "middle")
+        .otherwise("tail")
+    )
+    rate = (
+        F.when(F.col("cum") * 3 <= F.col("n_docs"), QB_RATES["head"])
+        .when(F.col("cum") * 3 <= 2 * F.col("n_docs"), QB_RATES["middle"])
+        .otherwise(QB_RATES["tail"])
+    )
+    return (
+        q.join(F.broadcast(cu), "quality")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "quality",
+            bucket.alias("bucket"),
+            (
+                _md5int(F.concat(F.lit("qb:"), F.col("doc_id").cast("string"))) % 100
+                < rate
+            ).alias("kept"),
+        )
+    )
+

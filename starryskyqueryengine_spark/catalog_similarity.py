@@ -245,3 +245,46 @@ def embedding_quantize(spark, sf_dir):
         F.aggregate("qv", zero, lambda acc, v: acc + F.abs(v).cast("bigint")).alias("q_l1"),
         F.aggregate("qv", zero, lambda acc, v: acc + (v * v).cast("bigint")).alias("q_sq"),
     )
+
+
+SEMDEDUP_TAU = 0.45
+
+
+@register(
+    "semantic_dedup",
+    f"""
+    WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+               FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+         p AS (SELECT vec_id, embedding::DOUBLE[] AS pv
+               FROM embeddings WHERE vec_id >= {N_CENTROIDS}),
+         a AS (SELECT vec_id, centroid_id FROM (
+                 SELECT p.vec_id, c.centroid_id,
+                        row_number() OVER (
+                          PARTITION BY p.vec_id
+                          ORDER BY ROUND(list_cosine_similarity(pv, cv), 6) DESC,
+                                   c.centroid_id) AS rn
+                 FROM p, c) WHERE rn = 1),
+         d AS (SELECT b.vec_id, MIN(a2.vec_id) AS dup_of
+               FROM a b
+               JOIN p pb ON b.vec_id = pb.vec_id
+               JOIN a a2 ON a2.centroid_id = b.centroid_id
+                        AND a2.vec_id < b.vec_id
+               JOIN p pa ON a2.vec_id = pa.vec_id
+               WHERE ROUND(list_cosine_similarity(pa.pv, pb.pv), 6)
+                     >= {SEMDEDUP_TAU}
+               GROUP BY b.vec_id)
+    SELECT a.vec_id, a.centroid_id, d.dup_of,
+           d.dup_of IS NOT NULL AS is_dup
+    FROM a LEFT JOIN d ON a.vec_id = d.vec_id
+    """,
+)
+def semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): embedding-space dedup that confines
+    the quadratic cosine comparison to k-means cells — N²/k work instead
+    of the all-pairs N² that embedding_near_dup's exact kernel spends.
+    Plan: broadcast centroids, argmax assignment (linear), ONE shuffle on
+    centroid_id, within-cell self-join with precomputed norms and an
+    unrolled codegen dot. The oracle is the direct quadratic restatement
+    of the same semantics."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup(emb, N_CENTROIDS, SEMDEDUP_TAU)

@@ -561,3 +561,104 @@ def contrastive_negatives(spark, sf_dir):
     )
     neg = docs.select(F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang"))
     return pairs.join(neg, "neg_id").select("anchor_id", "j", "neg_id", "neg_lang")
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+BM25_QUERY_TERMS = ("vector", "spark", "stream")
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    return f"""
+    WITH qt(term) AS (VALUES {terms}),
+    tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT tf.term, count(*) AS df FROM tf JOIN qt ON tf.term = qt.term
+           GROUP BY tf.term),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                    + {BM25_B} * dl.dl / stats.avgdl)) AS part
+      FROM tf JOIN df ON tf.term = df.term
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats
+    )
+    SELECT doc_id, score FROM (
+      SELECT doc_id, ROUND(sum(part), 6) AS score,
+             row_number() OVER (ORDER BY ROUND(sum(part), 6) DESC, doc_id) AS rn
+      FROM scored GROUP BY doc_id
+    ) WHERE rn <= {BM25_TOP_K}
+    """
+
+
+@register("bm25_search", _bm25_oracle())
+def bm25_search(spark, sf_dir):
+    """BM25 keyword retrieval (Robertson/Sparck Jones probabilistic
+    ranking; the scoring function every Lucene-family index serves) as a
+    relational plan: tokenize once, per-doc lengths and per-term tf in
+    two hash aggregates, document frequency restricted to the (tiny,
+    broadcast) query-term list, then one more per-doc aggregate for the
+    final score and a TakeOrderedAndProject top-k.
+
+    Scale shape: the only corpus-sized shuffles are the two term
+    aggregations (map-side partials halve them); df / avgdl / n_docs are
+    all broadcast single-row or query-sized sides. Nothing quadratic,
+    no UDFs — ln/arith all codegen. At 100 TB this is the standard
+    "score a keyword query without an index" plan; with an inverted
+    index you'd prune tok to postings, which is exactly what the
+    tf-join-on-query-terms does here."""
+    docs = load_table(spark, sf_dir, "documents")
+    qt = spark.createDataFrame(
+        [(t,) for t in BM25_QUERY_TERMS], "term string"
+    )
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = (
+        tf.join(F.broadcast(qt), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    part = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * F.col("tf") * F.lit(BM25_K1 + 1)
+                / (
+                    F.col("tf")
+                    + F.lit(BM25_K1)
+                    * (F.lit(1 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("part"),
+        )
+    )
+    return (
+        part.groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOP_K)
+        .select("doc_id", "score")
+    )

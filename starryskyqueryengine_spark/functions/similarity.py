@@ -572,3 +572,65 @@ def lsh_topk(
         .filter(F.col("rn") <= k)
         .select("q_id", "nn_id", "sim")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    tau: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space, then compare pairs
+    ONLY within a cluster and mark every vector that has an earlier
+    (lower-id) cluster-mate with cosine >= ``tau`` as a duplicate of
+    its smallest such neighbor.
+
+    Scale shape — the whole point of the method: the quadratic pair
+    comparison is confined to one cluster (expected size N/k), so the
+    total work is N²/k instead of N², and the plan is
+
+        broadcast centroids -> argmax assign (linear)
+        -> one shuffle on centroid_id -> within-cell self-join
+
+    with norms computed once per vector before the join and the dot
+    product unrolled into codegen arithmetic. No driver materialization
+    anywhere. Ranking/threshold use similarity rounded to 6 decimals so
+    the kept set is deterministic and engine-portable.
+    """
+    assigned = centroid_assign(emb, n_centroids, id_col, vec_col, dim).select(
+        id_col, "centroid_id"
+    )
+    pts = (
+        emb.filter(F.col(id_col) >= n_centroids)
+        .select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+        .withColumn("_n", F.sqrt(unrolled_dot("v", "v", dim)))
+        .join(assigned, id_col)
+    )
+    a = pts.select(
+        F.col(id_col).alias("a_id"), F.col("centroid_id").alias("cell_a"),
+        F.col("v").alias("q_vec"), F.col("_n").alias("_qn"),
+    )
+    b = pts.select(
+        F.col(id_col).alias("b_id"), F.col("centroid_id").alias("cell_b"),
+        F.col("v").alias("b_vec"), F.col("_n").alias("_bn"),
+    )
+    dup = (
+        a.join(b, (a["cell_a"] == b["cell_b"]) & (a["a_id"] < b["b_id"]))
+        .select("a_id", "b_id", _sim_unrolled(dim))
+        .filter(F.col("sim") >= tau)
+        .groupBy("b_id")
+        .agg(F.min("a_id").alias("dup_of"))
+    )
+    return (
+        assigned.join(dup, assigned[id_col] == dup["b_id"], "left")
+        .select(
+            id_col,
+            "centroid_id",
+            "dup_of",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+    )

@@ -666,11 +666,17 @@ def test_stream_static_picks_up_dim_updates_between_batches(spark, tmp_path):
     stream = parquet_stream(spark, str(src), max_files_per_trigger=1)
 
     collected = []
+    updated = []
 
     def sink(batch_df, batch_id):
         collected.extend((r["uri"], r["profile_text"]) for r in batch_df.collect())
-        if batch_id == 0:
-            # update the dimension AND add a second source file -> batch 1
+        # Key the mid-stream update on having SEEN the first row, not on
+        # batch_id == 0: under load the source can plan an empty batch 0
+        # before the initial file is visible, which would leak the v2 dim
+        # into u/1's batch and flake the test.
+        if not updated and any(u == "at://u/1" for u, _ in collected):
+            updated.append(True)
+            # update the dimension AND add a second source file -> next batch
             spark.createDataFrame(
                 [("did:plc:a", "v2")], "did string, profile_text string"
             ).write.mode("overwrite").parquet(dim_dir)
@@ -687,7 +693,7 @@ def test_stream_static_picks_up_dim_updates_between_batches(spark, tmp_path):
         .start()
     )
     import time as _t
-    deadline = _t.time() + 120
+    deadline = _t.time() + 240
     while _t.time() < deadline and len(collected) < 2:
         _t.sleep(0.5)
     q.stop()

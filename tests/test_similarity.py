@@ -209,3 +209,60 @@ def test_embedding_quantize_reconstruction_bound(spark):
         assert all(abs(v - q / scale) <= 0.5 / scale + 1e-12 for v, q in zip(x, qv))
         checked += 1
     assert checked == 20
+
+
+def test_semantic_dedup_pairs_are_within_cell_and_above_tau(spark):
+    """Every flagged duplicate must name an earlier cluster-mate whose
+    exact cosine clears tau; every unflagged vector must have NO earlier
+    same-cell neighbor above tau (soundness + completeness vs a
+    brute-force numpy check)."""
+    import numpy as np
+
+    from starryskyqueryengine_spark.catalog_similarity import (
+        N_CENTROIDS,
+        SEMDEDUP_TAU,
+    )
+    from starryskyqueryengine_spark.functions import similarity as sim
+    from starryskyqueryengine_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    out = {r["vec_id"]: r for r in sim.semantic_dedup(
+        emb, N_CENTROIDS, SEMDEDUP_TAU).collect()}
+
+    rows = emb.collect()
+    V = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    for v in V.values():
+        v /= max(np.linalg.norm(v), 1e-300)
+
+    cell = {vid: out[vid]["centroid_id"] for vid in out}
+    pts = sorted(vid for vid in V if vid >= N_CENTROIDS)
+    assert set(pts) == set(out)
+
+    for vid in pts:
+        earlier_hits = [
+            a for a in pts
+            if a < vid and cell[a] == cell[vid]
+            and round(float(V[a] @ V[vid]), 6) >= SEMDEDUP_TAU
+        ]
+        r = out[vid]
+        if earlier_hits:
+            assert r["is_dup"] and r["dup_of"] == min(earlier_hits), (vid, r)
+        else:
+            assert not r["is_dup"] and r["dup_of"] is None, (vid, r)
+
+
+def test_semantic_dedup_cost_is_subquadratic_in_pairs(spark):
+    """The within-cell self-join must compare strictly fewer pairs than
+    the all-pairs kernel would — the point of SemDeDup's clustering."""
+    from starryskyqueryengine_spark.catalog_similarity import N_CENTROIDS
+    from starryskyqueryengine_spark.functions import similarity as sim
+    from starryskyqueryengine_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    assigned = sim.centroid_assign(emb, N_CENTROIDS)
+    sizes = [r["c"] for r in assigned.groupBy("centroid_id")
+             .agg(F.count("*").alias("c")).collect()]
+    n = sum(sizes)
+    within_cell_pairs = sum(s * (s - 1) // 2 for s in sizes)
+    all_pairs = n * (n - 1) // 2
+    assert within_cell_pairs < all_pairs * 0.5, (within_cell_pairs, all_pairs)

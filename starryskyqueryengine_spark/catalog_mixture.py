@@ -718,3 +718,118 @@ def quality_bucket_sample(spark, sf_dir):
         )
     )
 
+
+
+# -- DSIR hashed-n-gram importance weights ---------------------------------
+
+DSIR_BUCKETS = 10_000
+DSIR_TARGET_LANG = "en"  # target-domain stand-in: English documents
+
+_DSIR_TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+# bigram feature ids: md5-bucketed into DSIR_BUCKETS, identical in both
+# engines (first 8 md5 hex chars as bigint, mod buckets)
+
+
+def _dsir_oracle() -> str:
+    feat_hash = _sql_md5int("bg")
+    return f"""
+    WITH tok AS (SELECT doc_id, lang, {_DSIR_TOK} AS w FROM documents),
+    bg AS (
+      SELECT doc_id, lang,
+             list_transform(range(2, len(w) + 1),
+                            _bg -> w[_bg - 1] || ' ' || w[_bg]) AS bgs
+      FROM tok
+    ),
+    feat AS (
+      SELECT doc_id, lang, ({feat_hash}) % {DSIR_BUCKETS} AS f
+      FROM (SELECT doc_id, lang, unnest(bgs) AS bg FROM bg)
+    ),
+    doc_feat AS (SELECT doc_id, f, count(*) AS c FROM feat GROUP BY doc_id, f),
+    tgt AS (SELECT f, count(*) AS c FROM feat
+            WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY f),
+    raw AS (SELECT f, count(*) AS c FROM feat GROUP BY f),
+    tot AS (SELECT (SELECT count(*) FROM feat
+                    WHERE lang = '{DSIR_TARGET_LANG}') AS n_tgt,
+                   (SELECT count(*) FROM feat) AS n_raw)
+    SELECT df.doc_id,
+           ROUND(sum(df.c * (ln((COALESCE(tgt.c, 0) + 1.0)
+                                / (tot.n_tgt + {DSIR_BUCKETS}))
+                             - ln((raw.c + 1.0)
+                                  / (tot.n_raw + {DSIR_BUCKETS})))), 6)
+             AS log_weight
+    FROM doc_feat df
+    LEFT JOIN tgt ON df.f = tgt.f
+    JOIN raw ON df.f = raw.f
+    CROSS JOIN tot
+    GROUP BY df.doc_id
+    """
+
+
+@register("dsir_importance_weights", _dsir_oracle())
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    the log-likelihood ratio of its hashed-bigram features under a
+    target-domain distribution vs the raw-corpus distribution; resampling
+    proportional to exp(log_weight) then selects raw data that "looks
+    like" the target. Here the English subset stands in for the target
+    domain, with add-1 smoothing over the hash buckets.
+
+    Scale shape: one corpus-sized explode -> hash-aggregate for per-doc
+    feature counts; BOTH distribution tables are bounded by the bucket
+    count (10^4 rows, broadcast) no matter the corpus size, as are the
+    two scalar totals — so the plan is two broadcast joins and two hash
+    aggregates, no window, nothing quadratic. The bigram build is an
+    array transform inside codegen (no per-token shuffle for a lag
+    window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0).alias("w"),
+    )
+    # size guard: Spark's sequence(2, n) runs DESCENDING when n < 2,
+    # which would fabricate null bigrams for 0/1-token docs; DuckDB's
+    # range() is empty there, so filter to keep the engines aligned.
+    bg = tok.filter(F.size("w") >= 2).select(
+        "doc_id", "lang",
+        F.explode(
+            F.expr("transform(sequence(2, size(w)), i -> concat(w[i-2], ' ', w[i-1]))")
+        ).alias("bg"),
+    )
+    feat = bg.select(
+        "doc_id", "lang", (_md5int(F.col("bg")) % DSIR_BUCKETS).alias("f")
+    )
+    doc_feat = feat.groupBy("doc_id", "f").agg(F.count("*").alias("c"))
+    tgt = (
+        feat.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("f").agg(F.count("*").alias("tc"))
+    )
+    raw = feat.groupBy("f").agg(F.count("*").alias("rc"))
+    tot = feat.agg(
+        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)).alias("n_tgt"),
+        F.count("*").alias("n_raw"),
+    )
+    return (
+        doc_feat.join(F.broadcast(tgt), "f", "left")
+        .join(F.broadcast(raw), "f")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("c")
+                    * (
+                        F.log(
+                            (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1.0))
+                            / (F.col("n_tgt") + F.lit(DSIR_BUCKETS))
+                        )
+                        - F.log(
+                            (F.col("rc") + F.lit(1.0))
+                            / (F.col("n_raw") + F.lit(DSIR_BUCKETS))
+                        )
+                    )
+                ),
+                6,
+            ).alias("log_weight")
+        )
+    )

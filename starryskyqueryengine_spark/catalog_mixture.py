@@ -833,3 +833,48 @@ def dsir_importance_weights(spark, sf_dir):
             ).alias("log_weight")
         )
     )
+
+
+
+DSIR_SAMPLE_K = 100
+
+
+def _dsir_resample_oracle() -> str:
+    h = _sql_md5int("'rs:' || CAST(doc_id AS VARCHAR)")
+    u = f"(({h}) + 1.0) / 4294967297.0"
+    return f"""
+    WITH dw AS ({_dsir_oracle()})
+    SELECT doc_id, log_weight, rank_key FROM (
+      SELECT doc_id, log_weight,
+             ROUND(ln(-ln({u})) - log_weight, 6) AS rank_key,
+             row_number() OVER (
+               ORDER BY ROUND(ln(-ln({u})) - log_weight, 6), doc_id) AS rn
+      FROM dw
+    ) WHERE rn <= {DSIR_SAMPLE_K}
+    """
+
+
+@register("dsir_resample", _dsir_resample_oracle())
+def dsir_resample(spark, sf_dir):
+    """Weighted sampling-without-replacement over the DSIR importance
+    weights — the SELECTION step of importance resampling (Xie et al.
+    2023), via the Efraimidis-Spirakis exponential race: draw
+    e_i = -ln(u_i) / w_i with w_i = exp(log_weight_i) and keep the k
+    smallest. In log space the race key is ln(-ln(u)) - log_weight, so
+    exp() never overflows. u_i is a seeded md5 uniform in (0,1) — never
+    rand() — so the selected set is identical across runs, engines, and
+    partitionings.
+
+    Scale shape: reuses the DSIR weight plan (broadcast distribution
+    tables, two hash aggregates) and adds only a TakeOrderedAndProject
+    top-k — per-partition heaps of k rows, no global sort, no window."""
+    w = dsir_importance_weights(spark, sf_dir)
+    u = (
+        _md5int(F.concat(F.lit("rs:"), F.col("doc_id").cast("string"))) + F.lit(1.0)
+    ) / F.lit(4294967297.0)
+    key = F.round(F.log(-F.log(u)) - F.col("log_weight"), 6)
+    return (
+        w.select("doc_id", "log_weight", key.alias("rank_key"))
+        .orderBy("rank_key", "doc_id")
+        .limit(DSIR_SAMPLE_K)
+    )

@@ -260,3 +260,71 @@ def test_corpus_overview_single_expand(spark, queries):
     plan = plan_of(queries["corpus_overview"](spark, SF_DIR))
     assert plan.count("Expand") == 1
     assert "Union" not in plan
+
+
+def test_bm25_broadcasts_small_sides_and_takes_ordered(spark, queries):
+    """BM25: query-term df / avgdl / n_docs sides must broadcast (never
+    shuffle the corpus against them) and the top-k must be a heap, not a
+    global sort."""
+    plan = plan_of(queries["bm25_search"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_semantic_dedup_shuffles_once_on_cell(spark, queries):
+    """SemDeDup: the pair work must ride ONE hashpartitioning exchange on
+    centroid_id into the Arrow kernel — no cartesian, no all-pairs join."""
+    plan = plan_of(queries["semantic_dedup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
+    assert plan.count("hashpartitioning(centroid_id") >= 1
+
+
+def test_dsir_distribution_tables_broadcast(spark, queries):
+    """DSIR: target/raw feature-distribution sides are bucket-bounded and
+    must broadcast; the corpus side contributes hash aggregates only."""
+    plan = plan_of(queries["dsir_importance_weights"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_quality_bucket_sample_no_global_row_sort(spark, queries):
+    """quality_bucket_sample replaces NTILE-over-corpus with a value
+    histogram: the only Window may run over the tiny distinct-quality
+    table (single partition is fine THERE), and the corpus join back must
+    be broadcast."""
+    plan = plan_of(queries["quality_bucket_sample"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # the corpus itself must not be globally sorted: any Sort node present
+    # belongs to the histogram window, whose input is an aggregate
+    assert "TakeOrderedAndProject" not in plan  # not a top-k, sanity
+    assert "ntile" not in plan.lower()
+
+
+def test_q15_revenue_scalar_is_broadcast_not_collected(spark, queries):
+    """Q15: the MAX(total_revenue) scalar must join back as a broadcast,
+    and the plan must not contain a cartesian."""
+    plan = plan_of(queries["q15_top_supplier"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_part_avg_aggregates_before_join(spark, queries):
+    """Q17: the per-part half-average must be a HashAggregate BELOW the
+    join with lineitem (one row per part crosses), not a post-join agg."""
+    opt = optimized_of(queries["q17_small_quantity_revenue"](spark, SF_DIR))
+    agg_pos = opt.find("Aggregate [l_partkey")
+    if agg_pos == -1:
+        agg_pos = opt.find("Aggregate [pa_partkey")
+    join_pos = opt.find("Join Inner")
+    assert agg_pos != -1 and join_pos != -1 and agg_pos > join_pos
+
+
+def test_q21_semi_and_anti_join_present(spark, queries):
+    """Q21: EXISTS -> LeftSemi and NOT EXISTS -> LeftAnti must both appear
+    (no rewrite into a wide outer join + filter)."""
+    opt = optimized_of(queries["q21_waiting_supplier"](spark, SF_DIR))
+    assert "LeftSemi" in opt
+    assert "LeftAnti" in opt

@@ -224,3 +224,94 @@ def corpus_overview(spark, sf_dir):
         F.sum("tok").cast("bigint").alias("n_tok"),
         (F.grouping("lang") * 2 + F.grouping("source")).cast("bigint").alias("gid"),
     )
+
+
+# -- per-source distribution drift (KL divergence) --------------------------
+
+KL_BUCKETS = 4096
+
+
+def _kl_oracle() -> str:
+    from .catalog_dedup import _sql_md5int
+
+    feat = _sql_md5int("tok")
+    return f"""
+    WITH tok AS (
+      SELECT source,
+             ({feat}) % {KL_BUCKETS} AS f
+      FROM (SELECT source,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+            FROM documents)
+    ),
+    src_cnt AS (SELECT source, f, count(*) AS c FROM tok GROUP BY source, f),
+    src_tot AS (SELECT source, count(*) AS n_s FROM tok GROUP BY source),
+    cor_cnt AS (SELECT f, count(*) AS c FROM tok GROUP BY f),
+    cor_tot AS (SELECT count(*) AS n FROM tok),
+    grid AS (SELECT s.source, s.n_s, g.range AS f
+             FROM src_tot s CROSS JOIN range({KL_BUCKETS}) g)
+    SELECT grid.source,
+           CAST(max(grid.n_s) AS BIGINT) AS n_tokens,
+           ROUND(sum(
+             ((COALESCE(sc.c, 0) + 1.0) / (grid.n_s + {KL_BUCKETS}))
+             * ln(((COALESCE(sc.c, 0) + 1.0) / (grid.n_s + {KL_BUCKETS}))
+                  / ((COALESCE(cc.c, 0) + 1.0) / (ct.n + {KL_BUCKETS})))
+           ), 6) AS kl_divergence
+    FROM grid
+    LEFT JOIN src_cnt sc ON grid.source = sc.source AND grid.f = sc.f
+    LEFT JOIN cor_cnt cc ON grid.f = cc.f
+    CROSS JOIN cor_tot ct
+    GROUP BY grid.source
+    """
+
+
+@register("source_kl_divergence", _kl_oracle())
+def source_kl_divergence(spark, sf_dir):
+    """Per-source distribution drift: KL(source ‖ corpus) over hashed
+    unigram buckets with add-1 smoothing — the mixture-health diagnostic
+    a pretraining pipeline tracks to catch a source drifting away from
+    (or collapsing into) the corpus distribution.
+
+    Scale shape: corpus-sized work is exactly two hash aggregates (per
+    (source, bucket) and per bucket); the KL sum then runs on the
+    |sources| x 4096 dense grid — a few hundred thousand rows regardless
+    of corpus size — built from a broadcast spark.range cross join, with
+    both count tables broadcast onto it. Nothing quadratic, no window,
+    no UDF; exact same smoothing/rounding as the DuckDB oracle."""
+    from .catalog_mixture import _md5int
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("tok"),
+    ).select("source", (_md5int(F.col("tok")) % KL_BUCKETS).alias("f"))
+    src_cnt = tok.groupBy("source", "f").agg(F.count("*").alias("sc"))
+    src_tot = tok.groupBy("source").agg(F.count("*").alias("n_s"))
+    cor_cnt = tok.groupBy("f").agg(F.count("*").alias("cc"))
+    cor_tot = tok.agg(F.count("*").alias("n"))
+    grid = src_tot.crossJoin(F.broadcast(spark.range(KL_BUCKETS).select(
+        F.col("id").cast("bigint").alias("f")
+    )))
+    p = (
+        grid.join(F.broadcast(src_cnt), ["source", "f"], "left")
+        .join(F.broadcast(cor_cnt), "f", "left")
+        .join(F.broadcast(cor_tot))
+        .select(
+            "source", "n_s",
+            (
+                ((F.coalesce(F.col("sc"), F.lit(0)) + F.lit(1.0))
+                 / (F.col("n_s") + F.lit(KL_BUCKETS)))
+                * F.log(
+                    ((F.coalesce(F.col("sc"), F.lit(0)) + F.lit(1.0))
+                     / (F.col("n_s") + F.lit(KL_BUCKETS)))
+                    / ((F.coalesce(F.col("cc"), F.lit(0)) + F.lit(1.0))
+                       / (F.col("n") + F.lit(KL_BUCKETS)))
+                )
+            ).alias("term"),
+        )
+    )
+    return p.groupBy("source").agg(
+        F.max("n_s").cast("bigint").alias("n_tokens"),
+        F.round(F.sum("term"), 6).alias("kl_divergence"),
+    )

@@ -335,6 +335,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     train_iters: int = 0,
+    centroids=None,
 ) -> DataFrame:
     """Approximate ANN via IVF-flat: partition the base into inverted
     lists by nearest centroid; each query probes only its ``n_probe``
@@ -355,7 +356,13 @@ def ivf_topk(
     import numpy as np
 
     spark = base.sparkSession
-    if train_iters > 0:
+    if centroids is not None:
+        # Precomputed index: the production path — an IVF index is
+        # trained once and served many times; callers that amortize the
+        # k-means build (see catalog_similarity's per-dataset cache)
+        # pass the centroid matrix straight in.
+        C = centroids
+    elif train_iters > 0:
         # Learned centroids: distributed Lloyd refinement of the same
         # deterministic init — tighter cells, better recall at equal probe.
         C = kmeans_fit(base, n_centroids, iters=train_iters,

@@ -878,3 +878,122 @@ def dsir_resample(spark, sf_dir):
         .orderBy("rank_key", "doc_id")
         .limit(DSIR_SAMPLE_K)
     )
+
+
+# -- winnowing fingerprints (MOSS) -----------------------------------------
+
+WIN_K = 3   # word k-grams
+WIN_W = 4   # winnowing window (in grams)
+_WIN_POS_CAP = 1 << 20  # position pack base; widen for multi-MB documents
+
+
+def _winnow_oracle() -> str:
+    gram = f"array_to_string(ws[pos + 1 : pos + {WIN_K}], ' ')"
+    h = _sql_md5int(gram)
+    packed = f"({h}) * {_WIN_POS_CAP} + ({_WIN_POS_CAP - 1} - pos)"
+    return rf"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, ws,
+             unnest(range(GREATEST(len(ws) - {WIN_K} + 1, 0))) AS pos
+      FROM w
+    ),
+    sh AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos, {packed} AS pk
+      FROM g
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id,
+             MIN(pk) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN {WIN_W - 1} PRECEDING
+                                    AND CURRENT ROW) AS fp
+      FROM sh
+      QUALIFY pos >= {WIN_W - 1}
+    ),
+    perdoc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_fingerprints,
+             CAST(sum(fp // {_WIN_POS_CAP}) AS BIGINT) AS fp_hash_sum,
+             CAST(min({_WIN_POS_CAP - 1} - (fp % {_WIN_POS_CAP})) AS BIGINT)
+               AS first_fp_pos
+      FROM sel GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(GREATEST(len(w.ws) - {WIN_K} + 1, 0) AS BIGINT) AS n_grams,
+           COALESCE(p.n_fingerprints, 0) AS n_fingerprints,
+           COALESCE(p.fp_hash_sum, 0) AS fp_hash_sum,
+           COALESCE(p.first_fp_pos, -1) AS first_fp_pos
+    FROM w LEFT JOIN perdoc p ON w.doc_id = p.doc_id
+    """
+
+
+@register("winnow_fingerprints", _winnow_oracle())
+def winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS local fingerprinting algorithm): hash every word
+    k-gram, slide a window of W gram positions, and select each
+    window's minimum hash, breaking ties toward the RIGHTMOST position.
+    The guarantee: any shared substring of at least W + K - 1 words
+    yields at least one shared fingerprint, while only ~2/(W+1) of all
+    grams are kept — the index behind near-match detection at corpus
+    scale.
+
+    The rightmost-min tie rule rides the same packed-bigint arg-min
+    trick as line_dedup_stats: pk = h * 2^20 + (2^20-1 - pos), so
+    MIN(pk) picks the smallest hash and, among equal hashes, the
+    largest position — one codegen window MIN, no struct comparators.
+    Scale shape: explode grams (16 bytes each on the wire), ONE shuffle
+    on doc_id for the window + per-doc aggregate; nothing global,
+    nothing quadratic. At 100 TB the selected-fingerprint table (~2/W+1
+    of gram count) is what feeds a (fingerprint -> docs) inverted index
+    via one more groupBy."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws"))
+    n_grams = F.greatest(F.size("ws") - F.lit(WIN_K - 1), F.lit(0))
+    sh = w.filter(n_grams > 0).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_grams - 1)).alias("pos"),
+        F.col("ws"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        (
+            _md5int(F.array_join(F.slice("ws", F.col("pos") + 1, WIN_K), " "))
+            * F.lit(_WIN_POS_CAP)
+            + (F.lit(_WIN_POS_CAP - 1) - F.col("pos"))
+        ).alias("pk"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WIN_W - 1), Window.currentRow)
+    )
+    sel = (
+        sh.select("doc_id", "pos", F.min("pk").over(win).alias("fp"))
+        .filter(F.col("pos") >= WIN_W - 1)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    perdoc = sel.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_fingerprints"),
+        F.sum((F.col("fp") / F.lit(_WIN_POS_CAP)).cast("bigint"))
+        .cast("bigint").alias("fp_hash_sum"),
+        F.min(F.lit(_WIN_POS_CAP - 1) - (F.col("fp") % F.lit(_WIN_POS_CAP)))
+        .cast("bigint").alias("first_fp_pos"),
+    )
+    return (
+        w.select("doc_id", n_grams.cast("bigint").alias("n_grams"))
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_fingerprints", F.lit(0)).alias("n_fingerprints"),
+            F.coalesce("fp_hash_sum", F.lit(0)).alias("fp_hash_sum"),
+            F.coalesce("first_fp_pos", F.lit(-1)).alias("first_fp_pos"),
+        )
+    )

@@ -302,3 +302,77 @@ def test_neardup_gate_compaction_preserves_state(spark, tmp_path):
         )
     ).collect()}
     assert v == {100: True, 101: False}
+
+
+def test_winnowing_guarantee_shared_substring_shares_fingerprint(spark, tmp_path):
+    """The winnowing theorem: two documents sharing a substring of at
+    least W + K - 1 words must share at least one selected fingerprint;
+    and the fingerprint density stays well under 1 (the point of
+    winnowing vs keeping all grams)."""
+    import random
+
+    from starryskyqueryengine_spark.catalog_mixture import (
+        _WIN_POS_CAP,
+        _md5int,
+        WIN_K,
+        WIN_W,
+    )
+    from pyspark.sql import Window
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(200)]
+    shared = " ".join(rng.choice(words) for _ in range(WIN_W + WIN_K - 1))
+    doc = lambda n: " ".join(rng.choice(words) for _ in range(n))
+    rows = [
+        (1, doc(30) + " " + shared + " " + doc(25), "en", "s", 1),
+        (2, doc(40) + " " + shared, "en", "s", 1),
+        (3, doc(35), "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "fx")
+    df.write.parquet(f"{d}/documents.parquet")
+
+    # recompute the selected fingerprint SET per doc (the catalog query
+    # reports stats; the guarantee is about the sets)
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    w = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws"))
+    n_grams = F.size("ws") - F.lit(WIN_K - 1)
+    sh = w.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_grams - 1)).alias("pos"),
+        F.col("ws"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        (
+            _md5int(F.array_join(F.slice("ws", F.col("pos") + 1, WIN_K), " "))
+            * F.lit(_WIN_POS_CAP)
+            + (F.lit(_WIN_POS_CAP - 1) - F.col("pos"))
+        ).alias("pk"),
+    )
+    win = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(-(WIN_W - 1), Window.currentRow)
+    )
+    sel = (
+        sh.select("doc_id", "pos", F.min("pk").over(win).alias("fp"))
+        .filter(F.col("pos") >= WIN_W - 1)
+        .select("doc_id", (F.col("fp") / F.lit(_WIN_POS_CAP)).cast("bigint").alias("h"))
+        .distinct()
+        .collect()
+    )
+    fps: dict[int, set] = {}
+    for r in sel:
+        fps.setdefault(r["doc_id"], set()).add(r["h"])
+    assert fps[1] & fps[2], "docs sharing a W+K-1-word substring must share a fingerprint"
+    assert not (fps[3] & fps[1]) or len(fps[3] & fps[1]) <= 1  # unrelated docs: ~no overlap
+
+    from starryskyqueryengine_spark.catalog_mixture import winnow_fingerprints
+
+    stats = {r["doc_id"]: r for r in winnow_fingerprints(spark, d).collect()}
+    for did, r in stats.items():
+        assert 0 < r["n_fingerprints"] <= r["n_grams"]
+        # density ~ 2/(W+1); allow generous slack but forbid keep-everything
+        assert r["n_fingerprints"] < r["n_grams"] * 0.8, (did, r)

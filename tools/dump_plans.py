@@ -53,6 +53,8 @@ HEADLINERS = {
     "semantic_dedup": "broadcast centroids -> argmax assign -> ONE shuffle on centroid_id -> per-cell BLAS kernel (N^2/k, never N^2)",
     "dsir_importance_weights": "both n-gram distribution tables bounded by bucket count -> broadcast; corpus does two hash aggs, no window",
     "quality_bucket_sample": "tercile cutoffs from the 10^4-row VALUE histogram, broadcast back — no NTILE global sort over the corpus",
+    "winnow_fingerprints": "rightmost-min winnowing via packed-bigint arg-min in ONE codegen window; one shuffle on doc_id",
+    "source_kl_divergence": "corpus work = two hash aggs; KL sum runs on the broadcast |sources| x 4096 grid, size-independent of the corpus",
 }
 
 

@@ -662,3 +662,46 @@ def bm25_search(spark, sf_dir):
         .limit(BM25_TOP_K)
         .select("doc_id", "score")
     )
+
+
+SPLIT_VAL_PCT = 10  # val share, percent
+
+
+@register(
+    "leakage_safe_split",
+    rf"""
+    WITH fp AS (
+      SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+      FROM documents
+    )
+    SELECT doc_id, fp,
+           CASE WHEN {_sql_md5int("'split:' || fp")} % 100 < {SPLIT_VAL_PCT}
+                THEN 'val' ELSE 'train' END AS split
+    FROM fp
+    """,
+)
+def leakage_safe_split(spark, sf_dir):
+    """Contamination-safe train/val split: the split key is the
+    whitespace-normalized CONTENT fingerprint, not the document id, so
+    exact duplicates always land on the same side — the standard guard
+    against a val set leaking into training through duplicated
+    documents (plain id-hash splits, like split_train_val here, put two
+    copies of one text on opposite sides). Near-dup-safe variants key
+    on the dedup cluster root (dedup_survivors) instead; same shape.
+
+    Scale shape: pure per-row projection riding the scan — fingerprint
+    + seeded hash are codegen expressions; zero shuffles, zero UDFs.
+    The split is engine-exact and reproducible (seeded md5, no
+    rand())."""
+    from .catalog_mixture import _md5int
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = tx.fingerprint(F.col("text")).alias("fp")
+    d = docs.select("doc_id", fp)
+    return d.select(
+        "doc_id", "fp",
+        F.when(
+            _md5int(F.concat(F.lit("split:"), F.col("fp"))) % 100 < SPLIT_VAL_PCT,
+            "val",
+        ).otherwise("train").alias("split"),
+    )

@@ -90,15 +90,73 @@ def ann_ivf_topk(spark, sf_dir):
                         centroids=C)
 
 
-@register("ann_lsh_topk")  # approximate: rows-only check (recall in tests)
+LSH_BITS = 4
+LSH_TABLES = 8
+LSH_DIM = 64
+
+
+def _lsh_bucket_sql(table: int) -> str:
+    """DuckDB bucket expression for one LSH table, mirroring
+    functions.similarity.hyperplane_signs_sql EXACTLY: the +-1.0
+    coefficients come from the same md5 stream, and the projection is
+    the same left-associative 64-term sum, so both engines compute
+    bit-identical IEEE doubles and hence identical sign buckets."""
+    from .functions.similarity import _sign_coeffs
+
+    bits = []
+    for j in range(LSH_BITS):
+        cs = _sign_coeffs(table, j, LSH_DIM)
+        terms = " + ".join(
+            (f"v[{i + 1}]" if c > 0 else f"(-v[{i + 1}])")
+            for i, c in enumerate(cs)
+        )
+        bits.append(f"CASE WHEN ({terms}) > 0 THEN {1 << j} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _lsh_oracle() -> str:
+    per_table = " UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl, {_lsh_bucket_sql(t)} AS bucket FROM s"
+        for t in range(LSH_TABLES)
+    )
+    return f"""
+    WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    tb AS ({per_table}),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, b.vec_id AS nn_id
+      FROM tb q JOIN tb b ON q.tbl = b.tbl AND q.bucket = b.bucket
+      WHERE q.vec_id < {ANN_NUM_QUERIES} AND b.vec_id >= {ANN_NUM_QUERIES}
+    ),
+    scored AS (
+      SELECT c.q_id, c.nn_id,
+             ROUND(list_cosine_similarity(q.v, b.v), 6) AS sim
+      FROM cand c
+      JOIN s q ON c.q_id = q.vec_id
+      JOIN s b ON c.nn_id = b.vec_id
+    )
+    SELECT q_id, nn_id, sim FROM (
+      SELECT q_id, nn_id, sim,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY sim DESC, nn_id) AS rn
+      FROM scored
+    ) WHERE rn <= {ANN_K}
+    """
+
+
+@register("ann_lsh_topk", _lsh_oracle())
 def ann_lsh_topk(spark, sf_dir):
     """Approximate ANN: random-hyperplane LSH bucket probe, ~2^bits
     candidate reduction. Recall vs the exact path is asserted in
-    tests/test_similarity.py."""
+    tests/test_similarity.py; the bucketing itself is VALUE-checked
+    against a DuckDB oracle that replays the identical +-1 hyperplane
+    sums (deterministic md5 coefficients, same fold order -> identical
+    IEEE doubles -> identical buckets and candidates in both
+    engines)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < ANN_NUM_QUERIES)
     base = emb.filter(F.col("vec_id") >= ANN_NUM_QUERIES)
-    return sim.lsh_topk(queries, base, ANN_K, n_bits=4, n_tables=8, dim=64)
+    return sim.lsh_topk(queries, base, ANN_K, n_bits=LSH_BITS,
+                        n_tables=LSH_TABLES, dim=LSH_DIM)
 
 
 N_CENTROIDS = 16

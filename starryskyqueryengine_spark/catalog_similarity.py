@@ -360,3 +360,70 @@ def semantic_dedup(spark, sf_dir):
     of the same semantics."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.semantic_dedup(emb, N_CENTROIDS, SEMDEDUP_TAU)
+
+
+IVF_PROBE = 4
+IVF_CELLS = 16
+
+
+def _ivf_fixed_oracle() -> str:
+    from .catalog_dedup import _sql_md5int
+
+    h = _sql_md5int("CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id >= {ANN_NUM_QUERIES}),
+    q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE vec_id < {ANN_NUM_QUERIES}),
+    c AS (SELECT vec_id AS cid, v AS cv,
+                 row_number() OVER (ORDER BY {h}, vec_id) - 1 AS crank
+          FROM b QUALIFY crank < {IVF_CELLS}),
+    b_cell AS (
+      SELECT vec_id, v, crank AS cell FROM (
+        SELECT b.vec_id, b.v, c.crank,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY list_cosine_similarity(b.v, c.cv) DESC,
+                                           c.crank) AS rn
+        FROM b, c) WHERE rn = 1
+    ),
+    q_cell AS (
+      SELECT vec_id, v, crank AS cell FROM (
+        SELECT q.vec_id, q.v, c.crank,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY list_cosine_similarity(q.v, c.cv) DESC,
+                                           c.crank) AS rn
+        FROM q, c) WHERE rn <= {IVF_PROBE}
+    ),
+    scored AS (
+      SELECT q.vec_id AS q_id, b.vec_id AS nn_id,
+             ROUND(list_cosine_similarity(q.v, b.v), 6) AS sim
+      FROM q_cell q JOIN b_cell b ON q.cell = b.cell
+    )
+    SELECT q_id, nn_id, sim FROM (
+      SELECT q_id, nn_id, sim,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY sim DESC, nn_id) AS rn
+      FROM scored
+    ) WHERE rn <= {ANN_K}
+    """
+
+
+@register("ann_ivf_fixed_topk", _ivf_fixed_oracle())
+def ann_ivf_fixed_topk(spark, sf_dir):
+    """IVF-flat probe with FIXED deterministic centroids (the
+    hash-ordered init, zero Lloyd iterations) — the value-checked twin
+    of ann_ivf_topk: with the index pinned, cell assignment, n_probe
+    cell selection, candidate restriction, and within-cell exact
+    scoring are all deterministic relational semantics the DuckDB
+    oracle replays exactly. ann_ivf_topk keeps the trained-index path
+    (recall-tested); this query proves the probe machinery value-exact.
+
+    Scale shape is identical: broadcast centroid matrix, one
+    linear mapInPandas assignment pass over the base, broadcast query
+    probes joined on cell — a query touches n_probe/n_cells of the
+    data."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_NUM_QUERIES)
+    base = emb.filter(F.col("vec_id") >= ANN_NUM_QUERIES)
+    return sim.ivf_topk(queries, base, ANN_K, n_centroids=IVF_CELLS,
+                        n_probe=IVF_PROBE, train_iters=0)

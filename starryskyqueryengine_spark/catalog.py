@@ -567,77 +567,69 @@ def _load_extensions() -> None:
 
 
 # The external correctness gate verifies only the FIRST 50 registered
-# queries (CORRECTNESS_r01.json == registration order[:50]).  Registration
-# order is an import-order side effect, so we pin an explicit priority
-# list instead: every SURVEY §2 operator's covering query — flagship
-# multifeed, all streaming, the P6–P10 chain, q10/q13, as-of, range join,
-# multimodal, and the round-2 surface queries (S1/S6/S10/P11/T6/U3/U4) —
-# lands inside the window.  Queries past the window either earned green
-# rows in round 1 and are unchanged since (dedup family, ann_cosine,
-# knn_centroid) or are long-tail extras; all remain covered by
+# queries.  Round-5 rotation (VERDICT.md r4 top ask): 62 of 112 queries
+# had never earned a driver row, so the window now holds a 13-query
+# regression core (flagship, streaming trio, P-chain, T1/T2, j2, q1,
+# s1, p11 — the operators most likely to regress) plus all 36
+# never-driver-checked locally-value-exact queries (TPC-H long tail,
+# similarity/curation/mixture/packing headliners, PII, sessionize,
+# PPM codec) plus the new value-checked mm_ppm_resize.  Everything
+# rotated OUT earned green driver rows in r1-r4 and is unchanged since;
+# all 113 queries remain covered by tools/full_gate.py and
 # tests/test_oracle_parity.py locally.
 PRIORITY: list[str] = [
-    # Reference surface: predicates / joins / aggs / top-k / funcs
-    "p4_regex_include",
-    "p5_regex_exclude",
-    "p12_lang_filter",
-    "j1_broadcast_lookup",
-    "j2_anti_join_dedup",
-    "j4_arrays_overlap",
-    "a1_count_per_key",
-    "t1_topk",
-    "t2_keyset_page",
-    "t3_retention_window",
-    "t4_refresh_delete",
-    "u1_union_pinned",
-    "s11_feed_catalog",
-    "f5_time_roundtrip",
-    "f9_json_extract",
-    "f7_coalesce_defaults",
-    "s5_op_routing",
-    "f_scalar_family",
-    # Round-2 surface queries (operators previously test-only)
-    "s1_paged_scan",
-    "s6_validation_filter",
-    "p11_acl_filter",
-    "s10_feed_response",
-    "t6_init_limit",
-    "u3_delete_insert_upsert",
-    "u4_cascading_delete",
-    # Condition-chain predicates + flagship evaluators
-    "p6_p9_condition_chain",
-    "p10_profile_match",
+    # --- Regression core (driver-green r1-r4, highest regression risk) ---
     "flagship_multifeed",
     "multifeed_datadriven",
-    # Streaming
     "w1_stream_upsert",
     "w2_stateful_running_stats",
     "w8_stream_tumbling_counts",
-    "w_stream_interval_join",
-    # TPC-H-shaped analytics
+    "p6_p9_condition_chain",
+    "p10_profile_match",
+    "t1_topk",
+    "t2_keyset_page",
+    "j2_anti_join_dedup",
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_delta",
-    "q4_order_priority",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    # Temporal joins / sessions
-    "range_join_click_attribution",
-    "asof_purchase_attribution",
-    "sessionize_native",
-    # Sequence / similarity headliners (dedup family + ann_cosine +
-    # knn_centroid rotated out: green in r01, unchanged since)
-    "pack_sequences",
-    "embedding_near_dup",
-    # Multimodal plumbing
-    "mm_metadata_project",
-    "mm_frame_sample",
-    "mm_decode_features",
-    # Text headliners + changed-this-round analytics
-    "text_quality_score",
-    # decimal running sum landed after the r01 gate ran -> re-verify
-    "window_user_activity",
+    "s1_paged_scan",
+    "p11_acl_filter",
+    # --- Rotated in: never driver-checked before round 5 ---
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_pred",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    "bm25_search",
+    "semantic_dedup",
+    "ann_ivf_fixed_topk",
+    "kmeans_update_step",
+    "embedding_quantize",
+    "decontaminate_overlap",
+    "domain_stats",
+    "quality_filter_funnel",
+    "corpus_overview",
+    "source_kl_divergence",
+    "mixture_sample",
+    "shuffle_shard_manifest",
+    "line_dedup_stats",
+    "span_dedup_stats",
+    "winnow_fingerprints",
+    "chunk_documents",
+    "pipeline_pretrain_prep",
+    "quality_bucket_sample",
+    "dsir_importance_weights",
+    "dsir_resample",
+    "leakage_safe_split",
+    "text_pii_redact",
+    "sessionize_events",
+    "distinct_users_daily",
+    "mm_ppm_decode",
+    "mm_ppm_resize",
 ]
 
 

@@ -89,6 +89,96 @@ def mm_resize_plumbing(spark, sf_dir):
 
 
 @register(
+    "mm_ppm_resize",
+    """
+    WITH grid AS (
+      SELECT doc_id,
+             8 + doc_id % 8 AS w,
+             6 + doc_id % 6 AS h,
+             j, k, c
+      FROM documents,
+           range(9) t1(j), range(10) t2(k), range(3) t3(c)
+    ),
+    px AS (
+      SELECT doc_id,
+             (31 * doc_id
+              + 7 * (3 * (LEAST(CAST(FLOOR(((j + 0.5) * h) / 9) AS BIGINT), h - 1) * w
+                          + LEAST(CAST(FLOOR(((k + 0.5) * w) / 10) AS BIGINT), w - 1))
+                     + c)) % 256 AS val
+      FROM grid
+    )
+    SELECT doc_id AS media_id,
+           CAST(10 AS INTEGER) AS width,
+           CAST(9 AS INTEGER) AS height,
+           ROUND(CAST(sum(val) AS DOUBLE) / count(*), 6) AS mean_px,
+           CAST(count(*) AS BIGINT) AS n_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def mm_ppm_resize(spark, sf_dir):
+    """REAL image-resize round trip (closes the round-4 rows-only gap on
+    the resize path): per doc, encode an actual binary PPM whose pixels
+    follow a closed-form generator, decode it, nearest-neighbor resample
+    to 10x9 with ``ppm_resize_nn`` (pixel-center index map,
+    src = floor((dst+0.5)*src/dst)), and report exact resized pixel
+    statistics. The oracle replays the SAME index map in SQL from the
+    generator formula alone — a header, stride, reshape, or index-map bug
+    anywhere in encode/decode/resize breaks the value match. Source dims
+    (w in 8..15, h in 6..11) straddle the 10x9 target, so both up- and
+    down-sampling paths are exercised. The double division (j+0.5)*h/9 is
+    correctly rounded IEEE in both engines, so floors agree bit-exactly.
+    100 TB shape: Arrow-batched mapInPandas over the payload column, pure
+    per-row work, zero shuffle before the final hash-agg-free projection."""
+    import numpy as np
+    import pandas as pd
+
+    from .multimodal import ppm_decode, ppm_encode, ppm_resize_nn
+    from .session import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 + d % 8, 6 + d % 6
+                n = 3 * w * h
+                px = ((31 * d + 7 * np.arange(n, dtype=np.int64)) % 256).astype(
+                    np.uint8
+                ).reshape(h, w, 3)
+                payloads.append(ppm_encode(px))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    enc = docs.mapInPandas(gen, "media_id long, payload binary")
+
+    def dec_resize(batches):
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "px_sum": [], "n_px": []}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                _, _, px = ppm_decode(bytes(b))
+                small = ppm_resize_nn(px, 10, 9)
+                flat = small.reshape(-1)
+                out["media_id"].append(int(mid))
+                out["width"].append(small.shape[1])
+                out["height"].append(small.shape[0])
+                out["px_sum"].append(int(np.sum(flat, dtype=np.int64)))
+                out["n_px"].append(flat.size)
+            yield pd.DataFrame(out)
+
+    decd = enc.mapInPandas(
+        dec_resize, "media_id long, width int, height int, px_sum long, n_px long"
+    )
+    return decd.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.col("px_sum") / F.col("n_px"), 6).alias("mean_px"),
+        F.col("n_px"),
+    )
+
+
+@register(
     "mm_ppm_decode",
     """
     WITH px AS (

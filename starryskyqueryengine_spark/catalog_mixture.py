@@ -961,7 +961,23 @@ def winnow_fingerprints(spark, sf_dir):
         F.col("ws"),
     ).select(
         "doc_id",
-        F.col("pos").cast("bigint").alias("pos"),
+        # Loud guard (mirrors _with_norm's dim check): a doc with >= 2^20
+        # word grams would drive the packed offset negative and silently
+        # bleed into the hash field — and the oracle computes the SAME
+        # wrong value, so only an executor-side error can surface it.
+        F.when(F.col("pos") < F.lit(_WIN_POS_CAP), F.col("pos").cast("bigint"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "winnow_fingerprints: gram position >= pack base "
+                        f"{_WIN_POS_CAP}; widen _WIN_POS_CAP for doc_id "
+                    ),
+                    F.col("doc_id").cast("string"),
+                )
+            )
+        )
+        .alias("pos"),
         (
             _md5int(F.array_join(F.slice("ws", F.col("pos") + 1, WIN_K), " "))
             * F.lit(_WIN_POS_CAP)

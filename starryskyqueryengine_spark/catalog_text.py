@@ -570,6 +570,15 @@ BM25_QUERY_TERMS = ("vector", "spark", "stream")
 
 
 def _bm25_oracle() -> str:
+    # Residual value-check risk (applies to every log-bearing oracle:
+    # BM25 here, DSIR and KL in catalog_mixture/catalog_curation): both
+    # engines compute ROUND(ln(...), 6), but JVM Math.log and DuckDB's
+    # libm ln are each only ~0.5-ulp accurate, not correctly rounded. A
+    # score landing within an ulp of a 0.5e-6 rounding boundary could
+    # round differently (or flip top-k membership) and flake the gate on
+    # an adversarial fixture. Observed rate on the shipped fixtures: zero
+    # across all rounds; accepted as a documented residual rather than
+    # loosening the comparator, which is driver-owned and exact.
     terms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
     return f"""
     WITH qt(term) AS (VALUES {terms}),

@@ -385,7 +385,13 @@ def ivf_topk(
                 V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
                 Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
                 S = Vn @ Cn.T
-                order = np.argsort(-S, axis=1)[:, :n_cells]
+                # Round before ranking and use a STABLE sort so exact ties
+                # (duplicate vectors chosen as centroids) and sub-ulp BLAS
+                # accumulation differences break deterministically toward
+                # the lower centroid index — matching the fixed-centroid
+                # oracle's ORDER BY sim DESC, crank ASC and the 6-decimal
+                # rounding convention used everywhere else in the repo.
+                order = np.argsort(-np.round(S, 6), axis=1, kind="stable")[:, :n_cells]
                 out = pdf.loc[pdf.index.repeat(n_cells)].reset_index(drop=True)
                 out["cell"] = order.ravel()
                 yield out[[id_col, vec_col, "cell"]]

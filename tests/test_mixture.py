@@ -376,3 +376,27 @@ def test_winnowing_guarantee_shared_substring_shares_fingerprint(spark, tmp_path
         assert 0 < r["n_fingerprints"] <= r["n_grams"]
         # density ~ 2/(W+1); allow generous slack but forbid keep-everything
         assert r["n_fingerprints"] < r["n_grams"] * 0.8, (did, r)
+
+
+def test_winnowing_pos_cap_guard_raises_loudly(spark, tmp_path, monkeypatch):
+    """A document with >= _WIN_POS_CAP word grams would drive the packed
+    offset negative and corrupt the hash field — and the oracle computes
+    the identical wrong value, so the parity gate cannot catch it. The
+    guard must surface it as an executor-side error instead. Shrinking
+    the cap via monkeypatch stands in for a multi-megaword document."""
+    import pytest
+    from starryskyqueryengine_spark import catalog_mixture
+
+    rows = [(1, " ".join(f"w{i}" for i in range(40)), "en", "s", 1)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "fx")
+    df.write.parquet(f"{d}/documents.parquet")
+
+    monkeypatch.setattr(catalog_mixture, "_WIN_POS_CAP", 8)
+    with pytest.raises(Exception, match="gram position >= pack base"):
+        catalog_mixture.winnow_fingerprints(spark, d).collect()
+    # untouched cap: same fixture runs clean
+    monkeypatch.undo()
+    assert catalog_mixture.winnow_fingerprints(spark, d).count() == 1

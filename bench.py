@@ -30,8 +30,29 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
 
-    spark = get_spark("ssqe-bench", master=f"local[{cpus}]")
+    # A single-JVM local[N] bench runs ~230 query executions in one
+    # process; Spark's ContextCleaner only reclaims dead shuffle files /
+    # broadcast blocks when driver GC processes their weak refs, and its
+    # safety-net periodic GC defaults to 30 MINUTES — longer than the
+    # whole bench. Without forcing GC, block-manager debris from earlier
+    # queries steals executor memory from later ones (round-4 symptom:
+    # lap2_total > cold_total, with late-catalog queries 2-7x their
+    # standalone times). Shorten the cleaner's net and force a full GC
+    # every GC_EVERY queries; on a real cluster the same knob is the
+    # standard long-running-driver setting.
+    spark = get_spark(
+        "ssqe-bench",
+        master=f"local[{cpus}]",
+        extra_confs={"spark.cleaner.periodicGC.interval": "1min"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
+    GC_EVERY = 15
+
+    def force_gc() -> None:
+        import gc
+
+        gc.collect()  # drop py4j handles so JVM weak refs can clear
+        spark.sparkContext._jvm.System.gc()
 
     import __spark_entry__ as entrymod
 
@@ -46,7 +67,9 @@ def main() -> None:
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     for lap in (cold, timings):
-        for name, fn in queries.items():
+        for i, (name, fn) in enumerate(queries.items()):
+            if i % GC_EVERY == 0:
+                force_gc()
             t0 = time.perf_counter()
             run_df(fn(spark, sf_dir))
             lap[name] = round(time.perf_counter() - t0, 4)
@@ -71,6 +94,10 @@ def main() -> None:
         "sf": sf,
         "cold_total_sec": round(sum(cold.values()), 4),
         "lap2_total_sec": round(sum(timings.values()), 4),
+        # per-lap detail (sidecar only): lets a regression be classified
+        # as one-lap noise vs both-laps real without re-running
+        "queries_cold": cold,
+        "queries_lap2": timings,
     }
     # Round-1 driver capture truncated the wide per-query line
     # ("parsed": null): full detail goes to stderr + a sidecar file, and

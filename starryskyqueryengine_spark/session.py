@@ -53,6 +53,7 @@ def get_spark(
     app_name: str = "starrysky-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for this engine.
 
@@ -73,6 +74,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
     )
     for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     return apply_runtime_confs(spark)

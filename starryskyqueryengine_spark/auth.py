@@ -16,13 +16,14 @@ This module is deliberately driver-side, pure-Python, and dependency-free:
 auth happens once per serving request (it gates the whole Spark plan, it is
 never a per-row predicate), so there is nothing to distribute.
 
-Signature verification is a **seam**: AT Protocol service JWTs are signed
-with ES256K (secp256k1), which needs a crypto library this container does
-not ship. ``verify_jwt`` therefore accepts a ``verifier`` callable
-``(alg, key, signing_input, signature) -> bool``; HS256 is implemented
-in-process via :mod:`hmac` (used by the tests), and anything else must be
-supplied by the embedder — mirroring how the reference delegates to
-``@atproto/xrpc-server``'s ``verifyJwt``.
+Signature verification: AT Protocol service JWTs are signed with ES256K
+(secp256k1); :mod:`.secp256k1` implements the public algorithm in pure
+Python, so both HS256 (HMAC) and ES256K verify in-process with zero
+external dependencies — mirroring the reference's delegation to
+``@atproto/xrpc-server``'s ``verifyJwt`` (``src/auth.ts:5-18``).
+``verify_jwt`` still accepts a ``verifier`` callable
+``(alg, key, signing_input, signature) -> bool`` for embedders that want
+to substitute a hardware/HSM or libsecp256k1-backed provider.
 """
 
 from __future__ import annotations
@@ -120,8 +121,14 @@ def verify_jwt(
     elif alg == "HS256":
         key_bytes = key.encode("utf-8") if isinstance(key, str) else bytes(key)
         ok = _hs256_verify(key_bytes, signing_input, signature)
+    elif alg == "ES256K":
+        # The atproto service-JWT algorithm: secp256k1 ECDSA over the
+        # SHA-256 of the signing input, signature as raw r||s. Key may
+        # be SEC1 bytes (compressed or not) or an (x, y) pair.
+        from .secp256k1 import es256k_verify
+
+        ok = es256k_verify(key, signing_input, signature)
     else:
-        # ES256K et al. need an external crypto provider — explicit seam.
         raise AuthRequiredError(f"no verifier available for alg {alg!r}")
     if not ok:
         raise AuthRequiredError("jwt signature verification failed")
@@ -150,6 +157,21 @@ def sign_jwt_hs256(payload: dict, key: bytes | str) -> str:
     body = _b64url_encode(json.dumps(payload).encode())
     signing_input = f"{header}.{body}".encode("ascii")
     sig = hmac.new(key_bytes, signing_input, hashlib.sha256).digest()
+    return f"{header}.{body}.{_b64url_encode(sig)}"
+
+
+def sign_jwt_es256k(payload: dict, privkey: int) -> str:
+    """Mint an ES256K compact JWT (RFC 6979 deterministic; test/dev
+    helper for the verify path — see :mod:`.secp256k1`'s caveats)."""
+    import hashlib as _hashlib
+
+    from .secp256k1 import ecdsa_sign
+
+    header = _b64url_encode(json.dumps({"alg": "ES256K", "typ": "JWT"}).encode())
+    body = _b64url_encode(json.dumps(payload).encode())
+    signing_input = f"{header}.{body}".encode("ascii")
+    r, s = ecdsa_sign(privkey, _hashlib.sha256(signing_input).digest())
+    sig = r.to_bytes(32, "big") + s.to_bytes(32, "big")
     return f"{header}.{body}.{_b64url_encode(sig)}"
 
 

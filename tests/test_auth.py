@@ -102,15 +102,15 @@ def test_unsupported_alg_needs_injected_verifier():
     def b64(d):
         return base64.urlsafe_b64encode(json.dumps(d).encode()).rstrip(b"=").decode()
 
-    es_token = (
-        b64({"alg": "ES256K", "typ": "JWT"})
+    rs_token = (
+        b64({"alg": "RS256", "typ": "JWT"})
         + "."
         + b64({"iss": "did:plc:alice", "aud": SERVICE_DID})
         + ".AAAA"
     )
-    # ES256K seam: without an injected verifier the alg is refused loudly...
-    with pytest.raises(AuthRequiredError, match="ES256K"):
-        verify_jwt(es_token, SERVICE_DID, lookup)
+    # Unknown algs are refused loudly without an injected verifier...
+    with pytest.raises(AuthRequiredError, match="RS256"):
+        verify_jwt(rs_token, SERVICE_DID, lookup)
 
     calls = []
 
@@ -119,8 +119,78 @@ def test_unsupported_alg_needs_injected_verifier():
         return True
 
     # ...and with one, the seam receives (alg, key, input, sig) and decides.
-    assert verify_jwt(es_token, SERVICE_DID, lookup, verifier=verifier) == "did:plc:alice"
-    assert calls == ["ES256K"]
+    assert verify_jwt(rs_token, SERVICE_DID, lookup, verifier=verifier) == "did:plc:alice"
+    assert calls == ["RS256"]
+
+
+# -- ES256K (secp256k1) built-in verification -------------------------------
+
+ES_PRIV = 0x18E14A7B6A307F426A94F8114701E7C8E774E7F9A47E2C2035DB29A206321725
+
+
+def test_secp256k1_matches_published_rfc6979_vector():
+    """Pin the signer+verifier to the widely published secp256k1
+    RFC 6979 test vector (privkey=1, message "Satoshi Nakamoto"):
+    implementation and vector confirm each other independently."""
+    import hashlib
+
+    from starryskyqueryengine_spark.secp256k1 import GX, GY, ecdsa_sign, ecdsa_verify
+
+    h = hashlib.sha256(b"Satoshi Nakamoto").digest()
+    r, s = ecdsa_sign(1, h)
+    assert r == 0x934B1EA10A4B3C1757E2B0C017D0B6143CE3C9A7E6A4A49860D7A6AB210EE3D8
+    assert s == 0x2442CE9D2B916064108014783E923EC36B49743E2FFA1C4496F01A512AAFD9E5
+    assert ecdsa_verify((GX, GY), h, r, s)  # pubkey of d=1 is G
+    assert not ecdsa_verify((GX, GY), h, r, s ^ 1)
+    assert not ecdsa_verify((GX, GY), hashlib.sha256(b"tampered").digest(), r, s)
+
+
+def test_es256k_jwt_roundtrip_and_rejections():
+    from starryskyqueryengine_spark.auth import sign_jwt_es256k
+    from starryskyqueryengine_spark.secp256k1 import pubkey_sec1
+
+    pub_compressed = pubkey_sec1(ES_PRIV, compressed=True)
+    pub_raw = pubkey_sec1(ES_PRIV, compressed=False)
+
+    def es_lookup(did):
+        return pub_compressed if did == "did:plc:alice" else None
+
+    payload = {"iss": "did:plc:alice", "aud": SERVICE_DID, "exp": time.time() + 600}
+    tok = sign_jwt_es256k(payload, ES_PRIV)
+    assert verify_jwt(tok, SERVICE_DID, es_lookup) == "did:plc:alice"
+
+    # uncompressed SEC1 key resolves identically
+    assert verify_jwt(tok, SERVICE_DID, lambda d: pub_raw) == "did:plc:alice"
+
+    # signature from a different key is rejected
+    bad = sign_jwt_es256k(payload, ES_PRIV + 1)
+    with pytest.raises(AuthRequiredError, match="signature"):
+        verify_jwt(bad, SERVICE_DID, es_lookup)
+
+    # tampered payload is rejected
+    h, b, s = tok.split(".")
+    tampered = ".".join([h, b[:-2] + ("AA" if b[-2:] != "AA" else "BB"), s])
+    with pytest.raises(AuthRequiredError):
+        verify_jwt(tampered, SERVICE_DID, es_lookup)
+
+    # truncated / non-64-byte signature is rejected, not crashed on
+    with pytest.raises(AuthRequiredError, match="signature"):
+        verify_jwt(".".join([h, b, s[:10]]), SERVICE_DID, es_lookup)
+
+
+def test_es256k_via_validate_auth_header():
+    from starryskyqueryengine_spark.auth import sign_jwt_es256k
+    from starryskyqueryengine_spark.secp256k1 import pubkey_sec1
+
+    pub = pubkey_sec1(ES_PRIV)
+    tok = sign_jwt_es256k(
+        {"iss": "did:plc:alice", "aud": SERVICE_DID, "exp": time.time() + 60},
+        ES_PRIV,
+    )
+    did = validate_auth(
+        {"authorization": f"Bearer {tok}"}, SERVICE_DID, lambda d: pub
+    )
+    assert did == "did:plc:alice"
 
 
 # -- integration with FeedServer (private feed gate) ------------------------

@@ -12,14 +12,18 @@ a ``key``-partitioned Parquet table with
 
 At 100 TB, partitioning by ``key`` (plus a date bucket of ``indexedAt``
 for very hot keys) keeps every one of these operations scoped to the keys
-actually touched in a micro-batch — never a full-table rewrite. On a real
-deployment this maps 1:1 onto Delta/Iceberg MERGE; the logic here uses
-only vanilla Parquet so it runs anywhere.
+actually touched in a micro-batch — never a full-table rewrite.
+
+The LOGICAL mutation semantics live here; the PHYSICAL commit protocol
+lives behind the :class:`.table_format.TableFormat` seam (default:
+key-partitioned vanilla Parquet with dynamic partition overwrite, which
+runs anywhere). On a real deployment you pass a Delta/Iceberg-backed
+TableFormat instead and every mutation becomes one ACID statement —
+the mapping (MERGE / REPLACE WHERE / DELETE / OPTIMIZE) is documented
+in ``table_format.py``.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,27 +31,22 @@ from pyspark.sql import functions as F
 from .operators.dedup import dedup_within_batch, new_rows_anti_join
 from .operators.retention import refresh_delete, retain_latest
 from .schemas import POST_SCHEMA
+from .table_format import ParquetPartitionedFormat, TableFormat
 
 
 class PostStore:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, fmt: TableFormat | None = None):
         self.spark = spark
         self.path = path
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        self.fmt: TableFormat = fmt or ParquetPartitionedFormat(spark, path)
 
     # -- read ---------------------------------------------------------------
 
     def exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            not n.startswith(("_", ".")) for n in os.listdir(self.path)
-        )
+        return self.fmt.exists()
 
     def read(self) -> DataFrame:
-        if not self.exists():
-            return self.spark.createDataFrame([], POST_SCHEMA)
-        df = self.spark.read.parquet(self.path)
-        # partition column comes back typed; keep canonical column order
-        return df.select([f.name for f in POST_SCHEMA.fields])
+        return self.fmt.read(self.spark)
 
     def read_key(self, key: str) -> DataFrame:
         # equality filter on the partition column -> partition pruning
@@ -65,9 +64,7 @@ class PostStore:
     # -- write --------------------------------------------------------------
 
     def _append(self, df: DataFrame) -> None:
-        df.select([f.name for f in POST_SCHEMA.fields]).write.mode("append").partitionBy(
-            "key"
-        ).parquet(self.path)
+        self.fmt.append(df)
 
     def upsert(self, incoming: DataFrame) -> dict[str, int]:
         """S8: INSERT ... ON CONFLICT DO NOTHING on PK(uri, key).
@@ -103,21 +100,12 @@ class PostStore:
         """Rewrite only the key partitions present in ``df`` (dynamic
         partition overwrite — untouched keys keep their files).
 
-        Dynamic overwrite has a deletion blind spot: a key with ZERO
-        remaining rows writes no partition, so the old files silently
-        survive. Callers that may empty a partition pass
-        ``expected_keys``; any expected key absent from ``df`` gets its
-        partition dropped explicitly."""
-        written: set[str] = set()
-        if expected_keys is not None:
-            written = {r["key"] for r in df.select("key").distinct().collect()}
-        if expected_keys is None or written:
-            df.select([f.name for f in POST_SCHEMA.fields]).write.mode(
-                "overwrite"
-            ).partitionBy("key").parquet(self.path)
-        if expected_keys is not None:
-            for k in set(expected_keys) - written:
-                self.delete_key(k)
+        ``expected_keys`` names partitions that may legitimately end up
+        EMPTY; how that is honored is format-specific (the Parquet
+        format drops them explicitly to cover dynamic overwrite's
+        deletion blind spot; an ACID format expresses it in the same
+        transactional REPLACE)."""
+        self.fmt.overwrite_partitions(df, expected_keys=expected_keys)
 
     def apply_retention(self, limit_by_key: dict[str, int]) -> None:
         """T3/W7: evict rows beyond each key's cap, rewriting only keys
@@ -166,19 +154,7 @@ class PostStore:
 
     def file_counts(self) -> dict[str, int]:
         """Data files per key partition (compaction signal)."""
-        out: dict[str, int] = {}
-        if not self.exists():
-            return out
-        for entry in os.listdir(self.path):
-            if entry.startswith("key="):
-                part = os.path.join(self.path, entry)
-                n = sum(
-                    1
-                    for f in os.listdir(part)
-                    if f.endswith(".parquet") and not f.startswith((".", "_"))
-                )
-                out[entry[len("key=") :]] = n
-        return out
+        return self.fmt.file_counts()
 
     def compact(self, max_files_per_key: int = 4) -> list[str]:
         """Rewrite fragmented key partitions into few files. Micro-batch
@@ -222,8 +198,4 @@ class PostStore:
 
     def delete_key(self, key: str) -> None:
         """U4 cascade: remove the key's partition entirely."""
-        part_dir = os.path.join(self.path, f"key={key}")
-        if os.path.isdir(part_dir):
-            import shutil
-
-            shutil.rmtree(part_dir)
+        self.fmt.delete_partition(key)

@@ -444,3 +444,36 @@ def ann_ivf_fixed_topk(spark, sf_dir):
     base = emb.filter(F.col("vec_id") >= ANN_NUM_QUERIES)
     return sim.ivf_topk(queries, base, ANN_K, n_centroids=IVF_CELLS,
                         n_probe=IVF_PROBE, train_iters=0)
+
+
+def _ivf_index_table(spark, sf_dir) -> str:
+    """Build (once per dataset fingerprint per warehouse) the persisted
+    cell-bucketed IVF index for the embeddings table; returns its name.
+    The fingerprint in the table name invalidates stale indexes the
+    same way the in-process centroid cache key does."""
+    import hashlib
+
+    key = _ivf_cache_key(sf_dir)
+    tag = hashlib.md5(repr(key).encode()).hexdigest()[:12]
+    table = f"ivf_idx_{tag}"
+    if not spark.catalog.tableExists(table):
+        emb = load_table(spark, sf_dir, "embeddings")
+        base = emb.filter(F.col("vec_id") >= ANN_NUM_QUERIES)
+        sim.ivf_build_index(base, table, n_centroids=IVF_CELLS, train_iters=0)
+    return table
+
+
+@register("ann_ivf_indexed_topk", _ivf_fixed_oracle())
+def ann_ivf_indexed_topk(spark, sf_dir):
+    """IVF probe against the PERSISTED bucketed-by-cell index — the
+    serve half of build-once/serve-many (ivf_build_index /
+    ivf_probe_index). Identical fixed centroids and probe parameters to
+    ann_ivf_fixed_topk, so the same DuckDB oracle value-checks it; the
+    difference is the plan: the base side is a bucket-pruned scan of
+    the stored inverted lists (SelectedBucketsCount n_probed of
+    IVF_CELLS — pinned in tests/test_plan_shapes.py), with NO base-side
+    re-assignment pass on repeat probes."""
+    table = _ivf_index_table(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_NUM_QUERIES)
+    return sim.ivf_probe_index(queries, table, ANN_K, n_probe=IVF_PROBE)

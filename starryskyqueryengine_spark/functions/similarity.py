@@ -325,6 +325,87 @@ def kmeans_fit(
     return C
 
 
+def _ivf_fixed_init(base: DataFrame, n_centroids: int, id_col: str, vec_col: str):
+    """Deterministic hash-ordered centroid init shared by ivf_topk,
+    kmeans_fit, and ivf_build_index: rank every vector by md5(id) (ties
+    by id) and take the first n — a distributed TakeOrdered that ships
+    only n_centroids rows to the driver."""
+    import numpy as np
+
+    cents_pdf = (
+        base.select(id_col, vec_col)
+        .orderBy(md5int(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .toPandas()
+    )
+    C = np.stack([np.asarray(v, dtype=np.float64) for v in cents_pdf[vec_col]])
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    return C
+
+
+def _cell_assigner(bc, id_col: str, vec_col: str, n_cells: int):
+    """Arrow-batched nearest-centroid(s) assignment against a broadcast
+    L2-normalized centroid matrix. Rounds cosines to 6 decimals and
+    stable-sorts so ties break toward the lower centroid index (matches
+    the DuckDB oracle's ORDER BY ROUND(sim,6) DESC, crank ASC)."""
+
+    def run(batches):
+        import numpy as np
+
+        Cn = bc.value
+        for pdf in batches:
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            S = Vn @ Cn.T
+            order = np.argsort(-np.round(S, 6), axis=1, kind="stable")[:, :n_cells]
+            out = pdf.loc[pdf.index.repeat(n_cells)].reset_index(drop=True)
+            out["cell"] = order.ravel()
+            yield out[[id_col, vec_col, "cell"]]
+
+    return run
+
+
+def _ivf_score(
+    q_cells: DataFrame,
+    b_cells: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+) -> DataFrame:
+    """Score cell-tagged queries against cell-tagged base lists: the
+    (tiny) probe set broadcasts, the join restricts scoring to probed
+    cells, and the exact unrolled-codegen cosine ranks within them."""
+    q = _with_norm(
+        q_cells.select(
+            F.col("cell"),
+            F.col(id_col).alias("q_id"),
+            as_double(F.col(vec_col)).alias("q_vec"),
+        ),
+        "q_vec", "_qn", dim,
+    )
+    b = _with_norm(
+        b_cells.select(
+            F.col("cell"),
+            F.col(id_col).alias("nn_id"),
+            as_double(F.col(vec_col)).alias("b_vec"),
+        ),
+        "b_vec", "_bn", dim,
+    )
+    scored = (
+        F.broadcast(q)
+        .join(b, "cell")
+        .select("q_id", "nn_id", _sim_unrolled(dim))
+        .dropDuplicates(["q_id", "nn_id"])
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "nn_id", "sim")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     base: DataFrame,
@@ -368,70 +449,120 @@ def ivf_topk(
         C = kmeans_fit(base, n_centroids, iters=train_iters,
                        id_col=id_col, vec_col=vec_col)
     else:
-        cents_pdf = (
-            base.select(id_col, vec_col)
-            .orderBy(md5int(F.col(id_col).cast("string")), F.col(id_col))
-            .limit(n_centroids)
-            .toPandas()
-        )
-        C = np.stack([np.asarray(v, dtype=np.float64) for v in cents_pdf[vec_col]])
-        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
-    bc = spark.sparkContext.broadcast(C)
-
-    def assign(n_cells: int):
-        def run(batches):
-            Cn = bc.value
-            for pdf in batches:
-                V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-                Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
-                S = Vn @ Cn.T
-                # Round before ranking and use a STABLE sort so exact ties
-                # (duplicate vectors chosen as centroids) and sub-ulp BLAS
-                # accumulation differences break deterministically toward
-                # the lower centroid index — matching the fixed-centroid
-                # oracle's ORDER BY sim DESC, crank ASC and the 6-decimal
-                # rounding convention used everywhere else in the repo.
-                order = np.argsort(-np.round(S, 6), axis=1, kind="stable")[:, :n_cells]
-                out = pdf.loc[pdf.index.repeat(n_cells)].reset_index(drop=True)
-                out["cell"] = order.ravel()
-                yield out[[id_col, vec_col, "cell"]]
-
-        return run
+        C = _ivf_fixed_init(base, n_centroids, id_col, vec_col)
+    bc = spark.sparkContext.broadcast(np.asarray(C, dtype=np.float64))
 
     schema = f"{id_col} long, {vec_col} array<float>, cell int"
     b_cells = ensure_parallelism(base.select(id_col, vec_col)).mapInPandas(
-        assign(1), schema=schema
+        _cell_assigner(bc, id_col, vec_col, 1), schema=schema
     )
-    q_cells = queries.select(id_col, vec_col).mapInPandas(assign(n_probe), schema=schema)
+    q_cells = queries.select(id_col, vec_col).mapInPandas(
+        _cell_assigner(bc, id_col, vec_col, n_probe), schema=schema
+    )
+    return _ivf_score(q_cells, b_cells, k, id_col, vec_col, dim)
 
-    q = _with_norm(
-        q_cells.select(
-            F.col("cell"),
-            F.col(id_col).alias("q_id"),
-            as_double(F.col(vec_col)).alias("q_vec"),
-        ),
-        "q_vec", "_qn", dim,
+
+def ivf_build_index(
+    base: DataFrame,
+    table: str,
+    n_centroids: int = 16,
+    train_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    path: str | None = None,
+    num_buckets: int | None = None,
+):
+    """Materialize an IVF index: cell-assign every base vector ONCE and
+    persist (a) the inverted lists as a parquet table BUCKETED BY cell
+    and (b) the L2-normalized centroid matrix as ``<table>_centroids``.
+
+    This is the build half of build-once/serve-many made real: probes
+    (``ivf_probe_index``) read the stored lists — the base is never
+    re-assigned per query batch, which the round-4 in-process centroid
+    cache still did. Bucketing by cell means (1) every probe's
+    cell-equality filter prunes whole BUCKETS at the scan (Spark bucket
+    pruning: SelectedBucketsCount n_probed of N in the plan), and (2)
+    any later per-cell rebuild/merge job gets co-located cell groups
+    with no Exchange. At 100 TB the lists table is the only big
+    artifact, written with one linear pass + one bucketed shuffle;
+    the centroid sidecar is k x dim doubles.
+
+    Returns the centroid matrix (numpy (k, dim))."""
+    import numpy as np
+
+    from ..operators.bucketed import write_bucketed
+
+    spark = base.sparkSession
+    if train_iters > 0:
+        C = kmeans_fit(base, n_centroids, iters=train_iters,
+                       id_col=id_col, vec_col=vec_col)
+    else:
+        C = _ivf_fixed_init(base, n_centroids, id_col, vec_col)
+    bc = spark.sparkContext.broadcast(np.asarray(C, dtype=np.float64))
+    schema = f"{id_col} long, {vec_col} array<float>, cell int"
+    b_cells = ensure_parallelism(base.select(id_col, vec_col)).mapInPandas(
+        _cell_assigner(bc, id_col, vec_col, 1), schema=schema
     )
-    b = _with_norm(
-        b_cells.select(
-            F.col("cell"),
-            F.col(id_col).alias("nn_id"),
-            as_double(F.col(vec_col)).alias("b_vec"),
-        ),
-        "b_vec", "_bn", dim,
+    write_bucketed(
+        b_cells,
+        table,
+        ["cell"],
+        num_buckets=num_buckets or n_centroids,
+        sort_cols=["cell", id_col],
+        path=path,
     )
-    scored = (
-        F.broadcast(q)
-        .join(b, "cell")
-        .select("q_id", "nn_id", _sim_unrolled(dim))
-        .dropDuplicates(["q_id", "nn_id"])
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in C[i]]) for i in range(len(C))],
+        "cell int, cvec array<double>",
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("q_id", "nn_id", "sim")
+    writer = cent.write.mode("overwrite").format("parquet")
+    if path:
+        writer = writer.option("path", f"{path}_centroids")
+    writer.saveAsTable(f"{table}_centroids")
+    return C
+
+
+def ivf_probe_index(
+    queries: DataFrame,
+    table: str,
+    k: int,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    prune_buckets: bool = True,
+) -> DataFrame:
+    """Serve half of build-once/serve-many: probe a stored IVF index
+    (``ivf_build_index``) without touching, re-scanning beyond the
+    probed cells, or re-assigning the base.
+
+    The centroid sidecar (k x dim doubles — tiny by construction) loads
+    to the driver; queries cell-assign in one Arrow pass; the distinct
+    probed cell ids (bounded by |queries| * n_probe — serving batches
+    are small by design) become a literal IN filter on the bucket
+    column, so the scan reads only the probed BUCKETS
+    (SelectedBucketsCount in the plan — asserted by
+    tests/test_plan_shapes.py). Scoring is the same broadcast-probe
+    exact-cosine top-k as ivf_topk; identical centroids => identical
+    results, so recall properties carry over unchanged."""
+    import numpy as np
+
+    spark = queries.sparkSession
+    cent = spark.table(f"{table}_centroids").orderBy("cell").collect()
+    C = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in cent])
+    bc = spark.sparkContext.broadcast(C)
+    schema = f"{id_col} long, {vec_col} array<float>, cell int"
+    q_cells = queries.select(id_col, vec_col).mapInPandas(
+        _cell_assigner(bc, id_col, vec_col, n_probe), schema=schema
     )
+    b_cells = spark.table(table)
+    if prune_buckets:
+        probed = sorted(
+            r["cell"] for r in q_cells.select("cell").distinct().collect()
+        )
+        if len(probed) < len(C):
+            b_cells = b_cells.filter(F.col("cell").isin(probed))
+    return _ivf_score(q_cells, b_cells, k, id_col, vec_col, dim)
 
 
 def near_dup_pairs_matrix(

@@ -328,3 +328,45 @@ def test_q21_semi_and_anti_join_present(spark, queries):
     opt = optimized_of(queries["q21_waiting_supplier"](spark, SF_DIR))
     assert "LeftSemi" in opt
     assert "LeftAnti" in opt
+
+
+def test_ivf_probe_reads_stored_index_no_base_reassignment(spark):
+    """Build-once/serve-many, the serve half: probing a persisted IVF
+    index must (1) scan the bucketed inverted-lists table with bucket
+    pruning (SelectedBucketsCount n_probed of n_cells), (2) run exactly
+    ONE Python eval pass — the query-side cell assignment; the base side
+    is pure FileScan, never re-assigned per probe — and (3) return the
+    same rows as the ad-hoc ivf_topk with identical centroids."""
+    import shutil
+
+    from starryskyqueryengine_spark.functions import similarity as sim
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    base = emb.filter(F.col("vec_id") >= 5)
+
+    for t in ("ivf_plan_test", "ivf_plan_test_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    sim.ivf_build_index(base, "ivf_plan_test", n_centroids=16, train_iters=0)
+
+    # two probes: the second is the steady-state serve path
+    sim.ivf_probe_index(queries_df, "ivf_plan_test", 10, n_probe=4).collect()
+    probe2 = sim.ivf_probe_index(queries_df, "ivf_plan_test", 10, n_probe=4)
+    plan = plan_of(probe2)
+
+    assert "SelectedBucketsCount" in plan, plan
+    import re
+
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, plan
+    assert int(m.group(1)) < int(m.group(2))  # probed cells < all cells
+    # exactly one Python pass (query-side assignment), none on the base
+    assert plan.count("MapInPandas") == 1, plan
+
+    # results identical to the ad-hoc path with the same fixed centroids
+    adhoc = sim.ivf_topk(queries_df, base, 10, n_centroids=16, n_probe=4,
+                         train_iters=0)
+    a = sorted(map(tuple, probe2.collect()))
+    b = sorted(map(tuple, adhoc.collect()))
+    assert a == b

@@ -222,8 +222,62 @@ def jaccard_verify(
     )
 
 
-def jaccard_pairs_blocked(
+def prefix_candidates(
     shingled: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """AllPairs/PPJoin prefix-filter candidate generation: index only
+    each doc's ⌊(1−t)·|s|⌋+1 RAREST shingles (global ascending document
+    frequency, ties by shingle value — one total order shared by all
+    docs) and emit pairs whose prefixes co-occur under a shingle.
+
+    Completeness (standard prefix-filter lemma): J(A,B) ≥ t implies
+    overlap o ≥ t·max(|A|,|B|); two sets sorted by one global order with
+    o ≥ α must intersect within their (|X|−α+1)-prefixes, and
+    ⌊(1−t)|X|⌋+1 = |X|−⌈t|X|⌉+1 ≥ |X|−α+1 — so every qualifying pair
+    survives. A shingle appearing in EVERY doc (stop-phrase, boilerplate
+    header) is the most frequent, sorts LAST in every doc's order, and
+    falls outside almost all prefixes — fan-out on hot shingles is
+    bounded by how often they land inside a (short) prefix, instead of
+    the n² pairs the full inverted index would emit for them.
+
+    Cost shape: one groupBy(shingle) for document frequency, one
+    window per doc for prefix ranking (both codegen hash-agg/sort), then
+    the same equi-join as the full index but over ~ (1−t) of the
+    postings. Candidates must be re-verified against FULL shingle sets
+    (the prefix count is not the overlap) — see jaccard_pairs_blocked.
+    """
+    from pyspark.sql import Window
+
+    sized = shingled.select(
+        F.col(id_col), F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("_s"),
+    )
+    freq = sized.groupBy("_s").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy(id_col).orderBy("_df", "_s")
+    prefix = (
+        sized.join(freq, "_s")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(
+            F.col("_rn")
+            <= F.floor((1.0 - threshold) * F.col("n_sh")).cast("int") + F.lit(1)
+        )
+        .select("_s", id_col)
+    )
+    a = prefix.select("_s", F.col(id_col).alias("id_a"))
+    b = prefix.select("_s", F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "_s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs_blocked(
+    shingled: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard via inverted-index blocking.
 
@@ -232,9 +286,35 @@ def jaccard_pairs_blocked(
     but the pair space is generated only from docs that co-occur under a
     shingle: explode -> self-equi-join on the shingle -> count shared
     shingles per pair. One shuffle on the shingle key, one aggregation —
-    no quadratic crossJoin. At 100 TB add prefix filtering (index only
-    the (1-t)·|s|+1 rarest shingles) to bound hot-shingle fan-out.
-    """
+    no quadratic crossJoin.
+
+    ``prefix_filter=True`` switches candidate generation to the
+    AllPairs prefix filter (``prefix_candidates``): only each doc's
+    ⌊(1−t)·|s|⌋+1 rarest shingles are indexed, bounding the fan-out of
+    hot shingles (a shingle shared by all n docs otherwise emits n²/2
+    join rows). Provably the same output (see the completeness lemma in
+    ``prefix_candidates``; equality is also pytest-pinned); candidates
+    are re-verified against full shingle sets via ``jaccard_verify``.
+    The default stays False: on corpora without pathological shingles
+    the full index is one job cheaper, and it is the form the DuckDB
+    oracle mirrors directly. At 100 TB, with boilerplate-heavy web text,
+    turn it on."""
+    if prefix_filter:
+        cands = prefix_candidates(shingled, threshold, id_col)
+        sh = shingled.select(F.col(id_col), F.col("shingles"))
+        fa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+        fb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+        joined = cands.join(fa, "id_a").join(fb, "id_b")
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+        union = (F.size("sh_a") + F.size("sh_b")).cast("bigint") - inter
+        # filter on the UNROUNDED ratio, round only the output — the
+        # exact boundary semantics of the full-index path below
+        jac_raw = inter / F.greatest(union, F.lit(1))
+        return (
+            joined.withColumn("jaccard", F.round(jac_raw, 6))
+            .filter(jac_raw >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     sized = shingled.select(
         F.col(id_col), F.col("shingles"), F.size("shingles").alias("n_sh")
     )

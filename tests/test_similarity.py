@@ -266,3 +266,42 @@ def test_semantic_dedup_cost_is_subquadratic_in_pairs(spark):
     within_cell_pairs = sum(s * (s - 1) // 2 for s in sizes)
     all_pairs = n * (n - 1) // 2
     assert within_cell_pairs < all_pairs * 0.5, (within_cell_pairs, all_pairs)
+
+
+def test_prefix_filter_same_output_as_full_index(spark):
+    """AllPairs prefix filtering must be output-identical to the full
+    inverted index on the real fixture corpus (the completeness lemma,
+    checked empirically)."""
+    from starryskyqueryengine_spark.functions import dedup as dd
+
+    docs = load_table(spark, SF, "documents")
+    sh = dd.with_shingles(docs.select("doc_id", "text")).filter(
+        F.size("shingles") > 0
+    )
+    full = sorted(map(tuple, dd.jaccard_pairs_blocked(sh, 0.8).collect()))
+    pref = sorted(
+        map(tuple, dd.jaccard_pairs_blocked(sh, 0.8, prefix_filter=True).collect())
+    )
+    assert full == pref and len(full) > 0
+
+
+def test_prefix_filter_bounds_hot_shingle_fanout(spark):
+    """A shingle shared by EVERY doc (boilerplate) drives the full
+    inverted index to n^2/2 candidate pairs; the prefix filter sorts it
+    last in every doc's rarest-first order, so it falls outside all
+    prefixes — candidates collapse to just the genuine near-dup pair,
+    which must still be found (completeness under skew)."""
+    from starryskyqueryengine_spark.functions import dedup as dd
+
+    rows = [(i, [f"u{i}_{j}" for j in range(12)] + ["HOT"]) for i in range(60)]
+    rows += [(100, [f"d_{j}" for j in range(12)] + ["HOT"]),
+             (101, [f"d_{j}" for j in range(12)] + ["HOT"])]
+    sh = spark.createDataFrame(rows, "doc_id long, shingles array<string>")
+
+    cands = dd.prefix_candidates(sh, 0.8)
+    got = sorted(map(tuple, cands.collect()))
+    # full index would emit C(62,2) = 1891 HOT-joined candidate pairs
+    assert got == [(100, 101)]
+
+    out = dd.jaccard_pairs_blocked(sh, 0.8, prefix_filter=True).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in out] == [(100, 101, 1.0)]

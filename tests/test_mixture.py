@@ -400,3 +400,58 @@ def test_winnowing_pos_cap_guard_raises_loudly(spark, tmp_path, monkeypatch):
     # untouched cap: same fixture runs clean
     monkeypatch.undo()
     assert catalog_mixture.winnow_fingerprints(spark, d).count() == 1
+
+
+def test_neardup_gate_streaming_checkpoint_resume(spark, tmp_path):
+    """Kill-and-resume proof for the NearDupGate streaming leg
+    (equivalent to the upsert path's): drain a file-stream through
+    foreachBatch -> gate.admit with a checkpoint, STOP the query, append
+    new files (one a near-dup of a PRE-restart doc), then start a NEW
+    query object on the SAME checkpoint with a REBUILT gate. The resumed
+    query must (1) skip already-processed files (checkpoint advanced:
+    their doc_ids never re-emit), (2) flag the cross-restart dup (the
+    parquet band store survived the restart), (3) admit novel content."""
+    from starryskyqueryengine_spark.functions.dedup import NearDupGate
+    from starryskyqueryengine_spark.streaming.pipeline import parquet_stream
+
+    src = str(tmp_path / "docs")
+    ck = str(tmp_path / "gate_resume_ck")
+    t1 = ("one two three four five six seven eight nine ten eleven "
+          "twelve thirteen fourteen fifteen sixteen")
+    t2 = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+          "lambda mu nu xi omicron pi")
+
+    def drain(verdicts):
+        gate = NearDupGate(spark, str(tmp_path / "store"))  # fresh object
+        def sink(bdf, bid):
+            if bdf.isEmpty():
+                return
+            for r in gate.admit(bdf).collect():
+                verdicts[r["doc_id"]] = r["is_dup"]
+        q = (
+            parquet_stream(spark, src, max_files_per_trigger=1)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    spark.createDataFrame(
+        [(1, t1), (2, t2)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src)
+    v1: dict = {}
+    drain(v1)
+    assert v1 == {1: False, 2: False}
+
+    # restart: doc 3 duplicates PRE-restart doc 1; doc 4 is novel
+    spark.createDataFrame(
+        [(3, t1), (4, "totally fresh material unseen before in this corpus "
+                      "with enough words to shingle")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    v2: dict = {}
+    drain(v2)  # new query + new gate object, same checkpoint + store
+    assert 1 not in v2 and 2 not in v2, "checkpoint failed to skip old files"
+    assert v2[3] is True, "signature store lost across restart"
+    assert v2[4] is False

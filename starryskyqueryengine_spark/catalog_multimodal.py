@@ -179,6 +179,166 @@ def mm_ppm_resize(spark, sf_dir):
 
 
 @register(
+    "mm_png_decode",
+    """
+    WITH px AS (
+      SELECT doc_id,
+             unnest(range(3 * (8 + doc_id % 8) * (6 + doc_id % 6))) AS i
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(8 + doc_id % 8 AS INTEGER) AS width,
+           CAST(6 + doc_id % 6 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           ROUND(CAST(sum((31 * doc_id + 7 * i) % 256) AS DOUBLE) / count(*), 6)
+             AS mean_px,
+           CAST(count(*) AS BIGINT) AS n_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def mm_png_decode(spark, sf_dir):
+    """REAL PNG round trip (stdlib-zlib DEFLATE codec, ``codecs.py``):
+    per doc, build an RGB image from the same closed-form generator as
+    ``mm_ppm_decode``, encode it as a real PNG with the per-scanline
+    filter type cycling (doc_id + row) % 5 — so every decoder unfilter
+    path (None/Sub/Up/Average/Paeth) is exercised across the corpus —
+    then decode (CRC-verified) and report dims + exact pixel stats.
+    The oracle recomputes the stats from the generator formula alone: a
+    bug in filtering, DEFLATE framing, chunk CRC, stride, or reshape
+    breaks the value match.  100 TB shape: two Arrow-batched
+    ``mapInPandas`` hops, per-payload memory, zero shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from .codecs import png_decode, png_encode
+    from .session import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 + d % 8, 6 + d % 6
+                n = 3 * w * h
+                px = ((31 * d + 7 * np.arange(n, dtype=np.int64)) % 256).astype(
+                    np.uint8
+                ).reshape(h, w, 3)
+                payloads.append(
+                    png_encode(px, filters=[(d + y) % 5 for y in range(h)])
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    enc = docs.mapInPandas(gen, "media_id long, payload binary")
+
+    def dec(batches):
+        for pdf in batches:
+            out = {
+                "media_id": [], "width": [], "height": [], "channels": [],
+                "px_sum": [], "n_px": [],
+            }
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, px = png_decode(bytes(b))
+                flat = px.reshape(-1)
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["px_sum"].append(int(np.sum(flat, dtype=np.int64)))
+                out["n_px"].append(flat.size)
+            yield pd.DataFrame(out)
+
+    decd = enc.mapInPandas(
+        dec,
+        "media_id long, width int, height int, channels int, px_sum long, n_px long",
+    )
+    return decd.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.round(F.col("px_sum") / F.col("n_px"), 6).alias("mean_px"),
+        F.col("n_px"),
+    )
+
+
+@register(
+    "mm_wav_features",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             unnest(range(800 + (doc_id % 5) * 160)) AS i
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(16000 AS INTEGER) AS sample_rate,
+           CAST((800 + (doc_id % 5) * 160) * 1000 // 16000 AS BIGINT)
+             AS duration_ms,
+           CAST(sum((17 * doc_id + 13 * i) % 4096 - 2048) AS BIGINT)
+             AS sum_samples,
+           CAST(max(abs((17 * doc_id + 13 * i) % 4096 - 2048)) AS BIGINT)
+             AS peak_abs,
+           CAST(count(*) AS BIGINT) AS n_samples
+    FROM s GROUP BY doc_id
+    """,
+)
+def mm_wav_features(spark, sf_dir):
+    """REAL audio round trip (RIFF PCM16 codec, ``codecs.py``): per doc,
+    synthesize int16 samples from a closed-form generator, encode a
+    canonical WAV, decode it (RIFF sub-chunk walk + fmt validation), and
+    report sample-accurate features — duration, exact sample sum, peak
+    amplitude.  The oracle replays the generator in SQL; a bug in the
+    RIFF framing, fmt parse, byte order, or sample reshape breaks the
+    value match.  Sample counts are multiples of 16 so duration_ms is
+    integer-exact at 16 kHz.  100 TB shape: Arrow-batched mapInPandas,
+    per-clip memory, zero shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from .codecs import wav_decode, wav_encode
+    from .session import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 800 + (d % 5) * 160
+                s = ((17 * d + 13 * np.arange(n, dtype=np.int64)) % 4096 - 2048
+                     ).astype(np.int16)
+                payloads.append(wav_encode(s, 16000))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    enc = docs.mapInPandas(gen, "media_id long, payload binary")
+
+    def dec(batches):
+        for pdf in batches:
+            out = {
+                "media_id": [], "sample_rate": [], "duration_ms": [],
+                "sum_samples": [], "peak_abs": [], "n_samples": [],
+            }
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                rate, _ch, s = wav_decode(bytes(b))
+                flat = s.reshape(-1).astype(np.int64)
+                out["media_id"].append(int(mid))
+                out["sample_rate"].append(rate)
+                out["duration_ms"].append(flat.size * 1000 // rate)
+                out["sum_samples"].append(int(np.sum(flat)))
+                out["peak_abs"].append(int(np.max(np.abs(flat))) if flat.size else 0)
+                out["n_samples"].append(flat.size)
+            yield pd.DataFrame(out)
+
+    return enc.mapInPandas(
+        dec,
+        "media_id long, sample_rate int, duration_ms long, sum_samples long, "
+        "peak_abs long, n_samples long",
+    )
+
+
+@register(
     "mm_ppm_decode",
     """
     WITH px AS (

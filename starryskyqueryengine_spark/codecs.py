@@ -1,0 +1,274 @@
+"""Real pure-Python media codecs: PNG (RFC 2083 / ISO 15948) and WAV
+(RIFF PCM).  No external libraries — PNG rides on stdlib ``zlib`` for
+DEFLATE and ``numpy`` for scanline math; WAV is ``struct`` + numpy.
+
+These close the "stub codec" seam called out in round-4 review: the
+multimodal decode/resize operators (``multimodal.py``) sniff payload
+magic bytes and route PPM and PNG payloads through REAL codecs; only
+formats whose compression needs codecs this container doesn't ship
+(JPEG's DCT+Huffman) remain stubbed.
+
+Scope (deliberately the subset a training-data pipeline meets):
+
+- PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA);
+  non-interlaced; all five filter types (None/Sub/Up/Average/Paeth) on
+  decode; encoder can emit any per-row filter so tests exercise every
+  unfilter path.  Chunk CRCs are verified on decode.
+- WAV: canonical RIFF/WAVE, PCM (format 1), 16-bit samples, any
+  channel count / sample rate.
+
+Scale note: these run inside Arrow-batched ``mapInPandas`` tasks
+(multimodal.py), one payload at a time — per-task memory is one image /
+one clip, independent of partition size.  The unfilter hot loops are
+vectorized where the filter's data dependence allows (None/Sub/Up are
+whole-row numpy ops; Average/Paeth are sequential in x by definition —
+the same dependence every native decoder has).
+
+Reference parity: the reference engine stores image embeds as opaque
+blobs and never decodes (/root/reference/src/subscription.ts:23-31);
+decode here is north-star extension surface, not a port.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+WAV_MAGIC = b"RIFF"
+
+# color type -> samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+# --------------------------------------------------------------------------
+# PNG
+# --------------------------------------------------------------------------
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(arr, filters=None, level: int = 6) -> bytes:
+    """uint8 array -> PNG bytes.
+
+    ``arr`` is (h, w) gray, (h, w, 3) RGB, or (h, w, 4) RGBA.
+    ``filters`` optionally gives the per-row filter type (0..4, int or
+    sequence, default all-0); rows are filtered accordingly before
+    DEFLATE, so tests can force every decoder unfilter path.
+    """
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 3, 4):
+        raise ValueError(f"unsupported array shape {np.asarray(arr).shape}")
+    h, w, ch = a.shape
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    if filters is None:
+        frow = [0] * h
+    elif isinstance(filters, int):
+        frow = [filters] * h
+    else:
+        frow = list(filters)
+        if len(frow) != h:
+            raise ValueError(f"filters length {len(frow)} != height {h}")
+
+    bpp = ch  # bytes per pixel at 8-bit depth
+    rows = a.reshape(h, w * ch).astype(np.int64)
+    prev = np.zeros(w * ch, dtype=np.int64)
+    out = bytearray()
+    for y in range(h):
+        cur = rows[y]
+        ft = frow[y]
+        if ft == 0:
+            filt = cur
+        elif ft == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+            filt = cur - left
+        elif ft == 2:  # Up
+            filt = cur - prev
+        elif ft == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+            filt = cur - (left + prev) // 2
+        elif ft == 4:  # Paeth
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, dtype=np.int64), prev[:-bpp]])
+            filt = cur - _paeth_predictor(left, prev, ul)
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        out.append(ft)
+        out += (filt % 256).astype(np.uint8).tobytes()
+        prev = cur
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(out), level))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth_predictor(a, b, c):
+    """Vectorized Paeth predictor (RFC 2083 §6.6) over int64 arrays."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def png_decode(payload: bytes, verify_crc: bool = True):
+    """PNG bytes -> (width, height, channels, (h, w, ch) uint8 array).
+
+    Supports 8-bit gray/RGB/RGBA, non-interlaced, all filter types.
+    Raises ValueError on malformed input or unsupported features.
+    """
+    if not payload.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    pos, n = len(PNG_MAGIC), len(payload)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated chunk body")
+        if verify_crc:
+            (crc,) = struct.unpack(
+                ">I", payload[pos + 8 + length : pos + 12 + length]
+            )
+            if crc != (zlib.crc32(tag + body) & 0xFFFFFFFF):
+                raise ValueError(f"bad CRC in {tag!r} chunk")
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} comp={comp} filter={filt} "
+            f"interlace={interlace}"
+        )
+    ch = _PNG_CHANNELS.get(color_type)
+    if ch is None:
+        raise ValueError(f"unsupported color type {color_type}")
+
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as ex:
+        raise ValueError(f"bad IDAT stream: {ex}") from ex
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError(f"IDAT size {len(raw)} != expected {h * (stride + 1)}")
+    data = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = data[:, 0]
+    scan = data[:, 1:].astype(np.int64)
+    bpp = ch
+
+    recon = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ft = int(ftypes[y])
+        cur = scan[y]
+        if ft == 0:
+            row = cur
+        elif ft == 1:  # Sub: per-lane prefix sum mod 256
+            row = cur.reshape(-1, bpp).cumsum(axis=0).reshape(-1) % 256
+        elif ft == 2:  # Up
+            row = (cur + prev) % 256
+        elif ft == 3:  # Average: sequential in x
+            row = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                row[x] = (cur[x] + (left + prev[x]) // 2) % 256
+        elif ft == 4:  # Paeth: sequential in x
+            row = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError(f"bad filter type {ft} in scanline {y}")
+        recon[y] = row
+        prev = row
+
+    px = recon.astype(np.uint8).reshape(h, w, ch)
+    return w, h, ch, px
+
+
+# --------------------------------------------------------------------------
+# WAV (RIFF PCM16)
+# --------------------------------------------------------------------------
+
+def wav_encode(samples, sample_rate: int, channels: int = 1) -> bytes:
+    """int16 sample array -> canonical RIFF/WAVE PCM bytes.
+
+    ``samples`` is 1-D (interleaved if multi-channel) or (n, channels).
+    """
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 2:
+        channels = s.shape[1]
+        s = s.reshape(-1)
+    data = s.tobytes()
+    byte_rate = sample_rate * channels * 2
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(payload: bytes):
+    """WAV bytes -> (sample_rate, channels, (n, channels) int16 array).
+
+    PCM16 only; raises ValueError otherwise.  Walks RIFF sub-chunks, so
+    extra chunks (LIST, fact, ...) are tolerated.
+    """
+    if not payload.startswith(WAV_MAGIC) or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        tag = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError(f"truncated {tag!r} chunk")
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _byte_rate, _block, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV: format={audio_fmt} bits={bits}")
+    s = np.frombuffer(data, dtype="<i2")
+    if channels > 1:
+        s = s[: (len(s) // channels) * channels].reshape(-1, channels)
+    else:
+        s = s.reshape(-1, 1)
+    return rate, channels, s

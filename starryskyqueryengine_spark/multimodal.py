@@ -20,14 +20,15 @@ Scale design:
   batch per task regardless of partition size — this is what makes a
   100 TB media scan feasible (spark.sql.execution.arrow.maxRecordsPerBatch
   bounds the batch).
-- The codec step is REAL for binary PPM (P6 netpbm): a pure-numpy
-  encode/decode/nearest-neighbor-resize (``ppm_encode`` / ``ppm_decode``
-  / ``ppm_resize_nn``) runs on actual pixel bytes, format-sniffed per
-  payload, and is oracle-round-trip-checked (``mm_ppm_decode``). Formats
-  that need external codecs (JPEG/PNG/audio) remain STUBBED behind the
-  deterministic fake + ``_HAVE_PIL`` import-try; everything around the
-  seam — schema, batching, partitioning, UDF signatures — is identical
-  for both paths.
+- The codec step is REAL for binary PPM (P6 netpbm), PNG (stdlib zlib
+  DEFLATE, all five filter types — ``codecs.py``), and WAV (RIFF
+  PCM16): pure numpy/stdlib encode/decode runs on actual pixel/sample
+  bytes, format-sniffed per payload, and is oracle-round-trip-checked
+  (``mm_ppm_decode``, ``mm_png_decode``, ``mm_wav_features``). Formats
+  whose compression needs codecs this container doesn't ship (JPEG's
+  DCT+Huffman) remain STUBBED behind the deterministic fake +
+  ``_HAVE_PIL`` import-try; everything around the seam — schema,
+  batching, partitioning, UDF signatures — is identical for both paths.
 """
 
 from __future__ import annotations
@@ -204,19 +205,31 @@ def _fake_decode(payload: bytes) -> tuple[int, float, int]:
 
 
 def _decode_one(payload: bytes) -> tuple[int, float, int]:
-    """Per-payload decode: REAL for P6 PPM (crc32 + mean over actual
-    pixel values via the numpy codec), deterministic fake otherwise."""
-    if payload.startswith(PPM_MAGIC):
-        import numpy as np
+    """Per-payload decode, format-sniffed: REAL for P6 PPM, PNG, and WAV
+    (crc32 + mean over actual pixel/sample values via the pure-Python
+    codecs); deterministic fake otherwise (JPEG et al.)."""
+    import numpy as np
 
+    from .codecs import PNG_MAGIC, WAV_MAGIC, png_decode, wav_decode
+
+    if payload.startswith(PPM_MAGIC):
         _, _, px = ppm_decode(payload)
         flat = px.reshape(-1)
-        return (
-            zlib.crc32(flat.tobytes()),
-            float(int(np.sum(flat, dtype=np.int64))) / flat.size,
-            len(payload),
-        )
-    return _fake_decode(payload)
+    elif payload.startswith(PNG_MAGIC):
+        _, _, _, px = png_decode(payload)
+        flat = px.reshape(-1)
+    elif payload.startswith(WAV_MAGIC):
+        _, _, s = wav_decode(payload)
+        flat = s.reshape(-1)
+    else:
+        return _fake_decode(payload)
+    if flat.size == 0:
+        return 0, 0.0, len(payload)
+    return (
+        zlib.crc32(np.ascontiguousarray(flat).tobytes()),
+        float(int(np.sum(flat, dtype=np.int64))) / flat.size,
+        len(payload),
+    )
 
 
 def decode_media(df: DataFrame) -> DataFrame:
@@ -261,12 +274,15 @@ RESIZE_SCHEMA = StructType(
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: filters to images on the *metadata* column (no
     payload touched for non-images — columnar pruning), then resamples.
-    P6 PPM payloads get a REAL nearest-neighbor resample (output is a
-    valid PPM of the target dims); other formats use the deterministic
-    fake (payload truncated proportionally to the pixel-count ratio)."""
+    P6 PPM and PNG payloads get a REAL nearest-neighbor resample
+    (output is a valid PPM/PNG of the target dims); other formats use
+    the deterministic fake (payload truncated proportionally to the
+    pixel-count ratio)."""
     imgs = df.filter(F.col("meta.media_type") == "image")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import PNG_MAGIC, png_decode, png_encode
+
         for pdf in batches:
             if _HAVE_PIL:
                 raise NotImplementedError("real image resize not wired in this build")
@@ -276,6 +292,10 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                 if raw.startswith(PPM_MAGIC):
                     _, _, px = ppm_decode(raw)
                     out_payload.append(ppm_encode(ppm_resize_nn(px, width, height)))
+                    continue
+                if raw.startswith(PNG_MAGIC):
+                    _, _, _, px = png_decode(raw)
+                    out_payload.append(png_encode(ppm_resize_nn(px, width, height)))
                     continue
                 src_px = max(1, (m["width"] or 1) * (m["height"] or 1))
                 keep = max(1, int(len(raw) * min(1.0, (width * height) / src_px)))

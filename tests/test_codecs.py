@@ -1,0 +1,166 @@
+"""Pure-Python PNG / WAV codecs (codecs.py): round trips across every
+filter type and color type, malformed-input rejection, CRC tamper
+detection, and the Spark-side format-sniffed decode/resize integration."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import Row
+
+from starryskyqueryengine_spark.codecs import (
+    PNG_MAGIC,
+    png_decode,
+    png_encode,
+    wav_decode,
+    wav_encode,
+)
+from starryskyqueryengine_spark.multimodal import (
+    MEDIA_SCHEMA,
+    decode_media,
+    ppm_resize_nn,
+    resize_images,
+)
+
+RNG = np.random.default_rng(42)
+
+
+# --------------------------------------------------------------------------
+# PNG
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("channels", [1, 3, 4])
+@pytest.mark.parametrize("filt", [0, 1, 2, 3, 4, "mixed"])
+def test_png_roundtrip_all_filters(channels, filt):
+    h, w = 13, 17
+    shape = (h, w) if channels == 1 else (h, w, channels)
+    a = RNG.integers(0, 256, size=shape, dtype=np.uint8)
+    filters = [(3 * y + 1) % 5 for y in range(h)] if filt == "mixed" else filt
+    ww, hh, ch, px = png_decode(png_encode(a, filters=filters))
+    assert (ww, hh, ch) == (w, h, channels)
+    expected = a if a.ndim == 3 else a[:, :, None]
+    assert np.array_equal(px, expected)
+
+
+def test_png_single_pixel_and_single_column():
+    for shape in [(1, 1, 3), (5, 1, 3), (1, 7, 3)]:
+        a = RNG.integers(0, 256, size=shape, dtype=np.uint8)
+        *_, px = png_decode(png_encode(a, filters=4))
+        assert np.array_equal(px, a)
+
+
+def test_png_crc_tamper_rejected():
+    p = bytearray(png_encode(RNG.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)))
+    p[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|chunk"):
+        png_decode(bytes(p))
+    # but decodes with verification off only if the tampered byte is in a
+    # region that still parses — CRC is the integrity line, so just check
+    # the verified path rejects and the clean payload accepts
+    png_decode(bytes(png_encode(np.zeros((2, 2, 3), dtype=np.uint8))))
+
+
+def test_png_rejects_non_png_and_truncated():
+    with pytest.raises(ValueError, match="not a PNG"):
+        png_decode(b"P6\n1 1\n255\nabc")
+    good = png_encode(np.zeros((3, 3, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        png_decode(good[: len(good) // 2])
+
+
+def test_png_rejects_unsupported_depth():
+    # hand-craft a 16-bit-depth IHDR; decoder must refuse, not garble
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        png_decode(PNG_MAGIC + chunk)
+
+
+def test_png_encoder_rejects_bad_filter_and_shape():
+    a = np.zeros((2, 2, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="filter"):
+        png_encode(a, filters=7)
+    with pytest.raises(ValueError):
+        png_encode(np.zeros((2, 2, 2), dtype=np.uint8))
+
+
+# --------------------------------------------------------------------------
+# WAV
+# --------------------------------------------------------------------------
+
+def test_wav_roundtrip_mono_and_stereo():
+    mono = (RNG.integers(0, 4096, size=800) - 2048).astype(np.int16)
+    rate, ch, out = wav_decode(wav_encode(mono, 16000))
+    assert (rate, ch) == (16000, 1)
+    assert np.array_equal(out[:, 0], mono)
+
+    stereo = (RNG.integers(0, 4096, size=(300, 2)) - 2048).astype(np.int16)
+    rate, ch, out = wav_decode(wav_encode(stereo, 44100))
+    assert (rate, ch) == (44100, 2)
+    assert np.array_equal(out, stereo)
+
+
+def test_wav_tolerates_extra_chunks():
+    base = wav_encode(np.array([1, -2, 3], dtype=np.int16), 8000)
+    # splice a LIST chunk (odd-length, so padding matters) before data
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    spliced = base[:fmt_end] + extra + base[fmt_end:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    rate, ch, out = wav_decode(spliced)
+    assert rate == 8000 and list(out[:, 0]) == [1, -2, 3]
+
+
+def test_wav_rejects_non_pcm16():
+    bad = bytearray(wav_encode(np.array([0], dtype=np.int16), 8000))
+    bad[20] = 3  # format code -> IEEE float
+    with pytest.raises(ValueError, match="unsupported"):
+        wav_decode(bytes(bad))
+    with pytest.raises(ValueError, match="not a RIFF"):
+        wav_decode(b"OggS....")
+
+
+# --------------------------------------------------------------------------
+# Spark integration: sniffed decode + resize over real PNG payloads
+# --------------------------------------------------------------------------
+
+def _media_df(spark, rows):
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def test_decode_media_sniffs_png_and_wav(spark):
+    img = RNG.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    snd = (RNG.integers(0, 4096, size=160) - 2048).astype(np.int16)
+    rows = [
+        Row(media_id=1, payload=bytearray(png_encode(img, filters=2)),
+            meta=Row(media_type="image", width=8, height=6, duration_ms=None,
+                     sample_rate=None, byte_len=0)),
+        Row(media_id=2, payload=bytearray(wav_encode(snd, 16000)),
+            meta=Row(media_type="audio", width=None, height=None,
+                     duration_ms=10, sample_rate=16000, byte_len=0)),
+    ]
+    out = {r["media_id"]: r for r in decode_media(_media_df(spark, rows)).collect()}
+    img_flat = img.reshape(-1)
+    assert out[1]["checksum"] == zlib.crc32(img_flat.tobytes())
+    assert out[1]["mean_byte"] == pytest.approx(img_flat.mean())
+    snd64 = snd.astype(np.int64)
+    assert out[2]["checksum"] == zlib.crc32(np.ascontiguousarray(snd).tobytes())
+    assert out[2]["mean_byte"] == pytest.approx(snd64.mean())
+
+
+def test_resize_images_real_png_path(spark):
+    img = RNG.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+    rows = [
+        Row(media_id=1, payload=bytearray(png_encode(img, filters=1)),
+            meta=Row(media_type="image", width=16, height=12, duration_ms=None,
+                     sample_rate=None, byte_len=0)),
+    ]
+    out = resize_images(_media_df(spark, rows), 4, 3).collect()[0]
+    w, h, ch, px = png_decode(bytes(out["payload"]))
+    assert (w, h, ch) == (4, 3, 3)
+    assert np.array_equal(px, ppm_resize_nn(img, 4, 3))

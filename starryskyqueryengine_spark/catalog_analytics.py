@@ -937,3 +937,246 @@ def q21_waiting_supplier(spark, sf_dir):
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 additions: the four remaining classic TPC-H decorrelation
+# shapes (Q2/Q11/Q12/Q20), adapted to the fixture schema (no partsupp /
+# shipmode / commitdate; supply cost derives from lineitem itself).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               round(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                     / sum(CAST(l_quantity AS DECIMAL(18,4))), 6) AS unit_cost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey,
+           CAST(c.unit_cost AS DOUBLE) AS unit_cost
+    FROM part p, cost c, supplier s, nation n
+    WHERE p.p_partkey = c.l_partkey
+      AND s.s_suppkey = c.l_suppkey
+      AND s.s_nationkey = n.n_nationkey
+      AND p.p_size = 15 AND p.p_type = 'PROMO'
+      AND c.unit_cost = (SELECT min(c2.unit_cost) FROM cost c2
+                         WHERE c2.l_partkey = p.p_partkey)
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: min-cost supplier per part. The correlated scalar
+    MIN decorrelates into a per-part aggregate of the (part, supplier)
+    unit-cost table joined back on (partkey, cost) — both sides hash on
+    l_partkey so AQE reuses one exchange; part/supplier/nation are
+    broadcast dims. (Fixtures lack partsupp, so supply cost = decimal
+    sum(extendedprice)/sum(quantity) per (part, supplier) from lineitem
+    — exact decimal division, order-independent, then one round-6.)
+    At 100 TB the cost table is |parts|x|suppliers-per-part| rows — tiny
+    next to lineitem; nothing wider than it ever shuffles."""
+    l = load_table(spark, sf_dir, "lineitem")
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            / F.sum(F.col("l_quantity").cast("decimal(18,4)")),
+            6,
+        ).alias("unit_cost")
+    )
+    min_cost = cost.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "PROMO")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        cost.join(
+            min_cost,
+            (F.col("l_partkey") == F.col("mc_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            F.col("unit_cost").cast("double").alias("unit_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_stock",
+    """
+    WITH value AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                   * CAST(1 - l_discount AS DECIMAL(18,4))) AS part_value
+        FROM lineitem
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(round(part_value, 2) AS DOUBLE) AS part_value
+    FROM value
+    WHERE part_value > (SELECT sum(part_value) * 0.0006 FROM value)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: keep groups whose value exceeds a fraction of
+    the GLOBAL total — the scalar subquery decorrelates into a 1-row
+    aggregate broadcast-cross-joined as a filter (same pattern as Q15's
+    scalar max; never a driver collect). The per-part value aggregate is
+    computed once; under AQE the exchange feeding both the global sum
+    and the probe is reused. Decimal sums keep the threshold compare
+    order-independent. At 100 TB: one lineitem shuffle on l_partkey,
+    then a |parts|-row table against a broadcast scalar."""
+    l = load_table(spark, sf_dir, "lineitem")
+    value = l.groupBy("l_partkey").agg(F.sum(_dec_rev()).alias("part_value"))
+    total = value.agg(
+        (F.sum("part_value") * F.lit(0.0006)).alias("_threshold")
+    )
+    return (
+        value.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("_threshold"))
+        .select(
+            "l_partkey",
+            F.round("part_value", 2).cast("double").alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "q12_priority_lateness",
+    """
+    SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+                THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l, orders o
+    WHERE o.o_orderkey = l.l_orderkey
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY ship_bucket
+    ORDER BY ship_bucket
+    """,
+)
+def q12_priority_lateness(spark, sf_dir):
+    """TPC-H Q12 shape: per-bucket conditional counts of high/low
+    priority orders. (Fixtures lack l_shipmode/commitdate, so the
+    grouping key is a lateness bucket — shipped more than 30 days after
+    the order date — which keeps Q12's signature pattern: a CASE
+    grouping key + two conditional SUMs in one pass.) The year filter
+    is pushed to the lineitem scan; orders joins on orderkey then the
+    2-row aggregate is map-side partial — the shuffle carries 2 rows per
+    task. Pure integer counts: no float drift possible."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .withColumn(
+            "ship_bucket",
+            F.when(
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+                F.lit("LATE"),
+            ).otherwise(F.lit("ONTIME")),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+@register(
+    "q20_excess_supply",
+    """
+    WITH shipped AS (
+        SELECT l_suppkey, l_partkey,
+               sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey, l_partkey
+    ),
+    dominant AS (
+        SELECT s1.l_suppkey
+        FROM shipped s1
+        WHERE s1.l_partkey IN (SELECT p_partkey FROM part
+                               WHERE p_name LIKE 'small%')
+          AND s1.qty > (SELECT 0.35 * sum(s2.qty) FROM shipped s2
+                        WHERE s2.l_partkey = s1.l_partkey)
+    )
+    SELECT s.s_name, n.n_name,
+           CAST(round(s.s_acctbal, 2) AS DOUBLE) AS s_acctbal
+    FROM supplier s, nation n
+    WHERE s.s_nationkey = n.n_nationkey
+      AND n.n_name IN ('NATION_6', 'NATION_9', 'NATION_11')
+      AND s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+    ORDER BY s.s_name
+    """,
+)
+def q20_excess_supply(spark, sf_dir):
+    """TPC-H Q20 shape: the nested semi-join chain — suppliers (in one
+    nation) who dominate the supply of name-filtered parts. (Fixtures
+    lack partsupp, so 'dominates' = shipped more than half that part's
+    total shipped quantity in the window — the same correlated
+    threshold-vs-aggregate subquery, decorrelated into a per-part total
+    joined back on partkey.) Part filter broadcasts into a semi join
+    BEFORE the threshold work; the final supplier membership is a
+    left-semi against the distinct dominant-supplier set; nation is a
+    broadcast dim. Decimal quantity sums: order-independent compares.
+    At 100 TB both aggregates shuffle the same (suppkey, partkey) grain
+    once; nothing lineitem-wide survives past the first groupBy."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p_small = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    shipped = l.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty")
+    )
+    part_total = shipped.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
+        (F.lit(0.35) * F.sum("qty")).alias("half_total")
+    )
+    dominant = (
+        shipped.join(F.broadcast(p_small), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(part_total, F.col("l_partkey") == F.col("pt_partkey"))
+        .filter(F.col("qty") > F.col("half_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_6", "NATION_9", "NATION_11")
+    )
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(dominant), s["s_suppkey"] == F.col("l_suppkey"), "left_semi")
+        .select(
+            "s_name", "n_name",
+            F.round("s_acctbal", 2).cast("double").alias("s_acctbal"),
+        )
+        .orderBy("s_name")
+    )

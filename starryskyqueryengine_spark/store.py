@@ -17,10 +17,13 @@ actually touched in a micro-batch — never a full-table rewrite.
 The LOGICAL mutation semantics live here; the PHYSICAL commit protocol
 lives behind the :class:`.table_format.TableFormat` seam (default:
 key-partitioned vanilla Parquet with dynamic partition overwrite, which
-runs anywhere). On a real deployment you pass a Delta/Iceberg-backed
-TableFormat instead and every mutation becomes one ACID statement —
-the mapping (MERGE / REPLACE WHERE / DELETE / OPTIMIZE) is documented
-in ``table_format.py``.
+runs anywhere). Two ACID upgrades exist: pass
+:class:`.table_format.TxnLogFormat` for the built-in transaction-log
+format (atomic commits, snapshot isolation, time travel, vacuum — no
+extra dependencies), or a Delta/Iceberg-backed adapter on a real
+deployment, where every mutation becomes one ACID statement — the
+mapping (MERGE / REPLACE WHERE / DELETE / OPTIMIZE) is documented in
+``table_format.py``.
 """
 
 from __future__ import annotations

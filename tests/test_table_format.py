@@ -118,3 +118,159 @@ def test_abstract_format_refuses_silently_partial_impls(spark):
         h.append(None)
     with pytest.raises(NotImplementedError):
         h.overwrite_partitions(None)
+
+
+# --------------------------------------------------------------------------
+# TxnLogFormat: ACID commits, snapshot isolation, time travel, vacuum
+# --------------------------------------------------------------------------
+
+from starryskyqueryengine_spark.table_format import (  # noqa: E402
+    ConcurrentWriteError,
+    TxnLogFormat,
+)
+
+
+def test_txnlog_poststore_parity_with_default(spark, tmp_path):
+    """The full PostStore mutation sequence lands in identical logical
+    state on the transaction-log format and the default Parquet one."""
+    s_def = PostStore(spark, str(tmp_path / "a"))
+    s_txn = PostStore(
+        spark, str(tmp_path / "b"), fmt=TxnLogFormat(spark, str(tmp_path / "b"))
+    )
+    for s in (s_def, s_txn):
+        s.upsert(_batch(spark, 0, 8))
+        s.upsert(_batch(spark, 4, 8))  # 4 dup, 4 new
+        s.apply_retention({"k1": 10})
+        s.apply_refresh("k1", 2)
+    a = sorted(tuple(r) for r in s_def.read().collect())
+    b = sorted(tuple(r) for r in s_txn.read().collect())
+    assert a == b and len(a) == 8
+
+
+def test_txnlog_emptied_partition_no_blind_spot(spark, tmp_path):
+    """Overwriting a key with zero remaining rows removes its files in
+    the SAME atomic commit — the Parquet impl's deletion blind spot is
+    structurally gone."""
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch(spark, 0, 5))
+    assert fmt.read(spark).count() == 5
+    empty = _batch(spark, 0, 0)
+    fmt.overwrite_partitions(empty, expected_keys=["k1"])
+    assert fmt.read(spark).count() == 0
+    # and the history shows one overwrite commit with removes, no adds
+    assert fmt.history()[-1]["op"] == "overwrite"
+    assert fmt.history()[-1]["n_add"] == 0
+    assert fmt.history()[-1]["n_remove"] >= 1
+
+
+def test_txnlog_snapshot_isolation_under_rewrite(spark, tmp_path):
+    """A reader that resolved its snapshot before a compaction-style
+    rewrite still reads the OLD files — the visible-rewrite window of
+    the vanilla-Parquet impl cannot happen."""
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch(spark, 0, 6))
+    before = fmt.read(spark)  # snapshot resolved now (file list pinned)
+    fmt.overwrite_partitions(_batch(spark, 100, 2))  # rewrite k1 entirely
+    assert before.count() == 6  # old snapshot, old files, still readable
+    assert fmt.read(spark).count() == 2
+
+
+def test_txnlog_time_travel_and_history(spark, tmp_path):
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch(spark, 0, 3))       # v0: 3 rows
+    fmt.append(_batch(spark, 10, 2))      # v1: 5 rows
+    fmt.overwrite_partitions(_batch(spark, 50, 1))  # v2: 1 row
+    fmt.delete_partition("k1")            # v3: 0 rows
+    assert [h["op"] for h in fmt.history()] == [
+        "append", "append", "overwrite", "delete",
+    ]
+    assert fmt.read(spark, version=0).count() == 3
+    assert fmt.read(spark, version=1).count() == 5
+    assert fmt.read(spark, version=2).count() == 1
+    assert fmt.read(spark, version=3).count() == 0
+    assert fmt.read(spark).count() == 0
+
+
+def test_txnlog_conflict_append_rebases_overwrite_raises(
+    spark, tmp_path, monkeypatch
+):
+    """Lose the put-if-absent race ON PURPOSE: a concurrent writer's
+    commit lands between this writer's log-tip read and its link
+    attempt. Appends must rebase and land; partition-scoped ops must
+    rebase only when the interloper touched disjoint keys."""
+    import json
+    import os
+
+    import starryskyqueryengine_spark.table_format as tf_mod
+
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch(spark, 0, 3))  # v0
+
+    real_link = os.link
+    steal: dict = {}
+
+    def racing_link(src, dst):
+        # first link into the log loses the race to a rival commit
+        if steal and os.sep + TxnLogFormat.LOG_DIR + os.sep in dst:
+            key = steal.pop("key")
+            v = fmt._versions()[-1] + 1
+            with open(fmt._entry_path(v), "w") as f:
+                json.dump(
+                    {"version": v, "op": "append", "ts": 0, "remove": [],
+                     "add": [{"path": f"key={key}/ghost-{v}.parquet",
+                              "key": key}]},
+                    f,
+                )
+        return real_link(src, dst)
+
+    monkeypatch.setattr(tf_mod.os, "link", racing_link)
+
+    # (a) append loses the race to a commit on the SAME key: rebases
+    steal["key"] = "k1"
+    fmt.append(_batch(spark, 10, 2))
+    assert fmt.history()[-1]["op"] == "append"
+
+    # (b) overwrite loses the race to a commit on the same key: refuses
+    steal["key"] = "k1"
+    with pytest.raises(ConcurrentWriteError, match="conflicts"):
+        fmt.overwrite_partitions(_batch(spark, 50, 1))
+
+    # (c) overwrite loses the race to a DISJOINT-key commit: rebases
+    steal["key"] = "other-key"
+    fmt.overwrite_partitions(_batch(spark, 60, 1))
+    assert fmt.history()[-1]["op"] == "overwrite"
+
+
+def test_txnlog_checkpoint_bounds_replay(spark, tmp_path):
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"), checkpoint_interval=4)
+    for i in range(9):
+        fmt.append(_batch(spark, i * 10, 1))
+    cks = fmt._checkpoints()
+    assert cks, "expected at least one checkpoint"
+    # a fresh instance (fresh metadata cache) resolves the same snapshot
+    fmt2 = TxnLogFormat(spark, str(tmp_path / "t"), checkpoint_interval=4)
+    assert fmt2._snapshot() == fmt._snapshot()
+    assert fmt2.read(spark).count() == 9
+    # snapshot resolved via checkpoint == snapshot replayed from scratch
+    full = {}
+    for v in fmt._versions():
+        e = fmt._read_entry(v)
+        for rm in e.get("remove", []):
+            full.pop(rm, None)
+        for a in e.get("add", []):
+            full[a["path"]] = a["key"]
+    assert full == fmt._snapshot()
+
+
+def test_txnlog_vacuum_reclaims_unreferenced_files(spark, tmp_path):
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch(spark, 0, 4))
+    fmt.overwrite_partitions(_batch(spark, 100, 2))  # v0's files now dead
+    n_files_before = sum(fmt.file_counts().values())
+    deleted = fmt.vacuum(retain_versions=0)
+    assert deleted, "expected the superseded files to be reclaimed"
+    # live snapshot unaffected
+    assert fmt.read(spark).count() == 2
+    assert sum(fmt.file_counts().values()) == n_files_before
+    # nothing left to vacuum on a second pass
+    assert fmt.vacuum(retain_versions=0) == []

@@ -1180,3 +1180,59 @@ def q20_excess_supply(spark, sf_dir):
         )
         .orderBy("s_name")
     )
+
+
+@register(
+    "zorder_skipping_scan",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_price,
+           CAST(min(l_partkey) AS BIGINT) AS min_part,
+           CAST(max(l_orderkey) AS BIGINT) AS max_order
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 200
+      AND l_orderkey BETWEEN 5000 AND 9000
+    """,
+)
+def zorder_skipping_scan(spark, sf_dir):
+    """Z-order clustering + file-level min/max skipping (Morton-code
+    layout; operators/zorder.py): lineitem is rewritten once per
+    dataset clustered by (l_partkey, l_orderkey), then a 2-D box
+    predicate reads ONLY the files whose stats rectangle intersects the
+    box (~5 of 16 at sf0.01; a linear sort layout prunes zero files for
+    the second dimension — tests/test_zorder.py proves both). The
+    oracle computes the same aggregate over the raw table: skipping
+    must be invisible to results. Layout build is cached per sf_dir
+    (build-once/serve-many, same lifecycle as the IVF index)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .operators.zorder import MANIFEST, read_with_skipping, write_zordered
+
+    tag = hashlib.md5(str(sf_dir).encode()).hexdigest()[:12]
+    zpath = os.path.join(tempfile.gettempdir(), f"starrysky_zorder_{tag}")
+    if not os.path.exists(os.path.join(zpath, MANIFEST)):
+        write_zordered(
+            load_table(spark, sf_dir, "lineitem"),
+            zpath,
+            ["l_partkey", "l_orderkey"],
+            n_files=16,
+        )
+    box = {"l_partkey": (100, 200), "l_orderkey": (5000, 9000)}
+    df, _n_read, _n_total = read_with_skipping(spark, zpath, box)
+    return (
+        df.filter(
+            F.col("l_partkey").between(100, 200)
+            & F.col("l_orderkey").between(5000, 9000)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_price"),
+            F.min("l_partkey").cast("bigint").alias("min_part"),
+            F.max("l_orderkey").cast("bigint").alias("max_order"),
+        )
+    )

@@ -1,0 +1,90 @@
+"""Z-order clustering + data skipping (operators/zorder.py): Morton
+code correctness vs a Python reference, skip-correctness (pruned scan
+== full scan), and pruning power on both clustered dimensions."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from starryskyqueryengine_spark.operators.zorder import (
+    MANIFEST,
+    read_with_skipping,
+    write_zordered,
+    zvalue_expr,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _morton_ref(vals, bits):
+    z = 0
+    n = len(vals)
+    for j, v in enumerate(vals):
+        for i in range(bits):
+            z |= ((v >> i) & 1) << (i * n + j)
+    return z
+
+
+def test_zvalue_expr_matches_python_reference(spark):
+    rows = [(a, b) for a in [0, 1, 5, 255, 65535] for b in [0, 2, 7, 1000, 65535]]
+    df = spark.createDataFrame(rows, "a int, b int")
+    out = df.select(
+        "a", "b", zvalue_expr([F.col("a"), F.col("b")], bits=16).alias("z")
+    ).collect()
+    for r in out:
+        assert r["z"] == _morton_ref([r["a"], r["b"]], 16), (r["a"], r["b"])
+
+
+@pytest.fixture(scope="module")
+def zlayout(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("zorder") / "lineitem_z")
+    l = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    manifest = write_zordered(l, path, ["l_partkey", "l_orderkey"], n_files=8)
+    return path, manifest, l
+
+
+def test_zorder_writes_manifest_and_all_rows(spark, zlayout):
+    path, manifest, l = zlayout
+    assert os.path.exists(os.path.join(path, MANIFEST))
+    assert sum(st["rows"] for st in manifest["files"].values()) == l.count()
+    assert spark.read.parquet(path).count() == l.count()
+
+
+def test_skipping_is_invisible_to_results(spark, zlayout):
+    path, _manifest, l = zlayout
+    box = {"l_partkey": (50, 120), "l_orderkey": (100, 900)}
+    pred = F.col("l_partkey").between(50, 120) & F.col("l_orderkey").between(100, 900)
+    df, n_read, n_total = read_with_skipping(spark, path, box)
+    got = sorted(tuple(r) for r in df.filter(pred).collect())
+    want = sorted(tuple(r) for r in l.filter(pred).collect())
+    assert got == want
+    assert 0 < n_read < n_total, f"expected real pruning, read {n_read}/{n_total}"
+
+
+def test_skipping_prunes_on_second_dimension(spark, zlayout):
+    """The clustered layout must prune for a predicate on the SECOND
+    z-order column alone — the property a linear sort cannot give."""
+    path, _manifest, l = zlayout
+    rng = {"l_orderkey": (100, 400)}
+    df, n_read, n_total = read_with_skipping(spark, path, rng)
+    assert n_read < n_total
+    pred = F.col("l_orderkey").between(100, 400)
+    assert df.filter(pred).count() == l.filter(pred).count()
+
+
+def test_skipping_empty_box_reads_zero_files(spark, zlayout):
+    path, _manifest, _l = zlayout
+    df, n_read, _ = read_with_skipping(
+        spark, path, {"l_partkey": (10**9, 2 * 10**9)}
+    )
+    assert n_read == 0
+    assert df.count() == 0
+
+
+def test_unbounded_sides_and_none_ranges(spark, zlayout):
+    path, _manifest, l = zlayout
+    df, n_read, n_total = read_with_skipping(spark, path, {"l_partkey": (None, 30)})
+    pred = F.col("l_partkey") <= 30
+    assert df.filter(pred).count() == l.filter(pred).count()
+    assert n_read <= n_total

@@ -578,20 +578,25 @@ def _load_extensions() -> None:
 # all 113 queries remain covered by tools/full_gate.py and
 # tests/test_oracle_parity.py locally.
 PRIORITY: list[str] = [
-    # --- Regression core (driver-green r1-r4, highest regression risk) ---
+    # --- Regression core (driver-green r1-r4, highest regression risk;
+    # trimmed to 8 in-round to make room for the 7 new round-5 queries —
+    # the 5 rotated out are multi-round driver-green and unchanged) ---
     "flagship_multifeed",
-    "multifeed_datadriven",
     "w1_stream_upsert",
     "w2_stateful_running_stats",
     "w8_stream_tumbling_counts",
     "p6_p9_condition_chain",
-    "p10_profile_match",
     "t1_topk",
-    "t2_keyset_page",
     "j2_anti_join_dedup",
     "q1_pricing_summary",
-    "s1_paged_scan",
-    "p11_acl_filter",
+    # --- New in round 5 (never driver-checked, value-exact locally) ---
+    "mm_png_decode",
+    "mm_wav_features",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_priority_lateness",
+    "q20_excess_supply",
+    "zorder_skipping_scan",
     # --- Rotated in: never driver-checked before round 5 ---
     "q7_nation_volume",
     "q8_market_share",
@@ -607,8 +612,6 @@ PRIORITY: list[str] = [
     "bm25_search",
     "semantic_dedup",
     "ann_ivf_fixed_topk",
-    "kmeans_update_step",
-    "embedding_quantize",
     "decontaminate_overlap",
     "domain_stats",
     "quality_filter_funnel",

@@ -631,8 +631,8 @@ PRIORITY: list[str] = [
     "text_pii_redact",
     "sessionize_events",
     "distinct_users_daily",
-    "mm_ppm_decode",
     "mm_ppm_resize",
+    "mm_jpeg_roundtrip",
 ]
 
 

@@ -410,3 +410,82 @@ def mm_ppm_decode(spark, sf_dir):
         F.round(F.col("px_sum") / F.col("n_px"), 6).alias("mean_px"),
         F.col("n_px"),
     )
+
+
+@register(
+    "mm_jpeg_roundtrip",
+    """
+    SELECT doc_id AS media_id,
+           CAST(16 + (doc_id % 4) * 8 AS INTEGER) AS width,
+           CAST(16 + (doc_id % 3) * 8 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           TRUE AS within_tol
+    FROM documents
+    """,
+)
+def mm_jpeg_roundtrip(spark, sf_dir):
+    """REAL baseline JPEG round trip (pure-numpy DCT + Annex-K Huffman,
+    ``jpeg.py``): per doc, synthesize a smooth linear-gradient RGB image
+    (low-frequency content, so quantization error is tightly bounded),
+    encode at quality 90, decode, and report exact dims plus a
+    reconstruction-error-bound flag (max |err| <= 12). JPEG is lossy,
+    so unlike the PPM/PNG oracles the value check pins dimensions and
+    the error bound, not pixel sums — a bug anywhere in DCT, zigzag,
+    Huffman tables, byte stuffing, or the color transform either breaks
+    the decoded dims or blows the error bound (bit-exact properties
+    live in tests/test_jpeg.py). 100 TB shape: two Arrow-batched
+    mapInPandas hops, per-image memory, zero shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from .jpeg import jpeg_decode, jpeg_encode
+    from .session import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def _gen_image(d: int):
+        w, h = 16 + (d % 4) * 8, 16 + (d % 3) * 8
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = d % 64
+        img = np.stack(
+            [
+                base + xx * 2 + yy,
+                base + xx + yy * 2,
+                base + xx + yy,
+            ],
+            axis=-1,
+        )
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                payloads.append(jpeg_encode(_gen_image(int(d)), quality=90))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    enc = docs.mapInPandas(gen, "media_id long, payload binary")
+
+    def dec(batches):
+        for pdf in batches:
+            out = {
+                "media_id": [], "width": [], "height": [], "channels": [],
+                "within_tol": [],
+            }
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, px = jpeg_decode(bytes(b))
+                ref = _gen_image(int(mid))
+                err = int(
+                    np.max(np.abs(px.astype(np.int64) - ref.astype(np.int64)))
+                )
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["within_tol"].append(err <= 12)
+            yield pd.DataFrame(out)
+
+    return enc.mapInPandas(
+        dec,
+        "media_id long, width int, height int, channels int, within_tol boolean",
+    )

@@ -21,14 +21,14 @@ Scale design:
   100 TB media scan feasible (spark.sql.execution.arrow.maxRecordsPerBatch
   bounds the batch).
 - The codec step is REAL for binary PPM (P6 netpbm), PNG (stdlib zlib
-  DEFLATE, all five filter types — ``codecs.py``), and WAV (RIFF
-  PCM16): pure numpy/stdlib encode/decode runs on actual pixel/sample
-  bytes, format-sniffed per payload, and is oracle-round-trip-checked
-  (``mm_ppm_decode``, ``mm_png_decode``, ``mm_wav_features``). Formats
-  whose compression needs codecs this container doesn't ship (JPEG's
-  DCT+Huffman) remain STUBBED behind the deterministic fake +
-  ``_HAVE_PIL`` import-try; everything around the seam — schema,
-  batching, partitioning, UDF signatures — is identical for both paths.
+  DEFLATE, all five filter types — ``codecs.py``), WAV (RIFF PCM16),
+  and baseline JPEG (pure-numpy DCT + Annex-K Huffman — ``jpeg.py``):
+  encode/decode runs on actual pixel/sample bytes, format-sniffed per
+  payload, and is oracle-checked (``mm_ppm_decode``, ``mm_png_decode``,
+  ``mm_wav_features``, ``mm_jpeg_roundtrip``). Unrecognized formats
+  fall through to the clearly-marked deterministic fake + ``_HAVE_PIL``
+  import-try; everything around the seam — schema, batching,
+  partitioning, UDF signatures — is identical for both paths.
 """
 
 from __future__ import annotations
@@ -211,12 +211,16 @@ def _decode_one(payload: bytes) -> tuple[int, float, int]:
     import numpy as np
 
     from .codecs import PNG_MAGIC, WAV_MAGIC, png_decode, wav_decode
+    from .jpeg import JPEG_MAGIC, jpeg_decode
 
     if payload.startswith(PPM_MAGIC):
         _, _, px = ppm_decode(payload)
         flat = px.reshape(-1)
     elif payload.startswith(PNG_MAGIC):
         _, _, _, px = png_decode(payload)
+        flat = px.reshape(-1)
+    elif payload.startswith(JPEG_MAGIC[:2]):
+        _, _, _, px = jpeg_decode(payload)
         flat = px.reshape(-1)
     elif payload.startswith(WAV_MAGIC):
         _, _, s = wav_decode(payload)
@@ -296,6 +300,15 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                 if raw.startswith(PNG_MAGIC):
                     _, _, _, px = png_decode(raw)
                     out_payload.append(png_encode(ppm_resize_nn(px, width, height)))
+                    continue
+                if raw.startswith(b"\xff\xd8"):
+                    from .jpeg import jpeg_decode, jpeg_encode
+
+                    _, _, ch, px = jpeg_decode(raw)
+                    small = ppm_resize_nn(px, width, height)
+                    out_payload.append(
+                        jpeg_encode(small[:, :, 0] if ch == 1 else small)
+                    )
                     continue
                 src_px = max(1, (m["width"] or 1) * (m["height"] or 1))
                 keep = max(1, int(len(raw) * min(1.0, (width * height) / src_px)))

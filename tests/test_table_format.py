@@ -3,6 +3,7 @@ physical write through the injected adapter, and an alternate adapter
 must produce byte-identical logical state to the default."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from starryskyqueryengine_spark.store import PostStore
 from starryskyqueryengine_spark.table_format import (
@@ -274,3 +275,54 @@ def test_txnlog_vacuum_reclaims_unreferenced_files(spark, tmp_path):
     assert sum(fmt.file_counts().values()) == n_files_before
     # nothing left to vacuum on a second pass
     assert fmt.vacuum(retain_versions=0) == []
+
+
+def test_txnlog_merge_file_granular(spark, tmp_path):
+    """MERGE rewrites ONLY the files containing matched rows; other
+    files' bytes survive untouched, and the whole op is one commit."""
+    import datetime
+
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch(spark, 0, 4).coalesce(1))    # file A: uris 0-3
+    fmt.append(_batch(spark, 10, 4).coalesce(1))   # file B: uris 10-13
+    fmt.append(_batch(spark, 20, 4).coalesce(1))   # file C: uris 20-23
+    assert sum(fmt.file_counts().values()) == 3
+    live_before = set(fmt._snapshot())
+
+    # batch: update uri 11 (matches file B only) + insert a new uri
+    upd = _batch(spark, 11, 1).withColumn(
+        "cid", F.lit("UPDATED")
+    ).unionByName(_batch(spark, 99, 1))
+    stats = fmt.merge(upd, on=["uri", "key"])
+    assert stats["files_rewritten"] == 1
+
+    rows = {r["uri"]: r["cid"] for r in fmt.read(spark).collect()}
+    assert rows["at://u/p/11"] == "UPDATED"
+    assert rows["at://u/p/99"].startswith("c")
+    assert len(rows) == 13  # 12 original + 1 inserted
+    # files A and C are byte-identical survivors
+    live_after = set(fmt._snapshot())
+    assert len(live_before & live_after) == 2
+    assert fmt.history()[-1]["op"] == "merge"
+    # time travel: pre-merge snapshot still shows the old cid
+    pre = fmt.read(spark, version=2)
+    old = {r["uri"]: r["cid"] for r in pre.collect()}
+    assert old["at://u/p/11"] != "UPDATED" and len(old) == 12
+
+
+def test_txnlog_merge_into_empty_table_is_insert(spark, tmp_path):
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    stats = fmt.merge(_batch(spark, 0, 3), on=["uri", "key"])
+    assert stats["files_rewritten"] == 0
+    assert fmt.read(spark).count() == 3
+
+
+def test_txnlog_merge_pure_update_no_inserts(spark, tmp_path):
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch(spark, 0, 6))
+    upd = _batch(spark, 2, 2).withColumn("cid", F.lit("X"))
+    fmt.merge(upd, on=["uri", "key"])
+    rows = {r["uri"]: r["cid"] for r in fmt.read(spark).collect()}
+    assert len(rows) == 6
+    assert rows["at://u/p/2"] == "X" and rows["at://u/p/3"] == "X"
+    assert rows["at://u/p/0"] != "X"

@@ -370,3 +370,57 @@ def test_ivf_probe_reads_stored_index_no_base_reassignment(spark):
     a = sorted(map(tuple, probe2.collect()))
     b = sorted(map(tuple, adhoc.collect()))
     assert a == b
+
+
+def test_q2_cost_aggregates_before_join_and_dims_broadcast(spark, queries):
+    """Q2: the per-(part,supplier) unit-cost table and its per-part min
+    must both be aggregates feeding the join (nothing lineitem-wide
+    crosses a join), and part/supplier/nation ride broadcast joins."""
+    df = queries["q2_min_cost_supplier"](spark, SF_DIR)
+    plan = plan_of(df)
+    opt = optimized_of(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    # both cost and min-cost aggregates sit below the first join
+    first_join = opt.find("Join Inner")
+    agg1 = opt.find("Aggregate [l_partkey")
+    assert first_join != -1 and agg1 != -1 and agg1 > first_join
+
+
+def test_q11_threshold_is_broadcast_scalar_not_collected(spark, queries):
+    """Q11: the global-total threshold joins back as a 1-row broadcast —
+    no driver collect, no cartesian of full tables."""
+    plan = plan_of(queries["q11_important_stock"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_semi_join_chain(spark, queries):
+    """Q20: the part filter and the dominant-supplier membership are
+    LeftSemi joins (set membership, not row-multiplying inner joins)."""
+    opt = optimized_of(queries["q20_excess_supply"](spark, SF_DIR))
+    assert opt.count("LeftSemi") >= 2
+
+
+def test_q12_single_aggregate_pass(spark, queries):
+    """Q12: both conditional counts come from ONE aggregate (no union of
+    two scans), with the date filter pushed to the lineitem scan."""
+    df = queries["q12_priority_lateness"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("Scan parquet") == 2  # lineitem + orders, once each
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_zorder_zvalue_is_pure_codegen(spark):
+    """The Morton-code expression must stay inside whole-stage codegen —
+    no Python eval node, no UDF."""
+    from starryskyqueryengine_spark.operators.zorder import zvalue_expr
+
+    df = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select(zvalue_expr([F.col("l_partkey"), F.col("l_orderkey")]).alias("z"))
+    )
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # '*(n)' marks a WholeStageCodegen stage in the simple plan string
+    assert "*(1)" in plan

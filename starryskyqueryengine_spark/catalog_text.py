@@ -714,3 +714,127 @@ def leakage_safe_split(spark, sf_dir):
             "val",
         ).otherwise("train").alias("split"),
     )
+
+
+BM25_INDEX_BUCKETS = 64
+
+
+def _bm25_index_path(sf_dir) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(str(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"starrysky_bm25idx_{tag}")
+
+
+def build_bm25_index(spark, sf_dir) -> str:
+    """Build the persisted inverted index once per dataset: posting
+    lists (term, doc_id, tf) laid out partitioned by a 64-way term hash
+    bucket — a query probe prunes to the buckets its terms hash into,
+    reading a bounded fraction of the index regardless of corpus size —
+    plus the per-doc length table and a (n_docs, avgdl) stats sidecar.
+    This is the build-once/serve-many lifecycle the IVF index and the
+    Z-order layout already follow; at 100 TB the index build is the
+    one-time tokenization cost the scan-time bm25_search pays per query."""
+    import json
+    import os
+
+    path = _bm25_index_path(sf_dir)
+    if os.path.exists(os.path.join(path, "stats.json")):
+        return path
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    postings = tf.withColumn(
+        "term_bucket", F.abs(F.hash("term")) % BM25_INDEX_BUCKETS
+    )
+    (
+        postings.repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(os.path.join(path, "postings"))
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dl.write.mode("overwrite").parquet(os.path.join(path, "dl"))
+    row = dl.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs")).collect()[0]
+    tmp = os.path.join(path, "stats.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"avgdl": row["avgdl"], "n_docs": row["n_docs"]}, f)
+    os.replace(tmp, os.path.join(path, "stats.json"))
+    return path
+
+
+def bm25_probe(spark, index_path: str, terms) -> "F.DataFrame":
+    """Serve a BM25 query from the persisted index: posting scan pruned
+    to the query terms' hash buckets (PartitionFilters on term_bucket —
+    plan-pinned), df computed from the probe result itself, dl joined
+    only for candidate docs. No tokenization, no corpus-wide aggregate
+    at query time."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "stats.json")) as f:
+        stats = json.load(f)
+    buckets = sorted(
+        {r["b"] for r in spark.createDataFrame([(t,) for t in terms], "term string")
+         .select((F.abs(F.hash("term")) % BM25_INDEX_BUCKETS).alias("b"))
+         .collect()}
+    )
+    qt = spark.createDataFrame([(t,) for t in terms], "term string")
+    postings = (
+        spark.read.parquet(os.path.join(index_path, "postings"))
+        .filter(F.col("term_bucket").isin(buckets))
+        .join(F.broadcast(qt), "term")
+    )
+    df_t = postings.groupBy("term").agg(F.count("*").alias("df"))
+    dl = spark.read.parquet(os.path.join(index_path, "dl"))
+    part = (
+        postings.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1)
+                    + (F.lit(stats["n_docs"]) - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * F.col("tf") * F.lit(BM25_K1 + 1)
+                / (
+                    F.col("tf")
+                    + F.lit(BM25_K1)
+                    * (F.lit(1 - BM25_B)
+                       + F.lit(BM25_B) * F.col("dl") / F.lit(stats["avgdl"]))
+                )
+            ).alias("part"),
+        )
+    )
+    return (
+        part.groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOP_K)
+        .select("doc_id", "score")
+    )
+
+
+@register("bm25_indexed_search", _bm25_oracle())
+def bm25_indexed_search(spark, sf_dir):
+    """BM25 served from the PERSISTED inverted index (same oracle as
+    bm25_search — identical results, different physical plan): the
+    postings scan carries PartitionFilters on the query terms' hash
+    buckets, so query-time work is O(postings of matched buckets), not
+    O(corpus). df/avgdl/n_docs come from the probe and the stats
+    sidecar; the only corpus-sized artifact read is the pruned posting
+    fraction plus the doc-length join. Build-once/serve-many: the index
+    is written on first use per dataset (one tokenization pass), every
+    later query skips straight to the probe — the Lucene-shaped answer
+    to bm25_search's scan-time plan."""
+    path = build_bm25_index(spark, sf_dir)
+    return bm25_probe(spark, path, BM25_QUERY_TERMS)

@@ -424,3 +424,29 @@ def test_zorder_zvalue_is_pure_codegen(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # '*(n)' marks a WholeStageCodegen stage in the simple plan string
     assert "*(1)" in plan
+
+
+def test_bm25_indexed_probe_prunes_partitions_no_tokenize(spark, queries):
+    """The indexed BM25 probe must read the postings with partition
+    pruning on term_bucket and do NO query-time tokenization; the index
+    build must run once (second probe reuses the on-disk index)."""
+    import os
+
+    from starryskyqueryengine_spark.catalog_text import (
+        _bm25_index_path,
+        build_bm25_index,
+    )
+
+    path = build_bm25_index(spark, SF_DIR)
+    stats = os.path.join(path, "stats.json")
+    mtime = os.path.getmtime(stats)
+
+    df = queries["bm25_indexed_search"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "regexp_extract_all" not in plan  # no tokenization at query time
+    assert "PartitionFilters: [term_bucket" in plan or (
+        "PartitionFilters" in plan and "term_bucket" in plan
+    )
+    # build-once: serving did not rewrite the index
+    assert os.path.getmtime(stats) == mtime
+    assert _bm25_index_path(SF_DIR) == path

@@ -315,3 +315,108 @@ def source_kl_divergence(spark, sf_dir):
         F.max("n_s").cast("bigint").alias("n_tokens"),
         F.round(F.sum("term"), 6).alias("kl_divergence"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 5: HTML boilerplate extraction (the WET/CC-style first stage of a
+# web-scraped training corpus). The raw corpus is synthesized by wrapping
+# each document's text in a deterministic HTML shell (script + style +
+# title + nav boilerplate + entity-escaped body) so the extractor runs on
+# REAL markup; the oracle replays the identical construction and the
+# identical extraction pipeline in DuckDB, so the whole path — escape,
+# wrap, strip, unescape, collapse — is value-checked end to end.
+# --------------------------------------------------------------------------
+
+# extraction passes, applied in this order on both engines. Patterns stay
+# in the Java∩RE2∩PCRE common dialect (no backrefs, no lookaround) — the
+# same constraint regex_dialect.py enforces for feed conditions.
+_HTML_STRIP_PASSES = [
+    (r"(?s)<script\b[^>]*>.*?</script>", " "),
+    (r"(?s)<style\b[^>]*>.*?</style>", " "),
+    (r"<[^>]+>", " "),
+]
+_HTML_UNESCAPES = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+    ("&amp;", "&"),  # LAST: &amp;lt; must become &lt;, not <
+]
+
+
+@register(
+    "html_extract_text",
+    r"""
+    WITH raw AS (
+      SELECT doc_id,
+             '<html><head><script type="text/javascript">var nav = ' || doc_id
+             || ';</script><style>.m{color:red}</style><title>Doc '
+             || doc_id || '</title></head><body><div class="nav">Home | About'
+             || '</div><p>'
+             || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+             || '</p><div class="footer">(c) example</div></body></html>'
+               AS html
+      FROM documents
+    ),
+    stripped AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(html, '(?s)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                 '(?s)<style\b[^>]*>.*?</style>', ' ', 'g'),
+               '<[^>]+>', ' ', 'g') AS t1
+      FROM raw
+    ),
+    unescaped AS (
+      SELECT doc_id,
+             replace(replace(replace(replace(replace(t1,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+               '&amp;', '&') AS t2
+      FROM stripped
+    ),
+    clean AS (
+      SELECT doc_id,
+             trim(regexp_replace(t2, '\s+', ' ', 'g')) AS content
+      FROM unescaped
+    )
+    SELECT doc_id,
+           md5(content) AS content_md5,
+           CAST(length(content) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(content, '[^ ]+')) AS BIGINT) AS n_words
+    FROM clean
+    """,
+)
+def html_extract_text(spark, sf_dir):
+    """HTML -> text extraction (the first stage of every web-scraped
+    pretraining corpus; CommonCrawl WET-style): drop script/style
+    blocks, strip remaining tags, unescape entities (amp LAST so
+    double-escaped sequences survive correctly), collapse whitespace.
+    Every pass is a codegen regexp_replace — zero shuffle, zero UDF;
+    the DuckDB oracle replays the identical pass sequence, value-
+    checking the extracted content byte-for-byte via md5. At 100 TB
+    this is a pure map stage: it chains onto the scan of the raw HTML
+    column and costs no exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    esc = F.col("text")
+    for a, b in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]:
+        esc = F.replace(esc, F.lit(a), F.lit(b))
+    html = F.concat(
+        F.lit('<html><head><script type="text/javascript">var nav = '),
+        F.col("doc_id").cast("string"),
+        F.lit(";</script><style>.m{color:red}</style><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</title></head><body><div class="nav">Home | About</div><p>'),
+        esc,
+        F.lit('</p><div class="footer">(c) example</div></body></html>'),
+    )
+    t = html
+    for pat, rep in _HTML_STRIP_PASSES:
+        t = F.regexp_replace(t, pat, rep)
+    for a, b in _HTML_UNESCAPES:
+        t = F.replace(t, F.lit(a), F.lit(b))
+    content = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(content).alias("content_md5"),
+        F.length(content).cast("bigint").alias("n_chars"),
+        F.size(F.regexp_extract_all(content, F.lit("[^ ]+"), 0))
+        .cast("bigint")
+        .alias("n_words"),
+    )

@@ -838,3 +838,64 @@ def bm25_indexed_search(spark, sf_dir):
     to bm25_search's scan-time plan."""
     path = build_bm25_index(spark, sf_dir)
     return bm25_probe(spark, path, BM25_QUERY_TERMS)
+
+
+_BPE_MERGES_CACHE: dict = {}
+BPE_TRAIN_DOCS = 200
+BPE_N_MERGES = 256
+
+
+def _bpe_merges_for(spark, sf_dir):
+    """Train-once-per-dataset BPE merge table (same lifecycle as the
+    IVF centroids / BM25 index): deterministic bounded sample — the
+    first BPE_TRAIN_DOCS docs by doc_id — trained driver-side. Keyed on
+    str(sf_dir) like the other per-dataset caches."""
+    from .functions.bpe import train_bpe
+
+    key = str(sf_dir)
+    if key not in _BPE_MERGES_CACHE:
+        sample = [
+            r["text"] or ""
+            for r in load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < BPE_TRAIN_DOCS)
+            .select("text")
+            .orderBy("doc_id")
+            .collect()
+        ]
+        _BPE_MERGES_CACHE[key] = train_bpe(sample, n_merges=BPE_N_MERGES)
+    return _BPE_MERGES_CACHE[key]
+
+
+@register(
+    "bpe_tokenize_roundtrip",
+    """
+    SELECT doc_id, TRUE AS roundtrip_ok, TRUE AS compressed
+    FROM documents
+    """,
+)
+def bpe_tokenize_roundtrip(spark, sf_dir):
+    """REAL byte-level BPE tokenizer (functions/bpe.py — Sennrich-style
+    merges over a GPT-2-style byte alphabet): train 256 merges once on
+    a deterministic 200-doc sample, then encode EVERY document with the
+    broadcast merge table and verify the lossless-round-trip property
+    per doc (decode(encode(text)) == text, exact — the byte-level
+    alphabet guarantees it when the encoder is correct) plus the
+    compression invariant (merges never lengthen: n_tokens <= n_bytes).
+    The oracle pins both flags TRUE for every doc — a merge-replay or
+    byte-handling bug flips a flag and fails the value check. Token
+    counts themselves are not SQL-expressible; they are covered by
+    tests/test_bpe.py. 100 TB shape: one-time bounded-sample train,
+    then Arrow-batched mapInPandas encode — pure map, no shuffle."""
+    from .functions.bpe import tokenize_corpus
+
+    merges = _bpe_merges_for(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = tokenize_corpus(
+        docs, "text", merges,
+        "doc_id long, n_tokens long, n_bytes long, roundtrip_ok boolean",
+    )
+    return out.select(
+        "doc_id",
+        "roundtrip_ok",
+        (F.col("n_tokens") <= F.col("n_bytes")).alias("compressed"),
+    )

@@ -55,6 +55,14 @@ HEADLINERS = {
     "quality_bucket_sample": "tercile cutoffs from the 10^4-row VALUE histogram, broadcast back — no NTILE global sort over the corpus",
     "winnow_fingerprints": "rightmost-min winnowing via packed-bigint arg-min in ONE codegen window; one shuffle on doc_id",
     "source_kl_divergence": "corpus work = two hash aggs; KL sum runs on the broadcast |sources| x 4096 grid, size-independent of the corpus",
+    "q2_min_cost_supplier": "per-(part,supplier) cost + per-part MIN both aggregate BEFORE the join-back; part/supplier/nation broadcast",
+    "q11_important_stock": "global-total threshold = 1-row broadcast against the per-part value table; one lineitem shuffle total",
+    "q12_priority_lateness": "CASE grouping key + both conditional SUMs in ONE aggregate pass; date filter in PushedFilters",
+    "q20_excess_supply": "part filter and dominant-supplier membership as LeftSemi joins; one (suppkey,partkey) shuffle shared by both aggregates",
+    "zorder_skipping_scan": "Morton-code layout: the scan's file list comes from the min/max manifest — 5 of 16 files for the 2-D box",
+    "bm25_indexed_search": "postings scan with PartitionFilters on term_bucket; NO query-time tokenization (compare bm25_search)",
+    "html_extract_text": "every strip/unescape pass a codegen regexp_replace riding the scan; zero exchanges",
+    "mm_jpeg_roundtrip": "two Arrow-batched mapInPandas hops (encode/decode), zero shuffle; JVM never touches pixel bytes",
 }
 
 

@@ -457,6 +457,20 @@ def _ivf_index_table(spark, sf_dir) -> str:
     tag = hashlib.md5(repr(key).encode()).hexdigest()[:12]
     table = f"ivf_idx_{tag}"
     if not spark.catalog.tableExists(table):
+        # a FRESH Spark process has an empty in-memory metastore, but the
+        # warehouse directory survives on disk from earlier processes;
+        # saveAsTable refuses to adopt an orphaned location
+        # (LOCATION_ALREADY_EXISTS), so clear stale cache dirs first —
+        # the index is a rebuildable artifact, never source data
+        import os
+        import shutil
+
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        wh = wh.removeprefix("file:")
+        for t in (table, f"{table}_centroids"):
+            loc = os.path.join(wh, t)
+            if os.path.isdir(loc):
+                shutil.rmtree(loc, ignore_errors=True)
         emb = load_table(spark, sf_dir, "embeddings")
         base = emb.filter(F.col("vec_id") >= ANN_NUM_QUERIES)
         sim.ivf_build_index(base, table, n_centroids=IVF_CELLS, train_iters=0)

@@ -326,3 +326,53 @@ def test_txnlog_merge_pure_update_no_inserts(spark, tmp_path):
     assert len(rows) == 6
     assert rows["at://u/p/2"] == "X" and rows["at://u/p/3"] == "X"
     assert rows["at://u/p/0"] != "X"
+
+
+def test_txnlog_change_data_feed(spark, tmp_path):
+    """changes_between reconstructs row-level inserts/deletes from the
+    log alone: appends surface as inserts, retention as deletes (plus
+    re-inserts of survivors it restaged), and an empty interval is
+    empty."""
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    store = PostStore(spark, str(tmp_path / "t"), fmt=fmt)
+    store.upsert(_batch(spark, 0, 6))          # v0: 6 inserts
+    v0 = fmt._versions()[-1]
+    store.upsert(_batch(spark, 6, 4))          # v1: 4 inserts
+    v1 = fmt._versions()[-1]
+
+    cdf = fmt.changes_between(spark, v0, v1)
+    rows = cdf.collect()
+    assert {r["_change"] for r in rows} == {"insert"}
+    assert {r["uri"] for r in rows} == {f"at://u/p/{i}" for i in range(6, 10)}
+
+    # retention to 7: net effect = 3 oldest rows disappear
+    store.apply_retention({"k1": 7})
+    v2 = fmt._versions()[-1]
+    cdf2 = fmt.changes_between(spark, v1, v2).collect()
+    ins = {r["uri"] for r in cdf2 if r["_change"] == "insert"}
+    dels = {r["uri"] for r in cdf2 if r["_change"] == "delete"}
+    # rewrite restages survivors: cancel pairs to get the net change
+    net_deleted = dels - ins
+    assert len(net_deleted) == 3
+    assert fmt.read(spark).count() == 7
+
+    # empty interval
+    assert fmt.changes_between(spark, v2, v2).count() == 0
+
+
+def test_txnlog_compaction_routed_and_isolated(spark, tmp_path):
+    """PostStore.compact on the txn-log format: fragmented partitions
+    collapse to one file in ONE commit, and a reader holding the
+    pre-compaction snapshot is untouched."""
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    store = PostStore(spark, str(tmp_path / "t"), fmt=fmt)
+    for i in range(6):
+        store.upsert(_batch(spark, i * 10, 3).coalesce(1))
+    assert fmt.file_counts()["k1"] == 6
+    before = store.read()
+    compacted = store.compact(max_files_per_key=4)
+    assert compacted == ["k1"]
+    assert fmt.file_counts()["k1"] < 6
+    assert store.read().count() == 18
+    assert before.count() == 18  # old snapshot still valid
+    assert fmt.history()[-1]["op"] == "overwrite"

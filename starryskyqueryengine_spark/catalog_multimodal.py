@@ -489,3 +489,165 @@ def mm_jpeg_roundtrip(spark, sf_dir):
         dec,
         "media_id long, width int, height int, channels int, within_tol boolean",
     )
+
+
+@register(
+    "mm_wav_spectral",
+    """
+    SELECT doc_id AS media_id,
+           CAST(4 * (1 + doc_id % 20) AS BIGINT) AS dominant_bin,
+           CAST(1024 AS BIGINT) AS n_samples,
+           TRUE AS tone_pure
+    FROM documents
+    """,
+)
+def mm_wav_spectral(spark, sf_dir):
+    """REAL audio spectral analysis over real WAV payloads: per doc,
+    synthesize a pure tone at EXACTLY bin k = 4*(1+doc_id%20) of a
+    1024-point frame (an integer number of cycles, so the DFT
+    concentrates all energy in bin k with no spectral leakage beyond
+    int16 rounding noise), encode as RIFF PCM16, decode, run a numpy
+    rFFT, and report the argmax bin plus a purity flag (>=99% of
+    non-DC energy in the dominant bin). The oracle knows the dominant
+    bin in closed form — an off-by-one in the codec's sample framing,
+    byte order, or the FFT indexing shifts the argmax and fails the
+    value check; the purity flag catches amplitude/clipping bugs.
+    argmax over energy ratios ~1e6:1 is robust to float-ulp platform
+    differences, which is what makes a value-exact check of a DSP op
+    possible. 100 TB shape: Arrow-batched mapInPandas, one clip per
+    iteration step, zero shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from .codecs import wav_decode, wav_encode
+    from .session import ensure_parallelism
+
+    N, RATE, AMP = 1024, 8000, 12000.0
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                k = 4 * (1 + d % 20)
+                t = np.arange(N, dtype=np.float64)
+                s = np.round(AMP * np.sin(2 * np.pi * k * t / N)).astype(np.int16)
+                payloads.append(wav_encode(s, RATE))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    enc = docs.mapInPandas(gen, "media_id long, payload binary")
+
+    def spectral(batches):
+        for pdf in batches:
+            out = {"media_id": [], "dominant_bin": [], "n_samples": [],
+                   "tone_pure": []}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                _rate, _ch, s = wav_decode(bytes(b))
+                x = s[:, 0].astype(np.float64)
+                spec = np.abs(np.fft.rfft(x)) ** 2
+                spec[0] = 0.0  # ignore DC
+                k = int(np.argmax(spec))
+                purity = float(spec[k] / max(spec.sum(), 1e-12))
+                out["media_id"].append(int(mid))
+                out["dominant_bin"].append(k)
+                out["n_samples"].append(x.size)
+                out["tone_pure"].append(purity >= 0.99)
+            yield pd.DataFrame(out)
+
+    return enc.mapInPandas(
+        spectral,
+        "media_id long, dominant_bin long, n_samples long, tone_pure boolean",
+    )
+
+
+@register(
+    "mm_y4m_frames",
+    """
+    WITH fidx AS (
+      SELECT doc_id, unnest(range(2 + doc_id % 4)) AS f FROM documents
+    ),
+    grid AS (
+      SELECT doc_id, f, p, i
+      FROM fidx, range(3) tp(p), range(128) ti(i)
+    )
+    SELECT doc_id AS media_id,
+           f AS frame_idx,
+           CAST(16 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           CAST(sum((13 * doc_id + 31 * f + 17 * p + 7 * i) % 256) AS BIGINT)
+             AS frame_sum
+    FROM grid GROUP BY doc_id, f
+    """,
+)
+def mm_y4m_frames(spark, sf_dir):
+    """REAL video frame extraction (YUV4MPEG2 codec, ``codecs.py``):
+    per doc, synthesize a 16x8 C444 clip of 2 + doc_id%4 frames whose
+    plane bytes follow a closed-form generator, encode a real Y4M
+    container, then extract EVERY frame via the O(1)-seek
+    ``y4m_extract_frame`` (header parse + pointer arithmetic — the
+    whole clip is never decoded) and report exact per-frame pixel sums.
+    The oracle replays the generator; a header, frame-stride, plane
+    order, or seek-offset bug shifts a sum and fails the value check.
+    This retires the fake byte-slice path for Y4M payloads in
+    extract_frames. 100 TB shape: frame enumeration stays JVM-side in
+    the operator; here both hops are Arrow-batched mapInPandas with
+    one clip in memory at a time, zero shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from .codecs import y4m_encode, y4m_extract_frame, y4m_frame_count
+    from .session import ensure_parallelism
+
+    W, H = 16, 8
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 2 + d % 4
+                i = np.arange(W * H, dtype=np.int64)
+                frames = np.stack(
+                    [
+                        np.stack(
+                            [
+                                ((13 * d + 31 * f + 17 * p + 7 * i) % 256)
+                                .astype(np.uint8)
+                                .reshape(H, W)
+                                for p in range(3)
+                            ],
+                            axis=-1,
+                        )
+                        for f in range(n)
+                    ]
+                )
+                payloads.append(y4m_encode(frames, colorspace="C444"))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    enc = docs.mapInPandas(gen, "media_id long, payload binary")
+
+    def extract(batches):
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "width": [], "height": [],
+                   "frame_sum": []}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(b)
+                for f in range(y4m_frame_count(raw)):
+                    px = y4m_extract_frame(raw, f)
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(f)
+                    out["width"].append(px.shape[1])
+                    out["height"].append(px.shape[0])
+                    out["frame_sum"].append(
+                        int(np.sum(px.astype(np.int64)))
+                    )
+            yield pd.DataFrame(out)
+
+    return enc.mapInPandas(
+        extract,
+        "media_id long, frame_idx long, width int, height int, frame_sum long",
+    )

@@ -1,12 +1,14 @@
-"""Real pure-Python media codecs: PNG (RFC 2083 / ISO 15948) and WAV
-(RIFF PCM).  No external libraries — PNG rides on stdlib ``zlib`` for
-DEFLATE and ``numpy`` for scanline math; WAV is ``struct`` + numpy.
+"""Real pure-Python media codecs: PNG (RFC 2083 / ISO 15948), WAV
+(RIFF PCM), and Y4M (YUV4MPEG2) video.  No external libraries — PNG
+rides on stdlib ``zlib`` for DEFLATE and ``numpy`` for scanline math;
+WAV/Y4M are ``struct``/header parsing + numpy.  (Baseline JPEG lives in
+its own module, ``jpeg.py``.)
 
 These close the "stub codec" seam called out in round-4 review: the
-multimodal decode/resize operators (``multimodal.py``) sniff payload
-magic bytes and route PPM and PNG payloads through REAL codecs; only
-formats whose compression needs codecs this container doesn't ship
-(JPEG's DCT+Huffman) remain stubbed.
+multimodal decode/resize/frame-extract operators (``multimodal.py``)
+sniff payload magic bytes and route PPM, PNG, JPEG, WAV, and Y4M
+payloads through REAL codecs; only unrecognized formats fall through to
+the clearly-marked deterministic fake.
 
 Scope (deliberately the subset a training-data pipeline meets):
 
@@ -16,6 +18,9 @@ Scope (deliberately the subset a training-data pipeline meets):
   unfilter path.  Chunk CRCs are verified on decode.
 - WAV: canonical RIFF/WAVE, PCM (format 1), 16-bit samples, any
   channel count / sample rate.
+- Y4M: C444 (exact round trip) and C420 subsampled planar frames;
+  frame extraction is O(1) pointer arithmetic off the fixed frame
+  stride — sampling frames from a clip never decodes the clip.
 
 Scale note: these run inside Arrow-batched ``mapInPandas`` tasks
 (multimodal.py), one payload at a time — per-task memory is one image /
@@ -272,3 +277,110 @@ def wav_decode(payload: bytes):
     else:
         s = s.reshape(-1, 1)
     return rate, channels, s
+
+
+# --------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) — the public uncompressed video interchange format
+# (mjpegtools; what ffmpeg pipes rawvideo through). Planar frames behind
+# a text header; fixed frame size makes frame extraction PURE POINTER
+# ARITHMETIC — the property that matters for sampling frames out of a
+# 100 TB video corpus without decoding whole clips.
+# --------------------------------------------------------------------------
+
+Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def y4m_encode(frames, rate=(25, 1), colorspace: str = "C444") -> bytes:
+    """(n, h, w, 3) uint8 planar-encodable frames -> Y4M bytes.
+
+    C444: three full-resolution planes per frame (exact round trip).
+    C420jpeg: chroma subsampled 2x2 by box averaging (even dims only).
+    Channel semantics are the container's (Y'CbCr planes); callers doing
+    RGB work convert explicitly — the container does not."""
+    a = np.asarray(frames, dtype=np.uint8)
+    if a.ndim != 4 or a.shape[3] != 3:
+        raise ValueError(f"expected (n, h, w, 3) uint8, got {a.shape}")
+    n, h, w, _ = a.shape
+    if colorspace == "C420jpeg" and (h % 2 or w % 2):
+        raise ValueError("C420jpeg requires even dimensions")
+    head = b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 %s\n" % (
+        w, h, rate[0], rate[1], colorspace.encode()
+    )
+    out = bytearray(head)
+    for f in range(n):
+        out += b"FRAME\n"
+        y, cb, cr = a[f, :, :, 0], a[f, :, :, 1], a[f, :, :, 2]
+        out += y.tobytes()
+        if colorspace == "C444":
+            out += cb.tobytes() + cr.tobytes()
+        else:  # C420jpeg box-average subsample
+            for c in (cb, cr):
+                c4 = c.reshape(h // 2, 2, w // 2, 2).astype(np.uint32)
+                out += ((c4.sum(axis=(1, 3)) + 2) // 4).astype(np.uint8).tobytes()
+    return bytes(out)
+
+
+def _y4m_header(payload: bytes):
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    fn, fd = 25, 1
+    cs = "C420jpeg"  # spec default
+    for tok in payload[len(Y4M_MAGIC):nl].split():
+        t = tok.decode("ascii", "replace")
+        if t.startswith("W"):
+            w = int(t[1:])
+        elif t.startswith("H"):
+            h = int(t[1:])
+        elif t.startswith("F"):
+            fn, fd = (int(x) for x in t[1:].split(":"))
+        elif t.startswith("C"):
+            cs = t
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if cs not in ("C444", "C420jpeg", "C420mpeg2", "C420"):
+        raise ValueError(f"unsupported Y4M colorspace {cs}")
+    ysz = w * h
+    csz = ysz if cs == "C444" else (w // 2) * (h // 2)
+    return w, h, (fn, fd), cs, nl + 1, ysz + 2 * csz
+
+
+def y4m_frame_count(payload: bytes) -> int:
+    w, h, _rate, _cs, data0, fsz = _y4m_header(payload)
+    per = len(b"FRAME\n") + fsz
+    return (len(payload) - data0) // per
+
+
+def y4m_extract_frame(payload: bytes, idx: int):
+    """O(1)-seek extraction of frame ``idx``: header parse + pointer
+    arithmetic, touching only that frame's bytes. Returns an
+    (h, w, 3) uint8 array (C420 chroma upsampled by replication)."""
+    w, h, _rate, cs, data0, fsz = _y4m_header(payload)
+    per = len(b"FRAME\n") + fsz
+    start = data0 + idx * per
+    if idx < 0 or start + per > len(payload):
+        raise ValueError(f"frame {idx} out of range")
+    if payload[start : start + 6] != b"FRAME\n":
+        raise ValueError(f"bad frame marker at frame {idx}")
+    raw = payload[start + 6 : start + 6 + fsz]
+    ysz = w * h
+    y = np.frombuffer(raw[:ysz], dtype=np.uint8).reshape(h, w)
+    if cs == "C444":
+        cb = np.frombuffer(raw[ysz : 2 * ysz], dtype=np.uint8).reshape(h, w)
+        cr = np.frombuffer(raw[2 * ysz :], dtype=np.uint8).reshape(h, w)
+    else:
+        hw, hh = w // 2, h // 2
+        cb = np.frombuffer(raw[ysz : ysz + hw * hh], dtype=np.uint8).reshape(hh, hw)
+        cr = np.frombuffer(raw[ysz + hw * hh :], dtype=np.uint8).reshape(hh, hw)
+        cb = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)[:h, :w]
+        cr = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)[:h, :w]
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def y4m_decode(payload: bytes):
+    """Full decode: (width, height, rate, (n, h, w, 3) uint8 frames)."""
+    w, h, rate, _cs, _data0, _fsz = _y4m_header(payload)
+    n = y4m_frame_count(payload)
+    frames = np.stack([y4m_extract_frame(payload, i) for i in range(n)])
+    return w, h, rate, frames

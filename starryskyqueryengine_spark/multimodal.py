@@ -225,6 +225,11 @@ def _decode_one(payload: bytes) -> tuple[int, float, int]:
     elif payload.startswith(WAV_MAGIC):
         _, _, s = wav_decode(payload)
         flat = s.reshape(-1)
+    elif payload.startswith(b"YUV4MPEG2"):
+        from .codecs import y4m_decode
+
+        _, _, _, frames = y4m_decode(payload)
+        flat = frames.reshape(-1)
     else:
         return _fake_decode(payload)
     if flat.size == 0:
@@ -386,6 +391,8 @@ def extract_frames(df: DataFrame, interval_ms: int = 500) -> DataFrame:
     ).select("media_id", "frame_idx", "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import Y4M_MAGIC, y4m_extract_frame, y4m_frame_count
+
         for pdf in batches:
             if _HAVE_PIL:
                 raise NotImplementedError("real frame decode not wired in this build")
@@ -394,6 +401,17 @@ def extract_frames(df: DataFrame, interval_ms: int = 500) -> DataFrame:
                 raw = bytes(b)
                 if not raw:
                     payloads.append(b"")
+                    continue
+                if raw.startswith(Y4M_MAGIC):
+                    # REAL frame extraction: O(1) seek into the planar
+                    # container (codecs.y4m_extract_frame), clamped to
+                    # the clip's actual frame count
+                    n = y4m_frame_count(raw)
+                    if n == 0:
+                        payloads.append(b"")
+                        continue
+                    fi = min(int(idx), n - 1)
+                    payloads.append(y4m_extract_frame(raw, fi).tobytes())
                     continue
                 start = int(idx) * 16 % len(raw)
                 payloads.append(raw[start : start + 16])

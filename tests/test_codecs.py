@@ -164,3 +164,76 @@ def test_resize_images_real_png_path(spark):
     w, h, ch, px = png_decode(bytes(out["payload"]))
     assert (w, h, ch) == (4, 3, 3)
     assert np.array_equal(px, ppm_resize_nn(img, 4, 3))
+
+
+# --------------------------------------------------------------------------
+# Y4M video
+# --------------------------------------------------------------------------
+
+from starryskyqueryengine_spark.codecs import (  # noqa: E402
+    y4m_decode,
+    y4m_encode,
+    y4m_extract_frame,
+    y4m_frame_count,
+)
+
+
+def test_y4m_c444_roundtrip_exact():
+    fr = RNG.integers(0, 256, size=(5, 8, 16, 3), dtype=np.uint8)
+    p = y4m_encode(fr, rate=(30, 1), colorspace="C444")
+    w, h, rate, out = y4m_decode(p)
+    assert (w, h, rate) == (16, 8, (30, 1))
+    assert np.array_equal(out, fr)
+
+
+def test_y4m_frame_seek_is_positional():
+    fr = RNG.integers(0, 256, size=(7, 4, 6, 3), dtype=np.uint8)
+    p = y4m_encode(fr)
+    assert y4m_frame_count(p) == 7
+    for i in (0, 3, 6):
+        assert np.array_equal(y4m_extract_frame(p, i), fr[i])
+    with pytest.raises(ValueError, match="out of range"):
+        y4m_extract_frame(p, 7)
+
+
+def test_y4m_c420_luma_exact_chroma_approx():
+    fr = RNG.integers(0, 256, size=(2, 8, 16, 3), dtype=np.uint8)
+    p = y4m_encode(fr, colorspace="C420jpeg")
+    f0 = y4m_extract_frame(p, 0)
+    assert np.array_equal(f0[:, :, 0], fr[0, :, :, 0])  # Y exact
+    # chroma is 2x2 box-averaged then replicated: within rounding of the mean
+    cb = fr[0, :, :, 1].reshape(4, 2, 8, 2).mean(axis=(1, 3))
+    up = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
+    assert np.abs(f0[:, :, 1].astype(float) - up).max() <= 2.0
+
+
+def test_y4m_rejects_malformed():
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        y4m_decode(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError, match="even"):
+        y4m_encode(np.zeros((1, 3, 5, 3), dtype=np.uint8), colorspace="C420jpeg")
+    good = bytearray(y4m_encode(np.zeros((2, 4, 4, 3), dtype=np.uint8)))
+    # corrupt the SECOND frame's marker (skip past the first one)
+    first = bytes(good).find(b"FRAME\n")
+    idx = bytes(good).find(b"FRAME\n", first + 6)
+    good[idx] = ord("X")
+    with pytest.raises(ValueError, match="frame marker"):
+        y4m_extract_frame(bytes(good), 1)
+
+
+def test_extract_frames_real_y4m_path(spark):
+    from starryskyqueryengine_spark.multimodal import extract_frames
+
+    fr = RNG.integers(0, 256, size=(4, 8, 16, 3), dtype=np.uint8)
+    payload = y4m_encode(fr)
+    rows = [
+        Row(media_id=1, payload=bytearray(payload),
+            meta=Row(media_type="video", width=16, height=8,
+                     duration_ms=2000, sample_rate=None, byte_len=len(payload))),
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = {r["frame_idx"]: bytes(r["frame_payload"])
+           for r in extract_frames(df, interval_ms=500).collect()}
+    assert len(out) == 4  # 2000ms / 500ms
+    for i in range(4):
+        assert out[i] == fr[i].tobytes()

@@ -1236,3 +1236,106 @@ def zorder_skipping_scan(spark, sf_dir):
             F.max("l_orderkey").cast("bigint").alias("max_order"),
         )
     )
+
+
+PR_ITERS = 3
+PR_SCALE = 10**12  # fixed-point scale: all rank math in exact BIGINT
+
+
+@register(
+    "pagerank_part_supplier",
+    f"""
+    WITH pairs AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    edges AS (
+      SELECT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst FROM pairs
+      UNION ALL
+      SELECT 2 * l_suppkey + 1 AS src, 2 * l_partkey AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    n AS (SELECT count(*) AS n_nodes FROM nodes),
+    r0 AS (SELECT node, CAST({PR_SCALE} // n_nodes AS BIGINT) AS r
+           FROM nodes, n),
+    it1 AS (
+      SELECT e.dst AS node,
+             CAST(((15 * ({PR_SCALE} // n.n_nodes))
+                   + 85 * sum(r0.r // d.outdeg)) // 100 AS BIGINT) AS r
+      FROM edges e JOIN r0 ON e.src = r0.node
+                   JOIN deg d ON e.src = d.src
+                   CROSS JOIN n
+      GROUP BY e.dst, n.n_nodes
+    ),
+    it2 AS (
+      SELECT e.dst AS node,
+             CAST(((15 * ({PR_SCALE} // n.n_nodes))
+                   + 85 * sum(it1.r // d.outdeg)) // 100 AS BIGINT) AS r
+      FROM edges e JOIN it1 ON e.src = it1.node
+                   JOIN deg d ON e.src = d.src
+                   CROSS JOIN n
+      GROUP BY e.dst, n.n_nodes
+    ),
+    it3 AS (
+      SELECT e.dst AS node,
+             CAST(((15 * ({PR_SCALE} // n.n_nodes))
+                   + 85 * sum(it2.r // d.outdeg)) // 100 AS BIGINT) AS r
+      FROM edges e JOIN it2 ON e.src = it2.node
+                   JOIN deg d ON e.src = d.src
+                   CROSS JOIN n
+      GROUP BY e.dst, n.n_nodes
+    )
+    SELECT node, r AS rank_scaled FROM (
+      SELECT node, r, row_number() OVER (ORDER BY r DESC, node) AS rn FROM it3
+    ) WHERE rn <= 20
+    """,
+)
+def pagerank_part_supplier(spark, sf_dir):
+    """Iterative distributed PageRank (Brin & Page 1998) over the
+    part-supplier bipartite graph from lineitem, 3 synchronous
+    iterations, damping 0.85 — the canonical iterative-join workload
+    (each iteration = contributions join + hash aggregate; the edge
+    list is computed once and reused across iterations, so AQE reuses
+    its exchange). ENGINE-EXACT determinism: ranks live in fixed-point
+    BIGINT (scale 1e12) and every step is integer division/multiply —
+    no float sums whose value depends on partition order (Spark's
+    `div` operator = DuckDB's `//` on BIGINT, exactly) — so a
+    1000-executor run and the DuckDB 3-level unrolled-CTE oracle agree
+    bit-for-bit, making a VALUE-CHECKED iterative graph algorithm
+    possible. Every bipartite node has degree >= 1 by construction
+    (both directions of each pair are emitted), so there is no
+    dangling-mass term. At 100 TB: edges shuffle once per iteration on
+    dst; ranks are |nodes|-sized, tiny next to the edge list."""
+    l = load_table(spark, sf_dir, "lineitem")
+    pairs = l.select("l_partkey", "l_suppkey").distinct()
+    edges = (
+        pairs.select(
+            (2 * F.col("l_partkey")).alias("src"),
+            (2 * F.col("l_suppkey") + 1).alias("dst"),
+        )
+        .unionByName(
+            pairs.select(
+                (2 * F.col("l_suppkey") + 1).alias("src"),
+                (2 * F.col("l_partkey")).alias("dst"),
+            )
+        )
+    ).cache()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()  # one scalar to the driver: iteration constant
+    base = PR_SCALE // n_nodes
+    ranks = nodes.select("node", F.lit(base).cast("bigint").alias("r"))
+    for _ in range(PR_ITERS):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select("dst", F.expr("r div outdeg").alias("c"))
+        )
+        ranks = contribs.groupBy(F.col("dst").alias("node")).agg(
+            F.expr(f"({15 * base} + 85 * sum(c)) div 100").cast("bigint").alias("r")
+        )
+    return (
+        ranks.orderBy(F.col("r").desc(), "node")
+        .limit(20)
+        .select("node", F.col("r").alias("rank_scaled"))
+    )

@@ -376,3 +376,46 @@ def test_txnlog_compaction_routed_and_isolated(spark, tmp_path):
     assert store.read().count() == 18
     assert before.count() == 18  # old snapshot still valid
     assert fmt.history()[-1]["op"] == "overwrite"
+
+
+def test_txnlog_cdf_incremental_view_maintenance(spark, tmp_path):
+    """A downstream aggregate maintained INCREMENTALLY from the change
+    feed must equal a full recompute after every sync — the
+    incremental-consumer pattern the CDF exists for (inserts add,
+    deletes subtract; rewrite churn cancels out by construction)."""
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    store = PostStore(spark, str(tmp_path / "t"), fmt=fmt)
+
+    view = {}  # maintained per-key row count
+
+    def sync(v_from, v_to):
+        for r in (
+            fmt.changes_between(spark, v_from, v_to)
+            .groupBy("key", "_change")
+            .count()
+            .collect()
+        ):
+            delta = r["count"] if r["_change"] == "insert" else -r["count"]
+            view[r["key"]] = view.get(r["key"], 0) + delta
+
+    def full():
+        return {
+            r["key"]: r["count"]
+            for r in store.read().groupBy("key").count().collect()
+        }
+
+    store.upsert(_batch(spark, 0, 6))
+    v = fmt._versions()[-1]
+    sync(-1, v)
+    assert view == full() == {"k1": 6}
+
+    store.upsert(_batch(spark, 3, 7))  # 3 dup, 4 new
+    store.apply_retention({"k1": 8})
+    v2 = fmt._versions()[-1]
+    sync(v, v2)
+    assert {k: n for k, n in view.items() if n} == full() == {"k1": 8}
+
+    store.apply_refresh("k1", -1)  # empty the key
+    v3 = fmt._versions()[-1]
+    sync(v2, v3)
+    assert {k: n for k, n in view.items() if n} == full() == {}

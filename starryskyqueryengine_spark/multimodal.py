@@ -241,14 +241,22 @@ def _decode_one(payload: bytes) -> tuple[int, float, int]:
     )
 
 
-def decode_media(df: DataFrame) -> DataFrame:
+def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
     """Decode payloads to per-item summary features via ``mapInPandas``.
 
     Iterator-of-batches signature: constant memory per task. Per-payload
-    format sniffing: P6 PPM payloads go through the REAL numpy codec
-    (header parse + pixel stats); other formats fall back to the
-    deterministic fake (this container ships no JPEG/PNG codecs — a real
-    deployment fills in the ``_HAVE_PIL`` branch).
+    format sniffing: PPM/PNG/JPEG/WAV/Y4M go through the REAL pure-Python
+    codecs (stats over actual pixel/sample values); unrecognized formats
+    fall back to the deterministic fake.
+
+    PER-RECORD ERROR ISOLATION (default): a payload whose magic matches
+    but whose body is malformed — truncated IDAT, bad CRC, garbage RIFF —
+    yields NULL feature columns instead of failing the task. One corrupt
+    blob in a 100 TB corpus must not kill the job; this is the decode
+    path's analog of the ingest pipeline's PERMISSIVE-mode poison-pill
+    handling (S6/W5, ``streaming/pipeline.py::validated_json``). Pass
+    ``strict=True`` to re-raise instead (debugging / data-quality runs).
+    Filter ``checksum IS NULL`` downstream to quarantine bad payloads.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -256,14 +264,22 @@ def decode_media(df: DataFrame) -> DataFrame:
             if _HAVE_PIL:
                 # real path would be: Image.open(io.BytesIO(b)) ...
                 raise NotImplementedError("real image decode not wired in this build")
-            feats = [_decode_one(bytes(b)) for b in pdf["payload"]]
+            feats = []
+            for b in pdf["payload"]:
+                try:
+                    feats.append(_decode_one(bytes(b)))
+                except ValueError:
+                    if strict:
+                        raise
+                    feats.append((None, None, None))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": [m["media_type"] for m in pdf["meta"]],
-                    "checksum": [f[0] for f in feats],
-                    "mean_byte": [f[1] for f in feats],
-                    "n_bytes": [f[2] for f in feats],
+                    # nullable dtypes: quarantined rows carry NULL, not NaN
+                    "checksum": pd.array([f[0] for f in feats], dtype="Int64"),
+                    "mean_byte": pd.array([f[1] for f in feats], dtype="Float64"),
+                    "n_bytes": pd.array([f[2] for f in feats], dtype="Int64"),
                 }
             )
 

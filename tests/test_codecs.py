@@ -237,3 +237,35 @@ def test_extract_frames_real_y4m_path(spark):
     assert len(out) == 4  # 2000ms / 500ms
     for i in range(4):
         assert out[i] == fr[i].tobytes()
+
+
+# --------------------------------------------------------------------------
+# Per-record error isolation in the decode path
+# --------------------------------------------------------------------------
+
+def test_decode_media_isolates_corrupt_payloads(spark):
+    """One malformed payload in a batch must quarantine (NULL features),
+    not kill the task — the decode-path analog of W5 poison-pill
+    isolation. strict=True restores fail-fast for debugging."""
+    good = png_encode(RNG.integers(0, 256, size=(4, 4, 3), dtype=np.uint8))
+    corrupt = bytearray(good)
+    corrupt[40] ^= 0xFF  # CRC now invalid
+    truncated_wav = wav_encode(np.array([1, 2, 3], dtype=np.int16), 8000)[:20]
+
+    def meta(mt):
+        return Row(media_type=mt, width=None, height=None, duration_ms=None,
+                   sample_rate=None, byte_len=0)
+
+    rows = [
+        Row(media_id=1, payload=bytearray(good), meta=meta("image")),
+        Row(media_id=2, payload=bytes(corrupt), meta=meta("image")),
+        Row(media_id=3, payload=truncated_wav, meta=meta("audio")),
+    ]
+    df = _media_df(spark, rows)
+    out = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert out[1]["checksum"] is not None
+    assert out[2]["checksum"] is None and out[2]["mean_byte"] is None
+    assert out[3]["checksum"] is None
+    # strict mode fail-fast
+    with pytest.raises(Exception):
+        decode_media(df, strict=True).collect()

@@ -234,6 +234,53 @@ def stream_interval_join(
     return l.join(r, cond, "inner").drop("_bkt", "_rbkt")
 
 
+def stream_interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    width_us: int,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: like
+    :func:`stream_interval_join`, plus every left row with no right row
+    in its window surfaces once with NULL right columns — but only
+    after the watermark proves no match can still arrive (Spark emits
+    outer-join nulls on state eviction, the correctness condition for
+    outer joins over unbounded streams).
+
+    The bucket-key rewrite must flip sides for outer semantics: the
+    inner variant explodes the LEFT row into its <=2 covering buckets,
+    which would surface an unmatched left row once PER BUCKET with
+    nulls. Here the RIGHT side explodes instead (a right row covers the
+    buckets where a matching left could sit) and the left keeps its
+    single bucket — each left row exists exactly once, so the unmatched
+    case yields exactly one null row, and a matched pair still joins
+    exactly once because the right row's two bucket replicas carry
+    DIFFERENT bucket keys. State cost is unchanged: O(width x rate)
+    after watermark eviction."""
+    l = left.withWatermark(left_ts, watermark).withColumn(
+        "_bkt", F.expr(f"unix_micros({left_ts}) div {width_us}")
+    )
+    r = right.withWatermark(right_ts, watermark).withColumn(
+        "_rbkt",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr(f"unix_micros({right_ts}) div {width_us}"),
+                    F.expr(f"(unix_micros({right_ts}) + {width_us}) div {width_us}"),
+                )
+            )
+        ),
+    )
+    cond = (
+        (l["_bkt"] == r["_rbkt"])
+        & (r[right_ts] > l[left_ts] - F.expr(f"INTERVAL {width_us} MICROSECOND"))
+        & (r[right_ts] <= l[left_ts])
+    )
+    return l.join(r, cond, "left_outer").drop("_bkt", "_rbkt")
+
+
 def foreach_batch_upsert(store: PostStore, limit_by_key: dict[str, int] | None = None):
     """W6/W7/J3: the micro-batch sink hook. PK anti-join append (ON
     CONFLICT DO NOTHING) makes replayed batches idempotent across

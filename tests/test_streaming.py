@@ -744,3 +744,93 @@ def test_stream_upsert_onto_txnlog_format(spark, tmp_path):
     assert store.read().count() == 8
     assert before.count() == 15
     assert fmt.history()[-1]["op"] == "overwrite"
+
+
+def test_stream_interval_join_outer_batch_semantics(spark):
+    """Left-outer bucket-rewrite semantics on batch frames: matched rows
+    join exactly once (no bucket-replica duplicates), unmatched left
+    rows surface exactly once with nulls."""
+    from starryskyqueryengine_spark.streaming.pipeline import (
+        stream_interval_join_outer,
+    )
+
+    left = spark.createDataFrame(
+        [("p1", dt.datetime(2024, 1, 1, 0, 5)),
+         ("p2", dt.datetime(2024, 1, 1, 2, 0)),   # no click nearby
+         ("p3", dt.datetime(2024, 1, 1, 0, 21))],
+        "pid string, p_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("c1", dt.datetime(2024, 1, 1, 0, 0)),
+         ("c2", dt.datetime(2024, 1, 1, 0, 20))],
+        "cid string, c_ts timestamp",
+    )
+    out = stream_interval_join_outer(left, right, "p_ts", "c_ts", 10 * 60 * 1_000_000)
+    pairs = sorted((r["pid"], r["cid"]) for r in out.collect())
+    assert pairs == [("p1", "c1"), ("p2", None), ("p3", "c2")]
+
+
+def test_stream_interval_join_outer_emits_null_on_eviction(spark, tmp_path):
+    """Streaming leg: an unmatched purchase emits its NULL row once the
+    watermark passes its window — outer-join state eviction, the
+    behavior that distinguishes this from the inner variant."""
+    import glob as globmod
+    import shutil
+    import tempfile
+    import time
+
+    from starryskyqueryengine_spark.streaming.pipeline import (
+        stream_interval_join_outer,
+    )
+
+    csrc, psrc = tmp_path / "clicks2", tmp_path / "purch2"
+    csrc.mkdir(); psrc.mkdir()
+
+    def write_flat(df, dirpath, name):
+        d = tempfile.mkdtemp()
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        shutil.move(globmod.glob(d + "/part-*.parquet")[0], str(dirpath / name))
+        time.sleep(1.05)
+
+    def rows(kind, spec):
+        return spark.createDataFrame(
+            [(f"{kind}{i}", dt.datetime(2024, 1, 1, hh, mm)) for i, hh, mm in spec],
+            f"{kind}_id string, {kind}_ts timestamp",
+        )
+
+    sink: list = []
+
+    def drain():
+        cs = parquet_stream(spark, str(csrc), schema=rows("c", []).schema)
+        ps = parquet_stream(spark, str(psrc), schema=rows("p", []).schema)
+        joined = stream_interval_join_outer(
+            ps, cs, "p_ts", "c_ts", 10 * 60 * 1_000_000, watermark="15 minutes"
+        )
+        q = (
+            joined.writeStream.foreachBatch(lambda bdf, bid: sink.extend(bdf.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "oj_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # p1@0:08 matches c1@0:00; p2@0:30 has NO click in (0:20, 0:30]
+    write_flat(rows("c", [(1, 0, 0)]), csrc, "f1.parquet")
+    write_flat(rows("p", [(1, 0, 8), (2, 0, 30)]), psrc, "f1.parquet")
+    drain()
+
+    # push the watermark far past p2's window on BOTH streams
+    write_flat(rows("c", [(9, 6, 0)]), csrc, "f2.parquet")
+    write_flat(rows("p", [(9, 6, 1)]), psrc, "f2.parquet")
+    drain()
+    # one more empty-ish advance in case eviction lands a batch later
+    write_flat(rows("c", [(10, 7, 0)]), csrc, "f3.parquet")
+    write_flat(rows("p", [(10, 7, 1)]), psrc, "f3.parquet")
+    drain()
+
+    got = {(r["p_id"], r["c_id"]) for r in sink}
+    assert ("p1", "c1") in got
+    assert ("p2", None) in got, f"unmatched row never emitted: {got}"
+    # and no duplicate emission of the null row
+    assert sum(1 for r in sink if r["p_id"] == "p2") == 1

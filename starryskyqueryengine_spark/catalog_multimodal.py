@@ -651,3 +651,63 @@ def mm_y4m_frames(spark, sf_dir):
         extract,
         "media_id long, frame_idx long, width int, height int, frame_sum long",
     )
+
+
+@register(
+    "mm_transcode_png_jpeg",
+    """
+    SELECT doc_id AS media_id,
+           CAST(16 + (doc_id % 4) * 8 AS INTEGER) AS width,
+           CAST(16 + (doc_id % 3) * 8 AS INTEGER) AS height,
+           TRUE AS within_tol
+    FROM documents
+    """,
+)
+def mm_transcode_png_jpeg(spark, sf_dir):
+    """Codec CHAINING — the transcode pipeline a media corpus actually
+    runs (archival lossless -> serving lossy): per doc, build the smooth
+    generator image, encode PNG (lossless), decode the PNG, re-encode as
+    JPEG q90, decode the JPEG, and bound the end-to-end reconstruction
+    error against the ORIGINAL generator image (<= 12, JPEG is the only
+    lossy hop). Dims survive two containers exactly; a bug in either
+    codec or the handoff between them (channel order, dtype, stride)
+    breaks a dim or blows the bound. 100 TB shape: one Arrow-batched
+    mapInPandas chain, per-image memory, zero shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from .codecs import png_decode, png_encode
+    from .jpeg import jpeg_decode, jpeg_encode
+    from .session import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def _gen_image(d: int):
+        w, h = 16 + (d % 4) * 8, 16 + (d % 3) * 8
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = d % 64
+        img = np.stack(
+            [base + xx * 2 + yy, base + xx + yy * 2, base + xx + yy], axis=-1
+        )
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    def transcode(batches):
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "within_tol": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                ref = _gen_image(d)
+                # archival hop: lossless PNG round trip
+                _, _, _, px = png_decode(png_encode(ref, filters=2))
+                # serving hop: lossy JPEG round trip
+                w, h, _, out_px = jpeg_decode(jpeg_encode(px, quality=90))
+                err = int(np.max(np.abs(out_px.astype(np.int64) - ref.astype(np.int64))))
+                out["media_id"].append(d)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["within_tol"].append(err <= 12)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        transcode, "media_id long, width int, height int, within_tol boolean"
+    )

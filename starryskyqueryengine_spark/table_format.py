@@ -614,3 +614,37 @@ class TxnLogFormat(TableFormat):
         if dels is not None:
             out = out.unionByName(dels.withColumn("_change", F.lit("delete")))
         return out
+
+    def clone_to(self, dest_path: str) -> "TxnLogFormat":
+        """Zero-copy CLONE (Delta SHALLOW/Iceberg snapshot-export
+        analog): materialize the CURRENT snapshot as a brand-new table
+        whose data files are HARD LINKS to this table's — no bytes
+        copied, O(files) metadata work. The clone starts its own log at
+        version 0 (one synthetic append of the linked files), after
+        which the two tables diverge freely: immutable data files are
+        never modified in place by either side, so shared inodes are
+        safe, and each side's vacuum only unlinks its own directory
+        entries (the inode lives until every link drops — the classic
+        copy-on-write-without-the-copy trick cloud formats get from
+        object-store references).
+
+        100 TB note: on an object store this becomes metadata-only
+        manifest copying; the hard link is the local-filesystem analog
+        with the same O(files), zero-data-movement cost."""
+        live = self._snapshot()
+        clone = TxnLogFormat(
+            self.spark,
+            dest_path,
+            checkpoint_interval=self.checkpoint_interval,
+            max_commit_retries=self.max_commit_retries,
+        )
+        adds = []
+        for rel, key in sorted(live.items()):
+            src = os.path.join(self.data_path, rel)
+            dst = os.path.join(clone.data_path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.link(src, dst)
+            adds.append({"path": rel, "key": key})
+        if adds:
+            clone._commit("clone", adds, remove_keys=None)
+        return clone

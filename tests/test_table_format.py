@@ -419,3 +419,32 @@ def test_txnlog_cdf_incremental_view_maintenance(spark, tmp_path):
     v3 = fmt._versions()[-1]
     sync(v2, v3)
     assert {k: n for k, n in view.items() if n} == full() == {}
+
+
+def test_txnlog_clone_is_zero_copy_and_divergent(spark, tmp_path):
+    """CLONE hard-links the snapshot's data files (same inode, no bytes
+    copied), then the two tables diverge independently; vacuum on one
+    side never breaks the other."""
+    import os
+
+    fmt = TxnLogFormat(spark, str(tmp_path / "orig"))
+    fmt.append(_batch(spark, 0, 6).coalesce(1))
+    clone = fmt.clone_to(str(tmp_path / "clone"))
+    assert clone.read(spark).count() == 6
+
+    # zero-copy: shared inodes
+    (rel,) = list(fmt._snapshot())
+    st_a = os.stat(os.path.join(fmt.data_path, rel))
+    st_b = os.stat(os.path.join(clone.data_path, rel))
+    assert st_a.st_ino == st_b.st_ino
+
+    # divergence: mutate the clone, original unaffected (and vice versa)
+    clone.overwrite_partitions(_batch(spark, 100, 2))
+    fmt.append(_batch(spark, 50, 1))
+    assert clone.read(spark).count() == 2
+    assert fmt.read(spark).count() == 7
+
+    # clone's vacuum unlinks only its own entries; original still reads
+    deleted = clone.vacuum(retain_versions=0)
+    assert deleted  # the superseded linked files left the clone
+    assert fmt.read(spark).count() == 7

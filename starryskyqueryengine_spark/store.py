@@ -66,13 +66,26 @@ class PostStore:
 
     # -- write --------------------------------------------------------------
 
-    def _append(self, df: DataFrame) -> None:
+    def _append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> None:
+        if txn is not None:
+            try:
+                self.fmt.append(df, txn=txn)
+                return
+            except TypeError:
+                pass  # format has no transactional append; plain path
         self.fmt.append(df)
 
-    def upsert(self, incoming: DataFrame) -> dict[str, int]:
+    def upsert(
+        self, incoming: DataFrame, txn: tuple[str, int] | None = None
+    ) -> dict[str, int]:
         """S8: INSERT ... ON CONFLICT DO NOTHING on PK(uri, key).
         Returns rows actually inserted per key (counted on the deduped
         anti-joined batch — no store rescan).
+
+        ``txn=(app_id, version)`` rides through to formats with
+        transactional appends (TxnLogFormat): a replayed (app, version)
+        skips the physical append entirely — exactly-once on top of the
+        anti-join's logical idempotence.
 
         The anti-join's stored side is pruned to the key partitions the
         batch actually touches — the feed-key set is small by design
@@ -92,7 +105,7 @@ class PostStore:
                 r["key"]: r["n"]
                 for r in batch.groupBy("key").agg(F.count("*").alias("n")).collect()
             }
-            self._append(batch)
+            self._append(batch, txn=txn)
             return inserted
         finally:
             deduped.unpersist()

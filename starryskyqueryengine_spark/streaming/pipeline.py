@@ -281,14 +281,26 @@ def stream_interval_join_outer(
     return l.join(r, cond, "left_outer").drop("_bkt", "_rbkt")
 
 
-def foreach_batch_upsert(store: PostStore, limit_by_key: dict[str, int] | None = None):
+def foreach_batch_upsert(
+    store: PostStore,
+    limit_by_key: dict[str, int] | None = None,
+    txn_app_id: str | None = None,
+):
     """W6/W7/J3: the micro-batch sink hook. PK anti-join append (ON
     CONFLICT DO NOTHING) makes replayed batches idempotent across
     restarts; retention caps run inside the same hook so state never
-    exceeds the window between checkpoints."""
+    exceeds the window between checkpoints.
+
+    With ``txn_app_id`` and a transactional format (TxnLogFormat), the
+    sink is EXACTLY ONCE: each micro-batch commits tagged
+    (txn_app_id, batch_id), and a replay of an already-committed batch
+    id — the crash window between sink write and checkpoint — skips the
+    physical write entirely (Delta's txnAppId/txnVersion idempotent-sink
+    pattern)."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        store.upsert(batch_df)
+        txn = (txn_app_id, batch_id) if txn_app_id is not None else None
+        store.upsert(batch_df, txn=txn)
         if limit_by_key:
             store.apply_retention(limit_by_key)
 

@@ -282,6 +282,7 @@ class TxnLogFormat(TableFormat):
         adds: list[dict],
         remove_keys: set[str] | None,
         extra_removes: list[str] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Atomically publish one commit. ``remove_keys`` scopes the
         removes to live files of those keys, re-resolved against the
@@ -313,6 +314,8 @@ class TxnLogFormat(TableFormat):
                 "add": adds,
                 "remove": sorted(set(removes)),
             }
+            if txn is not None:
+                entry["txn"] = {"app": txn[0], "version": int(txn[1])}
             tmp = os.path.join(self.log_path, f".tmp-{_uuid.uuid4().hex}.json")
             with open(tmp, "w") as f:
                 json.dump(entry, f)
@@ -415,10 +418,32 @@ class TxnLogFormat(TableFormat):
             .select(_COLS)
         )
 
-    def append(self, df: DataFrame) -> None:
+    def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> None:
+        """Append; with ``txn=(app_id, version)`` the append is EXACTLY
+        ONCE under replays (Delta's txnAppId/txnVersion pattern): the
+        commit records the (app, version) watermark, and a later append
+        carrying a version <= the recorded watermark is skipped entirely
+        — no staging, no commit, no dependence on a natural PK. This is
+        what makes a foreachBatch sink transactional even when the
+        stream dies between the sink's write and its checkpoint."""
+        if txn is not None and self.last_txn_version(txn[0]) >= int(txn[1]):
+            return
         adds = self._stage(df)
-        if adds:
-            self._commit("append", adds, remove_keys=None)
+        if adds or txn is not None:
+            # an empty batch still commits when txn-tracked, so the
+            # watermark advances and its replay is also skipped
+            self._commit("append", adds, remove_keys=None, txn=txn)
+
+    def last_txn_version(self, app_id: str) -> int:
+        """Highest committed txn version for ``app_id`` (-1 if none).
+        Full-log walk — entries are tiny JSON; at scale the checkpoint
+        would carry the per-app watermark map the way Delta's does."""
+        best = -1
+        for v in self._versions():
+            t = self._read_entry(v).get("txn")
+            if t and t.get("app") == app_id:
+                best = max(best, int(t.get("version", -1)))
+        return best
 
     def overwrite_partitions(
         self, df: DataFrame, expected_keys: list[str] | None = None

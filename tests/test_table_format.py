@@ -448,3 +448,71 @@ def test_txnlog_clone_is_zero_copy_and_divergent(spark, tmp_path):
     deleted = clone.vacuum(retain_versions=0)
     assert deleted  # the superseded linked files left the clone
     assert fmt.read(spark).count() == 7
+
+
+def test_txnlog_transactional_append_exactly_once(spark, tmp_path):
+    """txn=(app, version) appends are exactly-once under replay: the
+    same version re-applied writes NOTHING (no commit, no files), a
+    higher version applies, and per-app watermarks are independent.
+    This protects the crash window between a foreachBatch sink's write
+    and its checkpoint — without relying on a natural PK."""
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch(spark, 0, 3), txn=("ingest", 0))
+    assert fmt.read(spark).count() == 3
+    v = len(fmt.history())
+
+    # replay of version 0: skipped wholesale
+    fmt.append(_batch(spark, 100, 5), txn=("ingest", 0))
+    assert fmt.read(spark).count() == 3
+    assert len(fmt.history()) == v
+
+    # next version applies; other app's watermark independent
+    fmt.append(_batch(spark, 10, 2), txn=("ingest", 1))
+    assert fmt.read(spark).count() == 5
+    assert fmt.last_txn_version("ingest") == 1
+    assert fmt.last_txn_version("other") == -1
+    fmt.append(_batch(spark, 20, 1), txn=("other", 0))
+    assert fmt.read(spark).count() == 6
+
+    # an EMPTY txn-tracked batch still advances the watermark
+    fmt.append(_batch(spark, 0, 0), txn=("ingest", 2))
+    assert fmt.last_txn_version("ingest") == 2
+    fmt.append(_batch(spark, 200, 4), txn=("ingest", 2))  # replay: skipped
+    assert fmt.read(spark).count() == 6
+
+
+def test_streaming_sink_exactly_once_with_txn_app_id(spark, tmp_path):
+    """foreachBatch sink with txn_app_id on TxnLogFormat: re-running a
+    drain from a FRESH checkpoint (same batch ids) performs zero
+    physical appends — exactly-once via the txn watermark, not just
+    anti-join idempotence."""
+    import datetime as dt
+
+    from starryskyqueryengine_spark.schemas import POST_SCHEMA
+    from starryskyqueryengine_spark.streaming.pipeline import (
+        foreach_batch_upsert,
+        parquet_stream,
+        run_available_now,
+    )
+
+    src = str(tmp_path / "src")
+    fmt = TxnLogFormat(spark, str(tmp_path / "store"))
+    store = PostStore(spark, str(tmp_path / "store"), fmt=fmt)
+
+    rows = [("p%d" % i, "k1", "c%d" % i, None, None,
+             dt.datetime(2024, 1, 1, 0, 0, i)) for i in range(8)]
+    spark.createDataFrame(rows, POST_SCHEMA).write.mode("append").parquet(src)
+
+    stream = parquet_stream(spark, src, schema=POST_SCHEMA)
+    sink = foreach_batch_upsert(store, txn_app_id="feedgen")
+    run_available_now(stream, sink, str(tmp_path / "ck1"))
+    assert store.read().count() == 8
+    n_commits = len(fmt.history())
+    assert fmt.last_txn_version("feedgen") >= 0
+
+    # fresh checkpoint -> Spark replays batch 0 with the SAME batch_id:
+    # the txn watermark skips it before any staging happens
+    stream = parquet_stream(spark, src, schema=POST_SCHEMA)
+    run_available_now(stream, sink, str(tmp_path / "ck2"))
+    assert store.read().count() == 8
+    assert len(fmt.history()) == n_commits

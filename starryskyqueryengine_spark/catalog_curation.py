@@ -420,3 +420,74 @@ def html_extract_text(spark, sf_dir):
         .cast("bigint")
         .alias("n_words"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 5: domain blocklist filtering — the other half of domain curation
+# (domain_stats measures; this enforces). Blocklists in practice are
+# suffix-matched (blocking example.com blocks www.example.com), so the
+# join key is the registrable 2-label suffix of the extracted domain.
+# --------------------------------------------------------------------------
+
+BLOCKED_DOMAIN_SUFFIXES = ["src40.example.com", "p1.src51.example.com"]
+
+
+@register(
+    "domain_blocklist_filter",
+    rf"""
+    WITH aug AS (
+      SELECT doc_id, lang,
+             text || ' see https://p' || CAST(doc_id % 3 AS VARCHAR) || '.'
+                  || lower(source) || CAST(doc_id % 7 AS VARCHAR)
+                  || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS t
+      FROM documents
+    ),
+    dom AS (
+      SELECT doc_id, lang, regexp_extract(t, '{cu.URL_DOMAIN_PAT}', 1) AS domain
+      FROM aug
+    )
+    SELECT doc_id, lang, domain
+    FROM dom
+    WHERE NOT (domain = 'src40.example.com'
+               OR domain LIKE '%.src40.example.com'
+               OR domain = 'p1.src51.example.com'
+               OR domain LIKE '%.p1.src51.example.com')
+    """,
+)
+def domain_blocklist_filter(spark, sf_dir):
+    """Domain blocklist enforcement (the curation step after
+    domain_stats's measurement): extract each doc's source domain
+    (4-label hosts: p<k>.<source><j>.example.com) and drop docs whose
+    domain equals OR is a subdomain of a blocked entry — suffix
+    semantics, the way real blocklists (UT1-style) are applied, so
+    blocking src40.example.com also removes p0/p1/p2.src40.example.com
+    while the exact entry p1.src51.example.com removes only that host.
+    The blocklist is a broadcast left-anti join on the suffix
+    condition: one corpus scan, no shuffle; at 100 TB a million-entry
+    blocklist is still broadcast-sized. Oracle replays the same
+    extraction and suffix test in SQL; both match classes are non-empty
+    on the fixtures (test-pinned)."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://p"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("."),
+            F.lower(F.col("source")),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("t"),
+    )
+    dom = aug.select("doc_id", "lang", cu.url_domain(F.col("t")).alias("domain"))
+    block = spark.createDataFrame(
+        [(b,) for b in BLOCKED_DOMAIN_SUFFIXES], "blocked string"
+    )
+    hit = (
+        (F.col("domain") == F.col("blocked"))
+        | F.col("domain").endswith(F.concat(F.lit("."), F.col("blocked")))
+    )
+    return dom.join(F.broadcast(block), hit, "left_anti")

@@ -76,3 +76,18 @@ def test_decontaminate_empty_benchmark(spark):
         dd.with_shingles(corpus), dd.with_shingles(bench)
     ).collect()
     assert out == []
+
+
+def test_domain_blocklist_both_match_classes_fire(spark):
+    """The blocklist filter must actually remove docs through BOTH match
+    paths — subdomain suffix and exact host — on the fixtures (a
+    vacuous filter would pass the oracle trivially)."""
+    from starryskyqueryengine_spark.catalog import get_queries
+
+    out = get_queries()["domain_blocklist_filter"](spark, "/root/testdata/sf0.001")
+    kept = out.count()
+    total = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert kept < total  # something was blocked
+    doms = {r["domain"] for r in out.select("domain").distinct().collect()}
+    assert not any(d.endswith(".src40.example.com") for d in doms)
+    assert "p1.src51.example.com" not in doms

@@ -361,3 +361,55 @@ def test_store_delete_to_empty_partition(spark, tmp_path):
     # refresh larger than the key's row count empties it too
     store.apply_refresh("k1", 99)
     assert store.read_key("k1").count() == 0
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter pre-probe (operators/bloom.py)
+# --------------------------------------------------------------------------
+
+def test_bloom_split_invariant_and_no_false_negatives(spark):
+    """Split-by-bloom + exact join on the remainder must equal the exact
+    join on everything (row for row), and every TRUE duplicate must land
+    in the maybe side — the no-false-negative guarantee the joinless
+    fast path rests on."""
+    from pyspark.sql import functions as F
+
+    from starryskyqueryengine_spark.operators.bloom import bloom_split_new
+
+    stored = spark.range(2000).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("uri")
+    )
+    incoming = spark.range(1000, 4000).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("uri")
+    )
+    new, maybe = bloom_split_new(incoming, stored, "uri", fpp=0.01)
+
+    exact_all = {r["uri"] for r in incoming.join(stored, "uri", "left_anti").collect()}
+    got = {r["uri"] for r in new.collect()} | {
+        r["uri"] for r in maybe.join(stored, "uri", "left_anti").collect()
+    }
+    assert got == exact_all
+
+    dups = {r["uri"] for r in incoming.join(stored, "uri", "left_semi").collect()}
+    maybe_set = {r["uri"] for r in maybe.collect()}
+    assert dups <= maybe_set
+
+    # the filter actually filters: most genuinely-new rows skip the join
+    fp = len(maybe_set - dups)
+    assert fp / 2000 < 0.05, f"false-positive rate {fp/2000} way over target"
+
+
+def test_bloom_positions_are_codegen(spark):
+    """Position computation must be JVM expressions on both sides — the
+    only Python is the one vectorized bitset gather."""
+    from pyspark.sql import functions as F
+
+    from starryskyqueryengine_spark.operators.bloom import _positions
+
+    df = spark.range(100).select(F.col("id").cast("string").alias("uri"))
+    plan = (
+        df.select(F.array(*_positions("uri", 1024, 3)).alias("p"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
+    assert "xxhash64" in plan.lower() or "pmod" in plan.lower()

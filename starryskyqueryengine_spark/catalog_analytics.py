@@ -1308,6 +1308,11 @@ def pagerank_part_supplier(spark, sf_dir):
     dst; ranks are |nodes|-sized, tiny next to the edge list."""
     l = load_table(spark, sf_dir, "lineitem")
     pairs = l.select("l_partkey", "l_suppkey").distinct()
+    # modest fixed partitioning for the cached edge list: the iteration
+    # stages inherit it, so per-stage task count tracks cores, not the
+    # source's 100+-partition shuffle layout (at cluster scale this is
+    # the usual edges-partition sizing knob)
+    par = max(spark.sparkContext.defaultParallelism, 4)
     edges = (
         pairs.select(
             (2 * F.col("l_partkey")).alias("src"),
@@ -1319,6 +1324,7 @@ def pagerank_part_supplier(spark, sf_dir):
                 (2 * F.col("l_partkey")).alias("dst"),
             )
         )
+        .repartition(par)
     ).cache()
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
@@ -1326,11 +1332,15 @@ def pagerank_part_supplier(spark, sf_dir):
     base = PR_SCALE // n_nodes
     ranks = nodes.select("node", F.lit(base).cast("bigint").alias("r"))
     for _ in range(PR_ITERS):
-        contribs = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(deg, "src")
-            .select("dst", F.expr("r div outdeg").alias("c"))
+        # divide ONCE on the |nodes|-sized side, then broadcast the tiny
+        # (src, contribution) table into the edge scan — the per-
+        # iteration cost is one pass over cached edges + one map-side-
+        # combined aggregate, never an edge-sized join build
+        csrc = (
+            ranks.join(F.broadcast(deg), ranks["node"] == deg["src"])
+            .select("src", F.expr("r div outdeg").alias("c"))
         )
+        contribs = edges.join(F.broadcast(csrc), "src").select("dst", "c")
         ranks = contribs.groupBy(F.col("dst").alias("node")).agg(
             F.expr(f"({15 * base} + 85 * sum(c)) div 100").cast("bigint").alias("r")
         )

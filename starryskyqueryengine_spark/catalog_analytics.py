@@ -1211,7 +1211,17 @@ def zorder_skipping_scan(spark, sf_dir):
 
     from .operators.zorder import MANIFEST, read_with_skipping, write_zordered
 
-    tag = hashlib.md5(str(sf_dir).encode()).hexdigest()[:12]
+    # tag carries a dataset fingerprint (mtime+size of the source
+    # parquet), not just the path: a regenerated fixture under the same
+    # path invalidates the cached layout instead of silently serving
+    # stale files (same pattern as the IVF centroid cache key)
+    src = os.path.join(str(sf_dir), "lineitem.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fp = "nofp"
+    tag = hashlib.md5(f"{sf_dir}|{fp}".encode()).hexdigest()[:12]
     zpath = os.path.join(tempfile.gettempdir(), f"starrysky_zorder_{tag}")
     if not os.path.exists(os.path.join(zpath, MANIFEST)):
         write_zordered(

@@ -724,7 +724,16 @@ def _bm25_index_path(sf_dir) -> str:
     import os
     import tempfile
 
-    tag = hashlib.md5(str(sf_dir).encode()).hexdigest()[:12]
+    # dataset-fingerprinted tag (mtime+size of the source parquet): a
+    # regenerated fixture invalidates the index instead of serving stale
+    # postings — same pattern as the IVF centroid cache key
+    src = os.path.join(str(sf_dir), "documents.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fp = "nofp"
+    tag = hashlib.md5(f"{sf_dir}|{fp}".encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"starrysky_bm25idx_{tag}")
 
 

@@ -280,3 +280,33 @@ def asof_purchase_attribution(spark, sf_dir):
         "asof_click_id",
         (F.col("ts_us") - F.col("asof_click_ts_us")).cast("bigint").alias("lag_us"),
     )
+
+
+@register(
+    "s1_datasource_scan",
+    """
+    SELECT doc_id, lang FROM documents
+    """,
+)
+def s1_datasource_scan(spark, sf_dir):
+    """S1 as a first-class Spark Python DataSource (the Spark-4-native
+    successor to s1_paged_scan's driver loop): the cursor-API page
+    windows split across 4 input partitions and decode on EXECUTORS —
+    the driver never holds a row, unlike paged_scan. Same reference
+    protocol (100-row pages, short-page stop, page cap), same data, so
+    the oracle is the plain relation. The streaming twin
+    (starrysky_paged_stream, cursor-as-offset with checkpoint resume)
+    is exercised in tests/test_paged_datasource.py."""
+    import os
+
+    from .sources.paged_datasource import register_paged_sources
+
+    register_paged_sources(spark)
+    return (
+        spark.read.format("starrysky_paged")
+        .option("path", os.path.join(str(sf_dir), "documents.parquet"))
+        .option("page_size", "100")
+        .option("num_partitions", "4")
+        .load()
+        .select("doc_id", "lang")
+    )

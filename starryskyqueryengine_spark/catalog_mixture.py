@@ -490,6 +490,64 @@ def chunk_documents(spark, sf_dir):
     )
 
 
+_CHUNK_UDTF_ORACLE = rf"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, ws,
+             unnest(range(CAST(
+               ceil(GREATEST(len(ws) - {CHUNK_TOKENS}, 0) / {CHUNK_STRIDE}.0)
+             AS BIGINT) + 1)) AS i
+      FROM w
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           CAST(i * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+           CAST(LEAST({CHUNK_TOKENS}, len(ws) - i * {CHUNK_STRIDE}) AS BIGINT) AS n_tok
+    FROM idx
+    """
+
+
+@register("chunk_documents_udtf", _CHUNK_UDTF_ORACLE)
+def chunk_documents_udtf(spark, sf_dir):
+    """The sliding-window chunker as a PYTHON UDTF (Spark 4's
+    user-defined TABLE function surface, SURVEY §2.9 — the reference
+    has no user-extensible function mechanism at all, so this
+    demonstrates the extension point its condition DSL grows into):
+    one lateral-joined ``chunks(...)`` call per document row expands to
+    N chunk rows, with the row-multiplying logic in Python instead of
+    an explode expression. Same window/stride arithmetic as the
+    expression-based ``chunk_documents``, same oracle (minus the text
+    column — the UDTF emits offsets only, keeping the Python hop
+    payload-free, which is exactly how you'd use a UDTF against 100 TB:
+    emit coordinates, let columnar ops slice). The declarative
+    ``chunk_documents`` remains the hot-path form; this pins that the
+    UDTF surface WORKS end to end and value-matches it."""
+    from pyspark.sql.functions import udtf
+
+    W, S = CHUNK_TOKENS, CHUNK_STRIDE
+
+    @udtf(returnType="chunk_id bigint, start_tok bigint, n_tok bigint")
+    class chunks:
+        def eval(self, n_words: int):
+            n_chunks = max(0, -(-(max(n_words - W, 0)) // S)) + 1
+            for i in range(n_chunks):
+                yield i, i * S, min(W, n_words - i * S)
+
+    spark.udtf.register("ssqe_chunks", chunks)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_words")
+    ).createOrReplaceTempView("_chunk_src")
+    return spark.sql(
+        """
+        SELECT s.doc_id, c.chunk_id, c.start_tok, c.n_tok
+        FROM _chunk_src s, LATERAL ssqe_chunks(s.n_words) c
+        """
+    )
+
+
 # -- 6. capstone: composed pretraining-prep pipeline -----------------------
 
 

@@ -168,3 +168,27 @@ def test_pack_sequences_no_global_corpus_window(spark):
     # the doc-bearing side never collapses to one partition: the
     # single-partition exchanges sit above the per-shard aggregate
     assert "Scan parquet" in plan
+
+
+def test_approx_percentile_tracks_exact_within_tolerance(spark):
+    """percentile_prices documents approx_percentile as the 100 TB path;
+    pin that the t-digest sketch actually lands within 1% relative error
+    of the exact quantiles on the fixtures, per group."""
+    from pyspark.sql import functions as F
+
+    l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    pcts = [0.5, 0.9, 0.99]
+    exact = l.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.array(*[F.lit(p) for p in pcts])).alias("q")
+    )
+    approx = l.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", F.array(*[F.lit(p) for p in pcts]), F.lit(10000)
+        ).alias("q")
+    )
+    e = {r["l_returnflag"]: r["q"] for r in exact.collect()}
+    a = {r["l_returnflag"]: r["q"] for r in approx.collect()}
+    assert e.keys() == a.keys()
+    for k in e:
+        for ev, av in zip(e[k], a[k]):
+            assert abs(av - ev) / max(abs(ev), 1e-9) < 0.01, (k, ev, av)

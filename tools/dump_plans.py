@@ -63,6 +63,8 @@ HEADLINERS = {
     "bm25_indexed_search": "postings scan with PartitionFilters on term_bucket; NO query-time tokenization (compare bm25_search)",
     "html_extract_text": "every strip/unescape pass a codegen regexp_replace riding the scan; zero exchanges",
     "mm_jpeg_roundtrip": "two Arrow-batched mapInPandas hops (encode/decode), zero shuffle; JVM never touches pixel bytes",
+    "s1_datasource_scan": "Python DataSource scan: 4 input partitions = 4 concurrent executor-side page windows, zero driver rows",
+    "pagerank_part_supplier": "per-iteration: broadcast the node-sized contribution table into the cached edge scan + one map-side-combined agg",
 }
 
 

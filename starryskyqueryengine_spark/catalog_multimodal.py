@@ -711,3 +711,81 @@ def mm_transcode_png_jpeg(spark, sf_dir):
     return docs.mapInPandas(
         transcode, "media_id long, width int, height int, within_tol boolean"
     )
+
+
+@register(
+    "mm_gif_roundtrip",
+    """
+    WITH px AS (
+      SELECT doc_id,
+             4 + doc_id % 13 AS nc,
+             unnest(range((9 + doc_id % 7) * (5 + doc_id % 5))) AS i
+      FROM documents
+    ),
+    rgb AS (
+      SELECT doc_id,
+             (11 * doc_id + 17 * ((7 * doc_id + 3 * i) % nc) + 29 * ch) % 256
+               AS val
+      FROM px, range(3) t(ch)
+    )
+    SELECT doc_id AS media_id,
+           CAST(9 + doc_id % 7 AS INTEGER) AS width,
+           CAST(5 + doc_id % 5 AS INTEGER) AS height,
+           CAST(4 + doc_id % 13 AS INTEGER) AS n_colors,
+           CAST(sum(val) AS BIGINT) AS rgb_sum
+    FROM rgb GROUP BY doc_id
+    """,
+)
+def mm_gif_roundtrip(spark, sf_dir):
+    """REAL GIF round trip (LZW codec, ``codecs.py``): per doc, build a
+    palette and an index plane from closed-form generators (palette
+    sizes 4..16 cover non-power-of-two tables; planes are small enough
+    that the LZW dictionary still grows and resets across the corpus),
+    encode a real GIF89a, decode it, and report exact RGB pixel sums of
+    palette[indices]. The oracle recomputes the sum from the generator
+    formulas — a bug in LZW packing, code-width growth, CLEAR handling,
+    palette padding, or index reshape breaks the value match. 100 TB
+    shape: two Arrow-batched mapInPandas hops, per-image memory, zero
+    shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from .codecs import gif_decode, gif_encode
+    from .session import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h, nc = 9 + d % 7, 5 + d % 5, 4 + d % 13
+                c = np.arange(nc, dtype=np.int64)
+                pal = (
+                    (11 * d + 17 * c[:, None] + 29 * np.arange(3)[None, :]) % 256
+                ).astype(np.uint8)
+                i = np.arange(w * h, dtype=np.int64)
+                idx = ((7 * d + 3 * i) % nc).astype(np.uint8).reshape(h, w)
+                payloads.append(gif_encode(idx, pal))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    enc = docs.mapInPandas(gen, "media_id long, payload binary")
+
+    def dec(batches):
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "n_colors": [],
+                   "rgb_sum": []}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                d = int(mid)
+                W, H, _idx, _pal, rgb = gif_decode(bytes(b))
+                out["media_id"].append(d)
+                out["width"].append(W)
+                out["height"].append(H)
+                out["n_colors"].append(4 + d % 13)
+                out["rgb_sum"].append(int(np.sum(rgb.astype(np.int64))))
+            yield pd.DataFrame(out)
+
+    return enc.mapInPandas(
+        dec, "media_id long, width int, height int, n_colors int, rgb_sum long"
+    )

@@ -384,3 +384,201 @@ def y4m_decode(payload: bytes):
     n = y4m_frame_count(payload)
     frames = np.stack([y4m_extract_frame(payload, i) for i in range(n)])
     return w, h, rate, frames
+
+
+# --------------------------------------------------------------------------
+# GIF (GIF89a) — indexed-color images behind LZW compression (the public
+# CompuServe spec; LZW per Welch 1984). Completes the common-image-format
+# set: PNG (DEFLATE), JPEG (DCT+Huffman), PPM (raw), GIF (LZW).
+# Scope: single-frame, non-interlaced, global color table; the encoder
+# emits fully valid variable-width LZW (with dictionary growth and CLEAR
+# resets), the decoder handles any conformant stream.
+# --------------------------------------------------------------------------
+
+GIF_MAGIC = b"GIF8"
+
+
+def gif_encode(indices, palette) -> bytes:
+    """(h, w) uint8 index array + (n<=256, 3) palette -> GIF89a bytes."""
+    import struct as _struct
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2:
+        raise ValueError(f"expected (h, w) index array, got {idx.shape}")
+    if pal.ndim != 2 or pal.shape[1] != 3 or len(pal) > 256:
+        raise ValueError(f"bad palette shape {pal.shape}")
+    h, w = idx.shape
+    # palette size must be a power of two >= 2
+    bits = max(1, int(len(pal) - 1).bit_length())
+    size = 1 << bits
+    table = np.zeros((size, 3), dtype=np.uint8)
+    table[: len(pal)] = pal
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("index out of palette range")
+
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HHBBB", w, h, 0x80 | (bits - 1) << 4 | (bits - 1), 0, 0)
+    out += table.tobytes()
+    out += b"\x2c" + _struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+
+    # ---- LZW encode (variable code width, CLEAR resets) ----
+    min_code = max(2, bits)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    acc = 0
+    nbits = 0
+    data = bytearray()
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc |= code << nbits  # GIF packs LSB-first
+        nbits += width
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh_dict():
+        return {bytes([i]): i for i in range(1 << min_code)}
+
+    d = fresh_dict()
+    next_code = eoi + 1
+    width = min_code + 1
+    emit(clear, width)
+    seq = b""
+    for v in idx.reshape(-1).tobytes():
+        cand = seq + bytes([v])
+        if cand in d:
+            seq = cand
+            continue
+        emit(d[seq], width)
+        d[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1:
+            if width < 12:
+                width += 1
+            else:
+                emit(clear, width)
+                d = fresh_dict()
+                next_code = eoi + 1
+                width = min_code + 1
+        seq = bytes([v])
+    if seq:
+        emit(d[seq], width)
+    emit(eoi, width)
+    if nbits:
+        data.append(acc & 0xFF)
+
+    out.append(min_code)
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def gif_decode(payload: bytes):
+    """GIF bytes -> (width, height, (h, w) uint8 indices, (n, 3) palette,
+    (h, w, 3) uint8 RGB). Single-frame, non-interlaced."""
+    import struct as _struct
+
+    if not payload.startswith(GIF_MAGIC):
+        raise ValueError("not a GIF payload")
+    pos = 6
+    w, h, flags, _bg, _ar = _struct.unpack("<HHBBB", payload[pos : pos + 7])
+    pos += 7
+    palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        palette = np.frombuffer(
+            payload[pos : pos + 3 * n], dtype=np.uint8
+        ).reshape(n, 3).copy()
+        pos += 3 * n
+
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            raise ValueError("no image data before trailer")
+        if b == 0x21:  # extension: skip sub-blocks
+            pos += 1  # label
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected block 0x{b:02X}")
+        left, top, iw, ih, iflags = _struct.unpack("<HHHHB", payload[pos : pos + 9])
+        pos += 9
+        if iflags & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            palette = np.frombuffer(
+                payload[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(n, 3).copy()
+            pos += 3 * n
+        if palette is None:
+            raise ValueError("no color table")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+
+        # ---- LZW decode ----
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        acc = 0
+        nbits = 0
+        dpos = 0
+        width = min_code + 1
+
+        def read_code():
+            nonlocal acc, nbits, dpos
+            while nbits < width:
+                if dpos >= len(data):
+                    raise ValueError("truncated LZW stream")
+                acc |= data[dpos] << nbits
+                dpos += 1
+                nbits += 8
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            return code
+
+        table = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+        out = bytearray()
+        prev = None
+        while True:
+            code = read_code()
+            if code == clear:
+                table = table[: eoi + 1]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        if len(out) != iw * ih:
+            raise ValueError(f"decoded {len(out)} pixels, expected {iw * ih}")
+        idx = np.frombuffer(bytes(out), dtype=np.uint8).reshape(ih, iw)
+        rgb = palette[idx]
+        return iw, ih, idx, palette, rgb
+    raise ValueError("no image block found")

@@ -230,6 +230,11 @@ def _decode_one(payload: bytes) -> tuple[int, float, int]:
 
         _, _, _, frames = y4m_decode(payload)
         flat = frames.reshape(-1)
+    elif payload.startswith(b"GIF8"):
+        from .codecs import gif_decode
+
+        _, _, _, _, rgb = gif_decode(payload)
+        flat = rgb.reshape(-1)
     else:
         return _fake_decode(payload)
     if flat.size == 0:

@@ -269,3 +269,57 @@ def test_decode_media_isolates_corrupt_payloads(spark):
     # strict mode fail-fast
     with pytest.raises(Exception):
         decode_media(df, strict=True).collect()
+
+
+# --------------------------------------------------------------------------
+# GIF (LZW)
+# --------------------------------------------------------------------------
+
+from starryskyqueryengine_spark.codecs import gif_decode, gif_encode  # noqa: E402
+
+
+@pytest.mark.parametrize("n_colors", [2, 4, 7, 16, 256])
+def test_gif_roundtrip_palette_sizes(n_colors):
+    pal = RNG.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    idx = RNG.integers(0, n_colors, size=(13, 9), dtype=np.uint8)
+    W, H, oidx, opal, rgb = gif_decode(gif_encode(idx, pal))
+    assert (W, H) == (9, 13)
+    assert np.array_equal(oidx, idx)
+    assert np.array_equal(rgb, pal[idx])
+
+
+def test_gif_lzw_dict_growth_and_clear_reset():
+    """Large random 256-color plane forces code width to 12 bits and a
+    CLEAR reset; repetitive plane exercises long dictionary chains."""
+    pal = RNG.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    noisy = RNG.integers(0, 256, size=(80, 90), dtype=np.uint8)
+    W, H, oidx, _, _ = gif_decode(gif_encode(noisy, pal))
+    assert np.array_equal(oidx, noisy)
+    rep = np.tile(np.arange(64, dtype=np.uint8) % 8, (64, 8))
+    W, H, oidx, _, _ = gif_decode(gif_encode(rep, pal[:8]))
+    assert np.array_equal(oidx, rep)
+
+
+def test_gif_rejects_malformed():
+    with pytest.raises(ValueError, match="not a GIF"):
+        gif_decode(b"\x89PNGxxxx")
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="out of palette"):
+        gif_encode(np.full((2, 2), 9, dtype=np.uint8), pal)
+    good = gif_encode(np.zeros((4, 4), dtype=np.uint8), pal)
+    with pytest.raises(ValueError):
+        gif_decode(good[:20])
+
+
+def test_decode_media_sniffs_gif(spark):
+    pal = RNG.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = RNG.integers(0, 16, size=(6, 8), dtype=np.uint8)
+    payload = gif_encode(idx, pal)
+    rows = [
+        Row(media_id=1, payload=bytearray(payload),
+            meta=Row(media_type="image", width=8, height=6, duration_ms=None,
+                     sample_rate=None, byte_len=len(payload))),
+    ]
+    out = decode_media(_media_df(spark, rows)).collect()[0]
+    rgb = pal[idx]
+    assert out["mean_byte"] == pytest.approx(rgb.mean())

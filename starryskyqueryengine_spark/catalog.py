@@ -584,12 +584,12 @@ PRIORITY: list[str] = [
     "flagship_multifeed",
     "w1_stream_upsert",
     "w2_stateful_running_stats",
-    "w8_stream_tumbling_counts",
     "p6_p9_condition_chain",
-    "t1_topk",
-    "j2_anti_join_dedup",
     "q1_pricing_summary",
     # --- New in round 5 (never driver-checked, value-exact locally) ---
+    "pagerank_part_supplier",
+    "mm_gif_roundtrip",
+    "s1_datasource_scan",
     "mm_png_decode",
     "mm_wav_features",
     "q2_min_cost_supplier",

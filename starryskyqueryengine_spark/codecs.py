@@ -465,6 +465,14 @@ def gif_encode(indices, palette) -> bytes:
         seq = bytes([v])
     if seq:
         emit(d[seq], width)
+        # Mirror the decoder's bookkeeping for the final data code: the
+        # decoder appends one table entry after every data code past the
+        # first and grows the code width when its table fills, so EOI must
+        # be written at the grown width or the streams desync (a decoder
+        # would read EOI at width+1 and run off the end of the stream).
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
     emit(eoi, width)
     if nbits:
         data.append(acc & 0xFF)

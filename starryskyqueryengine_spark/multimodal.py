@@ -26,9 +26,9 @@ Scale design:
   encode/decode runs on actual pixel/sample bytes, format-sniffed per
   payload, and is oracle-checked (``mm_ppm_decode``, ``mm_png_decode``,
   ``mm_wav_features``, ``mm_jpeg_roundtrip``). Unrecognized formats
-  fall through to the clearly-marked deterministic fake + ``_HAVE_PIL``
-  import-try; everything around the seam — schema, batching,
-  partitioning, UDF signatures — is identical for both paths.
+  fall through to the clearly-marked deterministic fake; everything
+  around the seam — schema, batching, partitioning, UDF signatures —
+  is identical for both paths.
 """
 
 from __future__ import annotations
@@ -49,13 +49,6 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
-
-try:  # real decoders are not shipped in this environment
-    from PIL import Image as _PILImage  # type: ignore  # noqa: F401
-
-    _HAVE_PIL = True
-except ImportError:
-    _HAVE_PIL = False
 
 #: typed metadata carried beside every payload
 MEDIA_META_SCHEMA = StructType(
@@ -207,7 +200,24 @@ def _fake_decode(payload: bytes) -> tuple[int, float, int]:
 def _decode_one(payload: bytes) -> tuple[int, float, int]:
     """Per-payload decode, format-sniffed: REAL for P6 PPM, PNG, and WAV
     (crc32 + mean over actual pixel/sample values via the pure-Python
-    codecs); deterministic fake otherwise (JPEG et al.)."""
+    codecs); deterministic fake otherwise.
+
+    All malformed-input failures are normalized to ``ValueError`` so the
+    per-record isolation in ``decode_media`` catches every corruption
+    shape: a GIF truncated mid-header raises ``struct.error``, a
+    truncated extension sub-block ``IndexError``, a short PNG/WAV slice
+    ``struct.error``, a garbled DEFLATE stream ``zlib.error`` — one
+    ``except ValueError`` upstream would miss all of those.
+    """
+    import struct as _struct
+
+    try:
+        return _decode_one_raw(payload)
+    except (IndexError, KeyError, _struct.error, zlib.error, OverflowError) as e:
+        raise ValueError(f"malformed media payload: {type(e).__name__}: {e}") from e
+
+
+def _decode_one_raw(payload: bytes) -> tuple[int, float, int]:
     import numpy as np
 
     from .codecs import PNG_MAGIC, WAV_MAGIC, png_decode, wav_decode
@@ -266,9 +276,6 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if _HAVE_PIL:
-                # real path would be: Image.open(io.BytesIO(b)) ...
-                raise NotImplementedError("real image decode not wired in this build")
             feats = []
             for b in pdf["payload"]:
                 try:
@@ -314,8 +321,6 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
         from .codecs import PNG_MAGIC, png_decode, png_encode
 
         for pdf in batches:
-            if _HAVE_PIL:
-                raise NotImplementedError("real image resize not wired in this build")
             out_payload = []
             for b, m in zip(pdf["payload"], pdf["meta"]):
                 raw = bytes(b)
@@ -415,8 +420,6 @@ def extract_frames(df: DataFrame, interval_ms: int = 500) -> DataFrame:
         from .codecs import Y4M_MAGIC, y4m_extract_frame, y4m_frame_count
 
         for pdf in batches:
-            if _HAVE_PIL:
-                raise NotImplementedError("real frame decode not wired in this build")
             payloads = []
             for b, idx in zip(pdf["payload"], pdf["frame_idx"]):
                 raw = bytes(b)

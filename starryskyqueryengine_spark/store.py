@@ -67,12 +67,22 @@ class PostStore:
     # -- write --------------------------------------------------------------
 
     def _append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> None:
+        # Feature-detect transactional appends STATICALLY from the
+        # signature — never by catching TypeError around the real call: a
+        # TypeError raised inside a txn-capable format's append (possibly
+        # after staging work) would be misread as "no txn support" and
+        # silently retried on the plain path, duplicating the append and
+        # downgrading exactly-once to at-least-once.
         if txn is not None:
+            import inspect
+
             try:
+                params = inspect.signature(self.fmt.append).parameters
+            except (TypeError, ValueError):  # builtins without signatures
+                params = {}
+            if "txn" in params:
                 self.fmt.append(df, txn=txn)
                 return
-            except TypeError:
-                pass  # format has no transactional append; plain path
         self.fmt.append(df)
 
     def upsert(

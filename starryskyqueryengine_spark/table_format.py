@@ -302,11 +302,22 @@ class TxnLogFormat(TableFormat):
         base = self._versions()
         base_v = base[-1] if base else -1
         for _attempt in range(self.max_commit_retries):
+            # Resolve the snapshot AND the target version from ONE
+            # directory listing (snapshot pinned at the listed tip, commit
+            # attempted only at tip+1).  Two separate listings had a TOCTOU:
+            # a commit landing between them was counted in the version (so
+            # os.link succeeded, conflict detection never ran) but its
+            # files were missing from the remove set — an overwrite/delete
+            # could leave stale files of the touched key live.  Now any
+            # interleaved commit either appears in the pinned snapshot or
+            # makes tip+1 taken, forcing the FileExistsError conflict path.
+            tip_versions = self._versions()
+            tip = tip_versions[-1] if tip_versions else -1
             removes = list(extra_removes or [])
             if remove_keys:
-                snap = self._snapshot()
+                snap = self._snapshot(version=tip) if tip >= 0 else {}
                 removes += [p for p, k in snap.items() if k in remove_keys]
-            v = (self._versions() or [-1])[-1] + 1
+            v = tip + 1
             entry = {
                 "version": v,
                 "op": op,

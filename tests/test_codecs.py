@@ -323,3 +323,68 @@ def test_decode_media_sniffs_gif(spark):
     out = decode_media(_media_df(spark, rows)).collect()[0]
     rgb = pal[idx]
     assert out["mean_byte"] == pytest.approx(rgb.mean())
+
+
+def test_gif_roundtrip_randomized_shapes_and_palettes():
+    """Regression for the encoder/decoder width desync at stream end: the
+    encoder must mirror the decoder's post-final-code table growth before
+    emitting EOI.  Randomized shapes × palette sizes hit the boundary
+    (~0.3% of random inputs before the fix)."""
+    rng = np.random.default_rng(1234)
+    for _ in range(400):
+        h = int(rng.integers(1, 24))
+        w = int(rng.integers(1, 24))
+        n = int(rng.integers(2, 257))
+        pal = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, size=(h, w)).astype(np.uint8)
+        _, _, oidx, _, _ = gif_decode(gif_encode(idx, pal))
+        assert np.array_equal(oidx, idx), (h, w, n)
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda p: p[:8],            # truncated mid logical-screen header
+        lambda p: p[: len(p) // 2], # truncated mid data sub-blocks
+        lambda p: p[:6] + b"\x01",  # one stray byte after magic
+    ],
+)
+def test_decode_one_normalizes_malformed_gif(mutate):
+    """struct.error / IndexError from truncated payloads must surface as
+    ValueError so decode_media's per-record isolation quarantines them."""
+    from starryskyqueryengine_spark.multimodal import _decode_one
+
+    pal = RNG.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = RNG.integers(0, 16, size=(9, 7), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        _decode_one(mutate(gif_encode(idx, pal)))
+
+
+def test_decode_one_normalizes_malformed_png_wav():
+    from starryskyqueryengine_spark.codecs import png_encode, wav_encode
+    from starryskyqueryengine_spark.multimodal import _decode_one
+
+    png = png_encode(np.zeros((8, 8, 3), dtype=np.uint8))
+    wav = wav_encode(np.zeros(64, dtype=np.int16), 8000)
+    for bad in (png[:12], png[:30], wav[:10], wav[:20]):
+        with pytest.raises(ValueError):
+            _decode_one(bad)
+
+
+def test_decode_media_quarantines_truncated_gif(spark):
+    """End-to-end: a GIF truncated mid-stream lands as NULL features, the
+    task survives, and good neighbors still decode."""
+    pal = RNG.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = RNG.integers(0, 16, size=(6, 8), dtype=np.uint8)
+    good = gif_encode(idx, pal)
+    rows = [
+        Row(media_id=1, payload=bytearray(good),
+            meta=Row(media_type="image", width=8, height=6, duration_ms=None,
+                     sample_rate=None, byte_len=len(good))),
+        Row(media_id=2, payload=bytearray(good[:9]),
+            meta=Row(media_type="image", width=8, height=6, duration_ms=None,
+                     sample_rate=None, byte_len=9)),
+    ]
+    out = {r["media_id"]: r for r in decode_media(_media_df(spark, rows)).collect()}
+    assert out[1]["checksum"] is not None
+    assert out[2]["checksum"] is None and out[2]["mean_byte"] is None

@@ -516,3 +516,89 @@ def test_streaming_sink_exactly_once_with_txn_app_id(spark, tmp_path):
     run_available_now(stream, sink, str(tmp_path / "ck2"))
     assert store.read().count() == 8
     assert len(fmt.history()) == n_commits
+
+
+def test_txnlog_commit_resolves_snapshot_and_version_together(
+    spark, tmp_path, monkeypatch
+):
+    """TOCTOU regression: a rival commit landing BETWEEN the snapshot
+    resolution and the version listing used to be counted in the target
+    version (os.link succeeded, conflict detection never ran) while its
+    files were missing from the remove set — an overwrite left the
+    rival's files of the touched key live.  _commit now pins snapshot
+    and target version to ONE listing, so the interleaved commit forces
+    the put-if-absent conflict path and the overwrite refuses."""
+    import json
+
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch(spark, 0, 3))  # v0 on k1
+
+    real_snapshot = fmt._snapshot
+    armed = {"on": False}
+
+    def racing_snapshot(version=None):
+        snap = real_snapshot(version=version)
+        if armed["on"]:
+            armed["on"] = False
+            v = fmt._versions()[-1] + 1
+            with open(fmt._entry_path(v), "w") as f:
+                json.dump(
+                    {"version": v, "op": "append", "ts": 0, "remove": [],
+                     "add": [{"path": f"key=k1/rival-{v}.parquet",
+                              "key": "k1"}]},
+                    f,
+                )
+        return snap
+
+    monkeypatch.setattr(fmt, "_snapshot", racing_snapshot)
+    armed["on"] = True
+    with pytest.raises(ConcurrentWriteError, match="conflicts"):
+        fmt.overwrite_partitions(_batch(spark, 50, 1))
+    # the rival's file must still be live — the failed overwrite must not
+    # have removed or orphaned it
+    live = real_snapshot()
+    assert any("rival-" in p for p in live), live
+
+
+def test_poststore_txn_feature_detect_is_static(spark, tmp_path):
+    """A TypeError raised INSIDE a txn-capable append must propagate —
+    never be misread as 'no txn support' and retried on the plain path
+    (which would duplicate the append)."""
+    calls = []
+
+    class ExplodingTxnFormat(TableFormat):
+        def exists(self):
+            return False
+
+        def read(self, spark):
+            raise AssertionError("not read in this test")
+
+        def append(self, df, txn=None):
+            calls.append(txn)
+            raise TypeError("boom inside a txn-capable append")
+
+        def overwrite_partitions(self, df, expected_keys=None):
+            raise AssertionError
+
+        def delete_partition(self, key):
+            raise AssertionError
+
+        def delete_where(self, df, condition):
+            raise AssertionError
+
+        def file_counts(self):
+            return {}
+
+    store = PostStore(spark, str(tmp_path / "s"), fmt=ExplodingTxnFormat())
+    with pytest.raises(TypeError, match="boom"):
+        store._append(spark.range(1), txn=("app", 1))
+    # exactly ONE attempt, on the txn path — no silent plain-path retry
+    assert calls == [("app", 1)]
+
+    class PlainFormat(ExplodingTxnFormat):
+        def append(self, df):  # no txn parameter at all
+            calls.append("plain")
+
+    store2 = PostStore(spark, str(tmp_path / "s2"), fmt=PlainFormat())
+    store2._append(spark.range(1), txn=("app", 2))
+    assert calls[-1] == "plain"

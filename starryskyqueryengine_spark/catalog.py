@@ -567,72 +567,69 @@ def _load_extensions() -> None:
 
 
 # The external correctness gate verifies only the FIRST 50 registered
-# queries.  Round-5 rotation (VERDICT.md r4 top ask): 62 of 112 queries
-# had never earned a driver row, so the window now holds a 13-query
-# regression core (flagship, streaming trio, P-chain, T1/T2, j2, q1,
-# s1, p11 — the operators most likely to regress) plus all 36
-# never-driver-checked locally-value-exact queries (TPC-H long tail,
-# similarity/curation/mixture/packing headliners, PII, sessionize,
-# PPM codec) plus the new value-checked mm_ppm_resize.  Everything
-# rotated OUT earned green driver rows in r1-r4 and is unchanged since;
-# all 113 queries remain covered by tools/full_gate.py and
-# tests/test_oracle_parity.py locally.
+# queries.  Round-6 rotation (VERDICT.md r5 top ask): the 12 queries
+# that registered after round 5's window filled get their first-ever
+# driver rows (mm_resize_plumbing was retired — superseded by the
+# value-checked mm_ppm_resize), on top of a 10-query regression core.
+# The remaining slots re-verify high-value driver-green queries and
+# make room for queries new in round 6.  Everything rotated OUT earned
+# green driver rows in r1-r5 and is unchanged since; all queries remain
+# covered by tools/full_gate.py and tests/test_oracle_parity.py locally.
 PRIORITY: list[str] = [
-    # --- Regression core (driver-green r1-r4, highest regression risk;
-    # trimmed to 8 in-round to make room for the 7 new round-5 queries —
-    # the 5 rotated out are multi-round driver-green and unchanged) ---
+    # --- Regression core (multi-round driver-green, highest risk) ---
     "flagship_multifeed",
     "w1_stream_upsert",
     "w2_stateful_running_stats",
     "p6_p9_condition_chain",
     "q1_pricing_summary",
-    # --- New in round 5 (never driver-checked, value-exact locally) ---
-    "pagerank_part_supplier",
-    "mm_gif_roundtrip",
+    "t1_topk",
+    "j2_anti_join_dedup",
     "s1_datasource_scan",
+    "p11_acl_filter",
+    "dedup_exact",
+    # --- First-ever driver rows: registered after round 5's window ---
+    "ann_ivf_indexed_topk",
+    "bm25_indexed_search",
+    "bpe_tokenize_roundtrip",
+    "chunk_documents_udtf",
+    "domain_blocklist_filter",
+    "embedding_quantize",
+    "html_extract_text",
+    "kmeans_update_step",
+    "mm_ppm_decode",
+    "mm_transcode_png_jpeg",
+    "mm_wav_spectral",
+    "mm_y4m_frames",
+    # --- Re-verify: driver-green r5, touched or adjacent this round ---
+    "mm_gif_roundtrip",
     "mm_png_decode",
+    "mm_jpeg_roundtrip",
+    "mm_ppm_resize",
     "mm_wav_features",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q12_priority_lateness",
-    "q20_excess_supply",
     "zorder_skipping_scan",
-    # --- Rotated in: never driver-checked before round 5 ---
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_pred",
-    "q21_waiting_supplier",
-    "q22_dormant_customers",
+    "pagerank_part_supplier",
     "bm25_search",
+    "dsir_importance_weights",
+    "source_kl_divergence",
+    # --- Re-verify: LLM-pipeline headliners (driver-green r2-r5) ---
+    "pipeline_pretrain_prep",
+    "span_dedup_stats",
+    "line_dedup_stats",
     "semantic_dedup",
     "ann_ivf_fixed_topk",
     "decontaminate_overlap",
-    "domain_stats",
-    "quality_filter_funnel",
-    "corpus_overview",
-    "source_kl_divergence",
-    "mixture_sample",
-    "shuffle_shard_manifest",
-    "line_dedup_stats",
-    "span_dedup_stats",
     "winnow_fingerprints",
     "chunk_documents",
-    "pipeline_pretrain_prep",
-    "quality_bucket_sample",
-    "dsir_importance_weights",
     "dsir_resample",
     "leakage_safe_split",
     "text_pii_redact",
     "sessionize_events",
     "distinct_users_daily",
-    "mm_ppm_resize",
-    "mm_jpeg_roundtrip",
+    "mixture_sample",
+    "quality_bucket_sample",
+    "shuffle_shard_manifest",
+    "quality_filter_funnel",
+    "corpus_overview",
 ]
 
 

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .catalog import register
-from .multimodal import decode_media, resize_images, sample_frames, synthesize_media
+from .multimodal import decode_media, sample_frames, synthesize_media
 from .sources.fixtures import load_table
 
 # DuckDB mirror of synthesize_media's metadata derivation
@@ -76,16 +76,10 @@ def mm_decode_features(spark, sf_dir):
     return decode_media(media).select("media_id", "n_bytes")
 
 
-@register("mm_resize_plumbing")  # rows-only: output payload is codec-stubbed
-def mm_resize_plumbing(spark, sf_dir):
-    """Multimodal: image-resize plumbing (metadata-pruned filter +
-    mapInPandas resample stub). No SQL oracle — payload semantics are
-    codec-defined; the driver's rows-only check still pins schema and
-    cardinality (= count of image-typed rows)."""
-    media = synthesize_media(load_table(spark, sf_dir, "documents"))
-    return resize_images(media, 32, 32).select(
-        "media_id", "width", "height", F.octet_length("payload").alias("out_bytes")
-    )
+# mm_resize_plumbing (rows-only) retired in round 6: the resize path is
+# now value-checked end-to-end by mm_ppm_resize below (real PPM encode →
+# decode → nearest-neighbor resample, oracle replays the pixel index map
+# in SQL), so the weaker rows-only twin added nothing.
 
 
 @register(

@@ -106,25 +106,30 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
-    files = sorted(
-        fn for fn in os.listdir(path)
-        if fn.endswith(".parquet") and not fn.startswith((".", "_"))
+    # Manifest stats in ONE Spark job: groupBy(input_file_name()) over a
+    # single pruned scan of the written directory.  A per-file job loop
+    # is fine at 16 files but is a driver-side job storm at 100k files —
+    # one distributed aggregation keyed by file name costs one pass no
+    # matter how many files the write produced.
+    stat_rows = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("_file"), *cols)
+        .groupBy("_file")
+        .agg(
+            *[F.min(c).alias(f"lo_{c}") for c in cols],
+            *[F.max(c).alias(f"hi_{c}") for c in cols],
+            F.count(F.lit(1)).alias("rows"),
+        )
+        .collect()
     )
     stats: dict[str, dict] = {}
-    for fn in files:
-        row = (
-            spark.read.parquet(os.path.join(path, fn))
-            .agg(
-                *[F.min(c).alias(f"lo_{c}") for c in cols],
-                *[F.max(c).alias(f"hi_{c}") for c in cols],
-                F.count(F.lit(1)).alias("rows"),
-            )
-            .collect()[0]
-        )
+    for row in stat_rows:
+        fn = os.path.basename(row["_file"].split("?", 1)[0])
         stats[fn] = {
             "rows": row["rows"],
             **{c: [row[f"lo_{c}"], row[f"hi_{c}"]] for c in cols},
         }
+    stats = dict(sorted(stats.items()))
     manifest = {"cols": cols, "bits": bits, "files": stats}
     with open(os.path.join(path, MANIFEST), "w") as f:
         json.dump(manifest, f, default=str)

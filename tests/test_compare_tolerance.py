@@ -1,0 +1,37 @@
+"""The oracle comparators accept a 1-ulp-at-6-decimals band on floats
+(JVM Math.log vs DuckDB libm can flip ROUND(x, 6)'s last digit when the
+raw double straddles a 0.5e-6 boundary) and nothing wider."""
+
+from tools.compare import tolerant_rows_equal
+
+
+def test_strict_equal_fast_path():
+    rows = [("a", "1.5"), ("b", "2.5")]
+    assert tolerant_rows_equal(rows, list(rows))
+
+
+def test_one_rounding_step_at_6_decimals_is_forgiven():
+    # ln(x) rounded to 6 decimals lands one step apart across libms
+    a = [("k1", "0.287682"), ("k2", "7.154615")]
+    b = [("k1", "0.287681"), ("k2", "7.154616")]
+    assert tolerant_rows_equal(a, b)
+
+
+def test_two_steps_or_nonfloat_differences_still_fail():
+    assert not tolerant_rows_equal([("k", "0.287682")], [("k", "0.287684")])
+    assert not tolerant_rows_equal([("k", "foo")], [("k", "bar")])
+    assert not tolerant_rows_equal([("k", "1")], [("k", "1"), ("k", "1")])
+    # NaN never sneaks through the float band
+    assert not tolerant_rows_equal([("k", "nan")], [("k", "0.0")])
+
+
+def test_boundary_straddling_synthetic_value():
+    # a value within 1 ulp of the .5e-6 rounding boundary: the two sides
+    # round to adjacent 6-decimal values — must compare equal
+    import math
+
+    x = 2.0000005  # exactly on the boundary region
+    lo = math.nextafter(x, 0.0)
+    a = [(f"{round(lo, 6):.9g}",)]
+    b = [(f"{round(x, 6):.9g}",)]
+    assert tolerant_rows_equal(a, b)

@@ -116,10 +116,13 @@ def test_query_matches_oracle(spark, duck, name):
     assert len(s_vals) == len(d_vals), (
         f"{name}: row count {len(s_vals)} vs {len(d_vals)}"
     )
-    mismatches = [
-        (a, b) for a, b in zip(s_vals, d_vals) if a != b
-    ]
-    assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[:3]}"
+    from tools.compare import tolerant_rows_equal
+
+    if not tolerant_rows_equal(s_vals, d_vals):
+        mismatches = [(a, b) for a, b in zip(s_vals, d_vals) if a != b]
+        raise AssertionError(
+            f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[:3]}"
+        )
 
 
 def test_entry_smoke(spark):

@@ -88,3 +88,26 @@ def test_unbounded_sides_and_none_ranges(spark, zlayout):
     pred = F.col("l_partkey") <= 30
     assert df.filter(pred).count() == l.filter(pred).count()
     assert n_read <= n_total
+
+
+def test_manifest_builds_in_one_scan_not_per_file(spark, tmp_path):
+    """The stats pass must be ONE groupBy(input_file_name()) job — a
+    read.parquet(file) loop per written file is a driver-side job storm
+    at 100k files."""
+    import starryskyqueryengine_spark.operators.zorder as z
+
+    df = spark.range(2000).selectExpr("id", "id % 37 AS a", "id % 53 AS b")
+    reads = []
+    real_reader = type(spark.read).parquet
+
+    def counting_parquet(self, *paths):
+        reads.append(paths)
+        return real_reader(self, *paths)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(type(spark.read), "parquet", counting_parquet):
+        manifest = z.write_zordered(df, str(tmp_path / "zt"), ["a", "b"], n_files=8)
+    # exactly one directory-level read for stats — never one per file
+    assert len(reads) == 1, reads
+    assert sum(st["rows"] for st in manifest["files"].values()) == 2000

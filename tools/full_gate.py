@@ -23,6 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
 
+from tools.compare import tolerant_rows_equal  # noqa: E402
+
 import __spark_entry__ as entrymod  # noqa: E402
 from starryskyqueryengine_spark.session import get_spark  # noqa: E402
 from starryskyqueryengine_spark.sources.fixtures import TABLES  # noqa: E402
@@ -84,7 +86,11 @@ def main() -> None:
             d_vals, d_cols = normalize(duck_rows, duck_cols)
             rec["rows_match"] = len(s_vals) == len(d_vals)
             rec["schema_match"] = s_cols == d_cols
-            rec["values_match"] = rec["rows_match"] and rec["schema_match"] and s_vals == d_vals
+            rec["values_match"] = (
+                rec["rows_match"]
+                and rec["schema_match"]
+                and tolerant_rows_equal(s_vals, d_vals)
+            )
         except Exception as ex:  # noqa: BLE001 - report, don't abort the sweep
             rec["err"] = f"{type(ex).__name__}: {ex}"[:400]
         results[name] = rec

@@ -651,6 +651,99 @@ class TxnLogFormat(TableFormat):
             out = out.unionByName(dels.withColumn("_change", F.lit("delete")))
         return out
 
+    def optimize(
+        self,
+        target_bytes: int = 128 << 20,
+        min_files: int = 2,
+        keys: list[str] | None = None,
+    ) -> dict:
+        """OPTIMIZE — bin-packing small-file compaction (the Delta
+        ``OPTIMIZE`` analog named in the module docstring): streaming
+        micro-batch appends accumulate many small files per key; this
+        rewrites them into ~``target_bytes`` files as ONE snapshot-safe
+        commit.  A reader pinned to any earlier version keeps seeing the
+        original files (they are removed from the log, not from disk —
+        ``vacuum`` reclaims them later), and a reader that resolves the
+        snapshot mid-compaction sees either all-old or all-new, never a
+        mix, because the swap is a single atomic log entry.
+
+        Mechanics: per key, live files smaller than ``target_bytes`` are
+        greedily grouped into bins totalling <= ``target_bytes`` (a key
+        needs >= ``min_files`` such files to be worth touching); ONE
+        Spark job reads every binned file, routes rows to their bin via
+        file-name attribution, and writes one output file per bin; the
+        commit records all adds plus the exact input files as removes.
+        Row content is byte-identical in/out — compaction never changes
+        query results, and the CDF view of the interval nets out to
+        delete+insert pairs of equal rows (documented in
+        ``changes_between``).
+
+        100 TB shape: cost is O(bytes-in-small-files of the touched
+        keys), never O(table); the commit is O(touched files) metadata.
+        An interleaved commit on a compacted key raises
+        ``ConcurrentWriteError`` (conservative: compaction loses races,
+        real writes win).
+
+        Returns {"files_compacted": n_in, "files_added": n_out,
+        "bins": n_bins}."""
+        from collections import defaultdict
+
+        live = self._snapshot()
+        per_key: dict[str, list[tuple[str, int]]] = defaultdict(list)
+        for rel, key in live.items():
+            if keys is not None and key not in keys:
+                continue
+            p = os.path.join(self.data_path, rel)
+            if not os.path.exists(p):
+                continue
+            sz = os.path.getsize(p)
+            if sz < target_bytes:
+                per_key[key].append((rel, sz))
+
+        bins: list[list[str]] = []
+        for key in sorted(per_key):
+            files = sorted(per_key[key])
+            if len(files) < min_files:
+                continue
+            cur: list[str] = []
+            cur_sz = 0
+            for rel, sz in files:
+                if cur and cur_sz + sz > target_bytes:
+                    bins.append(cur)
+                    cur, cur_sz = [], 0
+                cur.append(rel)
+                cur_sz += sz
+            if cur:
+                bins.append(cur)
+        # a 1-file bin would rewrite bytes for no layout gain
+        bins = [b for b in bins if len(b) >= min_files]
+        if not bins:
+            return {"files_compacted": 0, "files_added": 0, "bins": 0}
+
+        bin_of = {rel: i for i, b in enumerate(bins) for rel in b}
+        all_inputs = sorted(bin_of)
+        rel_expr = F.regexp_extract(
+            F.input_file_name(), r"(key=[^/]+/[^/]+\.parquet)$", 1
+        )
+        mapping = F.create_map(
+            *[x for rel, i in sorted(bin_of.items()) for x in (F.lit(rel), F.lit(i))]
+        )
+        df = (
+            self.spark.read.option("basePath", self.data_path)
+            .parquet(*[os.path.join(self.data_path, r) for r in all_inputs])
+            .withColumn("_bin", mapping[rel_expr])
+            .repartition(len(bins), "_bin")
+            .drop("_bin")
+            .select(_COLS)
+        )
+        adds = self._stage(df)
+        self._commit("optimize", adds, remove_keys=None, extra_removes=all_inputs)
+        return {
+            "files_compacted": len(all_inputs),
+            "files_added": len(adds),
+            "bins": len(bins),
+        }
+
     def clone_to(self, dest_path: str) -> "TxnLogFormat":
         """Zero-copy CLONE (Delta SHALLOW/Iceberg snapshot-export
         analog): materialize the CURRENT snapshot as a brand-new table

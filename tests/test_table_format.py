@@ -602,3 +602,84 @@ def test_poststore_txn_feature_detect_is_static(spark, tmp_path):
     store2 = PostStore(spark, str(tmp_path / "s2"), fmt=PlainFormat())
     store2._append(spark.range(1), txn=("app", 2))
     assert calls[-1] == "plain"
+
+
+def test_txnlog_optimize_compacts_small_files(spark, tmp_path):
+    """Many micro-batch appends -> one OPTIMIZE commit coalesces each
+    key's small files; rows and values are unchanged; earlier versions
+    still read the pre-compaction layout (snapshot-safe)."""
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    for i in range(6):
+        fmt.append(_batch(spark, i * 10, 3))          # 6 small files on k1
+        fmt.append(_batch(spark, i * 10, 2, key="k2"))  # 6 on k2
+    before_files = fmt.file_counts()
+    assert before_files["k1"] >= 6 and before_files["k2"] >= 6
+    before_rows = sorted(
+        (r["uri"], r["key"]) for r in fmt.read(spark).collect()
+    )
+    v_before = fmt.history()[-1]["version"]
+
+    stats = fmt.optimize(target_bytes=1 << 30)  # everything fits one bin/key
+    assert stats["files_compacted"] >= 12
+    assert stats["bins"] == 2
+    after_files = fmt.file_counts()
+    assert after_files["k1"] < before_files["k1"]
+    assert after_files["k2"] < before_files["k2"]
+    # results unchanged
+    after_rows = sorted((r["uri"], r["key"]) for r in fmt.read(spark).collect())
+    assert after_rows == before_rows
+    # a reader pinned before the compaction sees the OLD layout, same rows
+    old = sorted(
+        (r["uri"], r["key"]) for r in fmt.read(spark, version=v_before).collect()
+    )
+    assert old == before_rows
+    assert fmt.history()[-1]["op"] == "optimize"
+
+
+def test_txnlog_optimize_respects_target_and_min_files(spark, tmp_path):
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch(spark, 0, 3))
+    n_live = len(fmt._snapshot())
+    # fewer small files than min_files: nothing worth compacting
+    assert fmt.optimize(min_files=n_live + 1)["files_compacted"] == 0
+    # tiny target: every file exceeds it -> no compaction either
+    assert fmt.optimize(target_bytes=10)["files_compacted"] == 0
+    # real target: all of the key's files coalesce into one
+    stats = fmt.optimize(target_bytes=1 << 30)
+    assert stats["files_compacted"] == n_live and stats["files_added"] == 1
+
+
+def test_txnlog_optimize_loses_race_to_concurrent_writer(
+    spark, tmp_path, monkeypatch
+):
+    """Compaction racing a real write on the same key must refuse, and
+    the table must stay exactly as the rival writer left it."""
+    import json
+    import os as _os
+
+    import starryskyqueryengine_spark.table_format as tf_mod
+
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch(spark, 0, 3))
+    fmt.append(_batch(spark, 10, 3))
+
+    real_link = _os.link
+    armed = {"on": True}
+
+    def racing_link(src, dst):
+        if armed["on"] and _os.sep + TxnLogFormat.LOG_DIR + _os.sep in dst:
+            armed["on"] = False
+            v = fmt._versions()[-1] + 1
+            with open(fmt._entry_path(v), "w") as f:
+                json.dump(
+                    {"version": v, "op": "append", "ts": 0, "remove": [],
+                     "add": [{"path": f"key=k1/rival-{v}.parquet",
+                              "key": "k1"}]},
+                    f,
+                )
+        return real_link(src, dst)
+
+    monkeypatch.setattr(tf_mod.os, "link", racing_link)
+    with pytest.raises(ConcurrentWriteError, match="conflicts"):
+        fmt.optimize(target_bytes=1 << 30)
+    assert any("rival-" in p for p in fmt._snapshot())

@@ -629,7 +629,8 @@ PRIORITY: list[str] = [
     "quality_bucket_sample",
     "shuffle_shard_manifest",
     "quality_filter_funnel",
-    "corpus_overview",
+    # --- New in round 6 ---
+    "pagerank_dangling",
 ]
 
 

@@ -1359,3 +1359,93 @@ def pagerank_part_supplier(spark, sf_dir):
         .limit(20)
         .select("node", F.col("r").alias("rank_scaled"))
     )
+
+
+@register(
+    "pagerank_dangling",
+    f"""
+    WITH edges AS (
+      SELECT 2 * o_custkey AS src, 2 * o_orderkey + 1 AS dst FROM orders
+    ),
+    nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION
+      SELECT DISTINCT dst AS node FROM edges
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    n AS (SELECT COUNT(*) AS nn FROM nodes),
+    r0 AS (
+      SELECT node, CAST({PR_SCALE} // nn AS BIGINT) AS r
+      FROM nodes CROSS JOIN n
+    ),
+    dm0 AS (
+      SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS m FROM r0
+      WHERE node NOT IN (SELECT src FROM deg)
+    ),
+    r1 AS (
+      SELECT nd.node,
+             CAST((15 * ({PR_SCALE} // n.nn)
+                   + 85 * (COALESCE(c.s, 0) + dm0.m // n.nn)) // 100
+                  AS BIGINT) AS r
+      FROM nodes nd
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(r0.r // d.outdeg) AS s
+        FROM edges e
+        JOIN r0 ON e.src = r0.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+      ) c ON c.node = nd.node
+      CROSS JOIN n CROSS JOIN dm0
+    ),
+    dm1 AS (
+      SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS m FROM r1
+      WHERE node NOT IN (SELECT src FROM deg)
+    ),
+    r2 AS (
+      SELECT nd.node,
+             CAST((15 * ({PR_SCALE} // n.nn)
+                   + 85 * (COALESCE(c.s, 0) + dm1.m // n.nn)) // 100
+                  AS BIGINT) AS r
+      FROM nodes nd
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(r1.r // d.outdeg) AS s
+        FROM edges e
+        JOIN r1 ON e.src = r1.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+      ) c ON c.node = nd.node
+      CROSS JOIN n CROSS JOIN dm1
+    )
+    SELECT node, r AS rank_scaled FROM (
+      SELECT node, r, row_number() OVER (ORDER BY r DESC, node) AS rn FROM r2
+    ) WHERE rn <= 20
+    """,
+)
+def pagerank_dangling(spark, sf_dir):
+    """General PageRank (functions/graph.py) on a graph that is MOSTLY
+    dangling: customer -> order edges from the orders table, where every
+    order node has no out-edges.  Without dangling-mass redistribution
+    ~6/7 of the rank mass would leak per iteration; with it the scaled
+    total is conserved up to integer-division remainders, and the
+    2-iteration result value-checks bit-for-bit against the unrolled
+    DuckDB oracle (same fixed-point BIGINT arithmetic, including the
+    per-iteration dangling aggregate).  Closes the round-5 verdict ask:
+    the earlier pagerank_part_supplier relied on its bipartite
+    construction guaranteeing no dangling nodes.
+
+    100 TB shape: identical to pagerank_part_supplier (cached edge
+    scan + broadcast contributions per iteration) plus one tiny
+    rank-table aggregate per iteration for the dangling mass."""
+    from .functions.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders")
+    edges = o.select(
+        (2 * F.col("o_custkey")).alias("src"),
+        (2 * F.col("o_orderkey") + 1).alias("dst"),
+    )
+    ranks, _ = pagerank(edges, max_iters=2, damping_pct=85, scale=PR_SCALE)
+    return (
+        ranks.orderBy(F.col("r").desc(), "node")
+        .limit(20)
+        .select("node", F.col("r").alias("rank_scaled"))
+    )

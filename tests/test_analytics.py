@@ -192,3 +192,76 @@ def test_approx_percentile_tracks_exact_within_tolerance(spark):
     for k in e:
         for ev, av in zip(e[k], a[k]):
             assert abs(av - ev) / max(abs(ev), 1e-9) < 0.01, (k, ev, av)
+
+
+# ---------------------------------------------------------------- pagerank
+
+
+def test_pagerank_dangling_mass_is_conserved(spark):
+    """On a graph with dangling nodes, the scaled rank total must stay
+    ~PR_SCALE (leaked only by integer-division remainders), and dangling
+    targets must accumulate more rank than isolated-source behavior
+    would give them."""
+    from starryskyqueryengine_spark.functions.graph import PR_SCALE, pagerank
+
+    # star: 1->2, 1->3, 4->2 ; nodes 2,3 dangling
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 2)], "src long, dst long"
+    )
+    ranks, it = pagerank(edges, max_iters=5)
+    total = sum(r["r"] for r in ranks.collect())
+    assert it == 5
+    # remainder leakage is bounded by ~(n_nodes + 2) per iteration step
+    assert abs(total - PR_SCALE) < 10_000, total
+    by_node = {r["node"]: r["r"] for r in ranks.collect()}
+    assert by_node[2] > by_node[3] > 0  # 2 has two in-edges, 3 one
+    assert by_node[1] > 0  # no in-edges: teleport + dangling share only
+
+
+def test_pagerank_convergence_stop(spark):
+    """tol_scaled stops iteration early, and the early-stopped result
+    equals the fixed-iteration run at the stop count (determinism)."""
+    from starryskyqueryengine_spark.functions.graph import pagerank
+
+    # 2-cycle converges immediately after the first iteration
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    ranks_tol, it_tol = pagerank(edges, max_iters=50, tol_scaled=0)
+    assert it_tol < 50, "never converged"
+    ranks_fixed, _ = pagerank(edges, max_iters=it_tol)
+    assert sorted(map(tuple, ranks_tol.collect())) == sorted(
+        map(tuple, ranks_fixed.collect())
+    )
+
+
+def test_pagerank_no_dangling_matches_specialized_form(spark):
+    """On a graph where every node has out-edges the general operator
+    must agree with the inner-join specialized update (no dangling
+    aggregate fires)."""
+    from starryskyqueryengine_spark.functions.graph import PR_SCALE, pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long"
+    )
+    ranks, _ = pagerank(edges, max_iters=3)
+    got = {r["node"]: r["r"] for r in ranks.collect()}
+    # replay in exact integer python
+    nodes = [1, 2, 3]
+    outdeg = {1: 2, 2: 1, 3: 1}
+    inedges = {1: [3], 2: [1], 3: [2, 1]}
+    base = PR_SCALE // 3
+    r = {n: base for n in nodes}
+    for _ in range(3):
+        c = {n: r[n] // outdeg[n] for n in nodes}
+        r = {
+            n: (15 * base + 85 * sum(c[u] for u in inedges[n])) // 100
+            for n in nodes
+        }
+    assert got == r
+
+
+def test_pagerank_empty_graph(spark):
+    from starryskyqueryengine_spark.functions.graph import pagerank
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    ranks, it = pagerank(edges, max_iters=3)
+    assert ranks.count() == 0 and it == 0

@@ -21,8 +21,18 @@ from pyspark.sql import Window
 from .config import ConditionsRegistry
 from .operators.dedup import dedup_within_batch
 from .operators.lookup import with_author_profiles
-from .predicate import compile_all_conditions
+from .predicate import (
+    compile_all_conditions,
+    datadriven_supported,
+    evaluate_conditions_datadriven,
+)
 from .store import PostStore
+
+#: feed count at which the O(1)-plan data-driven evaluation overtakes the
+#: compiled per-feed expression form.  The compiled plan (and its
+#: generated code) grows linearly with feed count; measured crossover is
+#: ~32 feeds (COVERAGE.md), far below the analysis-time cliff at 10k+.
+DATADRIVEN_FEED_THRESHOLD = 32
 
 
 class IngestJob:
@@ -39,9 +49,19 @@ class IngestJob:
         self.profiles = profiles
 
     def accepted_pairs(self, incoming: DataFrame) -> DataFrame:
-        """Tag + explode: one (post, key) row per condition that accepts
-        the post. Pure built-ins — whole-stage codegen end to end."""
+        """One (post, key) row per condition that accepts the post.
+
+        PLAN AUTO-SELECTION by feed count: at < DATADRIVEN_FEED_THRESHOLD
+        feeds the compiled form wins (one inlined, codegen'd expression
+        per feed); at or above it — when every condition fits the
+        include/exclude/lang subset — the data-driven form wins (posts x
+        broadcast(conditions), O(1) plan size regardless of feed count).
+        Both forms return identical (post, key) pairs; the flagship
+        oracle pins the 3-feed compiled path and
+        ``multifeed_datadriven``'s oracle pins the data-driven one."""
         conds = self.registry.all()
+        if len(conds) >= DATADRIVEN_FEED_THRESHOLD and datadriven_supported(conds):
+            return evaluate_conditions_datadriven(incoming, conds)
         needs_profiles = any(c.profileMatch for c in conds)
         df = incoming
         if needs_profiles:

@@ -119,6 +119,17 @@ def compile_condition(cond: FeedCondition) -> Column:
     return pred
 
 
+def datadriven_supported(conditions: list[FeedCondition]) -> bool:
+    """True when every condition uses only the include/exclude/lang legs
+    — the subset ``evaluate_conditions_datadriven`` evaluates.  Used by
+    the plan auto-selector (``ingest.IngestJob.accepted_pairs``)."""
+    return not any(
+        c.imageOnly or c.labelDisable or c.replyDisable
+        or c.includeAltText or c.profileMatch
+        for c in conditions
+    )
+
+
 def evaluate_conditions_datadriven(
     posts, conditions: list[FeedCondition], text_col: str = "text"
 ):

@@ -167,3 +167,72 @@ def test_from_raw_defaults():
     assert c.labelDisable is True
     assert c.privateFeed == ["did:a", "did:b"]
     assert c.limitCount == 2000 and c.initPost == 100 and c.refresh == 0
+
+
+# ------------------------------------------------------- plan auto-select
+
+
+def _mk_posts(spark):
+    return spark.createDataFrame(
+        [("at://u/1", "spark streams", ["en"]), ("at://u/2", "other", ["de"])],
+        "uri string, text string, langs array<string>",
+    )
+
+
+def _mk_registry(n, with_profile_match=False):
+    from starryskyqueryengine_spark.config import (
+        ConditionsRegistry, FeedCondition,
+    )
+
+    reg = ConditionsRegistry()
+    for i in range(n):
+        reg.upsert(FeedCondition(key=f"f{i}", recordName=f"f{i}",
+                                 inputRegex=f"spark{i % 7}|stream"))
+    if with_profile_match:
+        reg.upsert(FeedCondition(key="pm", recordName="pm",
+                                 inputRegex="x", profileMatch="term::bio.*"))
+    return reg
+
+
+def _uses_datadriven(df):
+    # the data-driven form is a join against the broadcast conditions
+    # table; the compiled form is a single-relation project/explode
+    return "Join" in df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.mark.parametrize("n_feeds,expect_dd", [(3, False), (32, True), (1000, True)])
+def test_accepted_pairs_selects_plan_by_feed_count(spark, n_feeds, expect_dd):
+    from starryskyqueryengine_spark.ingest import IngestJob
+
+    job = IngestJob(spark, _mk_registry(n_feeds), store=None)
+    pairs = job.accepted_pairs(_mk_posts(spark))
+    assert _uses_datadriven(pairs) is expect_dd
+    # both forms accept the same rows
+    got = {(r["uri"], r["key"]) for r in pairs.collect()}
+    assert ("at://u/1", "f0") in got
+    assert all(u != "at://u/2" for u, _ in got)
+
+
+def test_accepted_pairs_unsupported_leg_forces_compiled_path(spark):
+    from starryskyqueryengine_spark.ingest import IngestJob
+
+    job = IngestJob(spark, _mk_registry(40, with_profile_match=True), store=None)
+    pairs = job.accepted_pairs(_mk_posts(spark))
+    assert _uses_datadriven(pairs) is False  # P10 leg -> compiled form
+
+
+def test_both_plan_forms_agree_at_the_threshold(spark):
+    from starryskyqueryengine_spark.ingest import DATADRIVEN_FEED_THRESHOLD, IngestJob
+    from starryskyqueryengine_spark.predicate import compile_all_conditions
+
+    reg = _mk_registry(DATADRIVEN_FEED_THRESHOLD)
+    posts = _mk_posts(spark)
+    job = IngestJob(spark, reg, store=None)
+    dd = {(r["uri"], r["key"]) for r in job.accepted_pairs(posts).collect()}
+    tagged = posts.withColumn("matched_keys", compile_all_conditions(reg.all()))
+    comp = {
+        (r["uri"], k)
+        for r in tagged.collect()
+        for k in r["matched_keys"]
+    }
+    assert dd == comp

@@ -621,16 +621,16 @@ PRIORITY: list[str] = [
     "winnow_fingerprints",
     "chunk_documents",
     "dsir_resample",
-    "leakage_safe_split",
-    "text_pii_redact",
-    "sessionize_events",
-    "distinct_users_daily",
-    "mixture_sample",
-    "quality_bucket_sample",
-    "shuffle_shard_manifest",
-    "quality_filter_funnel",
-    # --- New in round 6 ---
+    # --- New in round 6 (first-ever driver rows) ---
     "pagerank_dangling",
+    "cube_nation_year",
+    "grouping_sets_returns",
+    "unpivot_lineitem_measures",
+    "histogram_equidepth_prices",
+    "dedup_fuzzy_levenshtein",
+    "heavy_hitters_bigrams",
+    "lm_perplexity_scores",
+    "triangle_count_cosupplier",
 ]
 
 

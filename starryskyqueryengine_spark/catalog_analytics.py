@@ -1449,3 +1449,249 @@ def pagerank_dangling(spark, sf_dir):
         .limit(20)
         .select("node", F.col("r").alias("rank_scaled"))
     )
+
+
+@register(
+    "cube_nation_year",
+    """
+    WITH base AS (
+      SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+             o.o_totalprice
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+    )
+    SELECT nation, order_year,
+           CAST(grouping(nation) AS BIGINT) AS g_nation,
+           CAST(grouping(order_year) AS BIGINT) AS g_year,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM base
+    GROUP BY CUBE(nation, order_year)
+    """,
+)
+def cube_nation_year(spark, sf_dir):
+    """CUBE (all 2^k grouping sets) in ONE aggregate pass: Spark expands
+    each input row into its 4 grouping-set rows map-side and shuffles
+    once — never k separate aggregation jobs.  grouping() flags
+    disambiguate subtotal rows from genuine NULL keys.  Dim joins are
+    broadcast; the filter prunes to 3 nations before the expansion so
+    the 4x row blowup applies to the reduced stream (at 100 TB the
+    pre-CUBE filter/projection placement is what keeps this viable)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    base = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            "o_totalprice",
+        )
+    )
+    return base.cube("nation", "order_year").agg(
+        F.grouping("nation").cast("bigint").alias("g_nation"),
+        F.grouping("order_year").cast("bigint").alias("g_year"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double").alias("revenue"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+
+
+@register(
+    "grouping_sets_returns",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def grouping_sets_returns(spark, sf_dir):
+    """Explicit GROUPING SETS — the general form under ROLLUP/CUBE:
+    exactly the named sets are produced ((flag, status), (flag), grand
+    total), still one map-side expansion + one shuffle.  Quantities sum
+    in BIGINT so every cell is engine-exact."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag", "l_linestatus",
+    ).agg(
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    """
+    WITH l AS (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                      l_discount, l_tax
+               FROM lineitem WHERE l_orderkey < 200)
+    SELECT l_orderkey, l_linenumber, measure,
+           CAST(ROUND(value, 4) AS DOUBLE) AS value
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+             CAST(l_quantity AS DOUBLE) AS value FROM l
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM l
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM l
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM l
+    )
+    """,
+)
+def unpivot_lineitem_measures(spark, sf_dir):
+    """UNPIVOT (wide -> long, the inverse of pivot): 4 measure columns
+    melt into (measure, value) rows via the native unpivot operator —
+    one generate-style projection, zero shuffle, zero joins (the
+    UNION-ALL oracle form would rescan the table 4 times).  The melted
+    form is what per-measure operators (histograms, drift checks)
+    consume without writing one query per column."""
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 200)
+        .select(
+            "l_orderkey", "l_linenumber",
+            F.col("l_quantity").cast("double").alias("quantity"),
+            F.col("l_extendedprice").alias("extendedprice"),
+            F.col("l_discount").alias("discount"),
+            F.col("l_tax").alias("tax"),
+        )
+    )
+    return l.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount", "tax"],
+        "measure",
+        "_v",
+    ).select(
+        "l_orderkey", "l_linenumber", "measure",
+        F.round("_v", 4).alias("value"),
+    )
+
+
+@register(
+    "histogram_equidepth_prices",
+    """
+    WITH t AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(ROUND(MIN(o_totalprice), 2) AS DOUBLE) AS lo,
+           CAST(ROUND(MAX(o_totalprice), 2) AS DOUBLE) AS hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM t GROUP BY bucket
+    """,
+)
+def histogram_equidepth_prices(spark, sf_dir):
+    """Equi-depth histogram (10 buckets of equal row count) — the
+    profiling structure query optimizers and data-quality checks use.
+    NTILE over a deterministic total order (price, orderkey tiebreak)
+    makes bucket membership engine-exact.  The global-sort window is the
+    honest cost of exact equi-depth; the 100 TB path replaces it with
+    approx_percentile bucket BOUNDS (mergeable t-digest, no global
+    sort) at the same output shape."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+
+
+@register(
+    "triangle_count_cosupplier",
+    """
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+      FROM lineitem WHERE l_quantity >= 48
+    ),
+    e AS (
+      SELECT DISTINCT a.s AS u, b.s AS v
+      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    pern AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM (SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+      GROUP BY node
+    )
+    SELECT node, n_triangles FROM (
+      SELECT node, n_triangles,
+             row_number() OVER (ORDER BY n_triangles DESC, node) AS rn
+      FROM pern
+    ) WHERE rn <= 20
+    """,
+)
+def triangle_count_cosupplier(spark, sf_dir):
+    """Distributed triangle counting (per-node participation, top 20)
+    over the co-supplier graph: suppliers are adjacent when they both
+    ship the same high-quantity part.  The classic compact-forward /
+    node-iterator join plan: orient every edge low-id -> high-id (each
+    triangle counted exactly once as a < b < c), self-join oriented
+    edges on the middle node to enumerate wedges, then close each wedge
+    against the edge set — two shuffle joins total, no cross product.
+
+    100 TB shape: wedge count is sum(deg_out^2) under the orientation;
+    production-scale runs orient by (degree, id) instead of raw id so
+    hub nodes get LOW out-degree and the wedge blowup at skewed hubs is
+    bounded (Chiba-Nishizeki / "compact-forward", Latapy 2008) — same
+    output, one extra degree pass; raw-id orientation keeps the oracle
+    bit-exact here.  Filters prune lineitem to the sparse high-quantity
+    slice before the distinct (pushed to the scan)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    ps = l.select("l_partkey", "l_suppkey").distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .distinct()
+    )
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    closing = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = wedges.join(closing, ["a", "c"])
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(20)
+    )

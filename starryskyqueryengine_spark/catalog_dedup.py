@@ -261,3 +261,74 @@ def dedup_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     sigs = dd.simhash_signatures(docs)
     return dd.simhash_pairs(sigs, SIMHASH_MAX_HAMMING)
+
+
+FUZZY_PREFIX = 12       # blocking key: first chars of the text
+FUZZY_LEN_BAND = 8      # |len(a) - len(b)| cap inside a block
+FUZZY_CMP_CHARS = 120   # edit distance computed on this prefix
+FUZZY_MAX_DIST = 20     # pair survives at or below this distance
+
+
+@register(
+    "dedup_fuzzy_levenshtein",
+    f"""
+    WITH d AS (SELECT doc_id, text FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(substr(a.text, 1, {FUZZY_CMP_CHARS}),
+                            substr(b.text, 1, {FUZZY_CMP_CHARS})) AS BIGINT)
+             AS edit_dist
+    FROM d a JOIN d b
+      ON substr(a.text, 1, {FUZZY_PREFIX}) = substr(b.text, 1, {FUZZY_PREFIX})
+     AND a.doc_id < b.doc_id
+    WHERE abs(length(a.text) - length(b.text)) <= {FUZZY_LEN_BAND}
+      AND levenshtein(substr(a.text, 1, {FUZZY_CMP_CHARS}),
+                      substr(b.text, 1, {FUZZY_CMP_CHARS})) <= {FUZZY_MAX_DIST}
+    """,
+)
+def dedup_fuzzy_levenshtein(spark, sf_dir):
+    """Edit-distance near-dup with PREFIX BLOCKING — the character-level
+    member of the dedup family (MinHash/SimHash/Jaccard are token-level;
+    small in-place edits that preserve most tokens are cheapest to catch
+    with bounded Levenshtein).
+
+    Blocking makes it tractable: candidates must share their first
+    {FUZZY_PREFIX} characters (an EQUI-join — one hash shuffle, never a
+    cross product) and sit within {FUZZY_LEN_BAND} characters in length
+    (a cheap pushed filter; |len(a)-len(b)| lower-bounds edit distance,
+    so the band never discards a pair the distance cap would keep if
+    the cap is below it). The O(n*m) dynamic program runs only on
+    surviving candidates, capped to the first {FUZZY_CMP_CHARS} chars —
+    bounded work per pair.
+
+    100 TB shape: block sizes are the knob — a hot prefix (boilerplate
+    openings) fattens one reducer, at which point the blocking key
+    extends (prefix + length bucket), the same skew treatment as the
+    hot-shingle prefix filter in dedup_ngram_jaccard. Spark's
+    levenshtein() and DuckDB's are both the classic Wagner-Fischer
+    distance, so pairs value-check exactly."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("text").alias("_ta"),
+        F.substring("text", 1, FUZZY_PREFIX).alias("_blk"),
+        F.length("text").alias("_la"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("text").alias("_tb"),
+        F.substring("text", 1, FUZZY_PREFIX).alias("_blk"),
+        F.length("text").alias("_lb"),
+    )
+    dist = F.levenshtein(
+        F.substring("_ta", 1, FUZZY_CMP_CHARS),
+        F.substring("_tb", 1, FUZZY_CMP_CHARS),
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("_la") - F.col("_lb")) <= FUZZY_LEN_BAND)
+        )
+        .select("id_a", "id_b", dist.cast("bigint").alias("edit_dist"))
+        .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+    )

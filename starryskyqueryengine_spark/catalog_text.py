@@ -908,3 +908,138 @@ def bpe_tokenize_roundtrip(spark, sf_dir):
         "roundtrip_ok",
         (F.col("n_tokens") <= F.col("n_bytes")).alias("compressed"),
     )
+
+
+@register(
+    "heavy_hitters_bigrams",
+    r"""
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS term
+      FROM toks WHERE len(t) >= 2
+    ),
+    tot AS (SELECT count(*) AS n FROM bg)
+    SELECT term, CAST(count(*) AS BIGINT) AS n
+    FROM bg CROSS JOIN tot
+    GROUP BY term, tot.n
+    HAVING count(*) >= (tot.n + 999) // 1000
+    """,
+)
+def heavy_hitters_bigrams(spark, sf_dir):
+    """EXACT heavy hitters (bigrams with support >= 0.1%) via the
+    two-pass Misra-Gries plan (functions/sketches.py): per-partition
+    k-counter summaries produce a guaranteed candidate superset, then
+    one broadcast-semi-join pass counts ONLY candidates exactly — the
+    full distinct-bigram shuffle (the thing that doesn't scale to 100 TB
+    of n-grams) never runs, yet the result equals the plain GROUP BY /
+    HAVING oracle bit-for-bit.  Threshold in exact integer arithmetic
+    ((n + 999) div 1000) so both engines agree at every n."""
+    from .functions.sketches import heavy_hitters_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0).alias("t")
+    ).filter(F.size("t") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("term")
+    )
+    return heavy_hitters_exact(bigrams, "term", lambda n: (n + 999) // 1000)
+
+
+@register(
+    "lm_perplexity_scores",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ),
+    uni AS (
+      SELECT unnest(t) AS w FROM toks
+    ),
+    uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    vocab AS (SELECT count(*) AS v FROM uc),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bigram,
+             unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1
+      FROM toks WHERE len(t) >= 2
+    ),
+    bc AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram),
+    terms AS (
+      SELECT bg.doc_id,
+             ln((bc.c + 1.0) / (uc.c + vocab.v)) AS lp
+      FROM bg
+      JOIN bc ON bg.bigram = bc.bigram
+      JOIN uc ON bg.w1 = uc.w
+      CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(ROUND(avg(lp), 6) AS DOUBLE) AS avg_logprob,
+           CAST(ROUND(exp(-avg(lp)), 4) AS DOUBLE) AS perplexity
+    FROM terms GROUP BY doc_id
+    """,
+)
+def lm_perplexity_scores(spark, sf_dir):
+    """Language-model quality scoring — the CCNet / Gopher / RefinedWeb
+    curation step (there a KenLM 5-gram; here an add-one-smoothed bigram
+    model trained ON the corpus itself, which keeps the whole operator
+    inside the engine and exactly reproducible): per document, the mean
+    log-probability ln((c(w1 w2) + 1) / (c(w1) + V)) over its bigrams,
+    plus the equivalent perplexity.  Low-probability documents (gibberish,
+    boilerplate soup, wrong-language fragments) score far below fluent
+    text and are the standard filter cut.
+
+    Scale shape: the model IS two aggregate tables (unigram + bigram
+    counts).  At fixture scale Catalyst broadcasts both into the scoring
+    join; at 100 TB the bigram table outgrows broadcast and the join
+    becomes a hash shuffle on the bigram key — same plan text, no code
+    change — or the model is pruned to top-k bigrams (stupid-backoff
+    style) to stay broadcastable.  Counts are exact BIGINT; only the
+    final ln/exp are floats (ROUND 6/4, inside the comparator's 1-ulp
+    band)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0).alias("t"),
+    )
+    uni = toks.select(F.explode("t").alias("w"))
+    uc = uni.groupBy("w").agg(F.count("*").alias("cw"))
+    v = uc.count()  # vocab size: one scalar to the driver
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(concat(element_at(t, i), ' ', element_at(t, i + 1))"
+                    " AS bigram, element_at(t, i) AS w1))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.bigram", "p.w1")
+    )
+    bc = bg.groupBy("bigram").agg(F.count("*").alias("cb"))
+    terms = (
+        bg.join(bc, "bigram")
+        .join(uc, bg["w1"] == uc["w"])
+        .select(
+            "doc_id",
+            F.log((F.col("cb") + F.lit(1.0)) / (F.col("cw") + F.lit(float(v)))).alias("lp"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        F.round(F.exp(-F.avg("lp")), 4).alias("perplexity"),
+    )

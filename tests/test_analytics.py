@@ -265,3 +265,68 @@ def test_pagerank_empty_graph(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     ranks, it = pagerank(edges, max_iters=3)
     assert ranks.count() == 0 and it == 0
+
+
+# ---------------------------------------------------------- heavy hitters
+
+
+def test_misra_gries_superset_guarantee_under_eviction(spark):
+    """With k far below the distinct count (evictions constantly fire),
+    every item with true count > n/k must still appear in the union of
+    partition summaries."""
+    from starryskyqueryengine_spark.functions.sketches import (
+        misra_gries_candidates,
+    )
+
+    # 4 heavy items (1000 each) drowned in 20k distinct singletons
+    rows = [(f"h{i % 4}",) for i in range(4000)] + [
+        (f"noise{i}",) for i in range(20000)
+    ]
+    df = spark.createDataFrame(rows, "term string").repartition(8)
+    k = 50
+    cands = {
+        r["term"] for r in misra_gries_candidates(df, "term", k).collect()
+    }
+    n = 24000
+    for i in range(4):
+        assert f"h{i}" in cands, f"heavy item h{i} evicted (k={k}, n/k={n/k})"
+
+
+def test_heavy_hitters_exact_matches_naive_groupby(spark):
+    from pyspark.sql import functions as F
+
+    from starryskyqueryengine_spark.functions.sketches import (
+        heavy_hitters_exact,
+    )
+
+    rows = [(f"h{i % 3}",) for i in range(900)] + [
+        (f"m{i % 50}",) for i in range(500)
+    ] + [(f"n{i}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, "term string").repartition(7)
+    thr = lambda n: n // 100  # 1% support
+    got = sorted(
+        map(tuple, heavy_hitters_exact(df, "term", thr).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            df.groupBy(F.col("term"))
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .filter(F.col("n") >= thr(3400))
+            .collect(),
+        )
+    )
+    assert got == want and len(got) >= 3
+
+
+def test_heavy_hitters_exact_is_partitioning_independent(spark):
+    from starryskyqueryengine_spark.functions.sketches import (
+        heavy_hitters_exact,
+    )
+
+    rows = [(f"x{i % 10}",) for i in range(1000)]
+    a = spark.createDataFrame(rows, "term string").repartition(1)
+    b = spark.createDataFrame(rows, "term string").repartition(13)
+    thr = lambda n: n // 20
+    assert sorted(map(tuple, heavy_hitters_exact(a, "term", thr).collect())) == \
+        sorted(map(tuple, heavy_hitters_exact(b, "term", thr).collect()))

@@ -618,10 +618,10 @@ PRIORITY: list[str] = [
     "semantic_dedup",
     "ann_ivf_fixed_topk",
     "decontaminate_overlap",
-    "winnow_fingerprints",
-    "chunk_documents",
-    "dsir_resample",
     # --- New in round 6 (first-ever driver rows) ---
+    "topk_per_group_orders",
+    "moving_revenue_window",
+    "pareto_front_parts",
     "pagerank_dangling",
     "cube_nation_year",
     "grouping_sets_returns",

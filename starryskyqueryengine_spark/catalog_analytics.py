@@ -1695,3 +1695,137 @@ def triangle_count_cosupplier(spark, sf_dir):
         .orderBy(F.col("n_triangles").desc(), "node")
         .limit(20)
     )
+
+
+@register(
+    "topk_per_group_orders",
+    """
+    WITH r AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT o_orderpriority, o_orderkey,
+           CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS totalprice,
+           CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= 3
+    """,
+)
+def topk_per_group_orders(spark, sf_dir):
+    """Top-k PER GROUP (k=3 priciest orders per priority class) — the
+    grouped counterpart of the global T1 top-k.  One window rank over a
+    partitioned sort with a deterministic (price, orderkey) tie-break.
+    At scale the sort is per-partition-key (never global), and Spark's
+    rank-filter pushdown (WindowGroupLimit) keeps only k rows per key
+    per map task before the shuffle — the plan to check for, vs sorting
+    whole groups."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_orderpriority", "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "moving_revenue_window",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders WHERE o_orderdate < TIMESTAMP '1995-04-01'
+      GROUP BY CAST(o_orderdate AS DATE)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n_orders,
+           CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM(rev) OVER (
+             ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                                    AND CURRENT ROW), 2) AS DOUBLE)
+             AS revenue_7d
+    FROM daily
+    """,
+)
+def moving_revenue_window(spark, sf_dir):
+    """Trailing 7-day revenue via a RANGE window frame over EVENT TIME —
+    unlike a ROWS frame, missing days don't silently widen the window.
+    Aggregate-then-window: the frame runs over the tiny daily rollup
+    (one row per day), not raw orders, so the single-partition time
+    window is bounded by calendar size no matter the table size (the
+    standard fix for global time windows at scale; partition by month
+    first if even the calendar outgrows one task).  DECIMAL sums keep
+    the frame arithmetic exact."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-04-01"
+    )
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    # RANGE frame over day-as-integer: 6 preceding days + current
+    w = (
+        Window.orderBy(F.unix_date("day"))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_orders",
+        F.round("rev", 2).cast("double").alias("revenue"),
+        F.round(F.sum("rev").over(w), 2).cast("double").alias("revenue_7d"),
+    )
+
+
+@register(
+    "pareto_front_parts",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_size, p_retailprice,
+             MIN(p_retailprice) OVER (
+               ORDER BY p_size, p_retailprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS best_price_smaller
+      FROM part
+    )
+    SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+           CAST(ROUND(p_retailprice, 2) AS DOUBLE) AS retailprice
+    FROM p
+    WHERE best_price_smaller IS NULL OR p_retailprice < best_price_smaller
+    """,
+)
+def pareto_front_parts(spark, sf_dir):
+    """2-D SKYLINE (Pareto front): parts where no other part is both
+    smaller-or-equal in size and cheaper — the classic dominance query.
+    The naive form is an O(n^2) NOT-EXISTS self-join; in 2-D it
+    collapses to ONE window pass: sort by (size, price) and keep rows
+    cheaper than every predecessor (running MIN over the strict-
+    predecessor frame).  Ties handled exactly: a row equal in size but
+    more expensive is dominated, equal in both survives only as the
+    first by the sort order... strictly: price must beat the best among
+    all strict predecessors in the total order, which the 1-PRECEDING
+    frame encodes.  At 100 TB the global sort is the cost — partition by
+    a coarse size-bucket, compute local fronts, then merge the (tiny)
+    per-bucket fronts: same two-phase shape as every order-statistic
+    here."""
+    p = load_table(spark, sf_dir, "part")
+    w = (
+        Window.orderBy("p_size", "p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    best = F.min("p_retailprice").over(w)
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_size").cast("bigint").alias("p_size"),
+            F.round("p_retailprice", 2).alias("retailprice"),
+            best.alias("_best"),
+        )
+        .filter(F.col("_best").isNull() | (F.col("p_retailprice") < F.col("_best")))
+        .drop("_best")
+    )

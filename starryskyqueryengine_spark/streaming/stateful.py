@@ -23,8 +23,10 @@ from typing import Any, Iterator, Tuple
 
 import pandas as pd
 
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -168,6 +170,89 @@ def stream_topk_retention(posts_stream, k: int):
         make_streaming_topk(k),
         outputStructType=TOPK_OUTPUT_SCHEMA,
         stateStructType=TOPK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+MG_STATE_SCHEMA = "terms ARRAY<STRING>, counts ARRAY<LONG>, total LONG"
+
+MG_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType()),
+        StructField("term", StringType()),
+        StructField("est", LongType()),
+        StructField("shard_total", LongType()),
+    ]
+)
+
+
+def make_streaming_heavy_hitters(k: int):
+    """Streaming Misra-Gries: per term-space shard, a k-counter summary
+    maintained as stream state (O(k) per shard forever, regardless of
+    how many distinct terms flow through).  Weighted batch updates: each
+    micro-batch is pre-aggregated vectorized, then unique (term, weight)
+    pairs hit the counters — same algorithm and error bound as the batch
+    sketch (``functions/sketches.py``): est underestimates by at most
+    shard_total/k, so every term with true shard frequency > total/k is
+    guaranteed present in the emitted summary at every point in the
+    stream."""
+
+    def mg_fn(
+        key: Tuple[Any, ...],
+        batch_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            terms, counts, total = state.get
+            counters = dict(zip(list(terms), [int(c) for c in counts]))
+            total = int(total)
+        else:
+            counters, total = {}, 0
+        for pdf in batch_iter:
+            if pdf.empty:
+                continue
+            for t, w in pdf["term"].value_counts(dropna=True).items():
+                w = int(w)
+                total += w
+                if t in counters:
+                    counters[t] += w
+                elif len(counters) < k:
+                    counters[t] = w
+                else:
+                    d = min(w, min(counters.values()))
+                    for ky in list(counters):
+                        counters[ky] -= d
+                        if counters[ky] == 0:
+                            del counters[ky]
+                    if w > d and len(counters) < k:
+                        counters[t] = w - d
+        state.update((list(counters.keys()), list(counters.values()), total))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(counters),
+                "term": list(counters.keys()),
+                "est": list(counters.values()),
+                "shard_total": [total] * len(counters),
+            }
+        )
+
+    return mg_fn
+
+
+def stream_heavy_hitters(term_stream, k: int = 64, shards: int = 8):
+    """Wire streaming Misra-Gries onto a stream with a ``term`` column.
+    The term space is hash-sharded so state parallelizes across ``shards``
+    groups (each an independent exact partition of the terms — the
+    per-shard guarantee implies the global one). Output mode 'update':
+    each batch re-emits the summaries of the shards it touched."""
+    sharded = term_stream.withColumn(
+        "shard", F.pmod(F.xxhash64("term"), F.lit(shards)).cast("int")
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        make_streaming_heavy_hitters(k),
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

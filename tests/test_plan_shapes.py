@@ -450,3 +450,27 @@ def test_bm25_indexed_probe_prunes_partitions_no_tokenize(spark, queries):
     # build-once: serving did not rewrite the index
     assert os.path.getmtime(stats) == mtime
     assert _bm25_index_path(SF_DIR) == path
+
+
+def test_topk_per_group_uses_window_group_limit(spark, queries):
+    """Grouped top-k must carry the WindowGroupLimit pushdown: each map
+    task keeps only k rows per key BEFORE the shuffle, instead of
+    sorting entire groups and filtering after."""
+    df = queries["topk_per_group_orders"](spark, SF_DIR)
+    assert "WindowGroupLimit" in plan_of(df)
+
+
+def test_moving_window_aggregates_before_frame(spark, queries):
+    """The RANGE frame must run over the daily rollup, never raw
+    orders: exactly one window node ABOVE an aggregate."""
+    plan = plan_of(queries["moving_revenue_window"](spark, SF_DIR))
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_heavy_hitters_exact_pass_is_semi_join(spark, queries):
+    """Pass 2 must count candidates via a broadcast semi join — the
+    full distinct-bigram shuffle must not appear (no second shuffle
+    keyed by every distinct term before the candidate filter)."""
+    df = queries["heavy_hitters_bigrams"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan and "Broadcast" in plan

@@ -834,3 +834,66 @@ def test_stream_interval_join_outer_emits_null_on_eviction(spark, tmp_path):
     assert ("p2", None) in got, f"unmatched row never emitted: {got}"
     # and no duplicate emission of the null row
     assert sum(1 for r in sink if r["p_id"] == "p2") == 1
+
+
+def test_stream_heavy_hitters_state_and_resume(spark, tmp_path):
+    """Streaming Misra-Gries: summaries accumulate across micro-batches,
+    survive a checkpoint restart, and always contain every term whose
+    true frequency exceeds total/k (the MG guarantee)."""
+    import glob as globmod
+    import shutil
+    import tempfile
+    import time as _time
+
+    from starryskyqueryengine_spark.streaming import parquet_stream
+    from starryskyqueryengine_spark.streaming.stateful import (
+        stream_heavy_hitters,
+    )
+
+    src = tmp_path / "terms"
+    src.mkdir()
+
+    def write_terms(rows, name):
+        df = spark.createDataFrame([(t,) for t in rows], "term string")
+        d = tempfile.mkdtemp()
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        shutil.move(globmod.glob(d + "/part-*.parquet")[0], str(src / name))
+        _time.sleep(1.05)
+
+    emitted: list = []
+
+    def drain():
+        stream = parquet_stream(
+            spark, str(src), schema=spark.createDataFrame([("x",)], "term string").schema
+        )
+        q = (
+            stream_heavy_hitters(stream, k=8, shards=2)
+            .writeStream.foreachBatch(lambda b, i: emitted.extend(b.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # batch 1: heavy item drowned in noise
+    write_terms(["hot"] * 50 + [f"n{i}" for i in range(100)], "f1.parquet")
+    drain()
+    snap1 = {r["term"]: r["est"] for r in emitted}
+    assert "hot" in snap1 and snap1["hot"] > 0
+
+    # restart from checkpoint; more weight on 'hot' plus fresh noise —
+    # the counter must CONTINUE from restored state, not restart at 0
+    emitted.clear()
+    write_terms(["hot"] * 30 + [f"m{i}" for i in range(60)], "f2.parquet")
+    drain()
+    snap2 = {r["term"]: r["est"] for r in emitted}
+    assert "hot" in snap2
+    assert snap2["hot"] > snap1["hot"], (snap1["hot"], snap2["hot"])
+    # MG bound: est >= true - total/k (per shard, so >= global bound)
+    assert snap2["hot"] >= 80 - (240 // 8)
+    # bounded state: no shard summary exceeds k entries
+    from collections import Counter
+
+    per_shard = Counter(r["shard"] for r in emitted)
+    assert all(v <= 8 for v in per_shard.values()), per_shard

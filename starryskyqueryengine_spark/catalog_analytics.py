@@ -1829,3 +1829,230 @@ def pareto_front_parts(spark, sf_dir):
         .filter(F.col("_best").isNull() | (F.col("p_retailprice") < F.col("_best")))
         .drop("_best")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-group OLS trend lines (round 6)
+# --------------------------------------------------------------------------
+
+@register(
+    "trend_segment_spend",
+    """
+    WITH pts AS (
+      SELECT c_mktsegment AS segment,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS DECIMAL(18,0)) AS x,
+             CAST(o_totalprice AS DECIMAL(18,4)) AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    sums AS (
+      SELECT segment,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx
+      FROM pts GROUP BY segment
+    )
+    SELECT segment, n_orders,
+           CAST(round((CAST(n_orders AS DOUBLE) * sxy - sx * sy)
+                      / (CAST(n_orders AS DOUBLE) * sxx - sx * sx), 6) AS DOUBLE)
+             AS slope_per_day,
+           CAST(round((sy - ((CAST(n_orders AS DOUBLE) * sxy - sx * sy)
+                             / (CAST(n_orders AS DOUBLE) * sxx - sx * sx)) * sx)
+                      / CAST(n_orders AS DOUBLE), 6) AS DOUBLE)
+             AS intercept
+    FROM sums
+    """,
+)
+def trend_segment_spend(spark, sf_dir):
+    """Per-group ordinary-least-squares trend: slope/intercept of order
+    value over time for each market segment — the groupwise regression a
+    pipeline runs to spot drifting sources.  Closed-form from five
+    sufficient statistics (n, Σx, Σy, Σxy, Σx²), so the whole fit is ONE
+    shuffled aggregate: partial sums combine map-side, the regression
+    itself costs O(groups) arithmetic after the shuffle — no per-group
+    iteration, no second pass.  Determinism: the sums accumulate in
+    DECIMAL (exact, order-independent); only then does each engine cast
+    the agreed decimals to double and evaluate the identical IEEE
+    expression tree, so the rounded slope matches bit-for-bit.  The
+    orders⋈customer join shuffles on custkey at scale (bucket both sides
+    to kill the exchange; at fixture scale AQE broadcasts customer).  No
+    reference counterpart — north-star analytics."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    pts = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("decimal(18,0)")
+        .alias("x"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("y"),
+    )
+    sums = pts.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    nd = F.col("n_orders").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "segment",
+        "n_orders",
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round((F.col("sy") - slope * F.col("sx")) / nd, 6).alias("intercept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# k-hop BFS reachability (round 6)
+# --------------------------------------------------------------------------
+
+@register(
+    "bfs_reach_3hop",
+    """
+    WITH edges AS (
+      SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+    ),
+    seed AS (SELECT p_partkey AS pk FROM part WHERE p_brand = 'Brand#33'),
+    h1 AS (SELECT DISTINCT e.sk FROM edges e JOIN seed s ON e.pk = s.pk),
+    h2 AS (
+      SELECT DISTINCT e.pk FROM edges e JOIN h1 ON e.sk = h1.sk
+      EXCEPT SELECT pk FROM seed
+    ),
+    h3 AS (
+      SELECT DISTINCT e.sk FROM edges e JOIN h2 ON e.pk = h2.pk
+      EXCEPT SELECT sk FROM h1
+    )
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS hop, 'part' AS side,
+             CAST((SELECT count(*) FROM seed) AS BIGINT) AS frontier_size
+      UNION ALL
+      SELECT 1, 'supplier', CAST((SELECT count(*) FROM h1) AS BIGINT)
+      UNION ALL
+      SELECT 2, 'part', CAST((SELECT count(*) FROM h2) AS BIGINT)
+      UNION ALL
+      SELECT 3, 'supplier', CAST((SELECT count(*) FROM h3) AS BIGINT)
+    )
+    """,
+)
+def bfs_reach_3hop(spark, sf_dir):
+    """Breadth-first reachability over the bipartite part—supplier graph
+    (edges = distinct (partkey, suppkey) pairs from lineitem): exact
+    frontier sizes at hops 0–3 from a brand seed set.  Each hop is one
+    hash join frontier⋈edges + one distinct — the textbook distributed
+    BFS step — and frontiers subtract the previous same-side level
+    (left_anti) so a node counts only at its first distance.  The edge
+    list is computed ONCE and cached across hops (one dedup shuffle);
+    frontiers are node-sized, orders of magnitude smaller than edges, so
+    at 100 TB each hop broadcasts the frontier into the cached edge scan
+    rather than re-shuffling edges.  Frontier SIZES (exact integers) are
+    the output, so results are partition-order independent.  Graph-family
+    companion to pagerank_* / triangle_count (no reference counterpart)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    edges = l.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    edges.cache()
+    seed = p.filter(F.col("p_brand") == "Brand#33").select(
+        F.col("p_partkey").alias("pk")
+    )
+    h1 = edges.join(seed, "pk", "left_semi").select("sk").distinct()
+    h2 = (
+        edges.join(h1, "sk", "left_semi")
+        .select("pk")
+        .distinct()
+        .join(seed, "pk", "left_anti")
+    )
+    h3 = (
+        edges.join(h2, "pk", "left_semi")
+        .select("sk")
+        .distinct()
+        .join(h1, "sk", "left_anti")
+    )
+
+    def lvl(hop, side, frontier):
+        return frontier.agg(
+            F.lit(hop).cast("bigint").alias("hop"),
+            F.lit(side).alias("side"),
+            F.count(F.lit(1)).cast("bigint").alias("frontier_size"),
+        )
+
+    return (
+        lvl(0, "part", seed)
+        .unionByName(lvl(1, "supplier", h1))
+        .unionByName(lvl(2, "part", h2))
+        .unionByName(lvl(3, "supplier", h3))
+    )
+
+
+# --------------------------------------------------------------------------
+# SCD Type-2 history rebuild (round 6)
+# --------------------------------------------------------------------------
+
+@register(
+    "scd2_priority_history",
+    """
+    WITH ev AS (
+      SELECT o_custkey AS custkey, epoch_us(o_orderdate) AS ts_us,
+             arg_min(o_orderpriority, o_orderkey) AS val
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    chg AS (
+      SELECT custkey, ts_us, val,
+             lag(val) OVER (PARTITION BY custkey ORDER BY ts_us) AS prev
+      FROM ev
+    ),
+    hist AS (
+      SELECT custkey, val, ts_us AS valid_from_us,
+             lead(ts_us) OVER (PARTITION BY custkey ORDER BY ts_us) AS valid_to_us
+      FROM chg WHERE prev IS NULL OR val <> prev
+    )
+    SELECT custkey, val AS attr_value, valid_from_us, valid_to_us,
+           valid_to_us IS NULL AS is_current
+    FROM hist
+    """,
+)
+def scd2_priority_history(spark, sf_dir):
+    """Slowly-Changing-Dimension Type 2 rebuild: collapse a change-event
+    stream (here: each customer's order priority over time) into
+    validity-interval history rows [valid_from, valid_to) with an
+    is_current flag — the dimension-table pattern every warehouse
+    maintains.  Three window passes over ONE shuffle on the dimension
+    key: (1) per-(key, ts) tie-break via min_by on the unique event id
+    (deterministic when a key changes twice in one tick), (2) lag() to
+    keep only genuine value changes, (3) lead() to close each interval
+    at the next change.  All three windows share the same
+    (custkey × ts) sort order, so Catalyst plans a single Exchange and
+    sorts once.  At 100 TB the state is O(changes), never O(events),
+    because the change filter runs before the interval build.  The
+    incremental form (apply one new batch to stored history) is
+    `operators/scd.py::scd2_upsert`, equivalence-tested against this
+    rebuild."""
+    o = load_table(spark, sf_dir, "orders")
+    ev = o.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("ts"),
+    ).agg(F.min_by("o_orderpriority", "o_orderkey").alias("val"))
+    ev = ev.select(
+        "custkey",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "val",
+    )
+    w = Window.partitionBy("custkey").orderBy("ts_us")
+    chg = ev.withColumn("prev", F.lag("val").over(w)).filter(
+        F.col("prev").isNull() | (F.col("val") != F.col("prev"))
+    )
+    hist = chg.withColumn("valid_to_us", F.lead("ts_us").over(w))
+    return hist.select(
+        "custkey",
+        F.col("val").alias("attr_value"),
+        F.col("ts_us").alias("valid_from_us"),
+        "valid_to_us",
+        F.col("valid_to_us").isNull().alias("is_current"),
+    )

@@ -491,3 +491,79 @@ def domain_blocklist_filter(spark, sf_dir):
         | F.col("domain").endswith(F.concat(F.lit("."), F.col("blocked")))
     )
     return dom.join(F.broadcast(block), hit, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# One-pass column profiler (round 6)
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _profile_col_sql(col: str) -> str:
+    s = f"CAST({col} AS VARCHAR)"
+    return f"""
+    SELECT '{col}' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({col}) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           min({s}) AS min_repr,
+           max({s}) AS max_repr,
+           CAST(round(CAST(sum(length({s})) AS DOUBLE)
+                      / CAST(count({col}) AS DOUBLE), 6) AS DOUBLE) AS avg_repr_len
+    FROM documents
+    """
+
+
+@register(
+    "profile_documents",
+    " UNION ALL ".join(_profile_col_sql(c) for c in _PROFILE_COLS),
+)
+def profile_documents(spark, sf_dir):
+    """ONE-pass dataset profiler: per-column row/null/exact-distinct
+    counts, lexicographic min/max of the string repr, and mean repr
+    length — the first thing a data engineer runs on an unfamiliar 100 TB
+    drop.  The whole profile is a single aggregation over a single scan
+    (Catalyst turns the N exact count(DISTINCT) into one Expand pass:
+    rows replicate xN pre-shuffle but each expanded row carries ONE
+    column, so shuffle bytes stay ~ table width, not width x N); the
+    per-column report rows are then exploded from the 1-row aggregate —
+    no second scan, no per-column job loop (the anti-pattern the z-order
+    manifest build had).  At 100 TB swap count(DISTINCT) for
+    approx_count_distinct and the Expand disappears too — the exact form
+    here is what the oracle can verify.  min/max compare the STRING repr
+    on both sides (min(CAST(c AS VARCHAR)), not CAST(min(c) AS VARCHAR))
+    so engine-native orderings never diverge.  All stats are exact
+    integers or one double division of exact integers — deterministic
+    across partition layouts.  No reference counterpart (the reference
+    has no profiling surface; closest is the stats endpoint noted in
+    SURVEY §2.8)."""
+    d = load_table(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in _PROFILE_COLS:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__cnt"),
+            F.countDistinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(s).alias(f"{c}__mn"),
+            F.max(s).alias(f"{c}__mx"),
+            F.sum(F.length(s).cast("bigint")).alias(f"{c}__len"),
+        ]
+    row = d.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("__n").cast("bigint").alias("n_rows"),
+            (F.col("__n") - F.col(f"{c}__cnt")).cast("bigint").alias("n_null"),
+            F.col(f"{c}__nd").cast("bigint").alias("n_distinct"),
+            F.col(f"{c}__mn").alias("min_repr"),
+            F.col(f"{c}__mx").alias("max_repr"),
+            F.round(
+                F.col(f"{c}__len").cast("double")
+                / F.col(f"{c}__cnt").cast("double"),
+                6,
+            ).alias("avg_repr_len"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

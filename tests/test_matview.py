@@ -1,0 +1,134 @@
+"""Incremental materialized view (operators/matview.py): after every
+base-table mutation, an incremental refresh from the CDF must equal a
+recompute from scratch — including across file-granular MERGE, partition
+deletes, and an OPTIMIZE compaction whose CDF nets out to zero."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from starryskyqueryengine_spark.operators.matview import CountByKeyView
+from starryskyqueryengine_spark.table_format import TxnLogFormat
+
+from tests.conftest import make_posts
+
+
+def _batch(spark, n0, n, key="k1"):
+    rows = [
+        {
+            "uri": f"at://u/p/{i}",
+            "cid": f"c{i:03d}",
+            "text": "x",
+            "createdAt": datetime.datetime(2026, 1, 1, 0, 0, i % 60),
+        }
+        for i in range(n0, n0 + n)
+    ]
+    return make_posts(spark, rows).select(
+        "uri",
+        F.lit(key).alias("key"),
+        "cid",
+        "replyParent",
+        "replyRoot",
+        F.col("createdAt").alias("indexedAt"),
+    )
+
+
+def _state(view):
+    return sorted(tuple(r) for r in view.read().collect())
+
+
+def _recompute(spark, fmt):
+    return sorted(
+        tuple(r)
+        for r in fmt.read(spark)
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_posts"))
+        .collect()
+    )
+
+
+def test_matview_tracks_all_mutation_kinds(spark, tmp_path):
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    view = CountByKeyView(spark, fmt, str(tmp_path / "mv"))
+
+    fmt.append(_batch(spark, 0, 5, key="a"))
+    assert view.refresh()["mode"] == "full"
+    assert _state(view) == _recompute(spark, fmt) == [("a", 5)]
+
+    # append to a second key → incremental picks up only the delta
+    fmt.append(_batch(spark, 100, 3, key="b"))
+    r = view.refresh()
+    assert r["mode"] == "incremental"
+    assert _state(view) == _recompute(spark, fmt)
+
+    # MERGE rewrites rows in place: counts must NOT drift (same uris)
+    upd = _batch(spark, 0, 2, key="a").withColumn(
+        "cid", F.concat(F.col("cid"), F.lit("-v2"))
+    )
+    fmt.merge(upd, on=["key", "uri"])
+    view.refresh()
+    assert _state(view) == _recompute(spark, fmt)
+
+    # merge that INSERTS new rows
+    fmt.merge(_batch(spark, 200, 4, key="c"), on=["key", "uri"])
+    view.refresh()
+    assert _state(view) == _recompute(spark, fmt)
+
+    # partition delete → the key's group disappears from the view
+    fmt.delete_partition("b")
+    view.refresh()
+    state = _state(view)
+    assert state == _recompute(spark, fmt)
+    assert all(k != "b" for k, _ in state)
+
+    # noop refresh is a noop
+    assert view.refresh()["mode"] == "noop"
+    assert _state(view) == _recompute(spark, fmt)
+
+
+def test_matview_optimize_nets_to_zero_delta(spark, tmp_path):
+    """Compaction re-adds exactly the rows it removes; the CDF delta per
+    key must cancel and the incremental refresh must not change state."""
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    for i in range(4):  # many small files
+        fmt.append(_batch(spark, 10 * i, 3, key="a"))
+    view = CountByKeyView(spark, fmt, str(tmp_path / "mv"))
+    view.refresh()
+    before = _state(view)
+
+    res = fmt.optimize()
+    assert res["files_compacted"] >= 2
+    r = view.refresh()
+    assert r["mode"] == "incremental"
+    assert _state(view) == before == _recompute(spark, fmt)
+
+
+def test_matview_crash_between_state_and_meta_is_invisible(spark, tmp_path):
+    """A refresh that dies after writing the new state dir but BEFORE
+    the meta swap leaves the previous (state, version) pair intact."""
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch(spark, 0, 5, key="a"))
+    view = CountByKeyView(spark, fmt, str(tmp_path / "mv"))
+    view.refresh()
+    before = _state(view)
+    v_before = view.synced_version
+
+    fmt.append(_batch(spark, 100, 2, key="b"))
+    import starryskyqueryengine_spark.operators.matview as mv_mod
+
+    real_replace = mv_mod.os.replace
+    try:
+        mv_mod.os.replace = lambda *a: (_ for _ in ()).throw(
+            OSError("crash before meta swap")
+        )
+        try:
+            view.refresh()
+        except OSError:
+            pass
+    finally:
+        mv_mod.os.replace = real_replace
+
+    assert view.synced_version == v_before
+    assert _state(view) == before  # still the old consistent pair
+    view.refresh()  # retry completes normally
+    assert _state(view) == _recompute(spark, fmt)

@@ -2056,3 +2056,185 @@ def scd2_priority_history(spark, sf_dir):
         "valid_to_us",
         F.col("valid_to_us").isNull().alias("is_current"),
     )
+
+
+# --------------------------------------------------------------------------
+# Event funnel, cohort retention, MAD outliers (round 6)
+# --------------------------------------------------------------------------
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH t1 AS (
+      SELECT user_id, min(ts_us) AS ts1 FROM (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+      ) WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS ts2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.ts1
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS ts3
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.ts2
+      GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+             CAST((SELECT count(*) FROM t1) AS BIGINT) AS n_users
+      UNION ALL
+      SELECT 2, 'click', CAST((SELECT count(*) FROM t2) AS BIGINT)
+      UNION ALL
+      SELECT 3, 'purchase', CAST((SELECT count(*) FROM t3) AS BIGINT)
+    )
+    """,
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered event funnel (view -> click -> purchase, strictly
+    increasing timestamps): how many users completed each prefix of the
+    sequence.  Stage k is one aggregate over the events filtered to the
+    stage's type, semi-joined against the (user, first-completion-time)
+    table of stage k-1 — the standard iterated min-join funnel, no
+    window over the whole event stream and no per-user UDF.  Stage
+    tables are user-sized (orders of magnitude below event count), so at
+    100 TB each stage is one broadcast of the prior stage into a
+    type-filtered scan (the type filter pushes to parquet), and the
+    exact min-timestamps make the result partition-order independent."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts_us", "event_type"
+    )
+
+    def first_after(etype, prev):
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            e = e.join(F.broadcast(prev), "user_id").filter(
+                F.col("ts_us") > F.col("prev_ts")
+            )
+        return e.groupBy("user_id").agg(F.min("ts_us").alias("prev_ts"))
+
+    t1 = first_after("view", None)
+    t2 = first_after("click", t1)
+    t3 = first_after("purchase", t2)
+
+    def stage(k, etype, t):
+        return t.agg(
+            F.lit(k).cast("bigint").alias("stage"),
+            F.lit(etype).alias("event_type"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        )
+
+    return (
+        stage(1, "view", t1)
+        .unionByName(stage(2, "click", t2))
+        .unionByName(stage(3, "purchase", t3))
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events
+    ),
+    cohort AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id)
+    SELECT c.cohort_day, a.day - c.cohort_day AS offset_days,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM act a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY c.cohort_day, a.day - c.cohort_day
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-activity day,
+    counted on each later activity day as an offset — the standard
+    product-analytics retention matrix.  Two aggregates and one join,
+    all on user_id: (1) distinct (user, day) activity — one shuffle that
+    also serves as the dedup, (2) per-user min day (map-side combinable),
+    (3) join back (user-sized table broadcasts at 100 TB) + final
+    count.  `count(*)` over distinct (user, day) IS distinct users —
+    no count(DISTINCT) needed after the dedup.  Day ids are exact
+    integer epoch-day divisions, so every engine agrees."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.expr("ts_us div 86400000000").alias("day")
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        act.join(F.broadcast(cohort), "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("offset_days")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+@register(
+    "outlier_orders_mad",
+    """
+    WITH med AS (
+      SELECT o_orderpriority AS priority,
+             quantile_cont(o_totalprice, 0.5) AS med
+      FROM orders GROUP BY o_orderpriority
+    ),
+    dev AS (
+      SELECT o.o_orderpriority AS priority, m.med,
+             abs(o.o_totalprice - m.med) AS d
+      FROM orders o JOIN med m ON o.o_orderpriority = m.priority
+    ),
+    mad AS (
+      SELECT priority, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY priority
+    )
+    SELECT d.priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(any_value(d.med), 4) AS DOUBLE) AS median_price,
+           CAST(round(any_value(m.mad), 4) AS DOUBLE) AS mad,
+           CAST(sum(CASE WHEN d.d > 1.5 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m ON d.priority = m.priority
+    GROUP BY d.priority
+    """,
+)
+def outlier_orders_mad(spark, sf_dir):
+    """Robust outlier detection per group: median absolute deviation
+    (|x - median| > k·MAD) — the data-cleaning filter that, unlike
+    z-scores, a few extreme rows cannot poison.  k = 1.5 here so the
+    outlier class is NON-EMPTY on the near-uniform fixture prices
+    (uniform deviations top out near 2·MAD); production default is 3.  Two exact-percentile
+    aggregates (group-bounded sorts, same parity mechanics as
+    percentile_prices) with the group-sized median/MAD tables BROADCAST
+    back into the fact scans — the big side shuffles once per aggregate
+    and never for the joins.  At 100 TB swap exact percentile for
+    approx_percentile at identical call shape; the deviation compare and
+    counts stay exact integers."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"), "o_totalprice"
+    )
+    med = o.groupBy("priority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
+    )
+    dev = o.join(F.broadcast(med), "priority").select(
+        "priority", "med", F.abs(F.col("o_totalprice") - F.col("med")).alias("d")
+    )
+    mad = dev.groupBy("priority").agg(
+        F.percentile("d", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "priority")
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.any_value("med"), 4).alias("median_price"),
+            F.round(F.any_value("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(F.col("d") > 1.5 * F.col("mad"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

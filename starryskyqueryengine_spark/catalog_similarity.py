@@ -491,3 +491,152 @@ def ann_ivf_indexed_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < ANN_NUM_QUERIES)
     return sim.ivf_probe_index(queries, table, ANN_K, n_probe=IVF_PROBE)
+
+
+# --------------------------------------------------------------------------
+# Per-dimension moments + JL random projection + PCA (round 6)
+# --------------------------------------------------------------------------
+
+_MOM_SCALE = 1 << 20  # fixed-point quantization for exact integer sums
+
+
+@register(
+    "embedding_dim_stats",
+    f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * {_MOM_SCALE} + 0.5) AS BIGINT)) AS qe
+      FROM embeddings
+    ),
+    flat AS (
+      SELECT CAST(generate_subscripts(qe, 1) - 1 AS BIGINT) AS dim_idx,
+             unnest(qe) AS v
+      FROM q
+    )
+    SELECT dim_idx,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(CAST(sum(v) AS DOUBLE)
+                      / (count(*) * CAST({_MOM_SCALE} AS DOUBLE)), 8) AS DOUBLE)
+             AS mean,
+           CAST(round((CAST(sum(v * v) AS DOUBLE) * count(*)
+                       - CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE))
+                      / (CAST(count(*) AS DOUBLE) * count(*)
+                         * CAST({_MOM_SCALE} AS DOUBLE) * {_MOM_SCALE}), 8)
+                AS DOUBLE) AS variance
+    FROM flat GROUP BY dim_idx
+    """,
+)
+def embedding_dim_stats(spark, sf_dir):
+    """Per-dimension mean/variance of the embedding column — the
+    feature-drift monitor an embedding pipeline runs per batch.  Floats
+    are fixed-point-quantized (floor(x·2^20 + 0.5): half-up via floor,
+    the repo's standard engine-neutral rounding) so Σv and Σv² are exact
+    BIGINTs; mean and population variance are then single double
+    divisions of agreed integers — bit-identical across engines and
+    partition orders.  Plan: posexplode(dim) → one shuffle keyed by
+    dim_idx (64 keys, each partial-aggregated map-side).  At 100 TB the
+    ×d row multiplication is avoided by an Arrow-batched partial
+    vector-sum per partition merged driver-side (functions/pca.py does
+    exactly that for the covariance matrix); the exploded form here is
+    the oracle-checkable twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe = F.expr(
+        f"transform(cast(embedding as array<double>), "
+        f"x -> CAST(floor(x * {_MOM_SCALE} + 0.5) AS BIGINT))"
+    )
+    flat = emb.select(F.posexplode(qe).alias("dim_idx", "v")).select(
+        F.col("dim_idx").cast("bigint").alias("dim_idx"), "v"
+    )
+    g = flat.groupBy("dim_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    sc = F.lit(float(_MOM_SCALE))
+    return g.select(
+        "dim_idx",
+        "n",
+        F.round(F.col("s1").cast("double") / (F.col("n") * sc), 8).alias("mean"),
+        F.round(
+            (F.col("s2").cast("double") * F.col("n")
+             - F.col("s1").cast("double") * F.col("s1").cast("double"))
+            / (nd * F.col("n") * sc * F.lit(float(_MOM_SCALE))),
+            8,
+        ).alias("variance"),
+    )
+
+
+JL_OUT_DIM = 16
+# Deterministic sparse sign matrix (Achlioptas 2003): R[i][k] in {-1,0,+1}
+# from an integer hash, density 1/3 — public JL construction, replayable
+# in SQL.  h = (i*1315423911 + k*2654435761) mod 3: 0 -> +1, 1 -> -1, 2 -> 0.
+_JL_R_SQL = (
+    "CASE ((i * 1315423911 + k * 2654435761) % 3)"
+    " WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END"
+)
+
+
+@register(
+    "embedding_random_projection",
+    f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * {_MOM_SCALE} + 0.5) AS BIGINT)) AS qe
+      FROM embeddings
+    ),
+    flat AS (
+      SELECT vec_id, CAST(generate_subscripts(qe, 1) - 1 AS BIGINT) AS i,
+             unnest(qe) AS v
+      FROM q
+    ),
+    proj AS (
+      SELECT vec_id, k.k AS out_dim,
+             CAST(sum(v * ({_JL_R_SQL})) AS BIGINT) AS comp_fixed
+      FROM flat, (SELECT unnest(range({JL_OUT_DIM})) AS k) k
+      GROUP BY vec_id, k.k
+    )
+    SELECT vec_id, CAST(out_dim AS BIGINT) AS out_dim, comp_fixed
+    FROM proj
+    """,
+)
+def embedding_random_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss random projection 64→16 dims with the
+    Achlioptas sparse ±1 matrix derived from an integer hash — the
+    dimensionality-reduction step before LSH/clustering when d is large.
+    The matrix is DATA-INDEPENDENT and deterministic, so unlike learned
+    PCA this is fully value-checkable: inputs are fixed-point BIGINTs,
+    the projection is an integer dot product, output is the exact fixed-
+    point component.  Plan: zero shuffle — the 16 output components are
+    computed per row with `aggregate` over the quantized array (the ×16
+    expand in the oracle is DuckDB-side only); at 100 TB this rides the
+    scan like any projection.  functions/pca.py holds the learned-PCA
+    twin (numpy-parity-tested; learned axes are inherently not
+    SQL-replayable, same policy as the trained IVF index)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe = F.expr(
+        f"transform(cast(embedding as array<double>), "
+        f"x -> CAST(floor(x * {_MOM_SCALE} + 0.5) AS BIGINT))"
+    )
+    comps = F.expr(
+        f"""
+        transform(sequence(0, {JL_OUT_DIM - 1}), k ->
+          aggregate(
+            zip_with(qe, sequence(0, size(qe) - 1), (v, i) ->
+              v * (CASE ((CAST(i AS BIGINT) * 1315423911
+                          + CAST(k AS BIGINT) * 2654435761) % 3)
+                   WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END)),
+            CAST(0 AS BIGINT), (acc, x) -> acc + x))
+        """
+    )
+    return (
+        emb.select("vec_id", qe.alias("qe"))
+        .select("vec_id", F.posexplode(comps).alias("out_dim", "comp_fixed"))
+        .select(
+            "vec_id",
+            F.col("out_dim").cast("bigint").alias("out_dim"),
+            "comp_fixed",
+        )
+    )

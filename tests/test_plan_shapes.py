@@ -474,3 +474,50 @@ def test_heavy_hitters_exact_pass_is_semi_join(spark, queries):
     df = queries["heavy_hitters_bigrams"](spark, SF_DIR)
     plan = plan_of(df)
     assert "LeftSemi" in plan and "Broadcast" in plan
+
+
+def test_profiler_single_scan_single_expand(spark, queries):
+    """profile_documents must profile every column in ONE aggregation
+    over ONE scan — N count(DISTINCT) fold into a single Expand, never a
+    per-column job loop or a UNION of N scans."""
+    plan = plan_of(queries["profile_documents"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Expand") <= 1
+    assert "Union" not in plan
+
+
+def test_random_projection_is_zero_shuffle_codegen(spark, queries):
+    """embedding_random_projection is a pure per-row projection: no
+    Exchange, no join, no Python eval — higher-order functions inside
+    whole-stage codegen riding the scan."""
+    plan = plan_of(queries["embedding_random_projection"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas"):
+        assert node not in plan
+
+
+def test_funnel_broadcasts_stage_tables(spark, queries):
+    """Funnel stage joins carry the user-sized prior-stage table as the
+    BROADCAST side — the event scan must never shuffle for a join (its
+    only exchanges feed the per-stage aggregates)."""
+    plan = plan_of(queries["funnel_view_click_purchase"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_mad_outlier_broadcasts_group_stats(spark, queries):
+    """Median/MAD join-backs must broadcast the group-sized stat tables;
+    the orders scan shuffles only for the percentile aggregates."""
+    plan = plan_of(queries["outlier_orders_mad"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_trend_single_aggregate_after_join(spark, queries):
+    """Groupwise OLS is ONE aggregation pair (partial + final) over the
+    joined input — no window, no second pass for the regression math."""
+    plan = plan_of(queries["trend_segment_spend"](spark, SF_DIR))
+    assert "Window" not in plan
+    # one logical aggregate = partial+final HashAggregate pair
+    assert plan.count("HashAggregate") == 2

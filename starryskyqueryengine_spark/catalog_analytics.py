@@ -2238,3 +2238,149 @@ def outlier_orders_mad(spark, sf_dir):
             .alias("n_outliers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series gap fill, chi-square contingency (round 6)
+# --------------------------------------------------------------------------
+
+@register(
+    "gapfill_user_daily",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             sum(CAST(value AS DECIMAL(18,6))) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(min(day), max(day))) AS day
+      FROM daily GROUP BY user_id
+    ),
+    joined AS (
+      SELECT s.user_id, s.day, d.v, d.v IS NULL AS is_gap
+      FROM spine s LEFT JOIN daily d
+        ON s.user_id = d.user_id AND s.day = d.day
+    )
+    SELECT user_id, day,
+           CAST(round(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+             AS filled_value,
+           is_gap
+    FROM joined
+    """,
+)
+def gapfill_user_daily(spark, sf_dir):
+    """Time-series gap filling: densify each user's daily activity onto
+    a complete calendar spine (min..max day per user) and forward-fill
+    missing days with the last observed value — the resample-ffill step
+    every downstream window/trend computation needs, as a pure
+    DataFrame plan.  Spine = explode(sequence(min, max)) per user: spine
+    size is bounded by calendar span, never event count.  The fill is
+    one `last(v, ignorenulls)` running window per user — same single
+    (user × day) sort the gap join already needed.  Daily sums
+    accumulate in DECIMAL (exact, order-independent) and round once at
+    the edge; the carried value is a bit-exact copy, so both engines
+    agree everywhere.  100 TB: one shuffle on user_id; AQE handles the
+    skewed-user case; is_gap marks synthesized rows for downstream
+    weighting."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "user_id",
+            F.expr("ts_us div 86400000000").alias("day"),
+            F.col("value").cast("decimal(18,6)").alias("v0"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("v0").alias("v"))
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        )
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id", "day", "v", F.col("v").isNull().alias("is_gap")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.round(F.last("v", ignorenulls=True).over(w), 4)
+        .cast("double")
+        .alias("filled_value"),
+        "is_gap",
+    )
+
+
+@register(
+    "chisq_lang_source",
+    """
+    WITH obs AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    tot AS (
+      SELECT o.lang, o.source, o.o,
+             sum(o.o) OVER (PARTITION BY o.lang) AS row_tot,
+             sum(o.o) OVER (PARTITION BY o.source) AS col_tot,
+             sum(o.o) OVER () AS n
+      FROM obs o
+    )
+    SELECT lang, source, o AS observed,
+           CAST(round(CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                      / CAST(n AS DOUBLE), 6) AS DOUBLE) AS expected,
+           CAST(round(
+             (CAST(o AS DOUBLE) - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                                  / CAST(n AS DOUBLE))
+             * (CAST(o AS DOUBLE) - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                                    / CAST(n AS DOUBLE))
+             / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                / CAST(n AS DOUBLE)), 8) AS DOUBLE) AS chi2_contrib
+    FROM tot
+    """,
+)
+def chisq_lang_source(spark, sf_dir):
+    """Chi-square contingency table lang × source: observed vs expected
+    counts and per-cell χ² contributions — the independence test a
+    curation pipeline runs to detect language/source coupling drift.
+    ONE aggregation builds the contingency cells (these are tiny:
+    |langs|·|sources| rows), then the marginals are windows OVER THE
+    CELLS, not the corpus — corpus-size work is the single count
+    shuffle.  All counts are exact BIGINTs; expected/χ² evaluate the
+    identical double expression tree on both engines.  The driver can
+    sum chi2_contrib against a χ² CDF for the test verdict; emitting
+    per-cell contributions keeps the result set value-checkable and the
+    drill-down useful."""
+    d = load_table(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    tot = obs.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("source")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    exp = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("n").cast("double")
+    )
+    dev = F.col("o").cast("double") - exp
+    return tot.select(
+        "lang",
+        "source",
+        F.col("o").alias("observed"),
+        F.round(exp, 6).alias("expected"),
+        F.round(dev * dev / exp, 8).alias("chi2_contrib"),
+    )

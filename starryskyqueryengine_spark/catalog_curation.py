@@ -567,3 +567,83 @@ def profile_documents(spark, sf_dir):
         for c in _PROFILE_COLS
     ]
     return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+# --------------------------------------------------------------------------
+# Declarative data-expectations validator (round 6)
+# --------------------------------------------------------------------------
+
+EXPECT_ALLOWED_LANGS = ("en", "de", "fr")  # es/zh fixtures violate: non-vacuous
+EXPECT_MAX_CHARS = 400  # fixture median ~306: both outcomes populated
+
+
+@register(
+    "expectations_documents",
+    f"""
+    WITH agg AS (
+      SELECT count(*) AS n,
+             count(*) - count(text) AS null_text,
+             count(*) - count(DISTINCT doc_id) AS dup_ids,
+             sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+               AS len_mismatch,
+             sum(CASE WHEN lang NOT IN ('en','de','fr') THEN 1 ELSE 0 END)
+               AS bad_lang,
+             sum(CASE WHEN n_chars > {EXPECT_MAX_CHARS} THEN 1 ELSE 0 END)
+               AS too_long
+      FROM documents
+    )
+    SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS passed
+    FROM (
+      SELECT 'text_not_null' AS rule, null_text AS n_violations FROM agg
+      UNION ALL SELECT 'doc_id_unique', dup_ids FROM agg
+      UNION ALL SELECT 'n_chars_consistent', len_mismatch FROM agg
+      UNION ALL SELECT 'lang_allowed', bad_lang FROM agg
+      UNION ALL SELECT 'n_chars_max', too_long FROM agg
+    )
+    """,
+)
+def expectations_documents(spark, sf_dir):
+    """Declarative data-expectations check (the Great-Expectations /
+    Deequ pattern, public designs — Schelter et al., VLDB 2018): a rule
+    set (not-null, uniqueness, cross-column consistency, value domain,
+    range) evaluated as ONE aggregation over ONE scan — every rule is a
+    conditional sum sharing the pass, and uniqueness folds into the same
+    aggregate via count(DISTINCT) (one Expand, same mechanics as the
+    profiler).  Emits (rule, n_violations, passed): the fixture rule set
+    is deliberately mixed — not-null/uniqueness/consistency pass, the
+    lang allowlist and length cap fire — so both verdict branches are
+    value-checked, never vacuous.  At 100 TB this is the pre-ingest
+    quality gate: one pass, map-side combinable, no shuffle beyond the
+    1-row aggregate (+ Expand for the distinct rule; drop uniqueness to
+    approx_count_distinct and even that goes away)."""
+    d = load_table(spark, sf_dir, "documents")
+    agg = d.agg(
+        (F.count(F.lit(1)) - F.count("text")).alias("null_text"),
+        (F.count(F.lit(1)) - F.countDistinct("doc_id")).alias("dup_ids"),
+        F.sum(
+            F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+        ).alias("len_mismatch"),
+        F.sum(
+            F.when(~F.col("lang").isin(*EXPECT_ALLOWED_LANGS), 1).otherwise(0)
+        ).alias("bad_lang"),
+        F.sum(
+            F.when(F.col("n_chars") > EXPECT_MAX_CHARS, 1).otherwise(0)
+        ).alias("too_long"),
+    )
+    rules = [
+        ("text_not_null", "null_text"),
+        ("doc_id_unique", "dup_ids"),
+        ("n_chars_consistent", "len_mismatch"),
+        ("lang_allowed", "bad_lang"),
+        ("n_chars_max", "too_long"),
+    ]
+    structs = [
+        F.struct(
+            F.lit(name).alias("rule"),
+            F.col(col).cast("bigint").alias("n_violations"),
+            (F.col(col) == 0).alias("passed"),
+        )
+        for name, col in rules
+    ]
+    return agg.select(F.explode(F.array(*structs)).alias("r")).select("r.*")

@@ -2384,3 +2384,57 @@ def chisq_lang_source(spark, sf_dir):
         F.round(exp, 6).alias("expected"),
         F.round(dev * dev / exp, 8).alias("chi2_contrib"),
     )
+
+
+@register(
+    "rolling_7d_active_users",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events
+    ),
+    bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM act),
+    contrib AS (
+      SELECT DISTINCT a.user_id, a.day + j.j AS report_day
+      FROM act a, (SELECT unnest(range(7)) AS j) j
+    )
+    SELECT c.report_day,
+           CAST(count(*) AS BIGINT) AS active_users_7d
+    FROM contrib c, bounds b
+    WHERE c.report_day BETWEEN b.d0 AND b.d1
+    GROUP BY c.report_day
+    """,
+)
+def rolling_7d_active_users(spark, sf_dir):
+    """Rolling 7-day distinct active users per calendar day — the
+    windowed-DISTINCT metric every activity dashboard needs, computed
+    WITHOUT a per-day self-join or a 7-day range join: each (user, day)
+    activity fact contributes to the 7 report days it can influence
+    (explode of a 7-element sequence), a second distinct collapses
+    multi-day users within each window, and `count(*)` finishes it.
+    Work is O(activity × 7) rows through two hash shuffles — at 100 TB
+    this beats both the range join (state × width) and 7 daily distinct
+    passes, and the same shape scales to any window width.  The global
+    day bounds come from a 1-row broadcast (q11's scalar-threshold
+    pattern), trimming edge windows that extend past the data."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.expr("ts_us div 86400000000").alias("day")
+    ).distinct()
+    bounds = act.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    contrib = (
+        act.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + F.lit(6))
+            ).alias("report_day"),
+        )
+        .distinct()
+    )
+    return (
+        contrib.join(F.broadcast(bounds))
+        .filter(F.col("report_day").between(F.col("d0"), F.col("d1")))
+        .groupBy("report_day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("active_users_7d"))
+    )

@@ -226,3 +226,49 @@ def w_stream_interval_join(spark, sf_dir):
         .groupBy("event_id")
         .agg(F.sum("n").cast("bigint").alias("n_in_range"))
     )
+
+
+@register(
+    "w_stream_sliding_counts",
+    """
+    WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type FROM events),
+    wins AS (
+      SELECT strftime(make_timestamp(
+               (ts_us // 21600000000) * 21600000000
+               - j.j * 21600000000), '%Y-%m-%d %H:%M:%S') AS win_start,
+             event_type
+      FROM e, (SELECT unnest(range(4)) AS j) j
+    )
+    SELECT win_start, event_type, count(*) AS n
+    FROM wins GROUP BY win_start, event_type
+    """,
+)
+def w_stream_sliding_counts(spark, sf_dir):
+    """Sliding event-time windows (1 day wide, 6 h slide) as a REAL
+    Structured Streaming drain, value-checked against a batch oracle
+    that replays Spark's window assignment arithmetic exactly: every
+    event belongs to width/slide = 4 epoch-aligned windows, start =
+    floor(ts/slide)·slide − j·slide for j in 0..3 — pure integer
+    microsecond math, so the streamed final state matches the SQL
+    replay row-for-row.  State is O(4 × keys) per the sliding_counts
+    docstring; complete-mode availableNow drain like w8."""
+    from .streaming import sliding_counts
+
+    stream, _ = _events_stream(spark, sf_dir)
+    agg = sliding_counts(
+        stream, ts_col="ts", key_col="event_type",
+        window="1 day", slide="6 hours", watermark="1 hour",
+    )
+    table = f"slidecounts_{uuid.uuid4().hex[:8]}"
+    tmp = tempfile.mkdtemp(prefix="wslide_")
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(table)

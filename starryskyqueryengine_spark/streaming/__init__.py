@@ -4,6 +4,7 @@ from .pipeline import (  # noqa: F401
     parquet_stream,
     run_available_now,
     session_counts,
+    sliding_counts,
     stream_dedup,
     stream_interval_join,
     validated_json,

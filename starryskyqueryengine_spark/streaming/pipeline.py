@@ -144,6 +144,38 @@ def windowed_counts(
     )
 
 
+def sliding_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 day",
+    slide: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding (overlapping) event-time windows: each event lands in
+    width/slide windows, so the state store holds that many concurrent
+    aggregates per key — still O(width/slide × keys), bounded, and the
+    watermark finalizes each window exactly once.  The overlapping twin
+    of :func:`windowed_counts` (which is the slide == width special
+    case); the sliding form is what rate monitors and rolling SLO
+    dashboards run."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window, slide).alias("win"),
+            F.col(key_col),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            key_col,
+            "n",
+        )
+    )
+
+
 def session_counts(
     df: DataFrame,
     ts_col: str = "ts",

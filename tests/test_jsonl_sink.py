@@ -1,0 +1,132 @@
+"""JSONL DataSource sinks (sources/jsonl_sink.py): round trip, two-phase
+commit atomicity under task failure, overwrite semantics, and idempotent
+streaming replay."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from starryskyqueryengine_spark.sources.jsonl_sink import (
+    read_manifest,
+    register_jsonl_sink,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_jsonl_sink(spark)
+
+
+def _df(spark, n=50):
+    return spark.range(n).select(
+        F.col("id"),
+        F.concat(F.lit("name-"), F.col("id")).alias("name"),
+        (F.col("id") * 1.5).alias("score"),
+    )
+
+
+def test_roundtrip_and_manifest(spark, tmp_path):
+    path = str(tmp_path / "out")
+    _df(spark).write.format("starrysky_jsonl").option("path", path).mode("append").save()
+    man = read_manifest(path)
+    assert man["n_rows"] == 50
+    assert sum(f["n_rows"] for f in man["files"]) == 50
+    # spark.read.json round trip over exactly the manifest's files
+    files = [os.path.join(path, f["name"]) for f in man["files"] if f["n_rows"]]
+    back = spark.read.json(files)
+    got = sorted(
+        (r["id"], r["name"], r["score"]) for r in back.collect()
+    )
+    want = sorted(
+        (r["id"], r["name"], r["score"]) for r in _df(spark).collect()
+    )
+    assert got == want
+
+
+def test_failed_job_leaves_no_manifest(spark, tmp_path):
+    path = str(tmp_path / "out")
+
+    @F.udf("long")
+    def boom(v):
+        if v == 37:
+            raise RuntimeError("poison row")
+        return v
+
+    bad = spark.range(50).select(boom(F.col("id")).alias("id"))
+    with pytest.raises(Exception):
+        bad.write.format("starrysky_jsonl").option("path", path).mode("append").save()
+    # two-phase commit: no manifest, so a manifest-reader sees NOTHING
+    with pytest.raises(FileNotFoundError):
+        read_manifest(path)
+    # and no published data files at the destination root
+    if os.path.isdir(path):
+        assert [
+            n for n in os.listdir(path)
+            if n.endswith(".jsonl") and not n.startswith("_")
+        ] == []
+
+
+def test_overwrite_replaces_previous_files(spark, tmp_path):
+    path = str(tmp_path / "out")
+    _df(spark, 30).write.format("starrysky_jsonl").option("path", path).mode("append").save()
+    first = {f["name"] for f in read_manifest(path)["files"]}
+    _df(spark, 10).write.format("starrysky_jsonl").option(
+        "path", path
+    ).mode("overwrite").save()
+    man = read_manifest(path)
+    assert man["n_rows"] == 10
+    # none of the first write's files survive on disk
+    for name in first:
+        assert not os.path.exists(os.path.join(path, name))
+
+
+def test_append_mode_keeps_both(spark, tmp_path):
+    # default batch mode (append-style): second save REPLACES the
+    # manifest but keeps earlier files only if overwrite was not used —
+    # our contract: manifest always describes the LAST committed job
+    path = str(tmp_path / "out")
+    _df(spark, 20).write.format("starrysky_jsonl").option("path", path).mode("append").save()
+    _df(spark, 5).write.format("starrysky_jsonl").option(
+        "path", path
+    ).mode("append").save()
+    assert read_manifest(path)["n_rows"] == 5
+
+
+def test_stream_sink_idempotent_replay(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    _df(spark, 25).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("starrysky_jsonl")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    man0 = read_manifest(out, 0)
+    assert man0["n_rows"] == 25
+    n_files = len(
+        [n for n in os.listdir(out) if n.endswith(".jsonl")]
+    )
+
+    # wipe the checkpoint: Spark replays batch 0 from scratch; the sink
+    # must recognize the published manifest and commit ZERO new files
+    import shutil
+
+    shutil.rmtree(ck)
+    drain()
+    assert read_manifest(out, 0) == man0
+    assert (
+        len([n for n in os.listdir(out) if n.endswith(".jsonl")]) == n_files
+    )

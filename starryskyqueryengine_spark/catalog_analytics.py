@@ -2438,3 +2438,158 @@ def rolling_7d_active_users(spark, sf_dir):
         .groupBy("report_day")
         .agg(F.count(F.lit(1)).cast("bigint").alias("active_users_7d"))
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted shortest paths + label-propagation communities (round 6)
+# --------------------------------------------------------------------------
+
+def _sssp_relax_sql(prev: str) -> str:
+    return f"""
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM {prev}
+        UNION ALL
+        SELECT e.dst AS node, p.dist + e.w AS dist
+        FROM edges e JOIN {prev} p ON e.src = p.node
+      ) GROUP BY node
+    """
+
+
+@register(
+    "sssp_supplier_3hop",
+    f"""
+    WITH pairs AS (
+      SELECT l_suppkey AS sk, l_partkey AS pk,
+             CAST(min(l_quantity) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT 2 * sk AS src, 2 * pk + 1 AS dst, w FROM pairs
+      UNION ALL
+      SELECT 2 * pk + 1 AS src, 2 * sk AS dst, w FROM pairs
+    ),
+    d0 AS (
+      SELECT DISTINCT 2 * s_suppkey AS node, CAST(0 AS BIGINT) AS dist
+      FROM supplier
+      WHERE s_nationkey = (SELECT min(s_nationkey) FROM supplier)
+    ),
+    d1 AS ({_sssp_relax_sql('d0')}),
+    d2 AS ({_sssp_relax_sql('d1')}),
+    d3 AS ({_sssp_relax_sql('d2')})
+    SELECT node, dist FROM d3
+    """,
+)
+def sssp_supplier_3hop(spark, sf_dir):
+    """Hop-bounded weighted shortest paths (functions/graph.py
+    ``sssp_bounded`` — synchronous Bellman-Ford) from the lowest-nation
+    supplier set (a 1-row broadcast scalar, non-empty at every SF) over the bipartite supplier↔part graph, edge weight =
+    the pair's minimum shipped quantity (exact BIGINT).  Three
+    relaxation rounds, each one cached-edge-scan join + min-combine —
+    value-checked bit-for-bit against the unrolled 3-round SQL oracle,
+    the same policy that made PageRank a VALUE-CHECKED iterative
+    algorithm.  min is associative/commutative, so any partition layout
+    agrees."""
+    from .functions.graph import sssp_bounded
+
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    pairs = (
+        l.groupBy(
+            F.col("l_suppkey").alias("sk"), F.col("l_partkey").alias("pk")
+        )
+        .agg(F.min("l_quantity").cast("bigint").alias("w"))
+    )
+    edges = (
+        pairs.select(
+            (2 * F.col("sk")).alias("src"),
+            (2 * F.col("pk") + 1).alias("dst"),
+            "w",
+        )
+        .unionByName(
+            pairs.select(
+                (2 * F.col("pk") + 1).alias("src"),
+                (2 * F.col("sk")).alias("dst"),
+                "w",
+            )
+        )
+    )
+    min_nat = s.agg(F.min("s_nationkey").alias("mn"))
+    sources = (
+        s.join(F.broadcast(min_nat))
+        .filter(F.col("s_nationkey") == F.col("mn"))
+        .select((2 * F.col("s_suppkey")).alias("node"))
+    )
+    return sssp_bounded(edges, sources, max_hops=3).select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("dist").cast("bigint").alias("dist"),
+    )
+
+
+_LP_WINNER_SQL = """
+      SELECT node, label AS new_label FROM (
+        SELECT c.node, c.label,
+               row_number() OVER (PARTITION BY c.node
+                                  ORDER BY c.cnt DESC, c.label ASC) AS rn
+        FROM (
+          SELECT e.dst AS node, p.label, count(*) AS cnt
+          FROM edges e JOIN {prev} p ON e.src = p.node
+          GROUP BY e.dst, p.label
+        ) c
+      ) WHERE rn = 1
+"""
+
+
+@register(
+    "label_prop_communities",
+    f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    edges AS (SELECT p1 AS src, p2 AS dst FROM pairs),
+    nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION SELECT DISTINCT dst FROM edges
+    ),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    w1 AS ({_LP_WINNER_SQL.format(prev='l0')}),
+    l1 AS (
+      SELECT n.node, coalesce(w1.new_label, l0.label) AS label
+      FROM nodes n JOIN l0 ON n.node = l0.node
+      LEFT JOIN w1 ON n.node = w1.node
+    ),
+    w2 AS ({_LP_WINNER_SQL.format(prev='l1')}),
+    l2 AS (
+      SELECT n.node, coalesce(w2.new_label, l1.label) AS label
+      FROM nodes n JOIN l1 ON n.node = l1.node
+      LEFT JOIN w2 ON n.node = w2.node
+    )
+    SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
+    FROM l2 GROUP BY label
+    """,
+)
+def label_prop_communities(spark, sf_dir):
+    """Determinized synchronous label propagation (functions/graph.py
+    ``label_propagation``) on the parts-bought-together graph (parts
+    co-occurring in an order, both directions): 2 rounds, frequency ties
+    broken by smallest label so the run is a pure function of the edge
+    list.  Emits community sizes.  Value-checked against the unrolled
+    2-round oracle — the arg-max per node replays as a
+    (count DESC, label ASC) row_number in SQL, matching max_by over the
+    (cnt, -label) struct exactly."""
+    from .functions.graph import label_propagation
+
+    l = load_table(spark, sf_dir, "lineitem")
+    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("p1") != F.col("p2"))
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .distinct()
+    )
+    labels = label_propagation(edges, iters=2)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )

@@ -132,3 +132,110 @@ def pagerank(
             ranks = new_ranks
             iters_run += 1
     return ranks, iters_run
+
+
+def sssp_bounded(
+    edges: DataFrame, sources: DataFrame, max_hops: int
+) -> DataFrame:
+    """Hop-bounded single-source(-set) shortest paths — synchronous
+    Bellman-Ford over a weighted ``(src, dst, w)`` BIGINT edge list.
+
+    ``sources`` is a DataFrame with a ``node`` column (distance 0).
+    Returns ``(node, dist)`` for every node reachable within
+    ``max_hops`` relaxation rounds; with ``max_hops >= |V| - 1`` this is
+    the exact SSSP fixed point (non-negative weights assumed only for
+    the usual "bounded = exact" argument — the relaxation itself is
+    plain Bellman-Ford and tolerates any weights).
+
+    ENGINE-EXACT: distances are BIGINT sums and the per-round combine is
+    ``min`` — associative/commutative, so results are independent of
+    partition order and bit-comparable against an unrolled SQL oracle
+    (same policy as :func:`pagerank`).
+
+    100 TB shape: the edge list is cached once; each round joins the
+    CURRENT distance table (node-sized, broadcast when it fits) into the
+    edge scan, aggregates a min per dst, and unions with the previous
+    table through one more min — two map-side-combinable aggregates per
+    round, never an edge×edge product.  Frontier-only optimization
+    (join just the nodes whose dist changed) drops in by filtering the
+    relax input; omitted here to keep the oracle replayable row-for-row.
+    """
+    edges = edges.select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+        F.col("w").cast("bigint").alias("w"),
+    ).cache()
+    dist = sources.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.lit(0).cast("bigint").alias("dist"),
+    ).distinct()
+    for _ in range(max_hops):
+        relaxed = (
+            edges.join(
+                F.broadcast(dist.withColumnRenamed("node", "src")), "src"
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist
+
+
+def label_propagation(
+    edges: DataFrame, iters: int
+) -> DataFrame:
+    """Synchronous label propagation for community detection (Raghavan
+    et al. 2007), determinized: every node starts labeled with its own
+    id; each round, a node adopts the most frequent label among its
+    IN-neighbors (pass an undirected graph as both edge directions),
+    breaking frequency ties by the SMALLEST label; isolated-round nodes
+    (no in-edges) keep their label.  The min-tie-break plus synchronous
+    update makes the whole run a pure function of the edge list —
+    partition-order independent and replayable by an unrolled SQL
+    oracle, unlike the textbook random-order variant.
+
+    Returns ``(node, label)`` after ``iters`` rounds.
+
+    100 TB shape per round: one edge-scan join carrying the node-sized
+    label table (broadcast when it fits), one (dst, label) count
+    aggregate, one deterministic arg-max via max_by over a (count,
+    -label) struct — two shuffles on node-sized data, edge data never
+    reshuffles (cached scan)."""
+    edges = edges.select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+    ).cache()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iters):
+        counts = (
+            edges.join(
+                F.broadcast(labels.withColumnRenamed("node", "src")), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        winner = counts.groupBy("node").agg(
+            F.max_by(
+                "label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+            ).alias("new_label")
+        )
+        labels = (
+            labels.join(winner, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+        )
+    return labels

@@ -74,14 +74,31 @@ class CountByKeyView:
         with os.fdopen(fd, "w") as f:
             json.dump({"synced_version": version, "state_dir": state_dir}, f)
         os.replace(tmp, os.path.join(self.path, META_NAME))
-        for n in os.listdir(self.path):  # GC superseded state dirs
-            full = os.path.join(self.path, n)
-            if (
-                n.startswith("state_v")
-                and os.path.isdir(full)
-                and full != state_dir
-            ):
-                shutil.rmtree(full, ignore_errors=True)
+        # GC superseded state dirs, RETAINING the most recent previous
+        # one: a DataFrame handed out by read() before this refresh has
+        # its plan pinned to that dir and must stay collectable
+        # (deleting it mid-lifetime would fail the reader); older dirs
+        # than that are past any plausible reader and are reclaimed.
+        survivors = {state_dir}
+        versions = sorted(
+            (
+                int(n[len("state_v"):])
+                for n in os.listdir(self.path)
+                if n.startswith("state_v")
+                and os.path.isdir(os.path.join(self.path, n))
+                and n[len("state_v"):].isdigit()
+            ),
+            reverse=True,
+        )
+        for v in versions:
+            d = os.path.join(self.path, f"state_v{v}")
+            if d != state_dir:
+                survivors.add(d)
+                break  # keep exactly one previous
+        for v in versions:
+            d = os.path.join(self.path, f"state_v{v}")
+            if d not in survivors:
+                shutil.rmtree(d, ignore_errors=True)
 
     def read(self) -> DataFrame:
         meta = self._meta()
@@ -96,12 +113,40 @@ class CountByKeyView:
 
     # ----------------------------------------------------------- refresh
 
-    def _full_state(self) -> DataFrame:
+    def _full_state(self, version: int | None) -> DataFrame:
+        # pin the read to the version recorded in meta: a commit landing
+        # between the log listing and this (lazy) plan's execution must
+        # NOT leak into the state, or the next incremental refresh would
+        # double-apply it
         return (
-            self.fmt.read(self.spark)
+            self.fmt.read(self.spark, version=version)
             .groupBy("key")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_posts"))
         )
+
+    def _interval_files_intact(self, v_from: int, v_to: int) -> bool:
+        """True iff every data file the CDF for (v_from, v_to] would
+        read still exists — vacuum() may have reclaimed files referenced
+        by old commits, and changes_between tolerates that silently,
+        which would corrupt an incremental delta."""
+        base = self.fmt._snapshot(v_from)
+        added: dict[str, str] = {}
+        removed: set[str] = set()
+        for v in self.fmt._versions():
+            if v <= v_from or v > v_to:
+                continue
+            e = self.fmt._read_entry(v)
+            for rm in e.get("remove", []):
+                if rm in added:
+                    added.pop(rm)
+                elif rm in base:
+                    removed.add(rm)
+            for a in e.get("add", []):
+                added[a["path"]] = a["key"]
+        for rel in list(added) + sorted(removed):
+            if not os.path.exists(os.path.join(self.fmt.data_path, rel)):
+                return False
+        return True
 
     def refresh(self) -> dict:
         """Sync to the base table's latest version. Returns
@@ -110,11 +155,20 @@ class CountByKeyView:
         tip = versions[-1] if versions else -1
         meta = self._meta()
         if meta is None:
-            self._write_state(self._full_state(), tip)
+            self._write_state(
+                self._full_state(tip if tip >= 0 else None), tip
+            )
             return {"mode": "full", "synced_version": tip}
         last = meta["synced_version"]
         if tip <= last:
             return {"mode": "noop", "synced_version": last}
+
+        if not self._interval_files_intact(last, tip):
+            # vacuum reclaimed part of the interval's change feed — the
+            # incremental delta would silently drop those rows; fall
+            # back to a pinned full recompute (the docstring's contract)
+            self._write_state(self._full_state(tip), tip)
+            return {"mode": "full", "synced_version": tip}
 
         cdf = self.fmt.changes_between(self.spark, last, tip)
         delta = (

@@ -8,19 +8,25 @@ response and src/util/subscription.ts JSON frames).  At engine scale the
 same need is "emit query results as line-delimited JSON with transaction
 discipline", so this module implements:
 
-- ``starrysky_jsonl`` (batch): each task streams its rows to a staged
-  ``_staging/<uuid>.jsonl`` file and returns the name as its commit
-  message; the DRIVER commit renames every staged file into the
-  destination and then writes ``_MANIFEST.json`` (file list + row
-  counts) LAST — a reader that requires the manifest sees all-or-
-  nothing, and an aborted job leaves only unreferenced staging garbage
-  that ``abort`` removes.  Spark's task retry + this two-phase commit
-  give the same visible-atomicity discipline as the TxnLogFormat.
-- ``starrysky_jsonl_stream`` (streaming ``foreach``-class sink): same
-  task protocol per micro-batch, with the manifest written as
-  ``_MANIFEST-<batchId>.json``; a replayed batch id whose manifest
-  already exists commits ZERO new files (idempotent replay — the same
-  exactly-once watermark idea as TxnLogFormat.append(txn=...)).
+- ``starrysky_jsonl`` (batch): each task streams its rows into a
+  task-scoped staging dir and returns (staging dir, file name, rows) as
+  its commit message; the DRIVER commit renames staged files into the
+  destination and swaps ``_MANIFEST.json`` in LAST (one ``os.replace``
+  — the single atomic visibility point), and only THEN deletes files
+  the previous manifest referenced (overwrite).  A crash anywhere
+  leaves either the old or the new manifest fully intact — worst case
+  is orphaned data files no manifest references.  A task that FAILS
+  mid-write removes its own partial file before re-raising (it has no
+  commit message for abort to find), and ``abort`` additionally clears
+  the staging dirs of the tasks that did succeed.
+- ``starrysky_jsonl`` as a streaming sink: same task protocol per
+  micro-batch, with the manifest written as ``_MANIFEST-<batchId>.json``;
+  a replayed batch id whose manifest already exists commits ZERO new
+  files (idempotent replay — the same exactly-once watermark idea as
+  TxnLogFormat.append(txn=...)).  Staging locations travel IN the
+  commit messages, never in writer instance state: Spark constructs
+  separate writer instances on the driver and per executor for
+  streaming sinks, so instance fields cannot be assumed shared.
 
 100 TB shape: tasks write independently (no driver data path), commit
 cost is O(files) renames of metadata on the driver, and row payloads
@@ -32,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 from dataclasses import dataclass
 
@@ -46,6 +53,7 @@ from pyspark.sql.types import StructType
 
 @dataclass
 class _FileMsg(WriterCommitMessage):
+    staging: str = ""
     name: str = ""
     n_rows: int = 0
 
@@ -66,33 +74,48 @@ def _json_default(v):
     raise TypeError(f"not JSON serializable: {type(v)}")
 
 
-def _write_task_file(staging: str, fields, iterator) -> _FileMsg:
+def _write_task_file(staging_root: str, fields, iterator) -> _FileMsg:
+    """Executor side: stream rows to a task-scoped staged file.  On ANY
+    failure the partial file is removed before re-raising — a failed
+    task produces no commit message, so driver-side abort could never
+    enumerate it."""
+    staging = os.path.join(staging_root, uuid.uuid4().hex)
     os.makedirs(staging, exist_ok=True)
     name = f"part-{uuid.uuid4().hex}.jsonl"
+    full = os.path.join(staging, name)
     n = 0
-    with open(os.path.join(staging, name), "w") as f:
-        for row in iterator:
-            obj = dict(zip(fields, row))
-            f.write(
-                json.dumps(
-                    obj, default=_json_default, ensure_ascii=False,
-                    sort_keys=True,
+    try:
+        with open(full, "w") as f:
+            for row in iterator:
+                obj = dict(zip(fields, row))
+                f.write(
+                    json.dumps(
+                        obj, default=_json_default, ensure_ascii=False,
+                        sort_keys=True,
+                    )
                 )
-            )
-            f.write("\n")
-            n += 1
-    return _FileMsg(name=name, n_rows=n)
+                f.write("\n")
+                n += 1
+    except BaseException:
+        try:
+            os.remove(full)
+            os.rmdir(staging)
+        except OSError:
+            pass
+        raise
+    return _FileMsg(staging=staging, name=name, n_rows=n)
 
 
-def _publish(path: str, staging: str, messages, manifest_name: str) -> None:
+def _publish(path: str, messages, manifest_name: str) -> None:
+    """Driver side: move every staged file into the destination, then
+    swap the manifest in as the LAST step — the atomic visibility
+    point."""
     files = []
     total = 0
     for m in messages:
         if m is None:
             continue
-        os.replace(
-            os.path.join(staging, m.name), os.path.join(path, m.name)
-        )
+        os.replace(os.path.join(m.staging, m.name), os.path.join(path, m.name))
         files.append({"name": m.name, "n_rows": m.n_rows})
         total += m.n_rows
     tmp = os.path.join(path, f".{manifest_name}.{uuid.uuid4().hex}.tmp")
@@ -102,14 +125,32 @@ def _publish(path: str, staging: str, messages, manifest_name: str) -> None:
     os.replace(tmp, os.path.join(path, manifest_name))
 
 
-def _discard(staging: str, messages) -> None:
+def _gc_stale_staging(staging_root: str, max_age_sec: float = 86400.0) -> None:
+    """Janitor for staging debris from HARD-killed tasks (SIGKILL cannot
+    unwind the task-side self-clean): any staging subdir untouched for
+    ``max_age_sec`` belongs to no live job and is reclaimed at the next
+    successful commit — the same age-based GC discipline as Hadoop's
+    _temporary cleanup, safe under concurrent jobs because live dirs are
+    recent by definition."""
+    import time
+
+    if not os.path.isdir(staging_root):
+        return
+    cutoff = time.time() - max_age_sec
+    for n in os.listdir(staging_root):
+        d = os.path.join(staging_root, n)
+        try:
+            if os.path.isdir(d) and os.path.getmtime(d) < cutoff:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass
+
+
+def _discard(messages) -> None:
     for m in messages:
         if m is None:
             continue
-        try:
-            os.remove(os.path.join(staging, m.name))
-        except FileNotFoundError:
-            pass
+        shutil.rmtree(m.staging, ignore_errors=True)
 
 
 class JsonlBatchWriter(DataSourceWriter):
@@ -119,39 +160,60 @@ class JsonlBatchWriter(DataSourceWriter):
             raise ValueError("starrysky_jsonl requires option 'path'")
         self.fields = schema.fieldNames()
         self.overwrite = overwrite
-        self.staging = os.path.join(self.path, "_staging")
+        self.staging_root = os.path.join(self.path, "_staging")
+        # test seam: force a crash between staging and the manifest swap
+        self.crash_before_publish = (
+            str(options.get("_test_crash_before_publish", "")).lower()
+            == "true"
+        )
 
     def write(self, iterator):
-        return _write_task_file(self.staging, self.fields, iterator)
+        return _write_task_file(self.staging_root, self.fields, iterator)
 
     def commit(self, messages):
         os.makedirs(self.path, exist_ok=True)
-        if self.overwrite:
-            old = os.path.join(self.path, "_MANIFEST.json")
-            if os.path.exists(old):
-                with open(old) as f:
-                    for entry in json.load(f)["files"]:
-                        try:
-                            os.remove(os.path.join(self.path, entry["name"]))
-                        except FileNotFoundError:
-                            pass
-                os.remove(old)
-        _publish(self.path, self.staging, messages, "_MANIFEST.json")
+        manifest_path = os.path.join(self.path, "_MANIFEST.json")
+        old_files: list[str] = []
+        if self.overwrite and os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                old_files = [e["name"] for e in json.load(f)["files"]]
+        if self.crash_before_publish:
+            raise OSError("test seam: crash before manifest swap")
+        # publish new files + SWAP the manifest first (atomic visibility
+        # point: a crash before it leaves the old manifest fully intact,
+        # after it the new one) ...
+        _publish(self.path, messages, "_MANIFEST.json")
+        # ... and only then clean up files the old manifest referenced;
+        # a crash in this loop orphans data files but never breaks a
+        # manifest-reader
+        new_names = {m.name for m in messages if m is not None}
+        for name in old_files:
+            if name not in new_names:
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except FileNotFoundError:
+                    pass
+        _discard(messages)
+        _gc_stale_staging(self.staging_root)
 
     def abort(self, messages):
-        _discard(self.staging, messages)
+        # successful tasks' staged files; FAILED tasks already
+        # self-cleaned inside _write_task_file
+        _discard(messages)
 
 
 class JsonlStreamWriter(DataSourceStreamWriter):
     def __init__(self, schema: StructType, options):
         self.path = options.get("path")
         if not self.path:
-            raise ValueError("starrysky_jsonl stream writer requires option 'path'")
+            raise ValueError(
+                "starrysky_jsonl stream writer requires option 'path'"
+            )
         self.fields = schema.fieldNames()
-        self.staging = os.path.join(self.path, "_staging")
+        self.staging_root = os.path.join(self.path, "_staging")
 
     def write(self, iterator):
-        return _write_task_file(self.staging, self.fields, iterator)
+        return _write_task_file(self.staging_root, self.fields, iterator)
 
     def commit(self, messages, batchId):
         os.makedirs(self.path, exist_ok=True)
@@ -160,12 +222,12 @@ class JsonlStreamWriter(DataSourceStreamWriter):
             # replayed micro-batch after a checkpoint/sink race: the
             # batch already published — discard the duplicate staging
             # files so replay is a no-op (exactly-once at the sink)
-            _discard(self.staging, messages)
+            _discard(messages)
             return
-        _publish(self.path, self.staging, messages, manifest)
+        _publish(self.path, messages, manifest)
 
     def abort(self, messages, batchId):
-        _discard(self.staging, messages)
+        _discard(messages)
 
 
 class JsonlDataSource(DataSource):

@@ -130,3 +130,53 @@ def test_stream_sink_idempotent_replay(spark, tmp_path):
     assert (
         len([n for n in os.listdir(out) if n.endswith(".jsonl")]) == n_files
     )
+
+
+def test_overwrite_crash_before_manifest_swap_keeps_old(spark, tmp_path):
+    """Overwrite's atomic visibility point is the manifest swap: a crash
+    BEFORE it must leave the previous manifest and its files fully
+    readable (publish-then-cleanup, never delete-then-publish)."""
+    path = str(tmp_path / "out")
+    _df(spark, 30).write.format("starrysky_jsonl").option("path", path).mode("append").save()
+    man_before = read_manifest(path)
+
+    # the commit runs in a separate driver-side Python worker, so crash
+    # injection goes through the writer's option seam, not monkeypatch
+    with pytest.raises(Exception):
+        _df(spark, 10).write.format("starrysky_jsonl").option(
+            "path", path
+        ).option("_test_crash_before_publish", "true").mode(
+            "overwrite"
+        ).save()
+
+    man_after = read_manifest(path)
+    assert man_after == man_before
+    for f in man_after["files"]:
+        assert os.path.exists(os.path.join(path, f["name"]))
+
+
+def test_failed_job_staging_fully_reclaimed(spark, tmp_path):
+    """A failing task must remove its own partial staged file before
+    re-raising (it returns no commit message, so abort cannot enumerate
+    it).  Single partition keeps this deterministic — sibling tasks
+    hard-killed mid-write are inherently best-effort and are reclaimed
+    by the age-based staging janitor at the next successful commit."""
+    path = str(tmp_path / "out")
+
+    @F.udf("long")
+    def boom(v):
+        if v == 41:
+            raise RuntimeError("poison row")
+        return v
+
+    bad = spark.range(60).repartition(1).select(boom(F.col("id")).alias("id"))
+    with pytest.raises(Exception):
+        bad.write.format("starrysky_jsonl").option("path", path).mode("append").save()
+    staging_root = os.path.join(path, "_staging")
+    if os.path.isdir(staging_root):
+        leftovers = [
+            os.path.join(dp, n)
+            for dp, _, ns in os.walk(staging_root)
+            for n in ns
+        ]
+        assert leftovers == []

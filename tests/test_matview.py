@@ -132,3 +132,37 @@ def test_matview_crash_between_state_and_meta_is_invisible(spark, tmp_path):
     assert _state(view) == before  # still the old consistent pair
     view.refresh()  # retry completes normally
     assert _state(view) == _recompute(spark, fmt)
+
+
+def test_matview_vacuum_past_sync_falls_back_to_full(spark, tmp_path):
+    """vacuum() reclaiming files inside the unsynced interval must force
+    a full recompute — an incremental delta over a vacuumed CDF would
+    silently drop the reclaimed rows' changes."""
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch(spark, 0, 3, key="a"))
+    fmt.append(_batch(spark, 100, 3, key="b"))
+    view = CountByKeyView(spark, fmt, str(tmp_path / "mv"))
+    view.refresh()
+
+    fmt.delete_partition("b")          # v2
+    fmt.append(_batch(spark, 200, 2, key="c"))  # v3
+    fmt.vacuum()                       # reclaims b's removed files
+    r = view.refresh()
+    assert r["mode"] == "full"
+    assert _state(view) == _recompute(spark, fmt)
+    assert all(k != "b" for k, _ in _state(view))
+
+
+def test_matview_reader_survives_one_refresh(spark, tmp_path):
+    """A DataFrame from read() must stay collectable across the NEXT
+    refresh (previous state dir is retained; only older ones are GCed)."""
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch(spark, 0, 4, key="a"))
+    view = CountByKeyView(spark, fmt, str(tmp_path / "mv"))
+    view.refresh()
+    pinned = view.read()  # plan pinned to state_v0
+
+    fmt.append(_batch(spark, 50, 2, key="b"))
+    view.refresh()  # writes state_v1, must NOT delete state_v0
+    assert sorted(tuple(r) for r in pinned.collect()) == [("a", 4)]
+    assert _state(view) == _recompute(spark, fmt)

@@ -493,7 +493,7 @@ def test_random_projection_is_zero_shuffle_codegen(spark, queries):
     plan = plan_of(queries["embedding_random_projection"](spark, SF_DIR))
     assert "Exchange" not in plan
     assert "Join" not in plan
-    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas"):
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
         assert node not in plan
 
 

@@ -65,6 +65,15 @@ HEADLINERS = {
     "mm_jpeg_roundtrip": "two Arrow-batched mapInPandas hops (encode/decode), zero shuffle; JVM never touches pixel bytes",
     "s1_datasource_scan": "Python DataSource scan: 4 input partitions = 4 concurrent executor-side page windows, zero driver rows",
     "pagerank_part_supplier": "per-iteration: broadcast the node-sized contribution table into the cached edge scan + one map-side-combined agg",
+    "profile_documents": "whole profile = ONE scan + ONE aggregation; N count(DISTINCT) share a single Expand; report rows exploded from the 1-row agg",
+    "trend_segment_spend": "groupwise OLS = one aggregation pair after the join; regression math on O(groups) rows, no window",
+    "funnel_view_click_purchase": "each funnel stage: type-filter in PushedFilters + BroadcastHashJoin of the prior user-sized stage",
+    "outlier_orders_mad": "median/MAD stat tables broadcast back into the fact scan; orders shuffles only for the percentile aggregates",
+    "embedding_random_projection": "JL 64->16 entirely inside codegen higher-order functions: zero Exchange, zero Python",
+    "gapfill_user_daily": "calendar spine explode + forward-fill window share ONE (user, day) sort; spine bounded by span, not events",
+    "rolling_7d_active_users": "windowed distinct via contribute-explode: two hash shuffles, no range join, no per-day passes",
+    "sssp_supplier_3hop": "per relaxation round: broadcast the node-sized distance table into the cached edge scan + min-combine",
+    "expectations_documents": "every rule a conditional sum in ONE aggregate; uniqueness folds into the same pass via the Expand",
 }
 
 

@@ -683,3 +683,119 @@ def test_txnlog_optimize_loses_race_to_concurrent_writer(
     with pytest.raises(ConcurrentWriteError, match="conflicts"):
         fmt.optimize(target_bytes=1 << 30)
     assert any("rival-" in p for p in fmt._snapshot())
+
+
+# ------------------------------------------------------ log-level skipping
+
+
+def _day_batch(spark, n0, n, day, key="k1"):
+    import datetime
+
+    rows = [
+        {
+            "uri": f"at://u/p/{i}",
+            "cid": f"c{i:03d}",
+            "text": "x",
+            "createdAt": datetime.datetime(2026, 1, day, 0, 0, i % 60),
+        }
+        for i in range(n0, n0 + n)
+    ]
+    df = make_posts(spark, rows)
+    return df.select(
+        "uri",
+        F.lit(key).alias("key"),
+        "cid",
+        "replyParent",
+        "replyRoot",
+        F.col("createdAt").alias("indexedAt"),
+    ).coalesce(1)  # one staged file per batch: deterministic file counts
+
+
+def _us(day):
+    import datetime
+
+    return int(
+        datetime.datetime(
+            2026, 1, day, tzinfo=datetime.timezone.utc
+        ).timestamp()
+        * 1_000_000
+    )
+
+
+def _files_read(df):
+    # planned scan set (not post-filter survivors): the pruning claim is
+    # about which files the plan OPENS
+    return len(set(df.inputFiles()))
+
+
+def test_read_where_ts_prunes_files_invisibly(spark, tmp_path):
+    """Stats-based log-level skipping: a time-bounded read opens only
+    files whose [min,max] indexedAt overlaps the window, and the result
+    is IDENTICAL to filtering the full scan."""
+    from starryskyqueryengine_spark.table_format import TxnLogFormat
+
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    for day, n0 in [(1, 0), (10, 100), (20, 200)]:
+        fmt.append(_day_batch(spark, n0, 5, day))
+
+    pruned = fmt.read_where_ts(spark, ts_min_us=_us(9), ts_max_us=_us(11))
+    full = fmt.read(spark).filter(
+        (F.unix_micros("indexedAt") >= _us(9))
+        & (F.unix_micros("indexedAt") <= _us(11))
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    assert pruned.count() == 5
+    # only the day-10 file was opened; the full table has 3 files
+    assert _files_read(fmt.read(spark)) == 3
+    assert _files_read(
+        fmt.read_where_ts(spark, ts_min_us=_us(9), ts_max_us=_us(11))
+    ) == 1
+    # window outside all data reads zero files and zero rows
+    assert fmt.read_where_ts(spark, ts_min_us=_us(25)).count() == 0
+
+
+def test_stats_survive_checkpoint(spark, tmp_path):
+    """Checkpoints must carry the stats map so skipping keeps working
+    after log compaction bounds the replay."""
+    from starryskyqueryengine_spark.table_format import TxnLogFormat
+
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"), checkpoint_interval=2)
+    for day, n0 in [(1, 0), (10, 100), (20, 200), (25, 300)]:
+        fmt.append(_day_batch(spark, n0, 4, day))
+    assert fmt._checkpoints()  # a checkpoint exists below the tip
+    stats = fmt._snapshot_stats()
+    assert len(stats) == 4  # including files recorded BEFORE the checkpoint
+    assert _files_read(
+        fmt.read_where_ts(spark, ts_min_us=_us(19), ts_max_us=_us(21))
+    ) == 1
+
+
+def test_files_without_stats_always_read(spark, tmp_path):
+    """Pre-stats commits (or stripped stats) cannot be pruned — they are
+    always opened, so skipping degrades conservatively, never wrongly."""
+    import json
+    import os as _os
+
+    from starryskyqueryengine_spark.table_format import TxnLogFormat
+
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_day_batch(spark, 0, 5, 1))
+    fmt.append(_day_batch(spark, 100, 5, 20))
+    # simulate an old-format commit: strip stats from v0's entry
+    p = fmt._entry_path(0)
+    e = json.load(open(p))
+    for a in e["add"]:
+        a.pop("stats", None)
+    tmp = p + ".rewrite"
+    with open(tmp, "w") as f:
+        json.dump(e, f)
+    _os.replace(tmp, p)
+
+    # day-20 window: v0's stat-less file must still be read (2 files)
+    assert _files_read(
+        fmt.read_where_ts(spark, ts_min_us=_us(19), ts_max_us=_us(21))
+    ) == 2
+    got = fmt.read_where_ts(spark, ts_min_us=_us(19), ts_max_us=_us(21))
+    assert got.count() == 5  # exact residual filter still applies

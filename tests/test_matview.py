@@ -166,3 +166,51 @@ def test_matview_reader_survives_one_refresh(spark, tmp_path):
     view.refresh()  # writes state_v1, must NOT delete state_v0
     assert sorted(tuple(r) for r in pinned.collect()) == [("a", 4)]
     assert _state(view) == _recompute(spark, fmt)
+
+
+def test_matview_follows_streaming_ingest(spark, tmp_path):
+    """End-to-end chain: a real stream drains through the exactly-once
+    TxnLogFormat sink and the view refreshes INCREMENTALLY per batch —
+    final state equals a scratch recompute, and a checkpoint-wiped
+    replay of the whole stream moves neither the table nor the view."""
+    from starryskyqueryengine_spark.store import PostStore
+    from starryskyqueryengine_spark.streaming import (
+        foreach_batch_upsert,
+        parquet_stream,
+        run_available_now,
+    )
+
+    src = str(tmp_path / "src")
+    _batch(spark, 0, 8, key="a").write.parquet(src)
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    store = PostStore(spark, str(tmp_path / "t"), fmt=fmt)
+    view = CountByKeyView(spark, fmt, str(tmp_path / "mv"))
+    refreshed_modes = []
+
+    def sink(batch_df, batch_id):
+        foreach_batch_upsert(store, txn_app_id="mv-e2e")(batch_df, batch_id)
+        refreshed_modes.append(view.refresh()["mode"])
+
+    schema = spark.read.parquet(src).schema
+    run_available_now(
+        parquet_stream(spark, src, schema=schema), sink, str(tmp_path / "c1")
+    )
+    assert _state(view) == _recompute(spark, fmt) == [("a", 8)]
+    assert refreshed_modes[0] in ("full", "incremental")
+
+    # second wave of data, fresh drain: incremental refresh follows
+    _batch(spark, 100, 4, key="b").write.mode("append").parquet(src)
+    run_available_now(
+        parquet_stream(spark, src, schema=schema), sink, str(tmp_path / "c1")
+    )
+    assert _state(view) == _recompute(spark, fmt)
+    assert ("b", 4) in _state(view)
+
+    # checkpoint wipe: full replay is a no-op end to end (exactly-once
+    # sink commits nothing; the view sees no new version)
+    v_before = view.synced_version
+    run_available_now(
+        parquet_stream(spark, src, schema=schema), sink, str(tmp_path / "c2")
+    )
+    assert view.synced_version == v_before
+    assert _state(view) == _recompute(spark, fmt)

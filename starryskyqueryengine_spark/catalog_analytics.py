@@ -2593,3 +2593,58 @@ def label_prop_communities(spark, sf_dir):
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
     )
+
+
+@register(
+    "window_rank_family",
+    """
+    WITH o AS (
+      SELECT o_orderpriority AS priority, o_orderkey, o_totalprice
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    )
+    SELECT priority, o_orderkey,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(round(percent_rank() OVER w, 8) AS DOUBLE) AS prank,
+           CAST(round(cume_dist() OVER w, 8) AS DOUBLE) AS cdist,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           CAST(first_value(o_orderkey) OVER w AS BIGINT) AS first_key,
+           CAST(nth_value(o_orderkey, 3) OVER
+                (PARTITION BY priority ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS third_key
+    FROM o
+    WINDOW w AS (PARTITION BY priority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_rank_family(spark, sf_dir):
+    """The remaining rank-family window functions in one pass: rank /
+    dense_rank / percent_rank / cume_dist / ntile / first_value /
+    nth_value, all over a single (priority × price) sort — Catalyst
+    plans ONE Window node because every function shares the same
+    partitioning and ordering (the (price, orderkey) tie-break makes
+    each deterministic).  percent_rank/cume_dist are exact rationals of
+    row positions, so the rounded doubles agree across engines.
+    Completes the window surface alongside window_user_activity
+    (row_number/lag/running sums) and topk_per_group (WindowGroupLimit);
+    same 100 TB shape: one shuffle on the partition key."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    ).select(
+        F.col("o_orderpriority").alias("priority"), "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("priority").orderBy("o_totalprice", "o_orderkey")
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "priority",
+        "o_orderkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.round(F.percent_rank().over(w), 8).alias("prank"),
+        F.round(F.cume_dist().over(w), 8).alias("cdist"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.first("o_orderkey").over(w).cast("bigint").alias("first_key"),
+        F.nth_value("o_orderkey", 3).over(wrows).cast("bigint").alias(
+            "third_key"
+        ),
+    )

@@ -1071,3 +1071,97 @@ def winnow_fingerprints(spark, sf_dir):
             F.coalesce("first_fp_pos", F.lit(-1)).alias("first_fp_pos"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# UniMax budget allocation (round 6)
+# --------------------------------------------------------------------------
+
+UNIMAX_EPOCH_CAP = 4       # no source repeats more than 4 epochs
+UNIMAX_BUDGET_NUM = 2      # budget = 2x total corpus tokens
+
+
+@register(
+    "unimax_allocation",
+    rf"""
+    WITH d AS (SELECT source, {_TOK_SQL} AS tok FROM documents),
+    per_src AS (SELECT source, SUM(tok) AS t_src FROM d GROUP BY source),
+    caps AS (
+      SELECT source, t_src, {UNIMAX_EPOCH_CAP} * t_src AS cap,
+             row_number() OVER (ORDER BY {UNIMAX_EPOCH_CAP} * t_src, source) AS rn,
+             count(*) OVER () AS k,
+             SUM({UNIMAX_EPOCH_CAP} * t_src)
+               OVER (ORDER BY {UNIMAX_EPOCH_CAP} * t_src, source
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prefix,
+             (SELECT {UNIMAX_BUDGET_NUM} * SUM(tok) FROM d) AS budget
+      FROM per_src
+    ),
+    cand AS (
+      SELECT *,
+             (budget - COALESCE(prefix, 0)) // (k - rn + 1) AS tau_cand
+      FROM caps
+    ),
+    tau AS (SELECT min(tau_cand) AS tau FROM cand WHERE cap >= tau_cand)
+    SELECT c.source, c.t_src,
+           CAST(c.cap AS BIGINT) AS cap_tokens,
+           CAST(least(c.cap, t.tau) AS BIGINT) AS alloc_tokens,
+           CAST((least(c.cap, t.tau) * 1000) // c.t_src AS BIGINT) AS epochs_milli
+    FROM cand c CROSS JOIN tau t
+    """,
+)
+def unimax_allocation(spark, sf_dir):
+    """UniMax sampling-budget allocation (Chung et al. 2023, public):
+    spread a token budget as uniformly as possible across sources,
+    capped at EPOCH_CAP repetitions of any source — the fairer
+    alternative to temperature mixtures for low-resource sources.  The
+    water-filling solve is CLOSED FORM over the |sources|-row totals
+    table: sort by capacity, and the waterline τ is the smallest
+    candidate (remaining-budget ÷ remaining-sources, a prefix-sum
+    window) that its own row's capacity can absorb; alloc = min(cap, τ).
+    Exact integer floor division throughout — bit-identical to the
+    oracle on any partition layout.  Corpus-scale work is ONE token
+    aggregate; the solve itself runs on |sources| rows (window over a
+    tiny table), and the emitted per-source epoch rates drive the same
+    seeded-hash Bernoulli keep as mixture_sample.  Σ alloc ≤ budget
+    with integer slack < |sources|."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("tok"),
+    )
+    per_src = d.groupBy("source").agg(F.sum("tok").alias("t_src"))
+    budget_row = d.agg(
+        (F.lit(UNIMAX_BUDGET_NUM) * F.sum("tok")).alias("budget")
+    )
+    cap = (F.lit(UNIMAX_EPOCH_CAP) * F.col("t_src")).alias("cap")
+    w = Window.orderBy(F.lit(UNIMAX_EPOCH_CAP) * F.col("t_src"), F.col("source"))
+    caps = (
+        per_src.select("source", "t_src", cap)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("k", F.count(F.lit(1)).over(Window.partitionBy()))
+        .withColumn(
+            "prefix",
+            F.sum("cap").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .join(F.broadcast(budget_row))
+    )
+    cand = caps.withColumn(
+        "tau_cand",
+        F.expr("(budget - COALESCE(prefix, 0L)) div (k - rn + 1)"),
+    )
+    tau = cand.filter(F.col("cap") >= F.col("tau_cand")).agg(
+        F.min("tau_cand").alias("tau")
+    )
+    return cand.join(F.broadcast(tau)).select(
+        "source",
+        "t_src",
+        F.col("cap").cast("bigint").alias("cap_tokens"),
+        F.least(F.col("cap"), F.col("tau")).cast("bigint").alias("alloc_tokens"),
+        F.expr("(least(cap, tau) * 1000) div t_src").cast("bigint").alias(
+            "epochs_milli"
+        ),
+    )

@@ -1101,7 +1101,7 @@ UNIMAX_BUDGET_NUM = 2      # budget = 2x total corpus tokens
              (budget - COALESCE(prefix, 0)) // (k - rn + 1) AS tau_cand
       FROM caps
     ),
-    tau AS (SELECT min(tau_cand) AS tau FROM cand WHERE cap >= tau_cand)
+    tau AS (SELECT max(tau_cand) AS tau FROM cand WHERE cap >= tau_cand)
     SELECT c.source, c.t_src,
            CAST(c.cap AS BIGINT) AS cap_tokens,
            CAST(least(c.cap, t.tau) AS BIGINT) AS alloc_tokens,
@@ -1115,9 +1115,15 @@ def unimax_allocation(spark, sf_dir):
     capped at EPOCH_CAP repetitions of any source — the fairer
     alternative to temperature mixtures for low-resource sources.  The
     water-filling solve is CLOSED FORM over the |sources|-row totals
-    table: sort by capacity, and the waterline τ is the smallest
-    candidate (remaining-budget ÷ remaining-sources, a prefix-sum
-    window) that its own row's capacity can absorb; alloc = min(cap, τ).
+    table: sort by capacity ascending; each row's candidate is
+    remaining-budget ÷ remaining-sources (a prefix-sum window), and the
+    waterline τ is the candidate of the FIRST row whose own capacity can
+    absorb it — which is the MAX over qualifying candidates (candidates
+    strictly decrease past the waterline, can go negative, and every
+    negative candidate trivially "qualifies", so min() would pick
+    garbage; the max form is also engine-safe because floor-vs-truncate
+    division differences only exist on the negative candidates max
+    ignores).  alloc = min(cap, τ).
     Exact integer floor division throughout — bit-identical to the
     oracle on any partition layout.  Corpus-scale work is ONE token
     aggregate; the solve itself runs on |sources| rows (window over a
@@ -1154,7 +1160,7 @@ def unimax_allocation(spark, sf_dir):
         F.expr("(budget - COALESCE(prefix, 0L)) div (k - rn + 1)"),
     )
     tau = cand.filter(F.col("cap") >= F.col("tau_cand")).agg(
-        F.min("tau_cand").alias("tau")
+        F.max("tau_cand").alias("tau")
     )
     return cand.join(F.broadcast(tau)).select(
         "source",

@@ -128,21 +128,11 @@ class CountByKeyView:
         """True iff every data file the CDF for (v_from, v_to] would
         read still exists — vacuum() may have reclaimed files referenced
         by old commits, and changes_between tolerates that silently,
-        which would corrupt an incremental delta."""
-        base = self.fmt._snapshot(v_from)
-        added: dict[str, str] = {}
-        removed: set[str] = set()
-        for v in self.fmt._versions():
-            if v <= v_from or v > v_to:
-                continue
-            e = self.fmt._read_entry(v)
-            for rm in e.get("remove", []):
-                if rm in added:
-                    added.pop(rm)
-                elif rm in base:
-                    removed.add(rm)
-            for a in e.get("add", []):
-                added[a["path"]] = a["key"]
+        which would corrupt an incremental delta.  Uses the format's OWN
+        interval_file_changes so the validated file set is by
+        construction the set changes_between will read (a private copy
+        of the netting algebra could silently drift)."""
+        added, removed = self.fmt.interval_file_changes(v_from, v_to)
         for rel in list(added) + sorted(removed):
             if not os.path.exists(os.path.join(self.fmt.data_path, rel)):
                 return False

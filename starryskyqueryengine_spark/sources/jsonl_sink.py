@@ -225,6 +225,9 @@ class JsonlStreamWriter(DataSourceStreamWriter):
             _discard(messages)
             return
         _publish(self.path, messages, manifest)
+        # a continuously-running sink needs the same hard-kill janitor
+        # as the batch path; each successful micro-batch is the GC point
+        _gc_stale_staging(self.staging_root)
 
     def abort(self, messages, batchId):
         _discard(messages)

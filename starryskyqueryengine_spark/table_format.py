@@ -38,7 +38,6 @@ at any scale.
 from __future__ import annotations
 
 import os
-import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -148,6 +147,38 @@ class ParquetPartitionedFormat(TableFormat):
         return out
 
 
+def _footer_stats(parquet_path: str) -> dict | None:
+    """(rows, min/max indexedAt micros) from the parquet FOOTER — pure
+    metadata, no row read (the Delta stats-in-add-action source).  None
+    when statistics are absent (e.g. INT96 files from other writers):
+    stats are an optimization, never a gate."""
+    import calendar
+
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(parquet_path).metadata
+        idx = md.schema.names.index("indexedAt")
+        lo = hi = None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            for v, pick in ((st.min, "lo"), (st.max, "hi")):
+                us = (
+                    calendar.timegm(v.timetuple()) * 1_000_000 + v.microsecond
+                )
+                if pick == "lo":
+                    lo = us if lo is None else min(lo, us)
+                else:
+                    hi = us if hi is None else max(hi, us)
+        if lo is None:
+            return None
+        return {"rows": md.num_rows, "ts_min_us": lo, "ts_max_us": hi}
+    except Exception:
+        return None
+
+
 class ConcurrentWriteError(RuntimeError):
     """Optimistic-concurrency conflict that cannot be auto-rebased:
     another writer committed a change overlapping this commit's key
@@ -246,26 +277,33 @@ class TxnLogFormat(TableFormat):
         with open(self._entry_path(v)) as f:
             return json.load(f)
 
-    def _snapshot(self, version: int | None = None) -> dict[str, str]:
-        """Live data files at ``version`` (default latest) as
-        {relative_path: key}."""
+    def _replay(
+        self, version: int | None = None
+    ) -> tuple[dict[str, str], dict[str, dict]]:
+        """ONE pass over the log (checkpoint-resumed): returns the live
+        file map {relative_path: key} AND the per-file stats map — the
+        single source of truth for both, so snapshot and stats can never
+        drift and a stats-aware read parses the log once."""
+        import json
+
         versions = self._versions()
         if version is not None:
             versions = [v for v in versions if v <= version]
         if not versions:
-            return {}
+            return {}, {}
         live: dict[str, str] = {}
+        stats: dict[str, dict] = {}
         start = 0
         # resume from the newest checkpoint at or below the target
         cks = [c for c in self._checkpoints() if c <= versions[-1]]
         if cks:
-            import json
-
             ck = cks[-1]
             with open(
                 os.path.join(self.log_path, f"{ck:020d}.checkpoint.json")
             ) as f:
-                live = dict(json.load(f)["live"])
+                ckd = json.load(f)
+            live = dict(ckd["live"])
+            stats = dict(ckd.get("stats", {}))
             start = ck + 1
         for v in versions:
             if v < start:
@@ -273,9 +311,53 @@ class TxnLogFormat(TableFormat):
             e = self._read_entry(v)
             for rm in e.get("remove", []):
                 live.pop(rm, None)
+                stats.pop(rm, None)
             for a in e.get("add", []):
                 live[a["path"]] = a["key"]
-        return live
+                if "stats" in a:
+                    stats[a["path"]] = a["stats"]
+                else:
+                    stats.pop(a["path"], None)
+        return live, stats
+
+    def _snapshot(self, version: int | None = None) -> dict[str, str]:
+        """Live data files at ``version`` (default latest) as
+        {relative_path: key}."""
+        return self._replay(version)[0]
+
+    def _snapshot_stats(self, version: int | None = None) -> dict[str, dict]:
+        """Per-file column stats for the live snapshot — files whose
+        add-action predates stats simply cannot be pruned
+        (conservative-correct)."""
+        return self._replay(version)[1]
+
+    def interval_file_changes(
+        self, v_from: int, v_to: int
+    ) -> tuple[dict[str, str], dict[str, str]]:
+        """The net file delta for commits in (v_from, v_to]:
+        ``(added, removed)`` as {relative_path: key}, with add+remove
+        inside the window cancelled and removes counted only for files
+        live at ``v_from`` — the SINGLE implementation of the CDF's
+        netting algebra, shared by :meth:`changes_between` and external
+        incremental consumers (operators/matview.py) so their file sets
+        can never drift apart."""
+        if v_to < v_from:
+            raise ValueError(f"v_to {v_to} < v_from {v_from}")
+        added: dict[str, str] = {}
+        removed: dict[str, str] = {}
+        base = self._snapshot(v_from)
+        for v in self._versions():
+            if v <= v_from or v > v_to:
+                continue
+            e = self._read_entry(v)
+            for rm in e.get("remove", []):
+                if rm in added:
+                    added.pop(rm)  # add+remove inside the window nets out
+                elif rm in base:
+                    removed[rm] = self._key_of(rm)
+            for a in e.get("add", []):
+                added[a["path"]] = a["key"]
+        return added, removed
 
     def _commit(
         self,
@@ -373,52 +455,13 @@ class TxnLogFormat(TableFormat):
             ck = os.path.join(self.log_path, f"{v:020d}.checkpoint.json")
             tmp = ck + ".tmp"
             with open(tmp, "w") as f:
+                live, stats = self._replay(v)
+                # stats ride the checkpoint so log-level skipping
+                # survives log compaction
                 json.dump(
-                    {
-                        "version": v,
-                        "live": self._snapshot(v),
-                        # carry per-file stats across the checkpoint so
-                        # log-level skipping survives log compaction
-                        "stats": self._snapshot_stats(v),
-                    },
-                    f,
+                    {"version": v, "live": live, "stats": stats}, f
                 )
             os.replace(tmp, ck)
-
-    def _snapshot_stats(self, version: int | None = None) -> dict[str, dict]:
-        """Per-file column stats for the live snapshot — {relative_path:
-        stats} for files whose add-action carried a ``stats`` field
-        (older commits may predate stats; those files simply cannot be
-        pruned, which is conservative-correct)."""
-        import json
-
-        versions = self._versions()
-        if version is not None:
-            versions = [v for v in versions if v <= version]
-        if not versions:
-            return {}
-        stats: dict[str, dict] = {}
-        start = 0
-        cks = [c for c in self._checkpoints() if c <= versions[-1]]
-        if cks:
-            ck = cks[-1]
-            with open(
-                os.path.join(self.log_path, f"{ck:020d}.checkpoint.json")
-            ) as f:
-                stats = dict(json.load(f).get("stats", {}))
-            start = ck + 1
-        for v in versions:
-            if v < start:
-                continue
-            e = self._read_entry(v)
-            for rm in e.get("remove", []):
-                stats.pop(rm, None)
-            for a in e.get("add", []):
-                if "stats" in a:
-                    stats[a["path"]] = a["stats"]
-                else:
-                    stats.pop(a["path"], None)
-        return stats
 
     def read_where_ts(
         self,
@@ -438,10 +481,9 @@ class TxnLogFormat(TableFormat):
         O(touched) discipline as every other mutation here, now on the
         read path.  Files without stats (pre-stats commits) are always
         read: conservative, never wrong."""
-        live = self._snapshot(version)
+        live, stats = self._replay(version)
         if not live:
             return spark.createDataFrame([], POST_SCHEMA)
-        stats = self._snapshot_stats(version)
         keep = []
         for rel in sorted(live):
             st = stats.get(rel)
@@ -476,40 +518,22 @@ class TxnLogFormat(TableFormat):
         import uuid as _uuid
 
         staging = os.path.join(self.path, f"_staging-{_uuid.uuid4().hex}")
-        (
-            df.select(_COLS)
-            .write.mode("overwrite")
-            .partitionBy("key")
-            .parquet(staging)
-        )
-        # per-file column stats for log-level data skipping (the Delta
-        # add-action `stats` field): ONE job over the whole staging dir
-        # keyed by input_file_name — never a per-file job loop (the
-        # z-order manifest lesson, VERDICT r5)
-        stats_by_file: dict[str, dict] = {}
+        # TIMESTAMP_MICROS (not the deprecated INT96 default) so parquet
+        # footers carry real min/max statistics for indexedAt — the
+        # add-action stats below then come from FOOTER METADATA, never a
+        # second read of the rows just written
+        ts_conf = "spark.sql.parquet.outputTimestampType"
+        prev_ts = self.spark.conf.get(ts_conf)
+        self.spark.conf.set(ts_conf, "TIMESTAMP_MICROS")
         try:
-            rows = (
-                self.spark.read.option("basePath", staging)
+            (
+                df.select(_COLS)
+                .write.mode("overwrite")
+                .partitionBy("key")
                 .parquet(staging)
-                .groupBy(F.input_file_name().alias("_f"))
-                .agg(
-                    F.count(F.lit(1)).alias("rows"),
-                    F.unix_micros(F.min("indexedAt")).alias("ts_min_us"),
-                    F.unix_micros(F.max("indexedAt")).alias("ts_max_us"),
-                )
-                .collect()  # file-count-bounded metadata
             )
-            for r in rows:
-                # normalize the file: URI to a staging-relative suffix
-                m = re.search(r"(key=[^/]+/[^/]+\.parquet)$", r["_f"])
-                if m:
-                    stats_by_file[m.group(1)] = {
-                        "rows": r["rows"],
-                        "ts_min_us": r["ts_min_us"],
-                        "ts_max_us": r["ts_max_us"],
-                    }
-        except Exception:
-            stats_by_file = {}  # stats are an optimization, never a gate
+        finally:
+            self.spark.conf.set(ts_conf, prev_ts)
 
         adds: list[dict] = []
         try:
@@ -528,7 +552,7 @@ class TxnLogFormat(TableFormat):
                         os.path.join(tgt_dir, new_name),
                     )
                     add = {"path": f"{entry}/{new_name}", "key": key}
-                    st = stats_by_file.get(f"{entry}/{fn}")
+                    st = _footer_stats(os.path.join(staging, entry, fn))
                     if st is not None:
                         add["stats"] = st
                     adds.append(add)
@@ -729,22 +753,7 @@ class TxnLogFormat(TableFormat):
         never the whole table; downstream incremental consumers (a
         search indexer, an aggregate maintainer) process O(changed
         files) per sync."""
-        if v_to < v_from:
-            raise ValueError(f"v_to {v_to} < v_from {v_from}")
-        added: dict[str, str] = {}
-        removed: dict[str, str] = {}
-        base = self._snapshot(v_from)
-        for v in self._versions():
-            if v <= v_from or v > v_to:
-                continue
-            e = self._read_entry(v)
-            for rm in e.get("remove", []):
-                if rm in added:
-                    added.pop(rm)  # add+remove inside the window nets out
-                elif rm in base:
-                    removed[rm] = self._key_of(rm)
-            for a in e.get("add", []):
-                added[a["path"]] = a["key"]
+        added, removed = self.interval_file_changes(v_from, v_to)
 
         def _read_files(paths: dict[str, str]) -> DataFrame | None:
             # tolerate vacuumed files: CDF over a vacuumed interval keeps

@@ -330,3 +330,35 @@ def test_heavy_hitters_exact_is_partitioning_independent(spark):
     thr = lambda n: n // 20
     assert sorted(map(tuple, heavy_hitters_exact(a, "term", thr).collect())) == \
         sorted(map(tuple, heavy_hitters_exact(b, "term", thr).collect()))
+
+
+def test_unimax_waterfilling_invariants(spark):
+    """UniMax allocation must satisfy the water-filling contract on the
+    real fixture: 0 <= alloc <= cap, budget exhausted up to integer
+    slack < |sources|, and below-waterline sources get their FULL cap
+    (the regression guard for the min-vs-max waterline selection, which
+    engine parity alone cannot catch because the oracle mirrors the
+    formula)."""
+    from starryskyqueryengine_spark.catalog import get_queries
+    from starryskyqueryengine_spark.catalog_mixture import (
+        UNIMAX_BUDGET_NUM,
+        UNIMAX_EPOCH_CAP,
+    )
+
+    rows = get_queries()["unimax_allocation"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    total_tokens = sum(r["t_src"] for r in rows)
+    budget = UNIMAX_BUDGET_NUM * total_tokens
+    allocs = [r["alloc_tokens"] for r in rows]
+    caps = [r["cap_tokens"] for r in rows]
+    assert all(0 <= a <= c for a, c in zip(allocs, caps))
+    assert all(c == UNIMAX_EPOCH_CAP * r["t_src"] for c, r in zip(caps, rows))
+    slack = budget - sum(allocs)
+    assert 0 <= slack <= len(rows), (budget, sum(allocs))
+    # every source NOT at its cap sits exactly at the common waterline
+    waterline = {a for a, c in zip(allocs, caps) if a < c}
+    assert len(waterline) <= 1
+    # epochs never exceed the cap
+    assert all(r["epochs_milli"] <= UNIMAX_EPOCH_CAP * 1000 for r in rows)

@@ -272,3 +272,57 @@ def w_stream_sliding_counts(spark, sf_dir):
         )
         q.awaitTermination(300)
     return spark.table(table)
+
+
+PATTERN_WIDTH_US = 6 * 3600 * 1_000_000  # dozens of matches per SF
+
+
+@register(
+    "w_stream_pattern_match",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+      FROM events
+    )
+    SELECT p.user_id, p.event_id, p.ts_us
+    FROM e p
+    WHERE p.event_type = 'purchase'
+      AND EXISTS (
+        SELECT 1 FROM e v
+        WHERE v.user_id = p.user_id AND v.event_type = 'view'
+          AND v.ts_us < p.ts_us
+          AND v.ts_us >= p.ts_us - {PATTERN_WIDTH_US}
+      )
+    """,
+)
+def w_stream_pattern_match(spark, sf_dir):
+    """CEP sequence detection (view -> purchase within 6 h) as a REAL
+    stateful stream (`streaming/stateful.py::stream_pattern_matches`),
+    value-checked against the batch EXISTS-range oracle: every purchase
+    the stream emits is exactly a purchase with a strictly-earlier view
+    in its trailing window.  The stream's per-user state is the pruned
+    list of recent view timestamps — O(window x rate), never history —
+    making this the streaming twin of `funnel_view_click_purchase` /
+    `range_join_click_attribution`, and the strongest check available
+    for a custom applyInPandasWithState operator (bit-equal rows vs a
+    batch engine)."""
+    from .streaming.stateful import stream_pattern_matches
+
+    stream, _ = _events_stream(spark, sf_dir)
+    matched = stream_pattern_matches(
+        stream.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp"))),
+        within_us=PATTERN_WIDTH_US,
+    )
+    table = f"patmatch_{uuid.uuid4().hex[:8]}"
+    tmp = tempfile.mkdtemp(prefix="wpat_")
+    with _stream_shuffle(spark):
+        q = (
+            matched.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(table)

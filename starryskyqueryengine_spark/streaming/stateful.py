@@ -256,3 +256,99 @@ def stream_heavy_hitters(term_stream, k: int = 64, shards: int = 8):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PATTERN_STATE_SCHEMA = "first_ts ARRAY<LONG>, max_ts LONG"
+
+PATTERN_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+    ]
+)
+
+
+def make_pattern_matcher(
+    first_type: str, then_type: str, within_us: int
+):
+    """CEP-lite sequence detection as stream state: emit every
+    ``then_type`` event that follows a ``first_type`` event of the same
+    key within ``within_us`` (strictly after — the streaming form of
+    the batch funnel/EXISTS-range semantics).
+
+    State per key is the list of ``first_type`` timestamps still young
+    enough to matter — pruned to ``(max_seen_ts - within_us, ...]``
+    every batch, so state is O(window × per-key rate), never history.
+
+    Ordering contract: rows WITHIN a batch are sorted here, so
+    intra-batch disorder is free; ACROSS batches the source must be
+    per-key event-time ordered (true of cursor/firehose ingest and of
+    file replays in order — the reference's feed is an ordered stream,
+    src/util/subscription.ts).  A late-across-batch ``then`` event would
+    consult already-pruned state; pair with watermarked sources when
+    that matters.  Output mode: append (matches are immutable facts)."""
+
+    def pattern_fn(
+        key: Tuple[Any, ...],
+        batch_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            first_ts, max_ts = state.get
+            first_ts = list(first_ts)
+        else:
+            first_ts, max_ts = [], -(1 << 62)
+
+        rows = [
+            pdf[["event_id", "ts_us", "event_type"]]
+            for pdf in batch_iter
+            if len(pdf)
+        ]
+        out_ids: list[int] = []
+        out_ts: list[int] = []
+        if rows:
+            batch = pd.concat(rows).sort_values(["ts_us", "event_id"])
+            for eid, ts, etype in batch.itertuples(index=False):
+                ts = int(ts)
+                if etype == first_type:
+                    first_ts.append(ts)
+                elif etype == then_type:
+                    lo = ts - within_us
+                    if any(lo <= s < ts for s in first_ts):
+                        out_ids.append(int(eid))
+                        out_ts.append(ts)
+                max_ts = max(max_ts, ts)
+            first_ts = [s for s in first_ts if s > max_ts - within_us]
+        state.update((first_ts, max_ts))
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])] * len(out_ids),
+                    "event_id": out_ids,
+                    "ts_us": out_ts,
+                }
+            )
+
+    return pattern_fn
+
+
+def stream_pattern_matches(
+    events_stream,
+    first_type: str = "view",
+    then_type: str = "purchase",
+    within_us: int = 10 * 60 * 1_000_000,
+):
+    """Wire the pattern matcher onto a (user_id, event_id, ts_us,
+    event_type) stream; output mode must be 'append'."""
+    return (
+        events_stream.select("user_id", "event_id", "ts_us", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_pattern_matcher(first_type, then_type, within_us),
+            outputStructType=PATTERN_OUTPUT_SCHEMA,
+            stateStructType=PATTERN_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -897,3 +897,55 @@ def test_stream_heavy_hitters_state_and_resume(spark, tmp_path):
 
     per_shard = Counter(r["shard"] for r in emitted)
     assert all(v <= 8 for v in per_shard.values()), per_shard
+
+
+def test_pattern_matcher_multibatch_and_resume(spark, tmp_path):
+    """CEP pattern matcher: matches spanning MICRO-BATCH boundaries are
+    found (the view sits in state from an earlier batch), pruned state
+    never produces stale matches, and a kill-and-resume continues from
+    the checkpoint without duplicate or lost matches."""
+    from starryskyqueryengine_spark.streaming import parquet_stream
+    from starryskyqueryengine_spark.streaming.stateful import (
+        stream_pattern_matches,
+    )
+
+    W = 1000  # microseconds, tiny window for readable fixtures
+    # timeline (one user): view@100 -> purchase@800 (match, same file),
+    # purchase@1500 (matches view@900 ACROSS batches), view@5000,
+    # purchase@5300 (match), purchase@9000 (view@5000 pruned: no match)
+    f1 = [(1, 100, "view"), (2, 800, "purchase"), (3, 900, "view")]
+    f2 = [(4, 1500, "purchase"), (5, 5000, "view")]
+    f3 = [(6, 5300, "purchase"), (7, 9000, "purchase")]
+    src = str(tmp_path / "src")
+    schema = "user_id long, event_id long, ts_us long, event_type string"
+
+    def write_file(rows, n):
+        spark.createDataFrame(
+            [(7, eid, ts, et) for eid, ts, et in rows], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def drain(ck):
+        stream = parquet_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            stream_pattern_matches(stream, within_us=W)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    ck = str(tmp_path / "ck")
+    write_file(f1, 1)
+    write_file(f2, 2)
+    drain(ck)  # two single-file batches
+    write_file(f3, 3)
+    drain(ck)  # resume from checkpoint, third batch
+
+    got = sorted(
+        (r["event_id"], r["ts_us"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == [(2, 800), (4, 1500), (6, 5300)]

@@ -1,0 +1,124 @@
+"""Incremental BM25 index (functions/retrieval.py): after any sequence
+of insert/update/delete batches, probing the incrementally-maintained
+index must return BIT-IDENTICAL scores to an index rebuilt from the
+final corpus — and compaction must change nothing but the physical
+layout."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from starryskyqueryengine_spark.functions.retrieval import (
+    Bm25IncrementalIndex,
+)
+
+TERMS = ("spark", "vector", "stream")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "_change string, doc_id long, text string"
+    )
+
+
+def _probe(idx):
+    return sorted(tuple(r) for r in idx.probe(TERMS, top_k=50).collect())
+
+
+def _rebuilt(spark, tmp_path, docs, tag):
+    idx = Bm25IncrementalIndex(spark, str(tmp_path / f"rebuild-{tag}"))
+    idx.build(docs)
+    return _probe(idx)
+
+
+CORPUS = [
+    (1, "spark streams vectors fast"),
+    (2, "the vector engine"),
+    (3, "stream processing with spark and spark again"),
+    (4, "nothing relevant here"),
+    (5, "vector vector vector"),
+]
+
+
+def test_incremental_equals_rebuild(spark, tmp_path):
+    idx = Bm25IncrementalIndex(spark, str(tmp_path / "idx"))
+    idx.build(_docs(spark, CORPUS[:3]))
+
+    # insert batch
+    idx.apply_changes(
+        _changes(spark, [("insert", 4, CORPUS[3][1]), ("insert", 5, CORPUS[4][1])])
+    )
+    want = _rebuilt(spark, tmp_path, _docs(spark, CORPUS), "a")
+    assert _probe(idx) == want
+
+    # update = delete+insert of the same doc in ONE batch
+    new2 = "an updated spark document about streams"
+    idx.apply_changes(
+        _changes(spark, [("delete", 2, None), ("insert", 2, new2)])
+    )
+    corpus2 = [CORPUS[0], (2, new2)] + CORPUS[2:]
+    want = _rebuilt(spark, tmp_path, _docs(spark, corpus2), "b")
+    assert _probe(idx) == want
+
+    # pure delete
+    idx.apply_changes(_changes(spark, [("delete", 3, None)]))
+    corpus3 = [c for c in corpus2 if c[0] != 3]
+    want = _rebuilt(spark, tmp_path, _docs(spark, corpus3), "c")
+    assert _probe(idx) == want
+
+    # avgdl bookkeeping stayed integer-exact
+    st = idx._stats()
+    total = sum(len(t.split()) for _, t in corpus3)
+    # tokens = whitespace words here because fixture texts are [a-z ]
+    assert st["n_docs"] == len(corpus3)
+    assert st["total_dl"] == total
+
+
+def test_compact_preserves_results_and_clears_tombstones(spark, tmp_path):
+    idx = Bm25IncrementalIndex(spark, str(tmp_path / "idx"))
+    idx.build(_docs(spark, CORPUS))
+    idx.apply_changes(_changes(spark, [("delete", 4, None)]))
+    idx.apply_changes(
+        _changes(spark, [("delete", 5, None), ("insert", 5, "spark stream")])
+    )
+    before = _probe(idx)
+    assert idx._tombstones() is not None
+
+    idx.compact()
+    assert idx._tombstones() is None
+    assert _probe(idx) == before
+
+    # maintenance keeps composing after compaction
+    idx.apply_changes(_changes(spark, [("insert", 9, "vector spark")]))
+    corpus = [CORPUS[0], CORPUS[1], CORPUS[2], (5, "spark stream"),
+              (9, "vector spark")]
+    want = _rebuilt(spark, tmp_path, _docs(spark, corpus), "d")
+    assert _probe(idx) == want
+
+
+def test_probe_prunes_buckets(spark, tmp_path):
+    """The maintained index keeps the static index's pruned-scan plan:
+    the postings read must touch only the query terms' hash buckets."""
+    idx = Bm25IncrementalIndex(spark, str(tmp_path / "idx"))
+    idx.build(_docs(spark, CORPUS))
+    qt = spark.createDataFrame([(t,) for t in TERMS], "term string")
+    buckets = {
+        r["b"]
+        for r in qt.select(
+            (F.abs(F.hash("term")) % idx.n_buckets).alias("b")
+        ).collect()
+    }
+    scan = (
+        spark.read.parquet(os.path.join(str(tmp_path / "idx"), "postings"))
+        .filter(F.col("term_bucket").isin(sorted(buckets)))
+    )
+    # inputFiles() reports the pre-pruning listing; the pruning claim
+    # lives in the plan's PartitionFilters (same pin as the static index)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [term_bucket" in plan
+    assert " IN (" in plan

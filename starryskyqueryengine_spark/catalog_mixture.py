@@ -1085,7 +1085,7 @@ UNIMAX_BUDGET_NUM = 2      # budget = 2x total corpus tokens
     "unimax_allocation",
     rf"""
     WITH d AS (SELECT source, {_TOK_SQL} AS tok FROM documents),
-    per_src AS (SELECT source, SUM(tok) AS t_src FROM d GROUP BY source),
+    per_src AS (SELECT source, CAST(SUM(tok) AS BIGINT) AS t_src FROM d GROUP BY source),
     caps AS (
       SELECT source, t_src, {UNIMAX_EPOCH_CAP} * t_src AS cap,
              row_number() OVER (ORDER BY {UNIMAX_EPOCH_CAP} * t_src, source) AS rn,

@@ -2648,3 +2648,89 @@ def window_rank_family(spark, sf_dir):
             "third_key"
         ),
     )
+
+
+@register(
+    "anomaly_daily_zscore",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             sum(CAST(value AS DECIMAL(18,6))) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT user_id, day, v,
+             CAST(count(v) OVER w AS BIGINT) AS n,
+             sum(v) OVER w AS s1,
+             sum(v * v) OVER w AS s2
+      FROM daily
+      WINDOW w AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, day,
+           CAST(round(CAST(v AS DOUBLE), 4) AS DOUBLE) AS value,
+           CAST(round(
+             (CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+             / sqrt(greatest(
+                 (CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * n), 1e-12)), 6) AS DOUBLE) AS zscore,
+           abs((CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+               / sqrt(greatest(
+                   (CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * n), 1e-12))) > 2.0 AS is_anomaly
+    FROM win WHERE n >= 3
+    """,
+)
+def anomaly_daily_zscore(spark, sf_dir):
+    """Rolling z-score anomaly detection over each user's daily volume:
+    a day is scored against the trailing week's mean/std (current day
+    EXCLUDED from its own baseline — the standard leakage guard).  One
+    shuffle on user_id; the baseline is a bounded ROWS window sharing
+    the daily rollup's sort.  Determinism: the windowed Σv and Σv² are
+    DECIMAL (exact under the frame's defined order), converted to double
+    only for the final closed-form z — identical IEEE tree on both
+    engines; the variance floor (1e-12) keeps constant baselines finite
+    instead of NULL/Inf-diverging.  The monitoring-family companion to
+    gapfill_user_daily and chisq_lang_source.  At 100 TB the rollup
+    bounds all window work by calendar x users."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "user_id",
+            F.expr("ts_us div 86400000000").alias("day"),
+            F.col("value").cast("decimal(18,6)").alias("v0"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("v0").alias("v"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    win = daily.select(
+        "user_id",
+        "day",
+        "v",
+        F.count("v").over(w).cast("bigint").alias("n"),
+        F.sum("v").over(w).alias("s1"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("s2"),
+    ).filter(F.col("n") >= 3)
+    vd = F.col("v").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    nd = F.col("n").cast("double")
+    mean = s1d / F.col("n")
+    std = F.sqrt(
+        F.greatest(
+            (s2d * F.col("n") - s1d * s1d) / (nd * F.col("n")), F.lit(1e-12)
+        )
+    )
+    z = (vd - mean) / std
+    return win.select(
+        "user_id",
+        "day",
+        F.round(vd, 4).alias("value"),
+        F.round(z, 6).alias("zscore"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )

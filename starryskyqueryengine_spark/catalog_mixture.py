@@ -1090,23 +1090,25 @@ UNIMAX_BUDGET_NUM = 2      # budget = 2x total corpus tokens
       SELECT source, t_src, {UNIMAX_EPOCH_CAP} * t_src AS cap,
              row_number() OVER (ORDER BY {UNIMAX_EPOCH_CAP} * t_src, source) AS rn,
              count(*) OVER () AS k,
-             SUM({UNIMAX_EPOCH_CAP} * t_src)
+             COALESCE(SUM({UNIMAX_EPOCH_CAP} * t_src)
                OVER (ORDER BY {UNIMAX_EPOCH_CAP} * t_src, source
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prefix,
-             (SELECT {UNIMAX_BUDGET_NUM} * SUM(tok) FROM d) AS budget
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
+             {UNIMAX_BUDGET_NUM} * SUM(t_src) OVER () AS budget
       FROM per_src
     ),
     cand AS (
-      SELECT *,
-             (budget - COALESCE(prefix, 0)) // (k - rn + 1) AS tau_cand
-      FROM caps
+      SELECT *, (budget - prefix) // (k - rn + 1) AS tau_cand FROM caps
     ),
-    tau AS (SELECT max(tau_cand) AS tau FROM cand WHERE cap >= tau_cand)
-    SELECT c.source, c.t_src,
-           CAST(c.cap AS BIGINT) AS cap_tokens,
-           CAST(least(c.cap, t.tau) AS BIGINT) AS alloc_tokens,
-           CAST((least(c.cap, t.tau) * 1000) // c.t_src AS BIGINT) AS epochs_milli
-    FROM cand c CROSS JOIN tau t
+    taud AS (
+      SELECT *,
+             max(CASE WHEN cap >= tau_cand THEN tau_cand END) OVER () AS tau
+      FROM cand
+    )
+    SELECT source, t_src,
+           CAST(cap AS BIGINT) AS cap_tokens,
+           CAST(least(cap, tau) AS BIGINT) AS alloc_tokens,
+           CAST((least(cap, tau) * 1000) // t_src AS BIGINT) AS epochs_milli
+    FROM taud
     """,
 )
 def unimax_allocation(spark, sf_dir):
@@ -1123,13 +1125,13 @@ def unimax_allocation(spark, sf_dir):
     negative candidate trivially "qualifies", so min() would pick
     garbage; the max form is also engine-safe because floor-vs-truncate
     division differences only exist on the negative candidates max
-    ignores).  alloc = min(cap, τ).
-    Exact integer floor division throughout — bit-identical to the
-    oracle on any partition layout.  Corpus-scale work is ONE token
-    aggregate; the solve itself runs on |sources| rows (window over a
-    tiny table), and the emitted per-source epoch rates drive the same
-    seeded-hash Bernoulli keep as mixture_sample.  Σ alloc ≤ budget
-    with integer slack < |sources|."""
+    ignores).  alloc = min(cap, τ).  Exact integer floor division
+    throughout — bit-identical to the oracle on any partition layout.
+    Corpus-scale work is ONE scan + one token aggregate; budget, prefix,
+    and τ are all WINDOWS over the tiny per-source table (no second
+    corpus scan — the whole solve is one linear plan).  Σ alloc ≤
+    budget with integer slack < |sources|
+    (tests/test_analytics.py::test_unimax_waterfilling_invariants)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1138,33 +1140,38 @@ def unimax_allocation(spark, sf_dir):
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("tok"),
     )
     per_src = d.groupBy("source").agg(F.sum("tok").alias("t_src"))
-    budget_row = d.agg(
-        (F.lit(UNIMAX_BUDGET_NUM) * F.sum("tok")).alias("budget")
-    )
     cap = (F.lit(UNIMAX_EPOCH_CAP) * F.col("t_src")).alias("cap")
     w = Window.orderBy(F.lit(UNIMAX_EPOCH_CAP) * F.col("t_src"), F.col("source"))
+    wall = Window.partitionBy()
     caps = (
         per_src.select("source", "t_src", cap)
         .withColumn("rn", F.row_number().over(w))
-        .withColumn("k", F.count(F.lit(1)).over(Window.partitionBy()))
+        .withColumn("k", F.count(F.lit(1)).over(wall))
         .withColumn(
             "prefix",
-            F.sum("cap").over(
-                w.rowsBetween(Window.unboundedPreceding, -1)
+            F.coalesce(
+                F.sum("cap").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
             ),
         )
-        .join(F.broadcast(budget_row))
+        .withColumn(
+            "budget", F.lit(UNIMAX_BUDGET_NUM) * F.sum("t_src").over(wall)
+        )
     )
     cand = caps.withColumn(
-        "tau_cand",
-        F.expr("(budget - COALESCE(prefix, 0L)) div (k - rn + 1)"),
+        "tau_cand", F.expr("(budget - prefix) div (k - rn + 1)")
     )
-    tau = cand.filter(F.col("cap") >= F.col("tau_cand")).agg(
-        F.max("tau_cand").alias("tau")
+    taud = cand.withColumn(
+        "tau",
+        F.max(
+            F.when(F.col("cap") >= F.col("tau_cand"), F.col("tau_cand"))
+        ).over(wall),
     )
-    return cand.join(F.broadcast(tau)).select(
+    return taud.select(
         "source",
-        "t_src",
+        F.col("t_src").cast("bigint").alias("t_src"),
         F.col("cap").cast("bigint").alias("cap_tokens"),
         F.least(F.col("cap"), F.col("tau")).cast("bigint").alias("alloc_tokens"),
         F.expr("(least(cap, tau) * 1000) div t_src").cast("bigint").alias(

@@ -521,3 +521,35 @@ def test_trend_single_aggregate_after_join(spark, queries):
     assert "Window" not in plan
     # one logical aggregate = partial+final HashAggregate pair
     assert plan.count("HashAggregate") == 2
+
+
+def test_gapfill_single_window_no_smj(spark, queries):
+    """Gap fill: ONE Window node (the forward fill shares the spine
+    join's (user, day) clustering) and no sort-merge join at fixture
+    scale."""
+    plan = plan_of(queries["gapfill_user_daily"](spark, SF_DIR))
+    assert plan.count("Window [") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_anomaly_single_window_single_scan(spark, queries):
+    """Rolling z-score: the three windowed moments share one Window
+    node and one sort; one scan of events."""
+    plan = plan_of(queries["anomaly_daily_zscore"](spark, SF_DIR))
+    assert plan.count("Window [") == 1
+    assert plan.count("FileScan") == 1
+
+
+def test_rolling_7d_no_range_join(spark, queries):
+    """Windowed distinct via contribute-explode: no range join, no
+    sort-merge join — the only join is the 1-row bounds broadcast."""
+    plan = plan_of(queries["rolling_7d_active_users"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Join") <= 1  # the broadcast bounds cross-join
+
+
+def test_unimax_single_corpus_scan(spark, queries):
+    """The water-filling solve must be windows over the totals table —
+    exactly ONE corpus scan feeds the whole plan."""
+    plan = plan_of(queries["unimax_allocation"](spark, SF_DIR))
+    assert plan.count("FileScan") == 1

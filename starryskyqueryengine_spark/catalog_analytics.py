@@ -2581,8 +2581,12 @@ def label_prop_communities(spark, sf_dir):
     from .functions.graph import label_propagation
 
     l = load_table(spark, sf_dir, "lineitem")
-    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
-    b = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    op = l.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()  # dedup BEFORE the self-join: identical DISTINCT pairs,
+    # strictly less fan-out (same PPJoin-style discipline as the dedup family)
+    a = op.select("ok", F.col("p").alias("p1"))
+    b = op.select("ok", F.col("p").alias("p2"))
     edges = (
         a.join(b, "ok")
         .filter(F.col("p1") != F.col("p2"))

@@ -169,7 +169,8 @@ def sssp_bounded(
         F.col("node").cast("bigint").alias("node"),
         F.lit(0).cast("bigint").alias("dist"),
     ).distinct()
-    for _ in range(max_hops):
+    prev = None
+    for i in range(max_hops):
         relaxed = (
             edges.join(
                 F.broadcast(dist.withColumnRenamed("node", "src")), "src"
@@ -184,6 +185,15 @@ def sssp_bounded(
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
         )
+        # materialize each round (node-sized) and drop the previous:
+        # without this, round k's broadcast re-evaluates rounds 1..k-1
+        # — the classic iterative-lineage blowup (same discipline as
+        # pagerank's cached edge list)
+        dist = dist.cache()
+        dist.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = dist
     return dist
 
 
@@ -218,6 +228,7 @@ def label_propagation(
         .cache()
     )
     labels = nodes.select("node", F.col("node").alias("label"))
+    prev = None
     for _ in range(iters):
         counts = (
             edges.join(
@@ -238,4 +249,11 @@ def label_propagation(
                 F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
             )
         )
+        # node-sized materialization per round truncates the lineage so
+        # the next round's broadcast does not re-run this one
+        labels = labels.cache()
+        labels.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = labels
     return labels

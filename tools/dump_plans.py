@@ -74,6 +74,11 @@ HEADLINERS = {
     "rolling_7d_active_users": "windowed distinct via contribute-explode: two hash shuffles, no range join, no per-day passes",
     "sssp_supplier_3hop": "per relaxation round: broadcast the node-sized distance table into the cached edge scan + min-combine",
     "expectations_documents": "every rule a conditional sum in ONE aggregate; uniqueness folds into the same pass via the Expand",
+    "anomaly_daily_zscore": "three windowed moments share ONE Window node and one sort; one scan of events",
+    "unimax_allocation": "water-filling solved as windows over the |sources|-row totals table: ONE corpus scan total",
+    "scd2_priority_history": "three windows (tie-break, change filter, interval close) share one (custkey x ts) sort",
+    "cohort_retention": "distinct-activity shuffle doubles as the dedup; cohort table broadcast back",
+    "window_rank_family": "seven rank-family functions in ONE Window node on one shared sort",
 }
 
 

@@ -609,22 +609,10 @@ def _bm25_oracle() -> str:
     """
 
 
-@register("bm25_search", _bm25_oracle())
-def bm25_search(spark, sf_dir):
-    """BM25 keyword retrieval (Robertson/Sparck Jones probabilistic
-    ranking; the scoring function every Lucene-family index serves) as a
-    relational plan: tokenize once, per-doc lengths and per-term tf in
-    two hash aggregates, document frequency restricted to the (tiny,
-    broadcast) query-term list, then one more per-doc aggregate for the
-    final score and a TakeOrderedAndProject top-k.
-
-    Scale shape: the only corpus-sized shuffles are the two term
-    aggregations (map-side partials halve them); df / avgdl / n_docs are
-    all broadcast single-row or query-sized sides. Nothing quadratic,
-    no UDFs — ln/arith all codegen. At 100 TB this is the standard
-    "score a keyword query without an index" plan; with an inverted
-    index you'd prune tok to postings, which is exactly what the
-    tf-join-on-query-terms does here."""
+def _bm25_doc_scores(spark, sf_dir):
+    """Shared BM25 score subtree: (doc_id, score) for every document
+    matching >=1 query term, score = ROUND(sum of per-term parts, 6).
+    Used by bm25_search (top-k) and hybrid_rrf_search (keyword leg)."""
     docs = load_table(spark, sf_dir, "documents")
     qt = spark.createDataFrame(
         [(t,) for t in BM25_QUERY_TERMS], "term string"
@@ -664,12 +652,156 @@ def bm25_search(spark, sf_dir):
             ).alias("part"),
         )
     )
+    return part.groupBy("doc_id").agg(F.round(F.sum("part"), 6).alias("score"))
+
+
+@register("bm25_search", _bm25_oracle())
+def bm25_search(spark, sf_dir):
+    """BM25 keyword retrieval (Robertson/Sparck Jones probabilistic
+    ranking; the scoring function every Lucene-family index serves) as a
+    relational plan: tokenize once, per-doc lengths and per-term tf in
+    two hash aggregates, document frequency restricted to the (tiny,
+    broadcast) query-term list, then one more per-doc aggregate for the
+    final score and a TakeOrderedAndProject top-k.
+
+    Scale shape: the only corpus-sized shuffles are the two term
+    aggregations (map-side partials halve them); df / avgdl / n_docs are
+    all broadcast single-row or query-sized sides. Nothing quadratic,
+    no UDFs — ln/arith all codegen. At 100 TB this is the standard
+    "score a keyword query without an index" plan; with an inverted
+    index you'd prune tok to postings, which is exactly what the
+    tf-join-on-query-terms does here."""
     return (
-        part.groupBy("doc_id")
-        .agg(F.round(F.sum("part"), 6).alias("score"))
+        _bm25_doc_scores(spark, sf_dir)
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(BM25_TOP_K)
         .select("doc_id", "score")
+    )
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
+HYBRID_LEG_K = 50
+HYBRID_TOP_K = 20
+HYBRID_QUERY_VEC_ID = 0
+
+
+def _hybrid_oracle() -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    return f"""
+    WITH qt(term) AS (VALUES {terms}),
+    tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT tf.term, count(*) AS df FROM tf JOIN qt ON tf.term = qt.term
+           GROUP BY tf.term),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                    + {BM25_B} * dl.dl / stats.avgdl)) AS part
+      FROM tf JOIN df ON tf.term = df.term
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats
+    ),
+    kw AS (
+      SELECT doc_id, rn AS rank_kw FROM (
+        SELECT doc_id, row_number() OVER (
+                 ORDER BY ROUND(sum(part), 6) DESC, doc_id) AS rn
+        FROM scored GROUP BY doc_id
+      ) WHERE rn <= {HYBRID_LEG_K}
+    ),
+    qvec AS (SELECT embedding FROM embeddings WHERE vec_id = {HYBRID_QUERY_VEC_ID}),
+    cand AS (
+      SELECT e.vec_id AS doc_id, e.embedding
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    ),
+    vec AS (
+      SELECT doc_id, rn AS rank_vec FROM (
+        SELECT c.doc_id,
+               row_number() OVER (
+                 ORDER BY ROUND(list_cosine_similarity(
+                            c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+                          c.doc_id) AS rn
+        FROM cand c CROSS JOIN qvec q
+      ) WHERE rn <= {HYBRID_LEG_K}
+    ),
+    fused AS (
+      SELECT COALESCE(kw.doc_id, vec.doc_id) AS doc_id,
+             kw.rank_kw, vec.rank_vec,
+             ROUND(COALESCE(1.0 / ({RRF_K} + kw.rank_kw), 0.0)
+                   + COALESCE(1.0 / ({RRF_K} + vec.rank_vec), 0.0), 6) AS rrf_score
+      FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id
+    )
+    SELECT doc_id, rrf_score, rank_kw, rank_vec FROM (
+      SELECT fused.*, row_number() OVER (
+               ORDER BY rrf_score DESC, doc_id) AS rn
+      FROM fused
+    ) WHERE rn <= {HYBRID_TOP_K}
+    """
+
+
+@register("hybrid_rrf_search", _hybrid_oracle())
+def hybrid_rrf_search(spark, sf_dir):
+    """Hybrid retrieval: BM25 keyword leg + embedding-cosine vector leg,
+    fused by reciprocal rank fusion (Cormack et al. 2009) — the standard
+    first-stage ranker of RAG / search stacks that run a sparse and a
+    dense index side by side.
+
+    Each leg is an independently distributed top-``HYBRID_LEG_K``: the
+    keyword leg reuses bm25_search's two corpus hash aggregations and a
+    TakeOrderedAndProject cut; the vector leg broadcasts the single
+    query vector over a linear codegen scan of the doc-aligned
+    embeddings (brute_force_topk; at 100 TB swap in the IVF/LSH probe —
+    same (doc_id, rank) contract). Fusion then runs entirely on two
+    leg-K-sized tables: the rank windows and the full-outer join touch
+    at most 2*K rows, so the global (unpartitioned) windows here are
+    K-bounded, never corpus-bounded. rrf = sum of 1/(60+rank) over the
+    legs a doc appears in; ranks use the rounded-score + id tie-break
+    so the cut is engine-portable, and both engines evaluate the same
+    IEEE expression tree for the fused score."""
+    from .functions import similarity as sim
+
+    kw_top = (
+        _bm25_doc_scores(spark, sf_dir)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(HYBRID_LEG_K)
+    )
+    wk = Window.orderBy(F.col("score").desc(), "doc_id")
+    kw = kw_top.withColumn("rank_kw", F.row_number().over(wk).cast("bigint")).select(
+        "doc_id", "rank_kw"
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    doc_ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    cand = emb.join(doc_ids, emb["vec_id"] == doc_ids["doc_id"]).select(
+        "vec_id", "embedding"
+    )
+    q0 = emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC_ID)
+    vec_top = sim.brute_force_topk(q0, cand, HYBRID_LEG_K)
+    wv = Window.orderBy(F.col("sim").desc(), F.col("nn_id"))
+    vec = vec_top.withColumn("rank_vec", F.row_number().over(wv).cast("bigint")).select(
+        F.col("nn_id").alias("doc_id"), "rank_vec"
+    )
+
+    fused = kw.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_kw")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_vec")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+        "rank_kw",
+        "rank_vec",
+    )
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(HYBRID_TOP_K)
+        .select("doc_id", "rrf_score", "rank_kw", "rank_vec")
     )
 
 

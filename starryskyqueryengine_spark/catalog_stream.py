@@ -326,3 +326,128 @@ def w_stream_pattern_match(spark, sf_dir):
         )
         q.awaitTermination(300)
     return spark.table(table)
+
+
+# --------------------------------------------------------------------------
+# ACID lifecycle audit: the TxnLogFormat surface (append / MERGE /
+# partition delete / time travel / CDF) exercised end-to-end INSIDE a
+# driver-checked query, so the ACID table format earns a value-exact
+# correctness row rather than pytest-only coverage.
+# --------------------------------------------------------------------------
+
+_ACID_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_i
+  FROM events
+),
+s1 AS (SELECT * FROM base WHERE event_id < 4000),
+s2 AS (
+  SELECT event_id, event_type, value_i FROM s1 WHERE event_id < 2000
+  UNION ALL
+  SELECT event_id, event_type, value_i + 1000000 AS value_i
+  FROM base WHERE event_id >= 2000 AND event_id < 6000
+),
+s3 AS (SELECT * FROM s2 WHERE event_type <> 'click')
+SELECT 1 AS step, 'append' AS op,
+       (SELECT COUNT(*) FROM s1) AS n_rows,
+       (SELECT CAST(COALESCE(SUM(value_i), 0) AS BIGINT) FROM s1) AS checksum,
+       (SELECT COUNT(*) FROM s1) AS cdf_net_inserts,
+       CAST(0 AS BIGINT) AS cdf_net_deletes
+UNION ALL
+SELECT 2, 'merge',
+       (SELECT COUNT(*) FROM s2),
+       (SELECT CAST(COALESCE(SUM(value_i), 0) AS BIGINT) FROM s2),
+       (SELECT COUNT(*) FROM (SELECT * FROM s2 EXCEPT ALL SELECT * FROM s1)),
+       (SELECT COUNT(*) FROM (SELECT * FROM s1 EXCEPT ALL SELECT * FROM s2))
+UNION ALL
+SELECT 3, 'delete',
+       (SELECT COUNT(*) FROM s3),
+       (SELECT CAST(COALESCE(SUM(value_i), 0) AS BIGINT) FROM s3),
+       (SELECT COUNT(*) FROM (SELECT * FROM s3 EXCEPT ALL SELECT * FROM s2)),
+       (SELECT COUNT(*) FROM (SELECT * FROM s2 EXCEPT ALL SELECT * FROM s3))
+"""
+
+
+@register("acid_table_audit", _ACID_ORACLE)
+def acid_table_audit(spark, sf_dir):
+    """ACID table lifecycle as a value-checked query: build a TxnLogFormat
+    table from the events fixture in three commits — (1) bulk append,
+    (2) file-granular MERGE INTO (2000 updates + 2000 inserts), (3)
+    partition delete — then audit every committed version via TIME
+    TRAVEL (``read(version=...)``) and the change data feed
+    (``changes_between``).  The CDF is file-granular (a merge's
+    rewritten files surface their untouched rows as delete+insert
+    pairs), so the audit reports NET row changes after cancelling
+    pairs by full row identity — which must equal the logical delta the
+    relational oracle computes from the raw events. The fixed-point
+    value checksum rides in the cid column (POST_SCHEMA tables), keeping
+    every compared number an exact BIGINT.
+
+    100 TB shape: every mutation is O(touched files) + one atomic log
+    commit; time travel and CDF read only the files the interval's
+    commits name. The per-version aggregates here are full-snapshot
+    scans by design (it is an audit); the per-step collect is 1 row."""
+    import os
+
+    from .table_format import TxnLogFormat
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    posts = ev.select(
+        F.format_string("ev:%09d", F.col("event_id")).alias("uri"),
+        F.col("event_type").alias("key"),
+        F.format_string(
+            "c%09d", F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+        ).alias("cid"),
+        F.lit(None).cast("string").alias("replyParent"),
+        F.lit(None).cast("string").alias("replyRoot"),
+        F.col("ts").alias("indexedAt"),
+        F.col("event_id"),
+    )
+    tmp = tempfile.mkdtemp(prefix=f"acid_{uuid.uuid4().hex[:8]}_")
+    fmt = TxnLogFormat(spark, f"{tmp}/table")
+
+    post_cols = ["uri", "key", "cid", "replyParent", "replyRoot", "indexedAt"]
+    fmt.append(posts.filter(F.col("event_id") < 4000).select(post_cols))
+    v1 = fmt.history()[-1]["version"]
+    batch = (
+        posts.filter((F.col("event_id") >= 2000) & (F.col("event_id") < 6000))
+        .withColumn(
+            "cid",
+            F.format_string(
+                "c%09d",
+                F.expr("CAST(substring(cid, 2) AS BIGINT) + 1000000"),
+            ),
+        )
+        .select(post_cols)
+    )
+    fmt.merge(batch, on=["uri"])
+    v2 = fmt.history()[-1]["version"]
+    fmt.delete_partition("click")
+    v3 = fmt.history()[-1]["version"]
+
+    ident = ["uri", "key", "cid"]  # full row identity (no nullable cols)
+    rows = []
+    ops = ["append", "merge", "delete"]
+    intervals = [(v1 - 1, v1), (v1, v2), (v2, v3)]
+    for step, (va, vb) in enumerate(intervals, start=1):
+        snap = fmt.read(spark, version=vb)
+        agg = snap.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.expr("CAST(substring(cid, 2) AS BIGINT)")), F.lit(0)
+            ).alias("chk"),
+        ).head()
+        cdf = fmt.changes_between(spark, va, vb).select(*ident, "_change")
+        ins = cdf.filter(F.col("_change") == "insert").drop("_change")
+        dels = cdf.filter(F.col("_change") == "delete").drop("_change")
+        net_ins = ins.join(dels, on=ident, how="left_anti").count()
+        net_del = dels.join(ins, on=ident, how="left_anti").count()
+        rows.append(
+            (step, ops[step - 1], agg["n"], int(agg["chk"]), net_ins, net_del)
+        )
+    return spark.createDataFrame(
+        rows,
+        "step bigint, op string, n_rows bigint, checksum bigint, "
+        "cdf_net_inserts bigint, cdf_net_deletes bigint",
+    )

@@ -46,12 +46,18 @@ def main() -> None:
         extra_confs={"spark.cleaner.periodicGC.interval": "1min"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    GC_EVERY = 15
+    GC_EVERY = 8  # was 15; the catalog grew ~25% in round 6 and late
+    # queries were again measuring other queries' garbage (lap2 > cold
+    # on individual late entries while standalone runs were 2-3x faster)
 
     def force_gc() -> None:
         import gc
 
         gc.collect()  # drop py4j handles so JVM weak refs can clear
+        # two JVM passes: the first clears strong refs and enqueues weak
+        # refs, the second lets the ContextCleaner's processed refs'
+        # shuffle/broadcast blocks actually drop
+        spark.sparkContext._jvm.System.gc()
         spark.sparkContext._jvm.System.gc()
 
     import __spark_entry__ as entrymod

@@ -647,3 +647,121 @@ def expectations_documents(spark, sf_dir):
         for name, col in rules
     ]
     return agg.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization + dedup: the CommonCrawl-style first-pass dedup
+# key.  Crawls see the same page under many raw URLs (host case, default
+# port, tracking params, trailing slash, fragments); canonicalizing
+# before content dedup removes the bulk of exact re-fetches without
+# touching document bytes.  Fixtures carry no URLs, so a deterministic
+# messy variant is synthesized per doc (identically in both engines) and
+# the REAL canonicalization algebra — component extraction, host
+# lowercasing, default-port strip, utm_* filter, trailing-slash and
+# fragment strip — is what the value check exercises.
+# --------------------------------------------------------------------------
+
+_URL_PARTS_RE = r"^([a-z]+)://([^/:?#]+)(?::(\d+))?([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+
+
+def _canon_sql(url: str) -> str:
+    """DuckDB canonicalization of a URL expression (5-group regex)."""
+    host = f"lower(regexp_extract({url}, '{_URL_PARTS_RE}', 2))"
+    port = f"regexp_extract({url}, '{_URL_PARTS_RE}', 3)"
+    path = f"rtrim(regexp_extract({url}, '{_URL_PARTS_RE}', 4), '/')"
+    q = f"regexp_extract({url}, '{_URL_PARTS_RE}', 5)"
+    kept_q = (
+        f"array_to_string(list_filter(str_split({q}, '&'), "
+        "p -> NOT starts_with(p, 'utm_')), '&')"
+    )
+    return (
+        f"'https://' || {host} || "
+        f"CASE WHEN {port} NOT IN ('', '443') THEN ':' || {port} ELSE '' END || "
+        f"{path} || "
+        f"CASE WHEN {kept_q} <> '' THEN '?' || {kept_q} ELSE '' END"
+    )
+
+
+_MESSY_URL_SQL = """
+    'https://'
+    || CASE WHEN doc_id % 2 = 0 THEN 'CDN.Example.COM' ELSE 'cdn.example.com' END
+    || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+    || '/page/' || CAST(doc_id % 97 AS VARCHAR)
+    || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+    || '?' || CASE WHEN doc_id % 2 = 1 THEN 'utm_source=feed&' ELSE '' END
+    || 'id=' || CAST(doc_id % 97 AS VARCHAR)
+    || CASE WHEN doc_id % 7 = 0 THEN '#section' ELSE '' END
+"""
+
+
+@register(
+    "url_canonical_dedup",
+    f"""
+    WITH raw AS (
+      SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents
+    ),
+    canon AS (
+      SELECT doc_id, url, {_canon_sql('url')} AS canonical_url FROM raw
+    )
+    SELECT canonical_url,
+           COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS survivor_id,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization + URL-level dedup: canonicalize (lowercase
+    host, strip :443, drop utm_* params, strip trailing slash and
+    fragment), then group — survivor = lowest doc_id, variant count
+    shows how many raw spellings collapsed.
+
+    Scale shape: canonicalization is a zero-shuffle codegen projection
+    (regexp_extract + array filter); the dedup is ONE hash aggregate on
+    the canonical key with map-side partials — the same single-shuffle
+    shape as dedup_exact, applied to the URL key instead of the content
+    hash. At 100 TB this runs before content dedup so the expensive
+    shingle/MinHash machinery never sees exact re-fetches."""
+    docs = load_table(spark, sf_dir, "documents")
+    messy = (
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("CDN.Example.COM"))
+            .otherwise(F.lit("cdn.example.com")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/page/"), (F.col("doc_id") % 97).cast("string"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?"),
+            F.when(F.col("doc_id") % 2 == 1, F.lit("utm_source=feed&"))
+            .otherwise(F.lit("")),
+            F.lit("id="), (F.col("doc_id") % 97).cast("string"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("#section")).otherwise(F.lit("")),
+        )
+    )
+    raw = docs.select("doc_id", messy.alias("url"))
+    # Python-API regexp_extract only: the pattern contains \d, which a
+    # SQL string literal inside F.expr would escape-mangle
+    pat = _URL_PARTS_RE
+    host = F.lower(F.regexp_extract("url", pat, 2))
+    port = F.regexp_extract("url", pat, 3)
+    path = F.regexp_replace(F.regexp_extract("url", pat, 4), "/+$", "")
+    q = F.regexp_extract("url", pat, 5)
+    kept_q = F.array_join(
+        F.filter(F.split(q, "&"), lambda p: ~p.startswith("utm_")), "&"
+    )
+    canonical = F.concat(
+        F.lit("https://"),
+        host,
+        F.when(~port.isin("", "443"), F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(kept_q != "", F.concat(F.lit("?"), kept_q)).otherwise(F.lit("")),
+    )
+    return (
+        raw.select("doc_id", "url", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("survivor_id"),
+            F.countDistinct("url").cast("bigint").alias("n_raw_variants"),
+        )
+    )

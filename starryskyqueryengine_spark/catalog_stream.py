@@ -451,3 +451,118 @@ def acid_table_audit(spark, sf_dir):
         "step bigint, op string, n_rows bigint, checksum bigint, "
         "cdf_net_inserts bigint, cdf_net_deletes bigint",
     )
+
+
+SESSION_GAP_US_STREAM = 30 * 60 * 1_000_000
+
+
+@register(
+    "w_stream_session_counts",
+    f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+    flagged AS (
+      SELECT user_id, ts_us,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w >= {SESSION_GAP_US_STREAM}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    ),
+    sess AS (
+      SELECT user_id, ts_us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts_us) AS sess_start_us,
+           MAX(ts_us) + {SESSION_GAP_US_STREAM} AS sess_end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def w_stream_session_counts(spark, sf_dir):
+    """Stateful STREAMING session windows (the streaming twin of the
+    batch ``sessionize_native`` query): events arrive as a stream, the
+    session_window operator merges them in the state store, and the
+    drained session set must equal classic batch gap-sessionization.
+
+    Drain mechanics: complete mode (session windows support append and
+    complete; update cannot be keyed because merges rewrite window
+    boundaries) — the final memory-sink table is the full merged
+    session set. Append mode would hold back each user's last session
+    forever: its end never passes the final watermark. On an unbounded
+    production stream the same plan runs append mode and trades that
+    emission lag for state bounded by (open sessions) x keys."""
+    from .streaming import session_counts
+
+    stream, _ = _events_stream(spark, sf_dir)
+    sess = session_counts(
+        stream, ts_col="ts", key_col="user_id", gap="30 minutes", watermark="1 hour"
+    )
+    table = f"sesscounts_{uuid.uuid4().hex[:8]}"
+    tmp = tempfile.mkdtemp(prefix="wsess_")
+    with _stream_shuffle(spark):
+        q = (
+            sess.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(table).select(
+        "user_id",
+        F.unix_micros("win_start").alias("sess_start_us"),
+        F.unix_micros("win_end").alias("sess_end_us"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+@register(
+    "w_stream_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def w_stream_dedup(spark, sf_dir):
+    """In-stream exact dedup with watermark-bounded state
+    (dropDuplicatesWithinWatermark): the drained first-occurrence set
+    projected to its key columns must equal batch DISTINCT. The
+    watermark (90 days) exceeds the fixture's span so no state evicts
+    mid-drain and the check is exact; on an unbounded stream the same
+    operator holds only one watermark-width of seen keys — the
+    state-bounded form of the reference's stored-URI membership set
+    (J2/W2). Key-only projection keeps the result deterministic (which
+    physical row is 'first' within a batch is not)."""
+    from .streaming import stream_dedup
+
+    stream, _ = _events_stream(spark, sf_dir)
+    deduped = stream_dedup(
+        stream.select("user_id", "event_type", "ts"),
+        keys=["user_id", "event_type"],
+        ts_col="ts",
+        watermark="90 days",
+    ).select("user_id", "event_type")
+    tmp = tempfile.mkdtemp(prefix="wdedup_")
+    out_dir = f"{tmp}/out"
+    spark.createDataFrame([], "user_id long, event_type string").write.mode(
+        "append"
+    ).parquet(out_dir)
+
+    def sink(bdf, _bid):
+        bdf.write.mode("append").parquet(out_dir)
+
+    with _stream_shuffle(spark):
+        q = (
+            deduped.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    # cross-batch safety: within-watermark duplicates are already
+    # dropped by the operator; a distinct here collapses nothing on the
+    # single-batch drain but keeps the contract under any batching
+    return spark.read.parquet(out_dir).distinct()

@@ -1175,3 +1175,138 @@ def lm_perplexity_scores(spark, sf_dir):
         F.round(F.avg("lp"), 6).alias("avg_logprob"),
         F.round(F.exp(-F.avg("lp")), 4).alias("perplexity"),
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): the mergeable
+# frequency sketch behind streaming heavy-hitter and join-size
+# estimation.  Deterministic md5-derived row hashes make the whole
+# sketch ENGINE-EXACT: build, probe estimates, and the
+# never-underestimates guarantee are all value-checked against the
+# relational oracle (most sketch implementations can only be
+# tolerance-tested; seeded hashing + exact counts avoids that).
+# --------------------------------------------------------------------------
+
+CM_DEPTH = 4    # hash rows
+CM_WIDTH = 64   # buckets per row
+# probe mix: the BM25 query terms, two common words, one absent term
+CM_PROBE_TERMS = ("vector", "spark", "stream", "the", "data", "zzzabsent")
+
+
+def _cm_bucket_spark(row: int, term_col):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"cm:{row}:"), term_col)), 1, 8
+            ),
+            16, 10,
+        ).cast("bigint") % CM_WIDTH
+    )
+
+
+def _cm_oracle() -> str:
+    rows_vals = ", ".join(f"({r})" for r in range(CM_DEPTH))
+    probe_vals = ", ".join(f"('{t}')" for t in CM_PROBE_TERMS)
+    bucket = _sql_md5int("'cm:' || r || ':' || term") + f" % {CM_WIDTH}"
+    return f"""
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ),
+    rows_(r) AS (VALUES {rows_vals}),
+    sketch AS (
+      SELECT r, {bucket} AS bucket, COUNT(*) AS cnt
+      FROM tok, rows_ GROUP BY 1, 2
+    ),
+    probes(term) AS (VALUES {probe_vals}),
+    pb AS (SELECT term, r, {bucket} AS bucket FROM probes, rows_),
+    est AS (
+      SELECT pb.term, CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS est_count
+      FROM pb LEFT JOIN sketch sk ON pb.r = sk.r AND pb.bucket = sk.bucket
+      GROUP BY pb.term
+    ),
+    truth AS (
+      SELECT term, COUNT(*) AS true_count FROM tok
+      WHERE term IN (SELECT term FROM probes) GROUP BY term
+    )
+    SELECT e.term, e.est_count,
+           CAST(COALESCE(t.true_count, 0) AS BIGINT) AS true_count,
+           e.est_count >= COALESCE(t.true_count, 0) AS never_underestimates
+    FROM est e LEFT JOIN truth t ON e.term = t.term
+    """
+
+
+@register("countmin_frequency", _cm_oracle())
+def countmin_frequency(spark, sf_dir):
+    """Count-Min frequency estimation over the corpus token stream:
+    build a {CM_DEPTH}x{CM_WIDTH} sketch in ONE aggregation, then probe
+    a fixed term set and report estimate vs true count plus the CM
+    guarantee bit (estimate can only overestimate).
+
+    Scale shape: the build is the sketch's whole point at 100 TB — the
+    corpus shuffles ONCE as (row, bucket) keys whose domain is
+    DEPTH*WIDTH = {CM_DEPTH * CM_WIDTH}, so map-side partial
+    aggregation collapses every task's contribution to <= {CM_DEPTH * CM_WIDTH}
+    rows before the exchange and the reduce side is sketch-sized, not
+    corpus-sized (same mergeability that lets per-shard sketches union
+    by cell-wise +). Probes join the tiny sketch; the truth side here
+    exists only to value-check the guarantee and restricts its
+    aggregation to the probe terms."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("term")
+    )
+    # 4 bucket columns -> stack to (r, bucket) -> one hash aggregate
+    buckets = tok.select(
+        "term",
+        *[_cm_bucket_spark(r, F.col("term")).alias(f"b{r}") for r in range(CM_DEPTH)],
+    )
+    stack_args = ", ".join(f"{r}L, b{r}" for r in range(CM_DEPTH))
+    cells = buckets.select(
+        F.expr(f"stack({CM_DEPTH}, {stack_args}) AS (r, bucket)")
+    )
+    sketch = cells.groupBy("r", "bucket").agg(F.count("*").alias("cnt"))
+
+    probes = spark.createDataFrame([(t,) for t in CM_PROBE_TERMS], "term string")
+    rows_df = spark.range(CM_DEPTH).select(F.col("id").alias("r"))
+    pb = probes.crossJoin(rows_df).select(
+        "term", "r", _cm_bucket_spark_col(F.col("r"), F.col("term")).alias("bucket")
+    )
+    est = (
+        pb.join(F.broadcast(sketch), ["r", "bucket"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est_count"))
+    )
+    truth = (
+        tok.join(F.broadcast(probes), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("true_count"))
+    )
+    return est.join(F.broadcast(truth), "term", "left").select(
+        "term",
+        "est_count",
+        F.coalesce(F.col("true_count"), F.lit(0)).cast("bigint").alias("true_count"),
+        (F.col("est_count") >= F.coalesce(F.col("true_count"), F.lit(0))).alias(
+            "never_underestimates"
+        ),
+    )
+
+
+def _cm_bucket_spark_col(row_col, term_col):
+    """Bucket hash with a COLUMN row id (probe side: r is data, not a
+    literal)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cm:"), row_col.cast("string"), F.lit(":"), term_col
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint") % CM_WIDTH
+    )

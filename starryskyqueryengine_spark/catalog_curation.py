@@ -765,3 +765,73 @@ def url_canonical_dedup(spark, sf_dir):
             F.countDistinct("url").cast("bigint").alias("n_raw_variants"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Unicode NFC normalization: the first pass of any multilingual corpus
+# pipeline (decomposed vs precomposed spellings of the same word must
+# dedup/tokenize identically).  The fixtures are pure ASCII, so — as
+# with the PII/URL queries — a deterministic doc_id-derived suffix
+# (decomposed NFD sequences for some residues, the precomposed NFC
+# twin for others) is appended identically in both engines; NFC must
+# fold the decomposed and precomposed spellings to the SAME bytes,
+# which the md5 fingerprint value-check proves across engines (Python
+# unicodedata on the Spark side, DuckDB's nfc_normalize in the oracle).
+# --------------------------------------------------------------------------
+
+# residue 0: NFD 'cafe' + combining acute; residue 1: precomposed NFC
+# twin — after NFC both are byte-identical; residue 2: NFD 'noel' with
+# combining diaeresis
+_NFC_SUFFIXES = [" cafe\u0301 test", " caf\u00e9 test", " noe\u0308l"]
+assert _NFC_SUFFIXES[0] != _NFC_SUFFIXES[1]  # decomposed vs precomposed: raw bytes differ pre-NFC
+
+
+@register(
+    "text_nfc_normalize",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE doc_id % 3
+               WHEN 0 THEN '{_NFC_SUFFIXES[0]}'
+               WHEN 1 THEN '{_NFC_SUFFIXES[1]}'
+               ELSE '{_NFC_SUFFIXES[2]}' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(nfc_normalize(t)) AS norm_fp,
+           nfc_normalize(t) <> t AS changed
+    FROM aug
+    """,
+)
+def text_nfc_normalize(spark, sf_dir):
+    """Unicode NFC normalization over the corpus: canonical composition
+    via an Arrow-batched pandas UDF (Python ``unicodedata`` — Spark has
+    no built-in normalizer; the batch transfer is the standard shape
+    for a per-row text transform the JVM lacks).  Emits the md5
+    fingerprint of the normalized text plus a changed flag; documents
+    whose residues got the decomposed vs precomposed suffix twins
+    (doc_id % 3 in {{0, 1}}) must land on IDENTICAL fingerprints after
+    normalization — that collision is what the oracle value-checks.
+
+    Scale shape: zero shuffle — one projection with a vectorized UDF;
+    at 100 TB it rides the scan like the codec kernels."""
+    import unicodedata
+
+    # lambda form: the module's `from __future__ import annotations`
+    # stringifies signature annotations, which pandas_udf can't resolve
+    nfc = F.pandas_udf(
+        lambda s: s.map(lambda x: unicodedata.normalize("NFC", x)), "string"
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_NFC_SUFFIXES[0]))
+        .when(F.col("doc_id") % 3 == 1, F.lit(_NFC_SUFFIXES[1]))
+        .otherwise(F.lit(_NFC_SUFFIXES[2]))
+    )
+    aug = docs.select("doc_id", F.concat(F.col("text"), suffix).alias("t"))
+    return aug.select(
+        "doc_id",
+        F.md5(nfc(F.col("t"))).alias("norm_fp"),
+        (nfc(F.col("t")) != F.col("t")).alias("changed"),
+    )

@@ -566,3 +566,61 @@ def w_stream_dedup(spark, sf_dir):
     # dropped by the operator; a distinct here collapses nothing on the
     # single-batch drain but keeps the contract under any batching
     return spark.read.parquet(out_dir).distinct()
+
+
+@register(
+    "w_stream_static_enrich",
+    """
+    SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+)
+def w_stream_static_enrich(spark, sf_dir):
+    """Stream-static enrichment join (the streaming form of S3/J1): the
+    event stream joins a STATIC broadcast dimension inside each
+    micro-batch — stateless, no watermark, the standard enrichment shape
+    (Spark re-plans the static side per batch, so a slowly-refreshed dim
+    table picks up updates between batches).  Per-batch enriched counts
+    append as parquet partials; their sum must equal the batch join's
+    group-by exactly — each event is enriched exactly once.
+
+    100 TB shape: the dim broadcasts once per micro-batch (size-bounded
+    by the dim, not the stream); no stream-side state at all."""
+    from .sources.fixtures import load_table as _lt
+
+    stream, _ = _events_stream(spark, sf_dir)
+    cust = _lt(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = stream.join(
+        F.broadcast(cust), stream["user_id"] == cust["c_custkey"], "inner"
+    )
+    tmp = tempfile.mkdtemp(prefix="wenrich_")
+    out_dir = f"{tmp}/partials"
+    spark.createDataFrame(
+        [], "c_mktsegment string, event_type string, n long"
+    ).write.mode("append").parquet(out_dir)
+
+    def sink(bdf, _bid):
+        (
+            bdf.groupBy("c_mktsegment", "event_type")
+            .agg(F.count("*").alias("n"))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    with _stream_shuffle(spark):
+        q = (
+            enriched.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )

@@ -556,6 +556,11 @@ def ivf_probe_index(
         _cell_assigner(bc, id_col, vec_col, n_probe), schema=schema
     )
     b_cells = spark.table(table)
+    ts = ivf_tombstones(spark, table)
+    if ts is not None:
+        # deleted ids never surface: broadcast anti-join against the
+        # (change-sized) tombstone set — the incremental-delete contract
+        b_cells = b_cells.join(F.broadcast(ts.select(id_col)), id_col, "left_anti")
     if prune_buckets:
         probed = sorted(
             r["cell"] for r in q_cells.select("cell").distinct().collect()
@@ -808,3 +813,94 @@ def semantic_dedup(
             F.col("dup_of").isNotNull().alias("is_dup"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental IVF index maintenance: the vector-side twin of
+# functions/retrieval.py::Bm25IncrementalIndex (Lucene/FAISS "add to an
+# existing index" semantics).  Change batches are O(batch), never
+# O(corpus): appends assign against the FROZEN centroid sidecar and
+# land in the same bucketed layout (so probes keep their bucket-pruned
+# plan over old + new rows alike); deletes are id tombstones the probe
+# anti-joins (broadcast — tombstone sets are change-sized); compaction
+# folds tombstones into a rewritten lists table with results unchanged.
+# Centroids intentionally do NOT retrain on append — exactly FAISS's
+# IVF contract (retraining is a rebuild, not maintenance), which also
+# keeps incremental == rebuilt bit-identical for probe purposes as long
+# as both use the same centroids.
+# --------------------------------------------------------------------------
+
+
+def _ivf_num_buckets(spark, table: str) -> int:
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    for r in rows:
+        if r["col_name"].strip() == "Num Buckets":
+            return int(r["data_type"])
+    raise ValueError(f"{table} is not a bucketed table")
+
+
+def ivf_index_append(
+    new_vectors: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a batch to a stored IVF index: assign against the existing
+    centroid sidecar (one Arrow pass over the BATCH only) and append to
+    the bucketed lists table with the identical bucket spec, so bucket
+    pruning keeps working across old and new files."""
+    import numpy as np
+
+    spark = new_vectors.sparkSession
+    cent = spark.table(f"{table}_centroids").orderBy("cell").collect()
+    C = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in cent])
+    bc = spark.sparkContext.broadcast(C)
+    schema = f"{id_col} long, {vec_col} array<float>, cell int"
+    b_cells = ensure_parallelism(new_vectors.select(id_col, vec_col)).mapInPandas(
+        _cell_assigner(bc, id_col, vec_col, 1), schema=schema
+    )
+    nb = _ivf_num_buckets(spark, table)
+    (
+        b_cells.write.mode("append")
+        .format("parquet")
+        .bucketBy(nb, "cell")
+        .sortBy("cell", id_col)
+        .saveAsTable(table)
+    )
+
+
+def ivf_index_delete(spark, table: str, ids: list[int], id_col: str = "vec_id") -> None:
+    """Tombstone ids in a stored IVF index (O(change): one tiny append;
+    the lists table is untouched)."""
+    df = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} long")
+    df.write.mode("append").format("parquet").saveAsTable(f"{table}_tombstones")
+
+
+def ivf_tombstones(spark, table: str):
+    """The live tombstone set, or None when nothing was ever deleted."""
+    if spark.catalog.tableExists(f"{table}_tombstones"):
+        return spark.table(f"{table}_tombstones")
+    return None
+
+
+def ivf_index_compact(spark, table: str, id_col: str = "vec_id") -> None:
+    """Fold tombstones into the lists table: rewrite surviving rows into
+    a fresh bucketed table (same spec), swap it in, clear tombstones.
+    Per-cell work only, and the bucketed layout means the rewrite's
+    groups are co-located (no Exchange beyond the bucket write)."""
+    from ..operators.bucketed import write_bucketed
+
+    ts = ivf_tombstones(spark, table)
+    if ts is None:
+        return
+    nb = _ivf_num_buckets(spark, table)
+    survivors = spark.table(table).join(
+        F.broadcast(ts), id_col, "left_anti"
+    )
+    staging = f"{table}_compact_staging"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    write_bucketed(survivors, staging, ["cell"], num_buckets=nb,
+                   sort_cols=["cell", id_col])
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    spark.sql(f"DROP TABLE {table}_tombstones")

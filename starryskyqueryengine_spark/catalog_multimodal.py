@@ -783,3 +783,113 @@ def mm_gif_roundtrip(spark, sf_dir):
     return enc.mapInPandas(
         dec, "media_id long, width int, height int, n_colors int, rgb_sum long"
     )
+
+
+@register(
+    "mm_scene_detect",
+    """
+    WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS n FROM documents),
+    dd AS (SELECT doc_id, n, 1 + doc_id % (n - 1) AS cut FROM d),
+    luma AS (
+      SELECT dd.doc_id, s.s,
+             CAST(sum((13 * dd.doc_id + 7 * i.i + 97 * s.s) % 256) AS BIGINT)
+               AS luma_sum
+      FROM dd, range(2) s(s), range(128) i(i)
+      GROUP BY dd.doc_id, s.s
+    )
+    SELECT dd.doc_id AS media_id,
+           CAST(dd.n AS BIGINT) AS n_frames,
+           CAST(dd.cut AS BIGINT) AS cut_frame,
+           l0.luma_sum AS luma_pre,
+           l1.luma_sum AS luma_post
+    FROM dd
+    JOIN luma l0 ON l0.doc_id = dd.doc_id AND l0.s = 0
+    JOIN luma l1 ON l1.doc_id = dd.doc_id AND l1.s = 1
+    """,
+)
+def mm_scene_detect(spark, sf_dir):
+    """Video scene-cut detection over REAL Y4M payloads: per doc a
+    16x8 C444 clip of ``2 + doc_id % 4`` frames with ONE hard cut at
+    frame ``1 + doc_id % (n-1)`` — within a scene every frame is
+    byte-identical, across the cut every luma pixel shifts by +97 mod
+    256 (the shifted plane sum can never equal the original: the diff
+    is 97*128 - 256*wraps and 97*128 is not a multiple of 256).  The
+    detector decodes each frame's luma plane via the O(1)-seek
+    extractor, computes exact integer plane sums, and flags the first
+    frame whose sum differs from its predecessor — a relational
+    lag-window over the per-frame sums.  The oracle derives the cut
+    position and both scene sums in closed form from the generator, so
+    a detector that fires on the wrong frame (stride bug, plane-order
+    bug, off-by-one in the lag) value-fails.
+
+    100 TB shape: decode is Arrow-batched with one clip in memory at a
+    time; the detection window partitions by media_id (per-clip frame
+    counts are tiny), so state is clip-sized, never corpus-sized."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from .codecs import y4m_encode, y4m_extract_frame, y4m_frame_count
+    from .session import ensure_parallelism
+
+    W, H = 16, 8
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 2 + d % 4
+                cut = 1 + d % (n - 1)
+                i = np.arange(W * H, dtype=np.int64)
+                frames = np.stack(
+                    [
+                        np.stack(
+                            [
+                                ((13 * d + 17 * p + 7 * i + 97 * (1 if f >= cut else 0))
+                                 % 256).astype(np.uint8).reshape(H, W)
+                                for p in range(3)
+                            ],
+                            axis=-1,
+                        )
+                        for f in range(n)
+                    ]
+                )
+                payloads.append(y4m_encode(frames, colorspace="C444"))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    enc = docs.mapInPandas(gen, "media_id long, payload binary")
+
+    def luma_sums(batches):
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "luma_sum": []}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(b)
+                for f in range(y4m_frame_count(raw)):
+                    px = y4m_extract_frame(raw, f)
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(f)
+                    # luma = plane 0 of the (H, W, 3) pixel block
+                    out["luma_sum"].append(int(px[:, :, 0].astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    sums = enc.mapInPandas(luma_sums, "media_id long, frame_idx long, luma_sum long")
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    diffed = sums.withColumn("prev_sum", F.lag("luma_sum").over(w)).withColumn(
+        "is_cut",
+        F.col("prev_sum").isNotNull() & (F.col("luma_sum") != F.col("prev_sum")),
+    )
+    return (
+        diffed.groupBy("media_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_frames"),
+            F.min(F.when(F.col("is_cut"), F.col("frame_idx"))).cast("bigint")
+            .alias("cut_frame"),
+            F.max(F.when(F.col("is_cut"), F.col("prev_sum"))).cast("bigint")
+            .alias("luma_pre"),
+            F.max(F.when(F.col("is_cut"), F.col("luma_sum"))).cast("bigint")
+            .alias("luma_post"),
+        )
+    )

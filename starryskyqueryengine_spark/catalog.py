@@ -610,7 +610,9 @@ PRIORITY: list[str] = [
     # (mm_ppm_resize rotated out — resize path untouched this round,
     #  driver-green r5; replaced by the RAG retrieval capstone)
     "pipeline_rag_retrieval",
-    "mm_wav_features",
+    # (mm_wav_features rotated out — WAV codec untouched this round,
+    #  driver-green r5; replaced by the new Y4M scene-cut detector)
+    "mm_scene_detect",
     "zorder_skipping_scan",
     "pagerank_part_supplier",
     "bm25_search",

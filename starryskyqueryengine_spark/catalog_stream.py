@@ -349,19 +349,19 @@ s2 AS (
   FROM base WHERE event_id >= 2000 AND event_id < 6000
 ),
 s3 AS (SELECT * FROM s2 WHERE event_type <> 'click')
-SELECT 1 AS step, 'append' AS op,
+SELECT CAST(1 AS BIGINT) AS step, 'append' AS op,
        (SELECT COUNT(*) FROM s1) AS n_rows,
        (SELECT CAST(COALESCE(SUM(value_i), 0) AS BIGINT) FROM s1) AS checksum,
        (SELECT COUNT(*) FROM s1) AS cdf_net_inserts,
        CAST(0 AS BIGINT) AS cdf_net_deletes
 UNION ALL
-SELECT 2, 'merge',
+SELECT CAST(2 AS BIGINT), 'merge',
        (SELECT COUNT(*) FROM s2),
        (SELECT CAST(COALESCE(SUM(value_i), 0) AS BIGINT) FROM s2),
        (SELECT COUNT(*) FROM (SELECT * FROM s2 EXCEPT ALL SELECT * FROM s1)),
        (SELECT COUNT(*) FROM (SELECT * FROM s1 EXCEPT ALL SELECT * FROM s2))
 UNION ALL
-SELECT 3, 'delete',
+SELECT CAST(3 AS BIGINT), 'delete',
        (SELECT COUNT(*) FROM s3),
        (SELECT CAST(COALESCE(SUM(value_i), 0) AS BIGINT) FROM s3),
        (SELECT COUNT(*) FROM (SELECT * FROM s3 EXCEPT ALL SELECT * FROM s2)),

@@ -799,3 +799,56 @@ def test_files_without_stats_always_read(spark, tmp_path):
     ) == 2
     got = fmt.read_where_ts(spark, ts_min_us=_us(19), ts_max_us=_us(21))
     assert got.count() == 5  # exact residual filter still applies
+
+
+def test_gdpr_hard_delete_bytes_unrecoverable(spark, tmp_path):
+    """Right-to-be-forgotten flow: CDC row delete -> vacuum must leave
+    NO physical byte trace of the forgotten rows anywhere under the
+    table directory — not merely filter them out of reads.  Snapshot
+    isolation means the delete alone is NOT enough (the old files stay
+    on disk for time travel); vacuum(0) is the hard-delete step, and
+    this pins that contract end to end.
+    """
+    import datetime as dt
+    import os
+
+    from starryskyqueryengine_spark.store import PostStore
+    from starryskyqueryengine_spark.table_format import TxnLogFormat
+
+    path = str(tmp_path / "gdpr")
+    store = PostStore(spark, path, fmt=TxnLogFormat(spark, path))
+    marker = "FORGETME-7f3a9"
+    rows = [
+        {"uri": f"at://u/{marker}/{i}" if i % 10 == 0 else f"at://u/keep/{i}",
+         "key": "feed", "cid": f"c{i:04d}", "replyParent": None,
+         "replyRoot": None, "indexedAt": dt.datetime(2024, 1, 1, 0, 0, i % 60)}
+        for i in range(100)
+    ]
+    from starryskyqueryengine_spark.schemas import POST_SCHEMA
+
+    store._append(spark.createDataFrame(rows, POST_SCHEMA))
+
+    def disk_contains(needle: bytes) -> bool:
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                with open(os.path.join(root, fn), "rb") as f:
+                    if needle in f.read():
+                        return True
+        return False
+
+    assert disk_contains(marker.encode())
+
+    doomed = store.read().filter(F.col("uri").contains(marker)).select("uri", "key")
+    store.delete_rows(doomed)
+    # logically gone...
+    assert store.read().filter(F.col("uri").contains(marker)).count() == 0
+    # ...but snapshot isolation keeps old files for time travel: the
+    # bytes are still on disk until vacuum
+    assert disk_contains(marker.encode()), "delete alone should NOT purge bytes"
+
+    store.fmt.vacuum(retain_versions=0)
+    assert not disk_contains(marker.encode()), (
+        "vacuum must physically remove every file containing forgotten rows"
+    )
+    # surviving data intact
+    assert store.read().count() == 90

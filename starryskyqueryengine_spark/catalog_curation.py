@@ -682,6 +682,29 @@ def _canon_sql(url: str) -> str:
     )
 
 
+def canonical_url_col(url_col: str):
+    """The canonicalization algebra as a reusable Column (shared by the
+    url_canonical_dedup query and its property tests — one definition,
+    no drift). Python-API regexp functions only: the pattern contains
+    backslash-d, which a SQL string literal inside F.expr would
+    escape-mangle."""
+    pat = _URL_PARTS_RE
+    host = F.lower(F.regexp_extract(url_col, pat, 2))
+    port = F.regexp_extract(url_col, pat, 3)
+    path = F.regexp_replace(F.regexp_extract(url_col, pat, 4), "/+$", "")
+    q = F.regexp_extract(url_col, pat, 5)
+    kept_q = F.array_join(
+        F.filter(F.split(q, "&"), lambda p: ~p.startswith("utm_")), "&"
+    )
+    return F.concat(
+        F.lit("https://"),
+        host,
+        F.when(~port.isin("", "443"), F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(kept_q != "", F.concat(F.lit("?"), kept_q)).otherwise(F.lit("")),
+    )
+
+
 _MESSY_URL_SQL = """
     'https://'
     || CASE WHEN doc_id % 2 = 0 THEN 'CDN.Example.COM' ELSE 'cdn.example.com' END
@@ -739,25 +762,8 @@ def url_canonical_dedup(spark, sf_dir):
         )
     )
     raw = docs.select("doc_id", messy.alias("url"))
-    # Python-API regexp_extract only: the pattern contains \d, which a
-    # SQL string literal inside F.expr would escape-mangle
-    pat = _URL_PARTS_RE
-    host = F.lower(F.regexp_extract("url", pat, 2))
-    port = F.regexp_extract("url", pat, 3)
-    path = F.regexp_replace(F.regexp_extract("url", pat, 4), "/+$", "")
-    q = F.regexp_extract("url", pat, 5)
-    kept_q = F.array_join(
-        F.filter(F.split(q, "&"), lambda p: ~p.startswith("utm_")), "&"
-    )
-    canonical = F.concat(
-        F.lit("https://"),
-        host,
-        F.when(~port.isin("", "443"), F.concat(F.lit(":"), port)).otherwise(F.lit("")),
-        path,
-        F.when(kept_q != "", F.concat(F.lit("?"), kept_q)).otherwise(F.lit("")),
-    )
     return (
-        raw.select("doc_id", "url", canonical.alias("canonical_url"))
+        raw.select("doc_id", "url", canonical_url_col("url").alias("canonical_url"))
         .groupBy("canonical_url")
         .agg(
             F.count("*").alias("n_docs"),

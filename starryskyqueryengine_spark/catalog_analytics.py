@@ -18,7 +18,12 @@ from pyspark.sql import functions as F
 
 from .catalog import register
 from .operators.rangejoin import interval_count_join
+from .session import scoped_shuffle_partitions
 from .sources.fixtures import load_table
+
+#: iterative graph rounds churn node-sized tables; size their shuffles
+#: to the working set, not the input (scoped, restored on exit)
+GRAPH_SHUFFLE_PARTS = 8
 
 SESSION_GAP_US = 30 * 60 * 1_000_000
 RANGE_WIDTH_US = 10 * 60 * 1_000_000
@@ -1453,7 +1458,10 @@ def pagerank_dangling(spark, sf_dir):
         (2 * F.col("o_custkey")).alias("src"),
         (2 * F.col("o_orderkey") + 1).alias("dst"),
     )
-    ranks, _ = pagerank(edges, max_iters=2, damping_pct=85, scale=PR_SCALE)
+    # the per-round materializations all execute inside this call: size
+    # the shuffle to the node-sized working set (see session.py)
+    with scoped_shuffle_partitions(spark, GRAPH_SHUFFLE_PARTS):
+        ranks, _ = pagerank(edges, max_iters=2, damping_pct=85, scale=PR_SCALE)
     return (
         ranks.orderBy(F.col("r").desc(), "node")
         .limit(20)
@@ -2529,7 +2537,11 @@ def sssp_supplier_3hop(spark, sf_dir):
         .filter(F.col("s_nationkey") == F.col("mn"))
         .select((2 * F.col("s_suppkey")).alias("node"))
     )
-    return sssp_bounded(edges, sources, max_hops=3).select(
+    # per-round dist tables materialize inside sssp_bounded: node-sized
+    # shuffles (see session.scoped_shuffle_partitions)
+    with scoped_shuffle_partitions(spark, GRAPH_SHUFFLE_PARTS):
+        dist = sssp_bounded(edges, sources, max_hops=3)
+    return dist.select(
         F.col("node").cast("bigint").alias("node"),
         F.col("dist").cast("bigint").alias("dist"),
     )
@@ -2603,7 +2615,13 @@ def label_prop_communities(spark, sf_dir):
         .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
         .distinct()
     )
-    labels = label_propagation(edges, iters=2)
+    # the EDGE BUILD (pair self-join + distinct) is input-sized — run it
+    # at the session's full parallelism and materialize; only the
+    # node-sized propagation rounds get the scoped shuffle
+    edges = edges.cache()
+    edges.count()
+    with scoped_shuffle_partitions(spark, GRAPH_SHUFFLE_PARTS):
+        labels = label_propagation(edges, iters=2)
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
     )

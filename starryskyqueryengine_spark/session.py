@@ -79,3 +79,29 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     return apply_runtime_confs(spark)
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Temporarily size ``spark.sql.shuffle.partitions`` for a
+    node-sized iterative workload (graph rounds, small stateful drains).
+
+    Iterative algorithms materialize per-round tables whose size is the
+    NODE set, not the input: at fixture scale a 32-partition shuffle per
+    round is almost pure task overhead (measured 20-40% of the whole
+    query on the graph family). A production run sizes this to
+    |nodes| / target-partition-rows before the loop — the same
+    size-to-the-data rule as the streaming drains' state-store scoping
+    (catalog_stream._stream_shuffle); AQE coalescing handles the reads
+    but not the task-launch cost of the writes. The conf is restored on
+    exit; only the driver-side loop body (which is where every
+    per-round materialization executes) sees the scoped value."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

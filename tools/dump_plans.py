@@ -79,6 +79,14 @@ HEADLINERS = {
     "scd2_priority_history": "three windows (tie-break, change filter, interval close) share one (custkey x ts) sort",
     "cohort_retention": "distinct-activity shuffle doubles as the dedup; cohort table broadcast back",
     "window_rank_family": "seven rank-family functions in ONE Window node on one shared sort",
+    "hybrid_rrf_search": "both legs cut to K by TakeOrderedAndProject; fusion windows/join run on leg-K-sized inputs only",
+    "pq_encode": "one Arrow-batched kernel pass (ArrowEvalPython/mapInPandas) — no join, no shuffle; codebook rides the closure",
+    "ann_pq_adc_topk": "distance = literal LUT arrays indexed by stored codes; TakeOrderedAndProject cut; float embeddings never re-read",
+    "countmin_frequency": "sketch build is ONE hash aggregate with partial_count (map-side combine to <= depth*width rows per task)",
+    "url_canonical_dedup": "canonicalization all codegen (no Python eval); dedup one partial->final hash aggregate",
+    "pipeline_rag_retrieval": "chunker explode + two chunk-token aggregations + broadcast query vector; fusion bounded by leg K",
+    "q2_min_cost_supplier": "broadcast LeftSemi prunes lineitem BELOW the cost/min-cost aggregates (selective part filter first)",
+    "mm_scene_detect": "Arrow decode kernels; lag window partitioned by media_id (clip-sized state)",
 }
 
 

@@ -893,3 +893,184 @@ def mm_scene_detect(spark, sf_dir):
             .alias("luma_post"),
         )
     )
+
+
+@register(
+    "mm_image_phash_neardup",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             doc_id - doc_id % 5 AS g,
+             CAST(doc_id % 5 AS BIGINT) AS r,
+             8 + 8 * ((doc_id - doc_id % 5) % 3) AS w,
+             8 + 8 * ((doc_id - doc_id % 5) % 2) AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, g, r, w, h, unnest(range(w * h)) AS i
+      FROM dims
+    ),
+    boxed AS (
+      SELECT doc_id,
+             ((i // w) // (h // 8)) * 8 + ((i % w) // (w // 8)) AS box,
+             (31 * g + 7 * i) % 240 + 2 * r
+               + CASE WHEN i % 97 < r THEN 5 ELSE 0 END AS val
+      FROM px
+    ),
+    sums AS (
+      SELECT doc_id, box, sum(val) AS s FROM boxed GROUP BY doc_id, box
+    ),
+    tot AS (
+      SELECT doc_id, sum(s) AS t FROM sums GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT s.doc_id,
+             s.box // 16 AS band_idx,
+             CAST(sum(CASE WHEN 64 * s.s > t.t THEN 1 << (s.box % 16)
+                           ELSE 0 END) AS BIGINT) AS band_val
+      FROM sums s JOIN tot t USING (doc_id)
+      GROUP BY s.doc_id, s.box // 16
+    ),
+    hashes AS (
+      SELECT doc_id,
+             max(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+             max(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+             max(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+             max(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+      FROM bands GROUP BY doc_id
+    )
+    SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+             AS INT) AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+    """,
+)
+def mm_image_phash_neardup(spark, sf_dir):
+    """Image-content near-duplicate detection via a perceptual hash —
+    the image-modality twin of MinHash/SimHash text dedup (closes the
+    one dedup-modality gap: we deduped text, embeddings, lines, spans,
+    and URLs, but not pixels).
+
+    Per doc, synthesize a grayscale image from a closed-form generator
+    in which groups of five doc_ids share a base pattern but differ by a
+    uniform brightness shift (+2r) plus a sparse sparkle perturbation
+    (+5 on every 97th pixel for r of them) — planted near-duplicates.
+    Encode each as a REAL grayscale PNG (codecs.py color-type 0, filter
+    cycling over all five unfilter paths), decode it back, and compute a
+    64-bit average-hash: 8x8 grid of integer box sums, bit = 64*box_sum
+    > total_sum. The compare is scale-free integer arithmetic, so aHash
+    is EXACTLY invariant under the uniform brightness shift — planted
+    pairs land at Hamming distance 0-3 while unrelated images sit near
+    32.
+
+    Candidate generation is banded LSH, never all-pairs: the hash is
+    split into 4 x 16-bit bands; docs sharing any (band_idx, band_val)
+    pair up. By pigeonhole, Hamming <= 3 over 4 bands forces at least
+    one identical band, so banding + popcount verify is PROVABLY equal
+    to the brute-force join the DuckDB oracle runs — an exact algorithm
+    with sub-quadratic candidates, same contract as dedup_minhash_lsh's
+    banding (functions/dedup.py).
+
+    Reference tie-in: the engine's J2/J4 dedup surface
+    (src/subscription.ts:414-416, :274-278) extended to binary media
+    payloads per the north-star multimodal mandate.
+
+    100 TB shape: one Arrow-batched mapInPandas encode hop and one
+    decode/hash hop (per-payload memory, zero shuffle), then a tiny
+    (media_id, 4 ints) hash table: band self-join shuffles ~20 bytes a
+    row, the pair verify re-joins the same skinny table twice, and
+    whole-stage codegen covers everything after the codec. Python never
+    sees the join."""
+    import numpy as np
+    import pandas as pd
+
+    from .codecs import png_decode, png_encode
+    from .session import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g, r = d - d % 5, d % 5
+                w, h = 8 + 8 * (g % 3), 8 + 8 * (g % 2)
+                i = np.arange(w * h, dtype=np.int64)
+                val = (31 * g + 7 * i) % 240 + 2 * r + np.where(i % 97 < r, 5, 0)
+                payloads.append(
+                    png_encode(
+                        val.astype(np.uint8).reshape(h, w),
+                        filters=[(d + y) % 5 for y in range(h)],
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    enc = docs.mapInPandas(gen, "media_id long, payload binary")
+
+    def phash(batches):
+        for pdf in batches:
+            out = {"media_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                w, h, _ch, px = png_decode(bytes(b))
+                a = px.reshape(h, w).astype(np.int64)
+                # integer 8x8 box sums: split rows/cols into 8 equal runs
+                s = a.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+                bits = (64 * s > s.sum()).reshape(-1)
+                out["media_id"].append(int(mid))
+                for j in range(4):
+                    out[f"b{j}"].append(
+                        int(np.sum(bits[16 * j : 16 * j + 16] << np.arange(16)))
+                    )
+            yield pd.DataFrame(out)
+
+    hashes = enc.mapInPandas(
+        phash, "media_id long, b0 long, b1 long, b2 long, b3 long"
+    ).cache()
+    # Eagerly materialize the (tiny) hash table: the band explode and the
+    # two pair-verify probes below are three plan branches over it, and
+    # concurrent stages would each re-run the codec hop before the lazy
+    # cache fills. One bounded action makes the expensive Python pass run
+    # exactly once; everything after is JVM-side.
+    hashes.count()
+
+    bands = hashes.select(
+        "media_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("band_idx"), F.col(f"b{j}").alias("band_val"))
+                for j in range(4)
+            ])
+        ).alias("band"),
+    ).select("media_id", "band.band_idx", "band.band_val")
+
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .distinct()
+    )
+
+    ha = hashes.select(*[F.col(c).alias(f"a_{c}") for c in hashes.columns])
+    hb = hashes.select(*[F.col(c).alias(f"b_{c}") for c in hashes.columns])
+    hamming = sum(
+        F.bit_count(F.col(f"a_b{j}").bitwiseXOR(F.col(f"b_b{j}"))) for j in range(4)
+    )
+    return (
+        cand.join(ha, cand.media_a == ha.a_media_id)
+        .join(hb, cand.media_b == hb.b_media_id)
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= 3)
+        .select("media_a", "media_b", "hamming")
+    )

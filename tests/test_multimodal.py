@@ -223,3 +223,48 @@ def test_decode_media_sniffs_ppm(spark):
     raw = b"plain text payload"
     assert got[2]["checksum"] == zlib.crc32(raw)
     assert got[2]["mean_byte"] == sum(raw) / len(raw)
+
+
+def test_image_ahash_brightness_invariance_and_banding(spark):
+    """mm_image_phash_neardup building blocks: (a) the integer aHash is
+    EXACTLY invariant under a uniform brightness shift (the scale-free
+    64*box_sum > total compare), (b) a sparse perturbation moves the
+    hash only a few bits, and (c) banded candidates + popcount<=3 verify
+    equals the brute-force pair set (pigeonhole: <=3 differing bits over
+    4 bands forces one identical band)."""
+    import numpy as np
+
+    def ahash_bands(a):
+        h, w = a.shape
+        s = a.astype(np.int64).reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+        bits = (64 * s > s.sum()).reshape(-1)
+        return [int(np.sum(bits[16 * j: 16 * j + 16] << np.arange(16)))
+                for j in range(4)]
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 240, size=(16, 24)).astype(np.uint8)
+    shifted = (base + 9).astype(np.uint8)  # uniform brightness, no clip
+    assert ahash_bands(base) == ahash_bands(shifted)
+
+    perturbed = base.copy().reshape(-1)
+    perturbed[::97] = np.minimum(perturbed[::97] + 5, 255)
+    perturbed = perturbed.reshape(16, 24)
+    ham = sum(bin(a ^ b).count("1")
+              for a, b in zip(ahash_bands(base), ahash_bands(perturbed)))
+    assert ham <= 8  # sparse sparkle: small movement, not a rehash
+
+    # (c) banding completeness on a random corpus
+    imgs = [rng.randint(0, 256, size=(16, 16)).astype(np.uint8) for _ in range(60)]
+    hashes = [ahash_bands(im) for im in imgs]
+    brute = {
+        (i, j)
+        for i in range(60) for j in range(i + 1, 60)
+        if sum(bin(a ^ b).count("1") for a, b in zip(hashes[i], hashes[j])) <= 3
+    }
+    banded = {
+        (i, j)
+        for i in range(60) for j in range(i + 1, 60)
+        if any(hashes[i][k] == hashes[j][k] for k in range(4))
+        and sum(bin(a ^ b).count("1") for a, b in zip(hashes[i], hashes[j])) <= 3
+    }
+    assert banded == brute

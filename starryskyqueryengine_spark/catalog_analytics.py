@@ -2766,3 +2766,59 @@ def anomaly_daily_zscore(spark, sf_dir):
         F.round(z, 6).alias("zscore"),
         (F.abs(z) > 2.0).alias("is_anomaly"),
     )
+
+
+@register(
+    "skew_salted_join",
+    """
+    WITH fact AS (
+      SELECT CASE WHEN l_partkey % 50 < 35 THEN 0
+                  ELSE CAST(l_partkey % 25 AS INTEGER) END AS hotkey,
+             l_orderkey
+      FROM lineitem
+    )
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(f.l_orderkey) AS BIGINT) AS sum_okey
+    FROM fact f JOIN nation n ON n.n_nationkey = f.hotkey
+    GROUP BY n.n_name
+    """,
+)
+def skew_salted_join(spark, sf_dir):
+    """Skewed fact x small dim equi-join via deterministic salting
+    (operators/skew.py::salted_join_skewed_fact) — the join-side twin of
+    a1_salted_count_per_key. The derived key is skewed by construction
+    (70% of lineitem lands on hotkey 0, the viral-feed shape); a plain
+    key-equi-join would put that key's rows into ONE reducer task. The
+    salted form replicates each dim row n_salt times, salts the fact
+    side by hash of a high-cardinality column (never rand() — replay-
+    safe), and joins on (key, salt): the hot key spreads over n_salt
+    tasks. Semantically transparent — row-for-row equal to the plain
+    join the oracle runs — so the aggregate value-checks exactly (BIGINT
+    sums, no float order sensitivity).
+
+    100 TB shape: dim replication costs n_salt x |dim| (25 x 16 rows
+    here — negligible against any fact side); the aggregate after the
+    join is map-side partial. For large-large skewed joins AQE skew
+    splitting is the path instead; this operator covers the pre-AQE /
+    streaming-replay case where determinism matters.
+    """
+    from .operators.skew import salted_join_skewed_fact
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_partkey") % 50 < 35, F.lit(0))
+        .otherwise((F.col("l_partkey") % 25).cast("int"))
+        .alias("hotkey"),
+        "l_orderkey",
+    )
+    dim = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("hotkey"), "n_name"
+    )
+    joined = salted_join_skewed_fact(
+        fact, dim, key_col="hotkey", salt_from="l_orderkey", n_salt=16
+    )
+    return joined.groupBy("n_name").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("l_orderkey").cast("bigint").alias("sum_okey"),
+    )

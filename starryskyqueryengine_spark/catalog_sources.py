@@ -310,3 +310,54 @@ def s1_datasource_scan(spark, sf_dir):
         .load()
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "bloom_prefilter_upsert",
+    """
+    WITH stored AS (
+      SELECT 'uri' || o_orderkey AS uri FROM orders WHERE o_orderkey % 7 < 5
+    ),
+    inc AS (
+      SELECT 'uri' || o_orderkey AS uri, o_orderkey FROM orders
+      WHERE o_orderkey % 3 = 0
+    )
+    SELECT i.uri, i.o_orderkey AS orderkey
+    FROM inc i
+    WHERE NOT EXISTS (SELECT 1 FROM stored s WHERE s.uri = i.uri)
+    """,
+)
+def bloom_prefilter_upsert(spark, sf_dir):
+    """S8/J3 at 100 TB: the Bloom pre-probe in front of the exact PK
+    anti-join (operators/bloom.py, the same filter PostStore.upsert
+    uses). The incoming batch splits against a Bloom filter of the
+    stored URIs: rows the filter rejects are PROVABLY new (no false
+    negatives) and skip the join entirely; only the maybe-duplicate
+    remainder (true dups + ~fpp false positives) takes the exact
+    anti-join. definitely_new UNION exact(maybe_dup) is row-for-row the
+    plain anti-join the oracle runs, at ANY false-positive rate — so
+    the result is deterministic even though which rows shortcut the
+    join is not.
+
+    Reference tie-in: INSERT .. ON CONFLICT DO NOTHING
+    (src/subscription.ts:362-366) pre-probed the way Delta/Iceberg use
+    file-level bloom indexes.
+
+    100 TB shape: bit positions are computed by codegen'd xxhash64 on
+    both sides (Kirsch-Mitzenmacher double hashing); the build
+    aggregates to at most m distinct positions regardless of store
+    size; the probe broadcasts a packed bitset and does one vectorized
+    numpy gather per Arrow batch. The exact join — the expensive part —
+    runs over only the maybe-dup slice; on the dominant mostly-new
+    ingest shape that is a small fraction of the batch."""
+    from .operators.bloom import bloom_split_new
+
+    orders = load_table(spark, sf_dir, "orders")
+    uri = F.concat(F.lit("uri"), F.col("o_orderkey")).alias("uri")
+    stored = orders.filter(F.col("o_orderkey") % 7 < 5).select(uri)
+    incoming = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        uri, F.col("o_orderkey").alias("orderkey")
+    )
+    definitely_new, maybe_dup = bloom_split_new(incoming, stored, key_col="uri")
+    exact_new = maybe_dup.join(stored, "uri", "left_anti")
+    return definitely_new.unionByName(exact_new).select("uri", "orderkey")

@@ -179,6 +179,11 @@ def _footer_stats(parquet_path: str) -> dict | None:
         return None
 
 
+class SchemaEvolutionError(ValueError):
+    """Incompatible write schema: a shared column changed type. New
+    columns evolve the table; type changes never do (no silent casts)."""
+
+
 class ConcurrentWriteError(RuntimeError):
     """Optimistic-concurrency conflict that cannot be auto-rebased:
     another writer committed a change overlapping this commit's key
@@ -366,6 +371,7 @@ class TxnLogFormat(TableFormat):
         remove_keys: set[str] | None,
         extra_removes: list[str] | None = None,
         txn: tuple[str, int] | None = None,
+        schema=None,
     ) -> int:
         """Atomically publish one commit. ``remove_keys`` scopes the
         removes to live files of those keys, re-resolved against the
@@ -410,6 +416,10 @@ class TxnLogFormat(TableFormat):
             }
             if txn is not None:
                 entry["txn"] = {"app": txn[0], "version": int(txn[1])}
+            if schema is not None:
+                # full StructType JSON (Delta metaData-style): the log is
+                # the single source of truth for the schema at a version
+                entry["schema"] = schema.jsonValue()
             tmp = os.path.join(self.log_path, f".tmp-{_uuid.uuid4().hex}.json")
             with open(tmp, "w") as f:
                 json.dump(entry, f)
@@ -463,6 +473,63 @@ class TxnLogFormat(TableFormat):
                 )
             os.replace(tmp, ck)
 
+    # ------------------------------------------------- schema evolution
+
+    def table_schema(self, version: int | None = None):
+        """The table schema AT ``version`` (default latest), resolved
+        from the log: each schema-changing commit records the full
+        StructType JSON (Delta's ``metaData`` action); the nearest
+        schema at or below ``version`` wins, so time travel reads old
+        versions with their OLD schema. Tables created before schema
+        logging fall back to POST_SCHEMA (their implicit contract)."""
+        from pyspark.sql.types import StructType
+
+        versions = self._versions()
+        if version is not None:
+            versions = [v for v in versions if v <= version]
+        for v in reversed(versions):
+            s = self._read_entry(v).get("schema")
+            if s is not None:
+                return StructType.fromJson(s)
+        return POST_SCHEMA
+
+    def _cols(self, version: int | None = None) -> list[str]:
+        return [f.name for f in self.table_schema(version).fields]
+
+    def _reconcile(self, df: DataFrame):
+        """Align a write batch with the table schema (Delta mergeSchema
+        semantics): new columns EVOLVE the table (appended to the field
+        list, recorded in this commit's log entry); columns missing from
+        the batch are NULL-filled; a type change on a shared column
+        raises :class:`SchemaEvolutionError` — never a silent cast.
+        Returns ``(aligned_df, schema_to_log)`` where ``schema_to_log``
+        is None when the table schema is unchanged by this write."""
+        from pyspark.sql.types import StructType
+
+        if "key" not in df.columns:
+            raise ValueError("TxnLogFormat tables are partitioned by 'key'")
+        if not self.exists():
+            return df, df.schema
+        cur = self.table_schema()
+        cur_by_name = {f.name: f for f in cur.fields}
+        df_by_name = {f.name: f for f in df.schema.fields}
+        for name in set(cur_by_name) & set(df_by_name):
+            if cur_by_name[name].dataType != df_by_name[name].dataType:
+                raise SchemaEvolutionError(
+                    f"column {name!r}: table has "
+                    f"{cur_by_name[name].dataType.simpleString()}, batch has "
+                    f"{df_by_name[name].dataType.simpleString()}"
+                )
+        new_fields = [f for f in df.schema.fields if f.name not in cur_by_name]
+        out = StructType(list(cur.fields) + new_fields) if new_fields else cur
+        sel = [
+            F.col(f.name)
+            if f.name in df_by_name
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in out.fields
+        ]
+        return df.select(*sel), (out if new_fields else None)
+
     def read_where_ts(
         self,
         spark: SparkSession,
@@ -481,9 +548,10 @@ class TxnLogFormat(TableFormat):
         O(touched) discipline as every other mutation here, now on the
         read path.  Files without stats (pre-stats commits) are always
         read: conservative, never wrong."""
+        schema = self.table_schema(version)
         live, stats = self._replay(version)
         if not live:
-            return spark.createDataFrame([], POST_SCHEMA)
+            return spark.createDataFrame([], schema)
         keep = []
         for rel in sorted(live):
             st = stats.get(rel)
@@ -494,11 +562,12 @@ class TxnLogFormat(TableFormat):
                     continue
             keep.append(rel)
         if not keep:
-            return spark.createDataFrame([], POST_SCHEMA)
+            return spark.createDataFrame([], schema)
         df = (
-            spark.read.option("basePath", self.data_path)
+            spark.read.schema(schema)
+            .option("basePath", self.data_path)
             .parquet(*[os.path.join(self.data_path, p) for p in keep])
-            .select(_COLS)
+            .select([f.name for f in schema.fields])
         )
         ts_us = F.unix_micros(F.col("indexedAt"))
         if ts_min_us is not None:
@@ -526,9 +595,10 @@ class TxnLogFormat(TableFormat):
         prev_ts = self.spark.conf.get(ts_conf)
         self.spark.conf.set(ts_conf, "TIMESTAMP_MICROS")
         try:
+            # callers (append/overwrite/merge/optimize) align the batch
+            # with the logged table schema via _reconcile before staging
             (
-                df.select(_COLS)
-                .write.mode("overwrite")
+                df.write.mode("overwrite")
                 .partitionBy("key")
                 .parquet(staging)
             )
@@ -566,14 +636,20 @@ class TxnLogFormat(TableFormat):
         return bool(self._versions())
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        schema = self.table_schema(version)
         live = self._snapshot(version)
         if not live:
-            return spark.createDataFrame([], POST_SCHEMA)
+            return spark.createDataFrame([], schema)
         paths = [os.path.join(self.data_path, p) for p in sorted(live)]
+        # explicit logged schema: files written before a schema evolution
+        # lack the newer columns — the parquet reader NULL-fills them, so
+        # one snapshot can span schema versions (and time travel reads an
+        # old version with its old, narrower schema)
         return (
-            spark.read.option("basePath", self.data_path)
+            spark.read.schema(schema)
+            .option("basePath", self.data_path)
             .parquet(*paths)
-            .select(_COLS)
+            .select([f.name for f in schema.fields])
         )
 
     def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> None:
@@ -586,11 +662,14 @@ class TxnLogFormat(TableFormat):
         stream dies between the sink's write and its checkpoint."""
         if txn is not None and self.last_txn_version(txn[0]) >= int(txn[1]):
             return
-        adds = self._stage(df)
+        aligned, new_schema = self._reconcile(df)
+        adds = self._stage(aligned)
         if adds or txn is not None:
             # an empty batch still commits when txn-tracked, so the
             # watermark advances and its replay is also skipped
-            self._commit("append", adds, remove_keys=None, txn=txn)
+            self._commit(
+                "append", adds, remove_keys=None, txn=txn, schema=new_schema
+            )
 
     def last_txn_version(self, app_id: str) -> int:
         """Highest committed txn version for ``app_id`` (-1 if none).
@@ -606,13 +685,14 @@ class TxnLogFormat(TableFormat):
     def overwrite_partitions(
         self, df: DataFrame, expected_keys: list[str] | None = None
     ) -> None:
-        adds = self._stage(df)
+        aligned, new_schema = self._reconcile(df)
+        adds = self._stage(aligned)
         touched = {a["key"] for a in adds} | set(expected_keys or [])
         if not touched:
             return
         # one atomic commit: new files in, every prior file of the
         # touched keys out — an emptied key is just "removes, no adds"
-        self._commit("overwrite", adds, remove_keys=touched)
+        self._commit("overwrite", adds, remove_keys=touched, schema=new_schema)
 
     def delete_partition(self, key: str) -> None:
         if self._snapshot():
@@ -719,13 +799,20 @@ class TxnLogFormat(TableFormat):
         if missing:
             raise ValueError(f"stale file attribution: {sorted(missing)}")
 
+        # evolution applies to MERGE too: a batch carrying new columns
+        # widens the table in the same atomic commit; kept rows from
+        # rewritten files NULL-fill the new columns
+        batch_aligned, new_schema = self._reconcile(batch)
+        out_cols = [f.name for f in (new_schema or self.table_schema()).fields]
         if affected:
             keep = existing.filter(F.col("_file").isin(affected)).join(
                 F.broadcast(batch.select(*on).distinct()), on, "left_anti"
             )
-            new_data = keep.select(_COLS).unionByName(batch.select(_COLS))
+            new_data = keep.drop("_file").unionByName(
+                batch_aligned, allowMissingColumns=True
+            ).select(out_cols)
         else:
-            new_data = batch.select(_COLS)
+            new_data = batch_aligned.select(out_cols)
 
         adds = self._stage(new_data)
         self._commit(
@@ -733,6 +820,7 @@ class TxnLogFormat(TableFormat):
             adds,
             remove_keys=None,
             extra_removes=affected,
+            schema=new_schema,
         )
         return {"files_rewritten": len(affected), "files_added": len(adds)}
 
@@ -755,6 +843,9 @@ class TxnLogFormat(TableFormat):
         files) per sync."""
         added, removed = self.interval_file_changes(v_from, v_to)
 
+        schema = self.table_schema(v_to)
+        cols = [f.name for f in schema.fields]
+
         def _read_files(paths: dict[str, str]) -> DataFrame | None:
             # tolerate vacuumed files: CDF over a vacuumed interval keeps
             # whatever survives (documented Delta behavior for CDF-from-files)
@@ -766,15 +857,16 @@ class TxnLogFormat(TableFormat):
             if not live:
                 return None
             return (
-                spark.read.option("basePath", self.data_path)
+                spark.read.schema(schema)
+                .option("basePath", self.data_path)
                 .parquet(*live)
-                .select(_COLS)
+                .select(cols)
             )
 
         ins = _read_files(added)
         dels = _read_files(removed)
-        empty = spark.createDataFrame([], POST_SCHEMA).select(
-            *_COLS, F.lit("insert").alias("_change")
+        empty = spark.createDataFrame([], schema).select(
+            *cols, F.lit("insert").alias("_change")
         )
         out = empty.limit(0)
         if ins is not None:
@@ -860,13 +952,16 @@ class TxnLogFormat(TableFormat):
         mapping = F.create_map(
             *[x for rel, i in sorted(bin_of.items()) for x in (F.lit(rel), F.lit(i))]
         )
+        schema = self.table_schema()
         df = (
-            self.spark.read.option("basePath", self.data_path)
+            # explicit logged schema: bins may straddle a schema evolution
+            self.spark.read.schema(schema)
+            .option("basePath", self.data_path)
             .parquet(*[os.path.join(self.data_path, r) for r in all_inputs])
             .withColumn("_bin", mapping[rel_expr])
             .repartition(len(bins), "_bin")
             .drop("_bin")
-            .select(_COLS)
+            .select([f.name for f in schema.fields])
         )
         adds = self._stage(df)
         self._commit("optimize", adds, remove_keys=None, extra_removes=all_inputs)
@@ -907,5 +1002,9 @@ class TxnLogFormat(TableFormat):
             os.link(src, dst)
             adds.append({"path": rel, "key": key})
         if adds:
-            clone._commit("clone", adds, remove_keys=None)
+            # the clone's log starts fresh, so its first commit must carry
+            # the source's (possibly evolved) schema explicitly
+            clone._commit(
+                "clone", adds, remove_keys=None, schema=self.table_schema()
+            )
         return clone

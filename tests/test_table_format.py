@@ -852,3 +852,72 @@ def test_gdpr_hard_delete_bytes_unrecoverable(spark, tmp_path):
     )
     # surviving data intact
     assert store.read().count() == 90
+
+
+def test_schema_evolution_append_widens_and_time_travels(spark, tmp_path):
+    """Appending a batch with a NEW column evolves the table schema in
+    the same atomic commit: old rows read back NULL for it, the log
+    records the StructType, and time travel to a pre-evolution version
+    reads the OLD (narrower) schema."""
+    from starryskyqueryengine_spark.table_format import TxnLogFormat
+
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch(spark, 0, 3))               # v0: POST columns
+    v0_cols = [f.name for f in fmt.table_schema().fields]
+    fmt.append(
+        _batch(spark, 3, 2).withColumn("quality", F.lit(0.5))
+    )                                             # v1: + quality double
+    cols = [f.name for f in fmt.table_schema().fields]
+    assert cols == v0_cols + ["quality"]
+    got = {r["uri"]: r["quality"] for r in fmt.read(spark).collect()}
+    assert got["at://u/p/0"] is None and got["at://u/p/3"] == 0.5
+    # time travel: version 0 has no quality column at all
+    assert "quality" not in fmt.read(spark, version=0).columns
+    # a later batch MISSING the evolved column is NULL-filled, not an error
+    fmt.append(_batch(spark, 5, 1))
+    got = {r["uri"]: r["quality"] for r in fmt.read(spark).collect()}
+    assert got["at://u/p/5"] is None and len(got) == 6
+
+
+def test_schema_evolution_type_conflict_raises(spark, tmp_path):
+    from starryskyqueryengine_spark.table_format import (
+        SchemaEvolutionError,
+        TxnLogFormat,
+    )
+
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch(spark, 0, 2))
+    bad = _batch(spark, 2, 1).withColumn("cid", F.lit(7))  # cid: string->int
+    with pytest.raises(SchemaEvolutionError, match="cid"):
+        fmt.append(bad)
+    # table unchanged: still 2 rows, cid still string
+    assert fmt.read(spark).count() == 2
+    assert dict(fmt.read(spark).dtypes)["cid"] == "string"
+
+
+def test_schema_evolution_merge_optimize_clone(spark, tmp_path):
+    """Evolution composes with the rest of the lifecycle: MERGE with a
+    new column widens the table and NULL-fills kept rows; OPTIMIZE
+    compacts across the schema boundary; CLONE carries the evolved
+    schema into the new table's log."""
+    from starryskyqueryengine_spark.table_format import TxnLogFormat
+
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch(spark, 0, 4))
+    batch = _batch(spark, 2, 3).withColumn("lang", F.lit("en"))
+    stats = fmt.merge(batch, on=["uri", "key"])
+    assert stats["files_rewritten"] >= 1
+    got = {r["uri"]: r["lang"] for r in fmt.read(spark).collect()}
+    assert len(got) == 5                       # 0..4, rows 2-3 updated
+    assert got["at://u/p/0"] is None and got["at://u/p/2"] == "en"
+
+    n_before = fmt.read(spark).count()
+    fmt.optimize(min_files=2)
+    after = fmt.read(spark)
+    assert after.count() == n_before and "lang" in after.columns
+
+    clone = fmt.clone_to(str(tmp_path / "c"))
+    assert [f.name for f in clone.table_schema().fields] == [
+        f.name for f in fmt.table_schema().fields
+    ]
+    assert clone.read(spark).count() == n_before

@@ -624,3 +624,129 @@ def w_stream_static_enrich(spark, sf_dir):
         .groupBy("c_mktsegment", "event_type")
         .agg(F.sum("n").cast("bigint").alias("n"))
     )
+
+
+@register(
+    "w_stream_outer_join",
+    f"""
+    WITH p AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT epoch_us(ts) AS ts_us FROM events
+               WHERE event_type = 'click')
+    SELECT p.event_id, CAST(count(c.ts_us) AS BIGINT) AS n_in_range
+    FROM p LEFT JOIN c
+      ON c.ts_us > p.ts_us - {RANGE_WIDTH_US} AND c.ts_us <= p.ts_us
+    GROUP BY p.event_id
+    """,
+)
+def w_stream_outer_join(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join drained to the FULL batch
+    left join (streaming/pipeline.py::stream_interval_join_outer — the
+    right side explodes into its covering buckets so each unmatched
+    purchase surfaces exactly once with NULL click columns).
+
+    Outer rows only emit when the watermark PROVES no match can still
+    arrive; at end-of-stream the engine would otherwise retain the
+    tail\'s unmatched rows in state forever. The drain therefore appends
+    three far-future sentinel files (later mtimes, one file per
+    trigger): a purchase-typed and a click-typed sentinel per file, so
+    BOTH streams\' watermark nodes advance (global watermark = min over
+    inputs), the later sentinel batches run with the watermark already
+    past every real window, and the closing no-data micro-batch flushes
+    the remaining state. Result == plain batch LEFT JOIN — exactly what
+    the oracle runs; 194/202 zero-click purchases at sf0.001 prove the
+    null path dominates, not the inner residue.
+
+    HARD-WON PLAN CONSTRAINT (kept as a regression comment): sentinels
+    must be excluded AFTER the drain, in the batch read of the partials
+    — any sentinel-excluding filter on the streaming result is legal to
+    PUSH DOWN through the left-outer join into the left scan, where it
+    silently drops the left sentinels BEFORE the watermark node and the
+    outer rows never flush (observed: watermark frozen at
+    real-max - delay forever).
+
+    100 TB shape: join state is O(width x rate) after watermark
+    eviction (bucket-equi keys keep the state store hash-partitioned);
+    the raw pair set never funnels through the driver — per-batch
+    partial counts append as parquet and a final sum merges them."""
+    import datetime
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from .session import apply_runtime_confs
+    from .streaming import parquet_stream, stream_interval_join_outer
+
+    SENTINEL_ID = 10**12
+    apply_runtime_confs(spark)
+    batch_ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = batch_ev.schema
+    mx = batch_ev.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+
+    stage = tempfile.mkdtemp(prefix=f"wsoj_{uuid.uuid4().hex[:8]}_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/a_events.parquet")
+    sent_dir = f"{stage}/_sentinels"
+    # two sentinel batches + the engine's closing no-data micro-batch:
+    # watermark folds in one batch late, so sentinel #2's batch and the
+    # no-data batch both run with the watermark past every real window
+    for i, days in enumerate((365, 366)):
+        far = mx + datetime.timedelta(days=days)
+        spark.createDataFrame(
+            [
+                (SENTINEL_ID + 2 * i, far, 0, "purchase", 0.0, "{}"),
+                (SENTINEL_ID + 2 * i + 1, far, 0, "click", 0.0, "{}"),
+            ],
+            schema=schema,
+        ).repartition(1).write.mode("overwrite").parquet(sent_dir)
+        # repartition(1), NOT coalesce(1): coalescing a parallelized
+        # local relation into one task measured ~4.6 s per 2-row write
+        # on local[32]; the repartitioned form is ~0.4 s
+        part = glob.glob(f"{sent_dir}/part-*.parquet")[0]
+        tgt = f"{stage}/z_sentinel_{i}.parquet"
+        shutil.copy(part, tgt)
+        os.utime(tgt, (_time.time() + 100 + 10 * i,) * 2)
+    shutil.rmtree(sent_dir, ignore_errors=True)
+
+    s = parquet_stream(
+        spark, stage, schema=schema, max_files_per_trigger=1
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    purchases = s.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("ts").alias("p_ts")
+    )
+    clicks = s.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("c_ts")
+    )
+    joined = stream_interval_join_outer(
+        purchases, clicks, "p_ts", "c_ts", RANGE_WIDTH_US, watermark="90 days"
+    )
+
+    tmp = tempfile.mkdtemp(prefix=f"wsoj_out_{uuid.uuid4().hex[:8]}_")
+    out_dir = f"{tmp}/partials"
+    spark.createDataFrame([], "event_id long, n long").write.mode(
+        "append"
+    ).parquet(out_dir)
+
+    def sink(bdf, _bid):
+        (
+            bdf.groupBy("event_id")
+            .agg(F.count("c_ts").alias("n"))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    with _stream_shuffle(spark):
+        q = (
+            joined.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("event_id") < SENTINEL_ID)
+        .groupBy("event_id")
+        .agg(F.sum("n").cast("bigint").alias("n_in_range"))
+    )

@@ -7,6 +7,7 @@ from .pipeline import (  # noqa: F401
     sliding_counts,
     stream_dedup,
     stream_interval_join,
+    stream_interval_join_outer,
     validated_json,
     windowed_counts,
 )

@@ -184,6 +184,11 @@ class SchemaEvolutionError(ValueError):
     columns evolve the table; type changes never do (no silent casts)."""
 
 
+class ConstraintViolationError(ValueError):
+    """A write batch contains rows failing a CHECK constraint, or
+    ADD CONSTRAINT found existing rows failing the new constraint."""
+
+
 class ConcurrentWriteError(RuntimeError):
     """Optimistic-concurrency conflict that cannot be auto-rebased:
     another writer committed a change overlapping this commit's key
@@ -473,6 +478,91 @@ class TxnLogFormat(TableFormat):
                 )
             os.replace(tmp, ck)
 
+    # ------------------------------------------------ CHECK constraints
+
+    def constraints(self, version: int | None = None) -> dict[str, str]:
+        """Active CHECK constraints at ``version`` as {name: sql_expr},
+        replayed from constraint_add / constraint_drop log actions."""
+        out: dict[str, str] = {}
+        versions = self._versions()
+        if version is not None:
+            versions = [v for v in versions if v <= version]
+        for v in versions:
+            e = self._read_entry(v)
+            c = e.get("constraint_add")
+            if c:
+                out[c["name"]] = c["expr"]
+            d = e.get("constraint_drop")
+            if d:
+                out.pop(d, None)
+        return out
+
+    def add_constraint(self, name: str, expr: str) -> None:
+        """ALTER TABLE ADD CONSTRAINT (Delta CHECK-constraint analog):
+        validates the expression parses AND that every CURRENT row
+        satisfies it (one aggregate job), then commits a metadata-only
+        log entry. Standard SQL CHECK semantics: a row violates only
+        when the expression evaluates to FALSE — NULL/unknown passes."""
+        df = self.read(self.spark)
+        bad = df.filter(F.expr(expr) == F.lit(False)).count()
+        if bad:
+            raise ConstraintViolationError(
+                f"cannot add constraint {name!r} ({expr}): "
+                f"{bad} existing rows violate it"
+            )
+        self._commit_meta({"constraint_add": {"name": name, "expr": expr}})
+
+    def drop_constraint(self, name: str) -> None:
+        self._commit_meta({"constraint_drop": name})
+
+    def _commit_meta(self, extra: dict) -> None:
+        """Metadata-only commit (no adds/removes). Reuses the same
+        put-if-absent version race as data commits."""
+        import json
+        import time as _time
+        import uuid as _uuid
+
+        for _attempt in range(self.max_commit_retries):
+            tip_versions = self._versions()
+            v = (tip_versions[-1] if tip_versions else -1) + 1
+            entry = {"version": v, "op": "meta", "ts": _time.time(),
+                     "add": [], "remove": [], **extra}
+            tmp = os.path.join(self.log_path, f".tmp-{_uuid.uuid4().hex}.json")
+            with open(tmp, "w") as f:
+                json.dump(entry, f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, self._entry_path(v))
+                os.unlink(tmp)
+                self._maybe_checkpoint(v)
+                return
+            except FileExistsError:
+                os.unlink(tmp)
+        raise ConcurrentWriteError(
+            f"gave up after {self.max_commit_retries} meta-commit attempts"
+        )
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        """One conditional-sum aggregate over the batch checking every
+        active constraint; raises with per-constraint violation counts.
+        Zero cost when no constraints exist."""
+        cons = self.constraints()
+        if not cons:
+            return
+        aggs = [
+            F.sum(F.when(F.expr(expr) == F.lit(False), 1).otherwise(0))
+            .alias(name)
+            for name, expr in cons.items()
+        ]
+        row = df.agg(*aggs).collect()[0]
+        bad = {n: int(row[n] or 0) for n in cons if row[n]}
+        if bad:
+            raise ConstraintViolationError(
+                f"write violates CHECK constraints {bad} "
+                f"(definitions: { {n: cons[n] for n in bad} })"
+            )
+
     # ------------------------------------------------- schema evolution
 
     def table_schema(self, version: int | None = None):
@@ -663,6 +753,7 @@ class TxnLogFormat(TableFormat):
         if txn is not None and self.last_txn_version(txn[0]) >= int(txn[1]):
             return
         aligned, new_schema = self._reconcile(df)
+        self._enforce_constraints(aligned)
         adds = self._stage(aligned)
         if adds or txn is not None:
             # an empty batch still commits when txn-tracked, so the
@@ -686,6 +777,7 @@ class TxnLogFormat(TableFormat):
         self, df: DataFrame, expected_keys: list[str] | None = None
     ) -> None:
         aligned, new_schema = self._reconcile(df)
+        self._enforce_constraints(aligned)
         adds = self._stage(aligned)
         touched = {a["key"] for a in adds} | set(expected_keys or [])
         if not touched:
@@ -803,6 +895,9 @@ class TxnLogFormat(TableFormat):
         # widens the table in the same atomic commit; kept rows from
         # rewritten files NULL-fill the new columns
         batch_aligned, new_schema = self._reconcile(batch)
+        # kept rows were validated at their own write (and ADD CONSTRAINT
+        # scans existing data), so enforcing the batch alone is complete
+        self._enforce_constraints(batch_aligned)
         out_cols = [f.name for f in (new_schema or self.table_schema()).fields]
         if affected:
             keep = existing.filter(F.col("_file").isin(affected)).join(
@@ -1007,4 +1102,8 @@ class TxnLogFormat(TableFormat):
             clone._commit(
                 "clone", adds, remove_keys=None, schema=self.table_schema()
             )
+        # constraints carry over without re-validation (source data is
+        # guaranteed to satisfy them)
+        for name, expr in self.constraints().items():
+            clone._commit_meta({"constraint_add": {"name": name, "expr": expr}})
         return clone

@@ -921,3 +921,45 @@ def test_schema_evolution_merge_optimize_clone(spark, tmp_path):
         f.name for f in fmt.table_schema().fields
     ]
     assert clone.read(spark).count() == n_before
+
+
+def test_check_constraints_enforced_on_writes(spark, tmp_path):
+    """Delta-style CHECK constraints: ADD CONSTRAINT validates existing
+    rows, later writes enforce it (append, overwrite, merge), NULL
+    evaluates as satisfied (SQL CHECK semantics), DROP lifts it, and
+    CLONE carries the constraint set."""
+    from starryskyqueryengine_spark.table_format import (
+        ConstraintViolationError,
+        TxnLogFormat,
+    )
+
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch(spark, 0, 3))
+    fmt.add_constraint("cid_format", "cid LIKE 'c%'")
+    assert fmt.constraints() == {"cid_format": "cid LIKE 'c%'"}
+
+    bad = _batch(spark, 3, 2).withColumn("cid", F.lit("x999"))
+    with pytest.raises(ConstraintViolationError, match="cid_format"):
+        fmt.append(bad)
+    assert fmt.read(spark).count() == 3          # nothing committed
+
+    # NULL passes (CHECK is violated only when FALSE)
+    fmt.append(_batch(spark, 3, 1).withColumn("cid", F.lit(None).cast("string")))
+    assert fmt.read(spark).count() == 4
+
+    with pytest.raises(ConstraintViolationError):
+        fmt.merge(bad, on=["uri", "key"])
+
+    # adding a constraint the existing data violates fails up front
+    with pytest.raises(ConstraintViolationError, match="existing rows"):
+        fmt.add_constraint("no_nulls", "cid IS NOT NULL")
+
+    fmt.drop_constraint("cid_format")
+    fmt.append(_batch(spark, 5, 1).withColumn("cid", F.lit("x999")))
+    assert fmt.read(spark).count() == 5  # rows 0,1,2,3,5
+
+    fmt.add_constraint("uri_prefix", "uri LIKE 'at://%'")
+    clone = fmt.clone_to(str(tmp_path / "c"))
+    assert clone.constraints() == {"uri_prefix": "uri LIKE 'at://%'"}
+    with pytest.raises(ConstraintViolationError):
+        clone.append(_batch(spark, 9, 1).withColumn("uri", F.lit("bad")))

@@ -841,3 +841,59 @@ def text_nfc_normalize(spark, sf_dir):
         F.md5(nfc(F.col("t"))).alias("norm_fp"),
         (nfc(F.col("t")) != F.col("t")).alias("changed"),
     )
+
+
+# Blocklist phrases for the multi-pattern scan: chosen to exercise every
+# Aho-Corasick mechanism on the fixture vocabulary — nested patterns
+# ("tab" inside "table", "sca" inside "scan"), cross-word patterns with
+# spaces ("a t"), and shared prefixes ("st"/"stream"). None is
+# self-overlapping (no proper border), so DuckDB's non-overlapping
+# replace-count equals the automaton's all-positions count exactly.
+_AC_PATTERNS = ["scan", "sca", "table", "tab", "stream", "windo", "value", "a t"]
+
+
+@register(
+    "text_multi_pattern_scan",
+    f"""
+    WITH pats AS (
+      SELECT * FROM (VALUES {", ".join(f"('{p}')" for p in _AC_PATTERNS)}) t(pat)
+    ),
+    per AS (
+      SELECT d.doc_id,
+             (length(d.text) - length(replace(d.text, p.pat, '')))
+               / length(p.pat) AS c
+      FROM documents d CROSS JOIN pats p
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_hits,
+           CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_patterns
+    FROM per GROUP BY doc_id
+    """,
+)
+def text_multi_pattern_scan(spark, sf_dir):
+    """Blocklist-phrase scan via a broadcast Aho-Corasick automaton
+    (functions/automaton.py): N literal patterns matched in ONE pass
+    over each document — occurrences of every pattern, overlapping and
+    nested included — versus the oracle's N-pass replace-count (which
+    agrees exactly because no chosen pattern self-overlaps). The pattern
+    set deliberately exercises failure links (shared prefixes), output
+    links (patterns nested in longer patterns), and cross-token matches
+    (patterns containing spaces).
+
+    Reference tie-in: the per-feed regex loop
+    (src/subscription.ts:203-204, :291-299) is the 1-pattern special
+    case; this is the N-pattern shared-scan form of the multi-feed
+    rewrite.
+
+    100 TB shape: automaton built once on the driver — O(pattern chars)
+    — and broadcast (KBs per thousand phrases); matching is one
+    streaming O(len + matches) pass per row inside Arrow-batched
+    mapInPandas, cost independent of pattern count; the alternative N
+    regexp_count columns re-scan the corpus N times. Per-char inner
+    loop documented as the compiled-kernel swap point."""
+    from .functions.automaton import multi_pattern_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    from .session import ensure_parallelism
+
+    return multi_pattern_counts(ensure_parallelism(docs), _AC_PATTERNS)

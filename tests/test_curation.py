@@ -91,3 +91,38 @@ def test_domain_blocklist_both_match_classes_fire(spark):
     doms = {r["domain"] for r in out.select("domain").distinct().collect()}
     assert not any(d.endswith(".src40.example.com") for d in doms)
     assert "p1.src51.example.com" not in doms
+
+
+def test_aho_corasick_counts_match_brute_force():
+    """Automaton counting semantics pinned against brute force: every
+    start position of every pattern, overlapping and nested included,
+    plus failure-link stress cases."""
+    import random
+
+    from starryskyqueryengine_spark.functions.automaton import (
+        ac_count,
+        build_aho_corasick,
+    )
+
+    def brute(text, pats):
+        return [
+            sum(1 for i in range(len(text)) if text.startswith(p, i))
+            for p in pats
+        ]
+
+    cases = [
+        (["a", "ab", "bab", "bc", "abc"], "ababcbab"),   # classic AC paper-ish
+        (["aba", "ba", "a"], "ababababa"),               # overlapping chains
+        (["tab", "table", "le"], "the table tabulates"),
+        (["a t", "t a"], "a t a t a"),
+    ]
+    rng = random.Random(11)
+    for _ in range(30):
+        text = "".join(rng.choice("abc ") for _ in range(200))
+        pats = list({"".join(rng.choice("abc ") for _ in range(rng.randint(1, 4)))
+                     for _ in range(6)})
+        cases.append((pats, text))
+    for pats, text in cases:
+        goto, fail, out = build_aho_corasick(pats)
+        assert ac_count(text, goto, fail, out, len(pats)) == brute(text, pats), (
+            pats, text)

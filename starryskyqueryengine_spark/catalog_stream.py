@@ -750,3 +750,120 @@ def w_stream_outer_join(spark, sf_dir):
         .groupBy("event_id")
         .agg(F.sum("n").cast("bigint").alias("n_in_range"))
     )
+
+
+@register(
+    "acid_schema_evolution",
+    """
+    WITH o AS (SELECT o_orderkey AS k FROM orders),
+    e AS (SELECT count(*) AS n_even FROM o WHERE k % 2 = 0),
+    a AS (SELECT count(*) AS n_all FROM o),
+    t AS (SELECT count(*) AS n_ten FROM o WHERE k % 10 = 0),
+    s_odd AS (SELECT COALESCE(sum(k % 97), 0) AS s FROM o WHERE k % 2 = 1),
+    s_ten AS (SELECT COALESCE(sum(k % 97), 0) AS s FROM o WHERE k % 10 = 0)
+    SELECT CAST(step AS INTEGER) AS step, op,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_cols AS INTEGER) AS n_cols,
+           CAST(qscore_nulls AS BIGINT) AS qscore_nulls,
+           CAST(lang_nulls AS BIGINT) AS lang_nulls,
+           CAST(qscore_sum AS BIGINT) AS qscore_sum
+    FROM (
+      SELECT 1 AS step, 'append' AS op, e.n_even AS n_rows, 6 AS n_cols,
+             -1 AS qscore_nulls, -1 AS lang_nulls, -1 AS qscore_sum
+      FROM e
+      UNION ALL
+      SELECT 2, 'append_evolve', a.n_all, 7, e.n_even, -1, s_odd.s
+      FROM a, e, s_odd
+      UNION ALL
+      SELECT 3, 'merge_evolve', a.n_all, 8, e.n_even - t.n_ten,
+             a.n_all - t.n_ten, s_odd.s + s_ten.s
+      FROM a, e, t, s_odd, s_ten
+    )
+    """,
+)
+def acid_schema_evolution(spark, sf_dir):
+    """Schema evolution as a value-checked lifecycle query (the
+    driver-visible twin of test_table_format's evolution suite): build
+    a TxnLogFormat table from orders in three commits — (1) base append
+    (6 POST columns, even orderkeys), (2) appending the odd orderkeys
+    WITH a new BIGINT ``qscore`` column (widens the table; prior rows
+    read back NULL), (3) a file-granular MERGE whose batch carries a
+    second new column ``lang`` (widens again; kept rows NULL-fill) —
+    then audit every version via TIME TRAVEL. Step 1's snapshot must
+    read back with the ORIGINAL 6-column schema even though it is read
+    AFTER both evolutions (per-version schema resolution), and the
+    NULL-backfill counts and exact BIGINT qscore sums must equal the
+    closed-form replay the oracle computes from orders alone.
+
+    100 TB shape: evolution is a metadata-only widening inside the same
+    atomic commit as the data (no table rewrite, unlike
+    ALTER TABLE + backfill); reads NULL-fill old files via the logged
+    per-version StructType, so a petabyte of history is never
+    rewritten to add a column."""
+    import os
+
+    from .table_format import TxnLogFormat
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    posts = orders.select(
+        F.format_string("o:%09d", F.col("o_orderkey")).alias("uri"),
+        F.col("o_orderpriority").alias("key"),
+        F.format_string("c%09d", F.col("o_orderkey")).alias("cid"),
+        F.lit(None).cast("string").alias("replyParent"),
+        F.lit(None).cast("string").alias("replyRoot"),
+        F.col("o_orderdate").alias("indexedAt"),
+        F.col("o_orderkey").alias("k"),
+    )
+    base_cols = ["uri", "key", "cid", "replyParent", "replyRoot", "indexedAt"]
+    tmp = tempfile.mkdtemp(prefix=f"acidse_{uuid.uuid4().hex[:8]}_")
+    fmt = TxnLogFormat(spark, f"{tmp}/table")
+
+    fmt.append(posts.filter(F.col("k") % 2 == 0).select(base_cols))
+    v1 = fmt.history()[-1]["version"]
+    fmt.append(
+        posts.filter(F.col("k") % 2 == 1)
+        .withColumn("qscore", (F.col("k") % 97).cast("bigint"))
+        .select(base_cols + ["qscore"])
+    )
+    v2 = fmt.history()[-1]["version"]
+    fmt.merge(
+        posts.filter(F.col("k") % 10 == 0)
+        .withColumn("qscore", (F.col("k") % 97).cast("bigint"))
+        .withColumn(
+            "lang",
+            F.element_at(
+                F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+                (F.col("k") % 3).cast("int") + 1,
+            ),
+        )
+        .select(base_cols + ["qscore", "lang"]),
+        on=["uri"],
+    )
+    v3 = fmt.history()[-1]["version"]
+
+    ops = ["append", "append_evolve", "merge_evolve"]
+    rows = []
+    for step, v in enumerate((v1, v2, v3), start=1):
+        snap = fmt.read(spark, version=v)
+        aggs = [F.count("*").alias("n")]
+        for c in ("qscore", "lang"):
+            aggs.append(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}_nulls")
+                if c in snap.columns
+                else F.lit(-1).alias(f"{c}_nulls")
+            )
+        aggs.append(
+            F.coalesce(F.sum("qscore"), F.lit(0)).alias("qsum")
+            if "qscore" in snap.columns
+            else F.lit(-1).alias("qsum")
+        )
+        r = snap.agg(*aggs).head()
+        rows.append(
+            (step, ops[step - 1], int(r["n"]), len(snap.columns),
+             int(r["qscore_nulls"]), int(r["lang_nulls"]), int(r["qsum"]))
+        )
+    return spark.createDataFrame(
+        rows,
+        "step int, op string, n_rows bigint, n_cols int, "
+        "qscore_nulls bigint, lang_nulls bigint, qscore_sum bigint",
+    )

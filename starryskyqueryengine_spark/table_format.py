@@ -871,13 +871,15 @@ class TxnLogFormat(TableFormat):
             self.append(batch)
             return {"files_rewritten": 0, "files_added": len(self._snapshot())}
 
-        # input_file_name() yields a file: URI whose slash count varies by
-        # Hadoop path normalization; the log-relative form key=<k>/<f>.parquet
-        # is an unambiguous suffix, so compare on that
-        rel_expr = F.regexp_extract(
-            F.input_file_name(), r"(key=[^/]+/[^/]+\.parquet)$", 1
-        )
-        existing = self.read(spark).withColumn("_file", rel_expr)
+        # Attribute rows to files by BASENAME (<uuid>.parquet — unique by
+        # construction, every staged file gets a fresh uuid4 name), not by
+        # the key=<k>/ relative path: partition values needing escaping
+        # (e.g. a space stored as %20 in the on-disk dir name) come back
+        # DECODED from input_file_name(), so the path form mismatches the
+        # log's escaped form while the basename is identical in both.
+        base_expr = F.regexp_extract(F.input_file_name(), r"([^/]+\.parquet)$", 1)
+        base_of = {rel.rsplit("/", 1)[-1]: rel for rel in live}
+        existing = self.read(spark).withColumn("_file", base_expr)
         hit_rows = (
             existing.join(
                 F.broadcast(batch.select(*on).distinct()), on, "left_semi"
@@ -886,10 +888,11 @@ class TxnLogFormat(TableFormat):
             .distinct()
             .collect()
         )
-        affected = sorted({r["_file"] for r in hit_rows})
-        missing = set(affected) - set(live)
+        hit_base = sorted({r["_file"] for r in hit_rows})
+        missing = set(hit_base) - set(base_of)
         if missing:
             raise ValueError(f"stale file attribution: {sorted(missing)}")
+        affected = sorted(base_of[b] for b in hit_base)
 
         # evolution applies to MERGE too: a batch carrying new columns
         # widens the table in the same atomic commit; kept rows from
@@ -900,7 +903,7 @@ class TxnLogFormat(TableFormat):
         self._enforce_constraints(batch_aligned)
         out_cols = [f.name for f in (new_schema or self.table_schema()).fields]
         if affected:
-            keep = existing.filter(F.col("_file").isin(affected)).join(
+            keep = existing.filter(F.col("_file").isin(hit_base)).join(
                 F.broadcast(batch.select(*on).distinct()), on, "left_anti"
             )
             new_data = keep.drop("_file").unionByName(
@@ -1041,11 +1044,15 @@ class TxnLogFormat(TableFormat):
 
         bin_of = {rel: i for i, b in enumerate(bins) for rel in b}
         all_inputs = sorted(bin_of)
-        rel_expr = F.regexp_extract(
-            F.input_file_name(), r"(key=[^/]+/[^/]+\.parquet)$", 1
-        )
+        # basename attribution for the same escaped-partition-value reason
+        # documented in merge(): input_file_name() returns decoded paths
+        rel_expr = F.regexp_extract(F.input_file_name(), r"([^/]+\.parquet)$", 1)
         mapping = F.create_map(
-            *[x for rel, i in sorted(bin_of.items()) for x in (F.lit(rel), F.lit(i))]
+            *[
+                x
+                for rel, i in sorted(bin_of.items())
+                for x in (F.lit(rel.rsplit("/", 1)[-1]), F.lit(i))
+            ]
         )
         schema = self.table_schema()
         df = (

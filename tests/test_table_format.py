@@ -963,3 +963,29 @@ def test_check_constraints_enforced_on_writes(spark, tmp_path):
     assert clone.constraints() == {"uri_prefix": "uri LIKE 'at://%'"}
     with pytest.raises(ConstraintViolationError):
         clone.append(_batch(spark, 9, 1).withColumn("uri", F.lit("bad")))
+
+
+def test_merge_and_optimize_with_escaped_partition_values(spark, tmp_path):
+    """Partition values needing escaping (a space is stored as %20 in
+    the on-disk directory name) must not break file attribution:
+    input_file_name() returns DECODED paths, so merge/optimize attribute
+    by unique file basename instead of the escaped relative path.
+    Regression for a stale-file-attribution ValueError found via the
+    acid_schema_evolution query (orders' '4-NOT SPECIFIED' priority)."""
+    from starryskyqueryengine_spark.table_format import TxnLogFormat
+
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch(spark, 0, 4, key="NOT SPECIFIED"))
+    fmt.append(_batch(spark, 4, 2, key="NOT SPECIFIED"))
+    batch = _batch(spark, 2, 4, key="NOT SPECIFIED").withColumn(
+        "cid", F.concat(F.lit("u"), F.col("cid"))
+    )
+    stats = fmt.merge(batch, on=["uri", "key"])
+    assert stats["files_rewritten"] >= 1
+    got = {r["uri"]: r["cid"] for r in fmt.read(spark).collect()}
+    assert len(got) == 6
+    assert got["at://u/p/0"].startswith("c") and got["at://u/p/3"].startswith("uc")
+    r = fmt.optimize(min_files=2)
+    assert r["files_compacted"] >= 2
+    after = {r["uri"]: r["cid"] for r in fmt.read(spark).collect()}
+    assert after == got

@@ -602,11 +602,15 @@ PRIORITY: list[str] = [
     "mm_y4m_frames",
     # --- Re-verify: driver-green r5, touched or adjacent this round ---
     # (codecs: GIF encoder EOI-width fix + decode error-isolation widened;
-    #  bm25_search: score subtree refactored for the hybrid query;
     #  pagerank/zorder: cost + manifest changes this round)
     "mm_gif_roundtrip",
-    "mm_png_decode",
-    "mm_jpeg_roundtrip",
+    # (mm_png_decode rotated out — superseded in-window by
+    #  mm_image_phash_neardup, which round-trips real grayscale PNGs
+    #  through the same codec AND adds the LSH near-dup join)
+    "mm_image_phash_neardup",
+    # (mm_jpeg_roundtrip rotated out — JPEG codec untouched since its r5
+    #  driver-green row; replaced by the schema-evolution lifecycle audit)
+    "acid_schema_evolution",
     # (mm_ppm_resize rotated out — resize path untouched this round,
     #  driver-green r5; replaced by the RAG retrieval capstone)
     "pipeline_rag_retrieval",
@@ -615,7 +619,10 @@ PRIORITY: list[str] = [
     "mm_scene_detect",
     "zorder_skipping_scan",
     "pagerank_part_supplier",
-    "bm25_search",
+    # (bm25_search rotated out — its score subtree is covered in-window
+    #  by bm25_indexed_search + hybrid_rrf_search + pipeline_rag_retrieval;
+    #  replaced by the streaming LEFT OUTER interval join drain)
+    "w_stream_outer_join",
     # --- New in round 6, continuation session (first-ever driver rows;
     #     rotated IN for dsir_importance_weights, source_kl_divergence,
     #     pipeline_pretrain_prep, span_dedup_stats, line_dedup_stats,

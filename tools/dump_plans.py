@@ -87,6 +87,10 @@ HEADLINERS = {
     "pipeline_rag_retrieval": "chunker explode + two chunk-token aggregations + broadcast query vector; fusion bounded by leg K",
     "q2_min_cost_supplier": "broadcast LeftSemi prunes lineitem BELOW the cost/min-cost aggregates (selective part filter first)",
     "mm_scene_detect": "Arrow decode kernels; lag window partitioned by media_id (clip-sized state)",
+    "mm_image_phash_neardup": "two Arrow codec hops -> tiny cached hash table; band self-join + popcount verify all JVM-side",
+    "bloom_prefilter_upsert": "bit positions via codegen xxhash64 both sides; exact anti-join runs on the maybe-dup slice only",
+    "skew_salted_join": "dim exploded x16 on salt; hot key spreads over (key, salt) reducers; aggregate map-side partial",
+    "text_multi_pattern_scan": "ONE Arrow-batched pass for N patterns (broadcast automaton); no per-pattern rescan",
 }
 
 

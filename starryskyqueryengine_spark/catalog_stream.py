@@ -867,3 +867,90 @@ def acid_schema_evolution(spark, sf_dir):
         "step int, op string, n_rows bigint, n_cols int, "
         "qscore_nulls bigint, lang_nulls bigint, qscore_sum bigint",
     )
+
+
+@register(
+    "table_changes_stream",
+    """
+    SELECT CAST(0 AS INTEGER) AS version, 'insert' AS change,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT 1, 'insert', CAST(count(*) AS BIGINT),
+           CAST(sum(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 2 = 1
+    UNION ALL
+    SELECT 2, 'delete', CAST(count(*) AS BIGINT),
+           CAST(sum(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def table_changes_stream(spark, sf_dir):
+    """The TxnLogFormat commit log consumed as a STREAM (Delta
+    readStream + CDF analog, sources/table_changes.py): three commits —
+    append evens, append odds, delete the 1-URGENT partition — then one
+    availableNow drain of the ``starrysky_table_changes`` source, whose
+    per-(version, change) counts and exact BIGINT orderkey sums must
+    equal the closed-form replay from orders. Incremental consumption
+    (a second drain replaying ONLY commits that landed in between) and
+    schema-evolution NULL-fill are pinned by
+    tests/test_paged_datasource.py::test_table_changes_stream_source.
+
+    100 TB shape: the driver lists and parses only the JSON log
+    (file-granularity metadata); every changed data file is one
+    InputPartition read EXECUTOR-side via pyarrow — a downstream
+    incremental consumer (indexer, aggregate maintainer) processes
+    O(changed files) per sync and its checkpoint IS the cursor."""
+    import os
+
+    from .sources.table_changes import register_table_changes_source
+    from .table_format import TxnLogFormat
+
+    register_table_changes_source(spark)
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    posts = orders.select(
+        F.format_string("o:%09d", F.col("o_orderkey")).alias("uri"),
+        F.col("o_orderpriority").alias("key"),
+        F.format_string("c%09d", F.col("o_orderkey")).alias("cid"),
+        F.lit(None).cast("string").alias("replyParent"),
+        F.lit(None).cast("string").alias("replyRoot"),
+        F.col("o_orderdate").alias("indexedAt"),
+        F.col("o_orderkey").alias("k"),
+    )
+    cols = ["uri", "key", "cid", "replyParent", "replyRoot", "indexedAt"]
+    tmp = tempfile.mkdtemp(prefix=f"tcs_{uuid.uuid4().hex[:8]}_")
+    fmt = TxnLogFormat(spark, f"{tmp}/table")
+    fmt.append(posts.filter(F.col("k") % 2 == 0).select(cols))
+    fmt.append(posts.filter(F.col("k") % 2 == 1).select(cols))
+    fmt.delete_partition("1-URGENT")
+
+    stream = (
+        spark.readStream.format("starrysky_table_changes")
+        .option("path", f"{tmp}/table")
+        .load()
+    )
+    out = f"{tmp}/rows"
+    spark.createDataFrame([], stream.schema).write.mode("append").parquet(out)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _i: b.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(out)
+        .groupBy(
+            F.col("_commit_version").alias("version"),
+            F.col("_change").alias("change"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.expr("CAST(substring(cid, 2) AS BIGINT)"))
+            .cast("bigint")
+            .alias("key_sum"),
+        )
+    )

@@ -68,13 +68,28 @@ def build_bloom(
     n = expected_items if expected_items is not None else max(stored.count(), 1)
     m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
     k = max(1, round(m / n * math.log(2)))
-    pos = (
+    # OR-pack the set bits into 64-bit words ON THE EXECUTORS and collect
+    # only the words: the driver transfer is ceil(m/64) longs (~9.6 bits
+    # per key at 1% fpp -> ~0.15 bytes/key over the wire), 64x smaller
+    # than collecting distinct positions, and the aggregation map-side
+    # combines. bit 63 round-trips through the signed long fine.
+    nwords = (m + 63) // 64
+    words = (
         stored.select(F.explode(F.array(*_positions(key_col, m, k))).alias("p"))
-        .distinct()
+        .groupBy(F.expr("p div 64").alias("w"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))")
+            ).alias("bits")
+        )
         .collect()
     )
-    bits = np.zeros(m, dtype=bool)
-    bits[[r["p"] for r in pos]] = True
+    arr = np.zeros(nwords, dtype=np.uint64)
+    for r in words:
+        arr[int(r["w"])] = np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
+    bits = np.unpackbits(
+        arr.view(np.uint8), bitorder="little", count=m
+    ).astype(bool)
     return bits, k
 
 

@@ -423,8 +423,21 @@ class TxnLogFormat(TableFormat):
                 entry["txn"] = {"app": txn[0], "version": int(txn[1])}
             if schema is not None:
                 # full StructType JSON (Delta metaData-style): the log is
-                # the single source of truth for the schema at a version
-                entry["schema"] = schema.jsonValue()
+                # the single source of truth for the schema at a version.
+                # Normalize every field to NULLABLE (as Delta does): a
+                # batch built from literals carries nullable=false, but
+                # schema evolution NULL-fills that column for every
+                # pre-widening file, so the logged contract must admit
+                # nulls or strict readers (the Python DataSource CDF
+                # stream) reject the backfill.
+                from pyspark.sql.types import StructField, StructType
+
+                entry["schema"] = StructType(
+                    [
+                        StructField(f.name, f.dataType, True, f.metadata)
+                        for f in schema.fields
+                    ]
+                ).jsonValue()
             tmp = os.path.join(self.log_path, f".tmp-{_uuid.uuid4().hex}.json")
             with open(tmp, "w") as f:
                 json.dump(entry, f)

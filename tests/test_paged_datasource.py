@@ -4,6 +4,8 @@ streaming cursor-as-offset with checkpoint resume, and growth polling."""
 
 import tempfile
 
+from pyspark.sql import functions as F
+
 import pytest
 
 from starryskyqueryengine_spark.sources.paged_datasource import (
@@ -80,3 +82,85 @@ def test_stream_source_cursor_checkpoint_resume(spark):
     drain()  # same checkpoint, no new remote rows -> zero new emissions
     assert len(sink) == n1
     assert len({r["doc_id"] for r in sink}) == 500  # no duplicates either
+
+
+def test_table_changes_stream_source(spark, tmp_path):
+    """starrysky_table_changes: the TxnLogFormat commit log as a
+    streaming source. A drain surfaces every commit past the
+    checkpointed offset as insert/delete rows tagged with the commit
+    version; a second drain on the same checkpoint replays ONLY commits
+    that landed in between (the offset IS the consumer cursor). Also
+    covers: partition-key injection (incl. escaped values), schema
+    evolution NULL-fill for pre-widening files, and zero-row handling
+    of metadata-only commits."""
+    import datetime
+
+    from starryskyqueryengine_spark.sources.table_changes import (
+        register_table_changes_source,
+    )
+    from starryskyqueryengine_spark.table_format import TxnLogFormat
+
+    register_table_changes_source(spark)
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch_tc(spark, 0, 4, key="NOT SPECIFIED"))
+    fmt.append(
+        _batch_tc(spark, 4, 3, key="k2").withColumn("score", F.lit(1.5))
+    )  # widens the schema; v0's rows must NULL-fill on read
+    fmt.delete_partition("NOT SPECIFIED")
+    fmt.add_constraint("uri_ok", "uri IS NOT NULL")  # metadata-only commit
+
+    stream = (
+        spark.readStream.format("starrysky_table_changes")
+        .option("path", str(tmp_path / "t"))
+        .load()
+    )
+    assert "score" in stream.columns and "_change" in stream.columns
+    out = str(tmp_path / "rows")
+    spark.createDataFrame([], stream.schema).write.mode("append").parquet(out)
+
+    def drain():
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    rows = spark.read.parquet(out)
+    per = {
+        (r["_commit_version"], r["_change"]): r["count"]
+        for r in rows.groupBy("_commit_version", "_change").count().collect()
+    }
+    assert per == {(0, "insert"): 4, (1, "insert"): 3, (2, "delete"): 4}
+    # key injected + unescaped; evolved column NULL-filled for v0 files
+    v0 = rows.filter(F.col("_commit_version") == 0)
+    assert v0.select("key").distinct().collect()[0][0] == "NOT SPECIFIED"
+    assert v0.filter(F.col("score").isNull()).count() == 4
+
+    n1 = rows.count()
+    fmt.append(_batch_tc(spark, 10, 2, key="k2"))
+    drain()
+    rows2 = spark.read.parquet(out)
+    assert rows2.count() == n1 + 2  # ONLY the new commit replayed
+    assert (
+        rows2.filter(F.col("_commit_version") == 4).count() == 2
+    )
+
+
+def _batch_tc(spark, n0, n, key="k1"):
+    import datetime
+
+    rows = [
+        (f"at://u/p/{i}", key, f"c{i:03d}", None, None,
+         datetime.datetime(2026, 1, 1, 0, 0, i % 60))
+        for i in range(n0, n0 + n)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "uri string, key string, cid string, replyParent string, "
+        "replyRoot string, indexedAt timestamp",
+    )

@@ -1086,6 +1086,52 @@ class TxnLogFormat(TableFormat):
             "bins": len(bins),
         }
 
+    def restore(self, version: int) -> dict:
+        """RESTORE TABLE TO VERSION (Delta's RESTORE analog): make the
+        CURRENT snapshot equal the snapshot at ``version`` with ONE
+        metadata-only commit — files live then but removed since are
+        re-added, files added since are removed, and the schema
+        reverts to the target version's. No data is copied or rewritten;
+        history is preserved (the restore is itself a new commit, so a
+        restore can be restored away). Files physically deleted by
+        ``vacuum`` since the target version cannot come back: restoring
+        past a vacuum raises instead of silently resurrecting a partial
+        snapshot.
+
+        100 TB shape: O(|files in either snapshot|) metadata work, zero
+        data movement — the same property that makes CLONE free."""
+        target = self._snapshot(version)
+        current = self._snapshot()
+        re_adds = {p: k for p, k in target.items() if p not in current}
+        removes = [p for p in current if p not in target]
+        gone = [
+            p
+            for p in re_adds
+            if not os.path.exists(os.path.join(self.data_path, p))
+        ]
+        if gone:
+            raise ValueError(
+                f"cannot restore to version {version}: {len(gone)} files "
+                f"were vacuumed (e.g. {gone[0]!r})"
+            )
+        # carry the target version's stats so log-level skipping keeps
+        # working on the restored files
+        old_stats = self._snapshot_stats(version)
+        adds = []
+        for p, k in sorted(re_adds.items()):
+            a = {"path": p, "key": k}
+            if p in old_stats:
+                a["stats"] = old_stats[p]
+            adds.append(a)
+        self._commit(
+            "restore",
+            adds,
+            remove_keys=None,
+            extra_removes=removes,
+            schema=self.table_schema(version),
+        )
+        return {"files_readded": len(adds), "files_removed": len(removes)}
+
     def clone_to(self, dest_path: str) -> "TxnLogFormat":
         """Zero-copy CLONE (Delta SHALLOW/Iceberg snapshot-export
         analog): materialize the CURRENT snapshot as a brand-new table

@@ -989,3 +989,89 @@ def test_merge_and_optimize_with_escaped_partition_values(spark, tmp_path):
     assert r["files_compacted"] >= 2
     after = {r["uri"]: r["cid"] for r in fmt.read(spark).collect()}
     assert after == got
+
+
+def test_restore_to_version(spark, tmp_path):
+    """RESTORE: one metadata-only commit makes the current snapshot
+    equal an earlier version — removed files re-added, newer files
+    removed, schema reverted — history preserved (a restore can be
+    restored away), and restoring past a vacuum refuses instead of
+    resurrecting a partial snapshot."""
+    from starryskyqueryengine_spark.table_format import TxnLogFormat
+
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch(spark, 0, 4))                          # v0
+    fmt.append(_batch(spark, 4, 2).withColumn("score", F.lit(1.0)))  # v1 (evolves)
+    fmt.overwrite_partitions(_batch(spark, 100, 1))          # v2: replaces k1
+    assert fmt.read(spark).count() == 1
+
+    st = fmt.restore(0)
+    assert st["files_readded"] >= 1 and st["files_removed"] >= 1
+    restored = fmt.read(spark)
+    assert restored.count() == 4
+    assert "score" not in restored.columns      # schema reverted to v0's
+    assert fmt.history()[-1]["op"] == "restore"
+
+    # restore the restore away: back to v2's single row, score column back
+    fmt.restore(2)
+    assert fmt.read(spark).count() == 1
+    assert "score" in fmt.read(spark).columns
+
+    # time travel still sees every epoch
+    assert fmt.read(spark, version=0).count() == 4
+    assert fmt.read(spark, version=2).count() == 1
+
+    # vacuum then attempt to restore past it -> refuse
+    fmt.vacuum()
+    with pytest.raises(ValueError, match="vacuumed"):
+        fmt.restore(0)
+
+
+def test_cdf_replication_pipeline_exactly_once(spark, tmp_path):
+    """Compose the round-6 pieces into the standard lakehouse pattern:
+    replicate table A into table B by streaming A's commit log
+    (starrysky_table_changes) into a TxnLogFormat sink with
+    txnAppId/txnVersion exactly-once appends. Drain, append more to A,
+    drain again (same checkpoint): B must equal A's insert feed with
+    ZERO duplicates, and a replayed drain appends nothing."""
+    from starryskyqueryengine_spark.sources.table_changes import (
+        register_table_changes_source,
+    )
+    from starryskyqueryengine_spark.table_format import TxnLogFormat
+
+    register_table_changes_source(spark)
+    a = TxnLogFormat(spark, str(tmp_path / "a"))
+    b = TxnLogFormat(spark, str(tmp_path / "b"))
+    a.append(_batch(spark, 0, 5))
+    a.append(_batch(spark, 5, 3, key="k2"))
+
+    stream = (
+        spark.readStream.format("starrysky_table_changes")
+        .option("path", str(tmp_path / "a"))
+        .load()
+    )
+    cols = ["uri", "key", "cid", "replyParent", "replyRoot", "indexedAt"]
+
+    def sink(bdf, bid):
+        ins = bdf.filter(F.col("_change") == "insert").select(cols)
+        b.append(ins, txn=("repl", bid))
+
+    def drain():
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert b.read(spark).count() == 8
+    a.append(_batch(spark, 20, 2))
+    drain()
+    assert b.read(spark).count() == 10
+    # replay the LAST batch manually (crash-between-sink-and-checkpoint
+    # window): the txn watermark makes the duplicate append a no-op
+    last = b.last_txn_version("repl")
+    b.append(_batch(spark, 20, 2), txn=("repl", last))
+    assert b.read(spark).count() == 10

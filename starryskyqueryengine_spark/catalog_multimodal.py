@@ -1074,3 +1074,160 @@ def mm_image_phash_neardup(spark, sf_dir):
         .filter(F.col("hamming") <= 3)
         .select("media_a", "media_b", "hamming")
     )
+
+
+@register(
+    "mm_audio_fingerprint_neardup",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             doc_id - doc_id % 5 AS g,
+             CAST(doc_id % 5 AS BIGINT) AS r
+      FROM documents
+    ),
+    s AS (SELECT doc_id, g, r, unnest(range(5280)) AS i FROM d),
+    v AS (
+      SELECT doc_id, i // 160 AS f,
+             ((17 * g + 13 * i) % 256 - 128
+              + CASE WHEN i % 163 < r THEN 7 ELSE 0 END)
+             * (1 + r)
+             * (1 + (g * 2654435761 + (i // 160) * 40503) % 65536 % 23) AS x
+      FROM s
+    ),
+    e AS (SELECT doc_id, f, sum(x * x) AS e FROM v GROUP BY doc_id, f),
+    b AS (
+      SELECT doc_id, f,
+             CASE WHEN lead(e) OVER (PARTITION BY doc_id ORDER BY f) > e
+                  THEN 1 ELSE 0 END AS bit
+      FROM e
+    ),
+    bands AS (
+      SELECT doc_id, f // 8 AS band_idx,
+             CAST(sum(bit << (f % 8)) AS BIGINT) AS band_val
+      FROM b WHERE f < 32 GROUP BY doc_id, f // 8
+    ),
+    hashes AS (
+      SELECT doc_id,
+             max(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+             max(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+             max(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+             max(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+      FROM bands GROUP BY doc_id
+    )
+    SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+             AS INT) AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+    """,
+)
+def mm_audio_fingerprint_neardup(spark, sf_dir):
+    """Audio near-duplicate detection via an energy-contour fingerprint
+    over REAL WAV round trips — the audio twin of
+    ``mm_image_phash_neardup``, completing content-level near-dup across
+    every modality this engine curates (text shingles, embeddings,
+    lines, spans, URLs, pixels, now audio).
+
+    Per doc, synthesize a 330 ms PCM16 clip (33 frames x 160 samples at
+    16 kHz) from a closed-form generator where groups of five doc_ids
+    share a waveform (a wide-hash per-frame gain makes each group's
+    energy contour effectively unique) but differ by an integer
+    amplitude scale (x(1+r)) plus a sparse click perturbation — planted
+    near-duplicates. Encode a
+    REAL RIFF WAV (codecs.py), decode it back, and fingerprint the
+    ENERGY CONTOUR: 32 bits, bit f = energy(frame f+1) > energy(frame
+    f). The compare is sign-of-delta, so the fingerprint is EXACTLY
+    invariant under uniform amplitude scaling (the audio analog of
+    aHash's brightness invariance); clicks flip at most the few bits
+    where neighboring frame energies nearly tie.
+
+    Same provably-exact banding as the image hash: 4 x 8-bit bands,
+    Hamming <= 3 forces one identical band (pigeonhole), so the banded
+    join equals the brute-force oracle. 100 TB shape: one Arrow-batched
+    encode hop + one decode/fingerprint hop, then a (media_id, 4 ints)
+    table through the band join — Python never sees the join."""
+    import numpy as np
+    import pandas as pd
+
+    from .codecs import wav_decode, wav_encode
+    from .session import ensure_parallelism
+
+    N, FRAME = 5280, 160
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g, r = d - d % 5, d % 5
+                i = np.arange(N, dtype=np.int64)
+                # per-frame gain from a WIDE hash of (group, frame): the
+                # energy contour is effectively unique per group, so
+                # cross-group fingerprint collisions are negligible while
+                # the in-group (1+r) scale still cancels in the compare
+                gain = 1 + (g * 2654435761 + (i // FRAME) * 40503) % 65536 % 23
+                x = ((17 * g + 13 * i) % 256 - 128
+                     + np.where(i % 163 < r, 7, 0)) * (1 + r) * gain
+                payloads.append(wav_encode(x.astype(np.int16), 16000))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    enc = docs.mapInPandas(gen, "media_id long, payload binary")
+
+    def fingerprint(batches):
+        for pdf in batches:
+            out = {"media_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for mid, buf in zip(pdf["media_id"], pdf["payload"]):
+                _sr, _ch, samples = wav_decode(bytes(buf))
+                s = np.asarray(samples, dtype=np.int64).reshape(-1)
+                e = (s * s).reshape(N // FRAME, FRAME).sum(axis=1)
+                bits = (e[1:] > e[:-1]).astype(np.int64)  # 32 contour bits
+                out["media_id"].append(int(mid))
+                for j in range(4):
+                    out[f"b{j}"].append(
+                        int(np.sum(bits[8 * j: 8 * j + 8] << np.arange(8)))
+                    )
+            yield pd.DataFrame(out)
+
+    hashes = enc.mapInPandas(
+        fingerprint, "media_id long, b0 long, b1 long, b2 long, b3 long"
+    ).cache()
+    hashes.count()  # materialize once before the three join branches
+
+    bands = hashes.select(
+        "media_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("band_idx"), F.col(f"b{j}").alias("band_val"))
+                for j in range(4)
+            ])
+        ).alias("band"),
+    ).select("media_id", "band.band_idx", "band.band_val")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .distinct()
+    )
+    ha = hashes.select(*[F.col(c).alias(f"a_{c}") for c in hashes.columns])
+    hb = hashes.select(*[F.col(c).alias(f"b_{c}") for c in hashes.columns])
+    hamming = sum(
+        F.bit_count(F.col(f"a_b{j}").bitwiseXOR(F.col(f"b_b{j}"))) for j in range(4)
+    )
+    return (
+        cand.join(ha, cand.media_a == ha.a_media_id)
+        .join(hb, cand.media_b == hb.b_media_id)
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= 3)
+        .select("media_a", "media_b", "hamming")
+    )

@@ -1231,3 +1231,171 @@ def mm_audio_fingerprint_neardup(spark, sf_dir):
         .filter(F.col("hamming") <= 3)
         .select("media_a", "media_b", "hamming")
     )
+
+
+@register(
+    "mm_video_fingerprint_neardup",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             doc_id - doc_id % 5 AS g,
+             CAST(doc_id % 5 AS BIGINT) AS r
+      FROM documents
+    ),
+    grid AS (
+      SELECT doc_id, g, r, f, i
+      FROM d, range(33) tf(f), range(128) ti(i)
+    ),
+    v AS (
+      SELECT doc_id, f,
+             (7 * i) % 200
+             + ((g + 131) * (f + 17) * 40503) % 65536 % 41
+             + 2 * r
+             + CASE WHEN (f * 128 + i) % 163 < r THEN 5 ELSE 0 END AS luma
+      FROM grid
+    ),
+    e AS (SELECT doc_id, f, sum(luma) AS s FROM v GROUP BY doc_id, f),
+    b AS (
+      SELECT doc_id, f,
+             CASE WHEN lead(s) OVER (PARTITION BY doc_id ORDER BY f) > s
+                  THEN 1 ELSE 0 END AS bit
+      FROM e
+    ),
+    bands AS (
+      SELECT doc_id, f // 8 AS band_idx,
+             CAST(sum(bit << (f % 8)) AS BIGINT) AS band_val
+      FROM b WHERE f < 32 GROUP BY doc_id, f // 8
+    ),
+    hashes AS (
+      SELECT doc_id,
+             max(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+             max(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+             max(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+             max(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+      FROM bands GROUP BY doc_id
+    )
+    SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+             AS INT) AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+    """,
+)
+def mm_video_fingerprint_neardup(spark, sf_dir):
+    """Video near-duplicate detection via a luma-contour fingerprint
+    over REAL Y4M round trips — the third modality twin (image aHash,
+    audio energy contour, now video): groups of five doc_ids share a
+    33-frame 16x8 C444 clip (wide-hash per-(group, frame) base level
+    makes each group's luma trajectory effectively unique) and differ
+    by a uniform +2r brightness shift plus sparse sparkle clicks —
+    planted near-duplicates. Encode a real YUV4MPEG2 container, extract
+    every frame through the O(1)-seek ``y4m_extract_frame``, and
+    fingerprint the per-frame LUMA SUMS: 32 sign-of-delta bits, EXACTLY
+    invariant under the uniform brightness shift (each frame's sum
+    shifts by the same 2r*W*H). Banding identical to the image/audio
+    hashes: 4 x 8-bit bands, Hamming <= 3 pigeonhole-forces a shared
+    band, so the banded join provably equals the brute-force oracle.
+
+    100 TB shape: one Arrow-batched encode hop, one seek/decode/
+    fingerprint hop (one clip in memory at a time), then the tiny
+    (media_id, 4 ints) hash table through the JVM-side band join."""
+    import numpy as np
+    import pandas as pd
+
+    from .codecs import y4m_encode, y4m_extract_frame, y4m_frame_count
+    from .session import ensure_parallelism
+
+    NF, W, H = 33, 16, 8
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g, r = d - d % 5, d % 5
+                frames = []
+                for f in range(NF):
+                    i = np.arange(W * H, dtype=np.int64)
+                    # additive per-(group, frame) DC level: the frame's
+                    # luma SUM moves by 128*level, so the contour bits are
+                    # the level sequence's sign pattern — unique per group
+                    # (a mod-folded offset kept sums in a ~±120 band and
+                    # collided half the corpus; value-correct but useless)
+                    # PRODUCT hash (g+131)(f+17): the level sequence's
+                    # slope over f varies per group, so no two groups share
+                    # a shifted copy of the same sequence (an additive
+                    # g-offset hash left ~mod-41 shift classes colliding)
+                    base = (7 * i) % 200 + (
+                        (g + 131) * (f + 17) * 40503
+                    ) % 65536 % 41
+                    luma = (
+                        base + 2 * r
+                        + np.where((f * W * H + i) % 163 < r, 5, 0)
+                    ).astype(np.uint8).reshape(H, W)
+                    frames.append(np.stack([luma, luma, luma], axis=-1))
+                payloads.append(y4m_encode(frames))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    enc = docs.mapInPandas(gen, "media_id long, payload binary")
+
+    def fingerprint(batches):
+        for pdf in batches:
+            out = {"media_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for mid, buf in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(buf)
+                n = y4m_frame_count(raw)
+                sums = np.empty(n, dtype=np.int64)
+                for f in range(n):
+                    px = y4m_extract_frame(raw, f)
+                    sums[f] = int(px[:, :, 0].astype(np.int64).sum())
+                bits = (sums[1:] > sums[:-1]).astype(np.int64)
+                out["media_id"].append(int(mid))
+                for j in range(4):
+                    out[f"b{j}"].append(
+                        int(np.sum(bits[8 * j: 8 * j + 8] << np.arange(8)))
+                    )
+            yield pd.DataFrame(out)
+
+    hashes = enc.mapInPandas(
+        fingerprint, "media_id long, b0 long, b1 long, b2 long, b3 long"
+    ).cache()
+    hashes.count()
+
+    bands = hashes.select(
+        "media_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("band_idx"), F.col(f"b{j}").alias("band_val"))
+                for j in range(4)
+            ])
+        ).alias("band"),
+    ).select("media_id", "band.band_idx", "band.band_val")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .distinct()
+    )
+    ha = hashes.select(*[F.col(c).alias(f"a_{c}") for c in hashes.columns])
+    hb = hashes.select(*[F.col(c).alias(f"b_{c}") for c in hashes.columns])
+    hamming = sum(
+        F.bit_count(F.col(f"a_b{j}").bitwiseXOR(F.col(f"b_b{j}"))) for j in range(4)
+    )
+    return (
+        cand.join(ha, cand.media_a == ha.a_media_id)
+        .join(hb, cand.media_b == hb.b_media_id)
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= 3)
+        .select("media_a", "media_b", "hamming")
+    )

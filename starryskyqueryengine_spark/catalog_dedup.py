@@ -332,3 +332,50 @@ def dedup_fuzzy_levenshtein(spark, sf_dir):
         .select("id_a", "id_b", dist.cast("bigint").alias("edit_dist"))
         .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
     )
+
+
+@register(
+    "soft_dedup_weights",
+    """
+    WITH h AS (
+      SELECT doc_id, md5(text) AS text_hash FROM documents
+    ),
+    c AS (
+      SELECT text_hash, count(*) AS cluster_size FROM h GROUP BY text_hash
+    )
+    SELECT h.doc_id,
+           CAST(c.cluster_size AS BIGINT) AS cluster_size,
+           CAST(1000000 // c.cluster_size AS BIGINT) AS weight_ppm
+    FROM h JOIN c USING (text_hash)
+    """,
+)
+def soft_dedup_weights(spark, sf_dir):
+    """SOFT dedup (SoftDeDup / SlimPajama-style): instead of DROPPING
+    exact duplicates, every document gets sampling weight
+    1/cluster_size, so each distinct content unit contributes one
+    effective copy while nothing is discarded — the weights feed the
+    same Efraimidis-Spirakis machinery as dsir_resample /
+    mixture_sample. Weight is an exact integer (parts-per-million,
+    floor), so the value check is BIGINT-exact on both engines.
+
+    Reference tie-in: the PK dedup of S8/J3 (src/db/migrations.ts:21)
+    relaxed from a constraint to a weighting — the curation-pipeline
+    generalization.
+
+    100 TB shape: ONE shuffle on the well-distributed content hash (a
+    window COUNT over the hash partition — cluster sizes never leave
+    their reducer, no join-back pass); the text column is dropped
+    before the shuffle, so the exchange carries (id, 16-byte hash)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", F.md5("text").alias("text_hash"))
+    w = Window.partitionBy("text_hash")
+    return h.select(
+        "doc_id",
+        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+    ).withColumn(
+        # integer DIV, never a double round-trip: exact on both engines
+        "weight_ppm",
+        F.expr("1000000 div cluster_size").cast("bigint"),
+    )

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .catalog import register
+from .catalog import QUERIES, register
 from .multimodal import decode_media, sample_frames, synthesize_media
 from .sources.fixtures import load_table
 
@@ -1398,4 +1398,111 @@ def mm_video_fingerprint_neardup(spark, sf_dir):
         .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= 3)
         .select("media_a", "media_b", "hamming")
+    )
+
+
+@register(
+    "pipeline_multimodal_curation",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             doc_id - doc_id % 5 AS g,
+             CAST(doc_id % 5 AS BIGINT) AS r,
+             8 + 8 * ((doc_id - doc_id % 5) % 3) AS w,
+             8 + 8 * ((doc_id - doc_id % 5) % 2) AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, g, r, w, h, unnest(range(w * h)) AS i
+      FROM dims
+    ),
+    boxed AS (
+      SELECT doc_id,
+             ((i // w) // (h // 8)) * 8 + ((i % w) // (w // 8)) AS box,
+             (31 * g + 7 * i) % 240 + 2 * r
+               + CASE WHEN i % 97 < r THEN 5 ELSE 0 END AS val
+      FROM px
+    ),
+    sums AS (
+      SELECT doc_id, box, sum(val) AS s FROM boxed GROUP BY doc_id, box
+    ),
+    tot AS (
+      SELECT doc_id, sum(s) AS t FROM sums GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT s.doc_id,
+             s.box // 16 AS band_idx,
+             CAST(sum(CASE WHEN 64 * s.s > t.t THEN 1 << (s.box % 16)
+                           ELSE 0 END) AS BIGINT) AS band_val
+      FROM sums s JOIN tot t USING (doc_id)
+      GROUP BY s.doc_id, s.box // 16
+    ),
+    hashes AS (
+      SELECT doc_id,
+             max(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+             max(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+             max(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+             max(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+      FROM bands GROUP BY doc_id
+    ),
+    dropped AS (
+      SELECT DISTINCT b.doc_id
+      FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+    )
+    SELECT d.w AS width, d.h AS height,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_survivors,
+           CAST(COALESCE(sum(CASE WHEN dr.doc_id IS NULL THEN d.doc_id END), 0)
+             AS BIGINT) AS survivor_id_sum
+    FROM dims d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+    GROUP BY d.w, d.h
+    """,
+)
+def pipeline_multimodal_curation(spark, sf_dir):
+    """Capstone #3 — the MULTIMODAL curation pipeline (joining the
+    pretraining-prep and RAG-retrieval capstones): decode-and-hash every
+    image payload (real PNG round trips, mm_image_phash_neardup's exact
+    banded LSH), apply the keep-first dedup policy — a document is
+    dropped iff it has a near-duplicate with a smaller id — and report
+    the curated corpus layout per image geometry: total docs, survivors,
+    exact survivor-id checksum. Keep-first is the deliberately simple
+    policy here (deterministic, SQL-replayable); the transitive-closure
+    canonical pick is the dedup_survivors operator and composes the same
+    way.
+
+    100 TB shape: everything up to the pair set is the phash query's
+    plan (two Arrow codec hops, tiny hash table, banded join); the
+    policy adds one DISTINCT on dropped ids and one broadcast-sized
+    anti-join against the id/geometry projection — payload bytes never
+    flow past the hash hop."""
+    pairs = QUERIES["mm_image_phash_neardup"](spark, sf_dir)
+    dropped = pairs.select(F.col("media_b").alias("doc_id")).distinct()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    g = F.col("doc_id") - F.col("doc_id") % 5
+    dims = docs.select(
+        "doc_id",
+        (F.lit(8) + 8 * (g % 3)).cast("int").alias("width"),
+        (F.lit(8) + 8 * (g % 2)).cast("int").alias("height"),
+    )
+    surv = dims.join(dropped, "doc_id", "left_anti")
+    return (
+        dims.groupBy("width", "height")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .join(
+            surv.groupBy("width", "height").agg(
+                F.count("*").cast("bigint").alias("n_survivors"),
+                F.sum("doc_id").cast("bigint").alias("survivor_id_sum"),
+            ),
+            ["width", "height"],
+            "left",
+        )
+        .select(
+            "width", "height", "n_docs",
+            F.coalesce("n_survivors", F.lit(0)).cast("bigint").alias("n_survivors"),
+            F.coalesce("survivor_id_sum", F.lit(0)).cast("bigint")
+            .alias("survivor_id_sum"),
+        )
     )

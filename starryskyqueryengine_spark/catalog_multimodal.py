@@ -1451,7 +1451,7 @@ def mm_video_fingerprint_neardup(spark, sf_dir):
       WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
           + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
     )
-    SELECT d.w AS width, d.h AS height,
+    SELECT CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_survivors,

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .catalog import QUERIES, register
+from .functions.fingerprint import banded_hamming_pairs
 from .multimodal import decode_media, sample_frames, synthesize_media
 from .sources.fixtures import load_table
 
@@ -1037,43 +1038,7 @@ def mm_image_phash_neardup(spark, sf_dir):
     # exactly once; everything after is JVM-side.
     hashes.count()
 
-    bands = hashes.select(
-        "media_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(j).alias("band_idx"), F.col(f"b{j}").alias("band_val"))
-                for j in range(4)
-            ])
-        ).alias("band"),
-    ).select("media_id", "band.band_idx", "band.band_val")
-
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .select(
-            F.col("a.media_id").alias("media_a"),
-            F.col("b.media_id").alias("media_b"),
-        )
-        .distinct()
-    )
-
-    ha = hashes.select(*[F.col(c).alias(f"a_{c}") for c in hashes.columns])
-    hb = hashes.select(*[F.col(c).alias(f"b_{c}") for c in hashes.columns])
-    hamming = sum(
-        F.bit_count(F.col(f"a_b{j}").bitwiseXOR(F.col(f"b_b{j}"))) for j in range(4)
-    )
-    return (
-        cand.join(ha, cand.media_a == ha.a_media_id)
-        .join(hb, cand.media_b == hb.b_media_id)
-        .withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= 3)
-        .select("media_a", "media_b", "hamming")
-    )
+    return banded_hamming_pairs(hashes)
 
 
 @register(
@@ -1196,41 +1161,7 @@ def mm_audio_fingerprint_neardup(spark, sf_dir):
     ).cache()
     hashes.count()  # materialize once before the three join branches
 
-    bands = hashes.select(
-        "media_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(j).alias("band_idx"), F.col(f"b{j}").alias("band_val"))
-                for j in range(4)
-            ])
-        ).alias("band"),
-    ).select("media_id", "band.band_idx", "band.band_val")
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .select(
-            F.col("a.media_id").alias("media_a"),
-            F.col("b.media_id").alias("media_b"),
-        )
-        .distinct()
-    )
-    ha = hashes.select(*[F.col(c).alias(f"a_{c}") for c in hashes.columns])
-    hb = hashes.select(*[F.col(c).alias(f"b_{c}") for c in hashes.columns])
-    hamming = sum(
-        F.bit_count(F.col(f"a_b{j}").bitwiseXOR(F.col(f"b_b{j}"))) for j in range(4)
-    )
-    return (
-        cand.join(ha, cand.media_a == ha.a_media_id)
-        .join(hb, cand.media_b == hb.b_media_id)
-        .withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= 3)
-        .select("media_a", "media_b", "hamming")
-    )
+    return banded_hamming_pairs(hashes)
 
 
 @register(
@@ -1364,41 +1295,7 @@ def mm_video_fingerprint_neardup(spark, sf_dir):
     ).cache()
     hashes.count()
 
-    bands = hashes.select(
-        "media_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(j).alias("band_idx"), F.col(f"b{j}").alias("band_val"))
-                for j in range(4)
-            ])
-        ).alias("band"),
-    ).select("media_id", "band.band_idx", "band.band_val")
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .select(
-            F.col("a.media_id").alias("media_a"),
-            F.col("b.media_id").alias("media_b"),
-        )
-        .distinct()
-    )
-    ha = hashes.select(*[F.col(c).alias(f"a_{c}") for c in hashes.columns])
-    hb = hashes.select(*[F.col(c).alias(f"b_{c}") for c in hashes.columns])
-    hamming = sum(
-        F.bit_count(F.col(f"a_b{j}").bitwiseXOR(F.col(f"b_b{j}"))) for j in range(4)
-    )
-    return (
-        cand.join(ha, cand.media_a == ha.a_media_id)
-        .join(hb, cand.media_b == hb.b_media_id)
-        .withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= 3)
-        .select("media_a", "media_b", "hamming")
-    )
+    return banded_hamming_pairs(hashes)
 
 
 @register(

@@ -91,6 +91,11 @@ HEADLINERS = {
     "bloom_prefilter_upsert": "bit positions via codegen xxhash64 both sides; exact anti-join runs on the maybe-dup slice only",
     "skew_salted_join": "dim exploded x16 on salt; hot key spreads over (key, salt) reducers; aggregate map-side partial",
     "text_multi_pattern_scan": "ONE Arrow-batched pass for N patterns (broadcast automaton); no per-pattern rescan",
+    "mm_audio_fingerprint_neardup": "WAV round trip -> 32 contour bits; same exact banded join as the image hash",
+    "mm_video_fingerprint_neardup": "O(1)-seek Y4M frame extraction -> luma contour; banded join JVM-side",
+    "pipeline_multimodal_curation": "phash pair plan + one DISTINCT + anti-join on the id/geometry projection",
+    "soft_dedup_weights": "one shuffle on the content hash; window COUNT; text dropped before the exchange",
+    "acid_schema_evolution": "per-version time-travel reads with the version's OWN logged schema",
 }
 
 

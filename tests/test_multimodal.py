@@ -268,3 +268,48 @@ def test_image_ahash_brightness_invariance_and_banding(spark):
         and sum(bin(a ^ b).count("1") for a, b in zip(hashes[i], hashes[j])) <= 3
     }
     assert banded == brute
+
+
+def test_banded_hamming_pairs_guard_and_equivalence(spark):
+    """functions/fingerprint.py: the helper refuses thresholds past the
+    pigeonhole bound (banding would MISS pairs) and matches brute force
+    on a random hash table at the bound."""
+    import random
+
+    import pytest as _pytest
+
+    from starryskyqueryengine_spark.functions.fingerprint import (
+        banded_hamming_pairs,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(40):
+        base = [(i // 4) * 7919 % (1 << 16) for _ in range(4)]
+        # perturb 0-3 random bits so planted groups of 4 sit at small
+        # Hamming distances while distinct groups sit far apart
+        for _ in range(rng.randrange(4)):
+            k = rng.randrange(4)
+            base[k] ^= 1 << rng.randrange(16)
+        rows.append((i, *base))
+    df = spark.createDataFrame(
+        rows, "media_id long, b0 long, b1 long, b2 long, b3 long"
+    ).cache()
+    got = {
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in banded_hamming_pairs(df).collect()
+    }
+
+    def pop(x):
+        return bin(x).count("1")
+
+    brute = set()
+    for i in range(40):
+        for j in range(i + 1, 40):
+            h = sum(pop(rows[i][k + 1] ^ rows[j][k + 1]) for k in range(4))
+            if h <= 3:
+                brute.add((i, j, h))
+    assert got == brute and brute  # non-vacuous
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        banded_hamming_pairs(df, max_hamming=4)

@@ -575,6 +575,23 @@ def _load_extensions() -> None:
 # make room for queries new in round 6.  Everything rotated OUT earned
 # green driver rows in r1-r5 and is unchanged since; all queries remain
 # covered by tools/full_gate.py and tests/test_oracle_parity.py locally.
+# ROUND-7 ROTATION QUEUE — queries that have never earned a driver
+# CORRECTNESS row (registered after earlier windows filled; all are
+# value-exact in LOCAL_CORRECTNESS.json / test_oracle_parity.py):
+#   anomaly_daily_zscore, bfs_reach_3hop, bloom_prefilter_upsert,
+#   chisq_lang_source, cohort_retention, embedding_dim_stats,
+#   embedding_random_projection, expectations_documents,
+#   funnel_view_click_purchase, gapfill_user_daily,
+#   label_prop_communities, mm_audio_fingerprint_neardup,
+#   mm_video_fingerprint_neardup, outlier_orders_mad,
+#   pipeline_multimodal_curation, profile_documents,
+#   rolling_7d_active_users, scd2_priority_history, skew_salted_join,
+#   soft_dedup_weights, sssp_supplier_3hop, table_changes_stream,
+#   text_multi_pattern_scan, text_nfc_normalize, trend_segment_spend,
+#   unimax_allocation, w_stream_pattern_match, w_stream_sliding_counts,
+#   w_stream_static_enrich, window_rank_family
+# Next round: keep the ~10-query regression core, rotate these 30 in
+# over the remaining 40 slots (they fit in one round + the core).
 PRIORITY: list[str] = [
     # --- Regression core (multi-round driver-green, highest risk) ---
     "flagship_multifeed",

@@ -1056,7 +1056,7 @@ def mm_image_phash_neardup(spark, sf_dir):
              ((17 * g + 13 * i) % 256 - 128
               + CASE WHEN i % 163 < r THEN 7 ELSE 0 END)
              * (1 + r)
-             * (1 + (g * 2654435761 + (i // 160) * 40503) % 65536 % 23) AS x
+             * (1 + ((g + 131) * ((i // 160) + 17) * 40503) % 65536 % 23) AS x
       FROM s
     ),
     e AS (SELECT doc_id, f, sum(x * x) AS e FROM v GROUP BY doc_id, f),
@@ -1133,7 +1133,9 @@ def mm_audio_fingerprint_neardup(spark, sf_dir):
                 # energy contour is effectively unique per group, so
                 # cross-group fingerprint collisions are negligible while
                 # the in-group (1+r) scale still cancels in the compare
-                gain = 1 + (g * 2654435761 + (i // FRAME) * 40503) % 65536 % 23
+                # product hash, as in the video twin: an additive
+                # g-offset leaves mod-23 shift classes sharing contours
+                gain = 1 + ((g + 131) * ((i // FRAME) + 17) * 40503) % 65536 % 23
                 x = ((17 * g + 13 * i) % 256 - 128
                      + np.where(i % 163 < r, 7, 0)) * (1 + r) * gain
                 payloads.append(wav_encode(x.astype(np.int16), 16000))

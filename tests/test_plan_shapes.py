@@ -605,3 +605,22 @@ def test_hybrid_fusion_windows_are_leg_bounded(spark, queries):
     # two legs -> two bounded cuts feeding the rank windows
     assert plan.count("TakeOrderedAndProject") >= 1
     assert "Window" in plan
+
+
+def test_fingerprint_band_join_is_equi_never_cartesian(spark, queries):
+    """The fingerprint trio's candidate stage must plan a REAL equi-join
+    on (band_idx, band_val) — SortMergeJoin or ShuffledHashJoin with
+    join keys — never a BroadcastNestedLoopJoin/cartesian over the id
+    inequality, and the pair-verify popcount must stay JVM-side (no
+    Python eval nodes after the codec hops)."""
+    df = queries["mm_image_phash_neardup"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the band equi-join exists with real keys
+    assert "band_idx" in plan and "band_val" in plan
+    # Python = the Arrow codec hops only (the cached hash table's lineage
+    # repeats per join branch, so assert presence, not count) and never a
+    # row-at-a-time UDF
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan

@@ -379,3 +379,40 @@ def soft_dedup_weights(spark, sf_dir):
         "weight_ppm",
         F.expr("1000000 div cluster_size").cast("bigint"),
     )
+
+
+@register(
+    "dedup_rate_by_source",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+           CAST((count(*) - count(DISTINCT md5(text))) * 1000000
+                // count(*) AS BIGINT) AS dup_rate_ppm
+    FROM documents GROUP BY source
+    """,
+)
+def dedup_rate_by_source(spark, sf_dir):
+    """Corpus-governance report: per-source exact-duplicate rate (the
+    number every curation pipeline tracks per crawl/feed to catch a
+    source gone degenerate). ONE aggregation — count + count(DISTINCT
+    content-hash) share the grouping via the Expand pass — and exact
+    integer ppm so the value check is BIGINT-exact.
+
+    100 TB shape: one shuffle keyed by (source, hash) partials; text is
+    reduced to its 16-byte hash before the exchange. The
+    approx_count_distinct swap is the sketch path when exactness can
+    yield."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.md5("text").alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("h").cast("bigint").alias("n_distinct"),
+        )
+        .withColumn(
+            "dup_rate_ppm",
+            F.expr("(n_docs - n_distinct) * 1000000 div n_docs").cast("bigint"),
+        )
+    )

@@ -589,8 +589,8 @@ def _load_extensions() -> None:
 #   soft_dedup_weights, sssp_supplier_3hop, table_changes_stream,
 #   text_multi_pattern_scan, text_nfc_normalize, trend_segment_spend,
 #   unimax_allocation, w_stream_pattern_match, w_stream_sliding_counts,
-#   w_stream_static_enrich, window_rank_family
-# Next round: keep the ~10-query regression core, rotate these 30 in
+#   w_stream_static_enrich, window_rank_family, dedup_rate_by_source
+# Next round: keep the ~10-query regression core, rotate these 31 in
 # over the remaining 40 slots (they fit in one round + the core).
 PRIORITY: list[str] = [
     # --- Regression core (multi-round driver-green, highest risk) ---

@@ -1310,3 +1310,65 @@ def _cm_bucket_spark_col(row_col, term_col):
             16, 10,
         ).cast("bigint") % CM_WIDTH
     )
+
+
+@register(
+    "source_token_entropy",
+    r"""
+    WITH w AS (
+      SELECT source,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+      FROM documents
+    ),
+    c AS (SELECT source, word, count(*) AS c FROM w GROUP BY source, word),
+    s AS (
+      SELECT source, sum(c) AS n, sum(c * ln(c)) AS sclnc,
+             count(*) AS vocab
+      FROM c GROUP BY source
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(vocab AS BIGINT) AS vocab,
+           ROUND(ln(n) - sclnc / n, 6) AS entropy_nats
+    FROM s
+    """,
+)
+def source_token_entropy(spark, sf_dir):
+    """Per-source unigram Shannon entropy — the corpus-diversity number
+    next to dedup rate on a curation dashboard (a source whose entropy
+    collapses has gone templated/spammy even if no two documents are
+    exact duplicates). Computed as ln(N) - (sum c*ln(c))/N from the
+    per-(source, word) counts, so only exact integer counts cross the
+    shuffle; the float log work happens on the vocab-sized count table.
+    Shares tokenization with the text family (lowercase whitespace
+    split), and the KL/DSIR queries' log-rounding discipline (ROUND to
+    6; the local comparator carries the 1-ulp tolerance band for
+    log-bearing values).
+
+    100 TB shape: one (source, word) hash aggregate — map-side
+    combinable — then a source-sized reduction; no windows, no
+    collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("word"),
+    )
+    counts = words.groupBy("source", "word").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("vocab"),
+            F.sum(F.col("c") * F.log(F.col("c"))).alias("sclnc"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            F.round(
+                F.log(F.col("n_tokens")) - F.col("sclnc") / F.col("n_tokens"), 6
+            ).alias("entropy_nats"),
+        )
+    )

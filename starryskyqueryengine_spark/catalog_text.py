@@ -1372,3 +1372,87 @@ def source_token_entropy(spark, sf_dir):
             ).alias("entropy_nats"),
         )
     )
+
+
+@register(
+    "bigram_pmi_topk",
+    r"""
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ),
+    uni AS (
+      SELECT unnest(t) AS w FROM toks
+    ),
+    uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    n1 AS (SELECT sum(c) AS n FROM uc),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS x,
+             unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS y
+      FROM toks WHERE len(t) >= 2
+    ),
+    bc AS (SELECT x, y, count(*) AS c FROM bg GROUP BY x, y),
+    n2 AS (SELECT sum(c) AS n FROM bc),
+    scored AS (
+      SELECT bc.x, bc.y, bc.c,
+             (CAST(bc.c AS DOUBLE) * n1.n * n1.n)
+               / (CAST(ux.c AS DOUBLE) * uy.c * n2.n) AS score
+      FROM bc
+      JOIN uc ux ON ux.w = bc.x
+      JOIN uc uy ON uy.w = bc.y
+      CROSS JOIN n1 CROSS JOIN n2
+      WHERE bc.c >= 5
+    )
+    SELECT x, y, CAST(c AS BIGINT) AS n_pair, ROUND(ln(score), 6) AS pmi
+    FROM scored
+    ORDER BY score DESC, x, y
+    LIMIT 20
+    """,
+)
+def bigram_pmi_topk(spark, sf_dir):
+    """Collocation extraction: top-20 bigrams by pointwise mutual
+    information over EXACT corpus counts — PMI(x,y) =
+    ln(P(x,y) / (P(x)P(y))) — the classic phrase-mining signal for
+    tokenizer-vocabulary and stopword decisions. Ordering is done on
+    the exact-rational likelihood ratio computed as one IEEE division
+    of integer-derived doubles (bit-identical across engines), so the
+    top-20 cut never depends on log rounding; ln() appears only in the
+    displayed, 6-rounded PMI column (the log-family discipline shared
+    with BM25/KL/entropy).
+
+    100 TB shape: one bigram hash aggregate (map-side combinable) and
+    one unigram aggregate; the unigram table broadcasts into the scored
+    join (vocab-sized), totals are 1-row broadcasts, and the final cut
+    is TakeOrderedAndProject — never a global sort of all bigrams."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0).alias("t")
+    )
+    uni = toks.select(F.explode("t").alias("w"))
+    uc = uni.groupBy("w").agg(F.count("*").alias("c"))
+    bg = toks.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS x, t[i + 1] AS y))")
+        ).alias("p")
+    ).select("p.x", "p.y")
+    bc = bg.groupBy("x", "y").agg(F.count("*").alias("c")).filter(F.col("c") >= 5)
+    n1 = uc.agg(F.sum("c").alias("n1"))
+    n2row = bg.count()  # total bigrams; 1 driver int (bounded)
+    scored = (
+        bc.join(F.broadcast(uc.withColumnRenamed("w", "x").withColumnRenamed("c", "cx")), "x")
+        .join(F.broadcast(uc.withColumnRenamed("w", "y").withColumnRenamed("c", "cy")), "y")
+        .crossJoin(F.broadcast(n1))
+        .withColumn(
+            "score",
+            (F.col("c").cast("double") * F.col("n1") * F.col("n1"))
+            / (F.col("cx").cast("double") * F.col("cy") * F.lit(n2row)),
+        )
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), "x", "y")
+        .limit(20)
+        .select(
+            "x", "y",
+            F.col("c").cast("bigint").alias("n_pair"),
+            F.round(F.log("score"), 6).alias("pmi"),
+        )
+    )

@@ -1405,3 +1405,122 @@ def pipeline_multimodal_curation(spark, sf_dir):
             .alias("survivor_id_sum"),
         )
     )
+
+
+@register(
+    "phash_cluster_survivors",
+    """
+    WITH RECURSIVE dims AS (
+      SELECT doc_id,
+             doc_id - doc_id % 5 AS g,
+             CAST(doc_id % 5 AS BIGINT) AS r,
+             8 + 8 * ((doc_id - doc_id % 5) % 3) AS w,
+             8 + 8 * ((doc_id - doc_id % 5) % 2) AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, g, r, w, h, unnest(range(w * h)) AS i FROM dims
+    ),
+    boxed AS (
+      SELECT doc_id,
+             ((i // w) // (h // 8)) * 8 + ((i % w) // (w // 8)) AS box,
+             (31 * g + 7 * i) % 240 + 2 * r
+               + CASE WHEN i % 97 < r THEN 5 ELSE 0 END AS val
+      FROM px
+    ),
+    sums AS (
+      SELECT doc_id, box, sum(val) AS s FROM boxed GROUP BY doc_id, box
+    ),
+    tot AS (SELECT doc_id, sum(s) AS t FROM sums GROUP BY doc_id),
+    bands AS (
+      SELECT s.doc_id, s.box // 16 AS band_idx,
+             CAST(sum(CASE WHEN 64 * s.s > t.t THEN 1 << (s.box % 16)
+                           ELSE 0 END) AS BIGINT) AS band_val
+      FROM sums s JOIN tot t USING (doc_id)
+      GROUP BY s.doc_id, s.box // 16
+    ),
+    hashes AS (
+      SELECT doc_id,
+             max(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+             max(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+             max(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+             max(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+      FROM bands GROUP BY doc_id
+    ),
+    prs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM prs
+      UNION SELECT id_b, id_a FROM prs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+    doomed AS (SELECT id FROM comp WHERE id != component)
+    SELECT CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN dm.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_survivors,
+           CAST(COALESCE(sum(CASE WHEN dm.id IS NULL THEN d.doc_id END), 0)
+             AS BIGINT) AS survivor_id_sum
+    FROM dims d LEFT JOIN doomed dm ON d.doc_id = dm.id
+    GROUP BY d.w, d.h
+    """,
+)
+def phash_cluster_survivors(spark, sf_dir):
+    """Image near-dup with EXACT CLUSTER semantics — the transitive-
+    closure counterpart to the capstone's keep-first policy: banded
+    phash pairs feed the adaptive connected-components operator
+    (functions/dedup.py — driver union-find below 1M edges, distributed
+    min-label propagation above), the minimum id in each component
+    survives as canonical, and the result reports per-geometry
+    survivor counts with exact id checksums. The oracle replays the
+    closure with a recursive CTE — the same independent ground truth
+    dedup_survivors uses for text clusters, now proving the MEDIA
+    cluster path.
+
+    100 TB shape: identical to the phash query up to the pair set; the
+    CC input contains only actual near-dups (pair-sized, not
+    corpus-sized), which is what makes the adaptive driver/distributed
+    split safe."""
+    from .functions.dedup import connected_components
+
+    pairs = QUERIES["mm_image_phash_neardup"](spark, sf_dir).select(
+        F.col("media_a").alias("id_a"), F.col("media_b").alias("id_b")
+    )
+    comp = connected_components(pairs)
+    doomed = comp.filter(F.col("id") != F.col("component")).select("id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    g = F.col("doc_id") - F.col("doc_id") % 5
+    dims = docs.select(
+        "doc_id",
+        (F.lit(8) + 8 * (g % 3)).cast("int").alias("width"),
+        (F.lit(8) + 8 * (g % 2)).cast("int").alias("height"),
+    )
+    surv = dims.join(doomed.withColumnRenamed("id", "doc_id"), "doc_id", "left_anti")
+    return (
+        dims.groupBy("width", "height")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .join(
+            surv.groupBy("width", "height").agg(
+                F.count("*").cast("bigint").alias("n_survivors"),
+                F.sum("doc_id").cast("bigint").alias("survivor_id_sum"),
+            ),
+            ["width", "height"],
+            "left",
+        )
+        .select(
+            "width", "height", "n_docs",
+            F.coalesce("n_survivors", F.lit(0)).cast("bigint").alias("n_survivors"),
+            F.coalesce("survivor_id_sum", F.lit(0)).cast("bigint")
+            .alias("survivor_id_sum"),
+        )
+    )

@@ -590,8 +590,9 @@ def _load_extensions() -> None:
 #   text_multi_pattern_scan, text_nfc_normalize, trend_segment_spend,
 #   unimax_allocation, w_stream_pattern_match, w_stream_sliding_counts,
 #   w_stream_static_enrich, window_rank_family, dedup_rate_by_source,
-#   acid_restore_audit, source_token_entropy, bigram_pmi_topk
-# Next round: keep the ~10-query regression core, rotate these 34 in
+#   acid_restore_audit, source_token_entropy, bigram_pmi_topk,
+#   phash_cluster_survivors
+# Next round: keep the ~10-query regression core, rotate these 35 in
 # over the remaining 40 slots (they fit in one round + the core).
 PRIORITY: list[str] = [
     # --- Regression core (multi-round driver-green, highest risk) ---

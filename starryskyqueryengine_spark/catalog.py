@@ -575,25 +575,21 @@ def _load_extensions() -> None:
 # make room for queries new in round 6.  Everything rotated OUT earned
 # green driver rows in r1-r5 and is unchanged since; all queries remain
 # covered by tools/full_gate.py and tests/test_oracle_parity.py locally.
-# ROUND-7 ROTATION QUEUE — queries that have never earned a driver
-# CORRECTNESS row (registered after earlier windows filled; all are
-# value-exact in LOCAL_CORRECTNESS.json / test_oracle_parity.py):
-#   anomaly_daily_zscore, bfs_reach_3hop, bloom_prefilter_upsert,
-#   chisq_lang_source, cohort_retention, embedding_dim_stats,
-#   embedding_random_projection, expectations_documents,
-#   funnel_view_click_purchase, gapfill_user_daily,
-#   label_prop_communities, mm_audio_fingerprint_neardup,
-#   mm_video_fingerprint_neardup, outlier_orders_mad,
-#   pipeline_multimodal_curation, profile_documents,
-#   rolling_7d_active_users, scd2_priority_history, skew_salted_join,
-#   soft_dedup_weights, sssp_supplier_3hop, table_changes_stream,
-#   text_multi_pattern_scan, text_nfc_normalize, trend_segment_spend,
-#   unimax_allocation, w_stream_pattern_match, w_stream_sliding_counts,
-#   w_stream_static_enrich, window_rank_family, dedup_rate_by_source,
-#   acid_restore_audit, source_token_entropy, bigram_pmi_topk,
-#   phash_cluster_survivors
-# Next round: keep the ~10-query regression core, rotate these 35 in
-# over the remaining 40 slots (they fit in one round + the core).
+# ROUND-7 ROTATION (VERDICT.md r6 top ask, executed): the 35 queued
+# never-driver-checked queries plus ann_lsh_topk (its only driver
+# record is an r1 FAIL from before the fix; locally value-exact since)
+# all get driver rows this round, on top of the 10-query regression
+# core.  The remaining 4 slots re-verify queries whose code paths are
+# TOUCHED this round: pagerank_part_supplier / pagerank_dangling
+# (graph broadcast size-gating, functions/graph.py), bpe_tokenize_
+# roundtrip (distributed pair counting, functions/bpe.py), and
+# percentile_prices (exact/approx dual mode).  Everything rotated OUT
+# earned green driver rows in r1-r6 and is unchanged since; all
+# queries remain covered by tools/full_gate.py and
+# tests/test_oracle_parity.py locally.  After this round every
+# value-checkable catalog query has earned a driver row at least once
+# (the only exceptions are the 2 inherently rows-only queries:
+# sketch_distinct_users, ann_ivf_topk).
 PRIORITY: list[str] = [
     # --- Regression core (multi-round driver-green, highest risk) ---
     "flagship_multifeed",
@@ -606,68 +602,55 @@ PRIORITY: list[str] = [
     "s1_datasource_scan",
     "p11_acl_filter",
     "dedup_exact",
-    # --- First-ever driver rows: registered after round 5's window ---
-    "ann_ivf_indexed_topk",
-    "bm25_indexed_search",
-    "bpe_tokenize_roundtrip",
-    "chunk_documents_udtf",
-    "domain_blocklist_filter",
-    "embedding_quantize",
-    "html_extract_text",
-    "kmeans_update_step",
-    "mm_ppm_decode",
-    "mm_transcode_png_jpeg",
-    "mm_wav_spectral",
-    "mm_y4m_frames",
-    # --- Re-verify: driver-green r5, touched or adjacent this round ---
-    # (codecs: GIF encoder EOI-width fix + decode error-isolation widened;
-    #  pagerank/zorder: cost + manifest changes this round)
-    "mm_gif_roundtrip",
-    # (mm_png_decode rotated out — superseded in-window by
-    #  mm_image_phash_neardup, which round-trips real grayscale PNGs
-    #  through the same codec AND adds the LSH near-dup join)
-    "mm_image_phash_neardup",
-    # (mm_jpeg_roundtrip rotated out — JPEG codec untouched since its r5
-    #  driver-green row; replaced by the schema-evolution lifecycle audit)
-    "acid_schema_evolution",
-    # (mm_ppm_resize rotated out — resize path untouched this round,
-    #  driver-green r5; replaced by the RAG retrieval capstone)
-    "pipeline_rag_retrieval",
-    # (mm_wav_features rotated out — WAV codec untouched this round,
-    #  driver-green r5; replaced by the new Y4M scene-cut detector)
-    "mm_scene_detect",
-    "zorder_skipping_scan",
+    # --- Re-verify: code paths touched in round 7 ---
     "pagerank_part_supplier",
-    # (bm25_search rotated out — its score subtree is covered in-window
-    #  by bm25_indexed_search + hybrid_rrf_search + pipeline_rag_retrieval;
-    #  replaced by the streaming LEFT OUTER interval join drain)
-    "w_stream_outer_join",
-    # --- New in round 6, continuation session (first-ever driver rows;
-    #     rotated IN for dsir_importance_weights, source_kl_divergence,
-    #     pipeline_pretrain_prep, span_dedup_stats, line_dedup_stats,
-    #     semantic_dedup, ann_ivf_fixed_topk, decontaminate_overlap —
-    #     all driver-green r5 and unchanged since) ---
-    "hybrid_rrf_search",
-    "pq_encode",
-    "ann_pq_adc_topk",
-    "acid_table_audit",
-    "countmin_frequency",
-    "url_canonical_dedup",
-    "w_stream_session_counts",
-    "w_stream_dedup",
-    # --- New in round 6 (first-ever driver rows) ---
-    "topk_per_group_orders",
-    "moving_revenue_window",
-    "pareto_front_parts",
     "pagerank_dangling",
-    "cube_nation_year",
-    "grouping_sets_returns",
-    "unpivot_lineitem_measures",
-    "histogram_equidepth_prices",
-    "dedup_fuzzy_levenshtein",
-    "heavy_hitters_bigrams",
-    "lm_perplexity_scores",
-    "triangle_count_cosupplier",
+    "bpe_tokenize_roundtrip",
+    "percentile_prices",
+    # --- First-ever driver rows: the round-7 rotation queue ---
+    # Capstones first (compose the most machinery — a discrepancy here
+    # is the most informative; VERDICT r6 ask #7):
+    "pipeline_multimodal_curation",
+    "phash_cluster_survivors",
+    "mm_audio_fingerprint_neardup",
+    "mm_video_fingerprint_neardup",
+    "table_changes_stream",
+    "acid_restore_audit",
+    # Graph batch:
+    "label_prop_communities",
+    "sssp_supplier_3hop",
+    "bfs_reach_3hop",
+    # Analytics batch:
+    "anomaly_daily_zscore",
+    "chisq_lang_source",
+    "cohort_retention",
+    "funnel_view_click_purchase",
+    "gapfill_user_daily",
+    "outlier_orders_mad",
+    "rolling_7d_active_users",
+    "scd2_priority_history",
+    "trend_segment_spend",
+    "window_rank_family",
+    # Embedding / similarity batch:
+    "embedding_dim_stats",
+    "embedding_random_projection",
+    "ann_lsh_topk",
+    # Curation / text batch:
+    "bloom_prefilter_upsert",
+    "expectations_documents",
+    "profile_documents",
+    "skew_salted_join",
+    "soft_dedup_weights",
+    "text_multi_pattern_scan",
+    "text_nfc_normalize",
+    "unimax_allocation",
+    "dedup_rate_by_source",
+    "source_token_entropy",
+    "bigram_pmi_topk",
+    # Streaming batch:
+    "w_stream_pattern_match",
+    "w_stream_sliding_counts",
+    "w_stream_static_enrich",
 ]
 
 

@@ -21,12 +21,14 @@ construction guaranteeing no dangling nodes) into a reusable
   oracle.
 
 100 TB shape: the edge list is cached and re-scanned once per
-iteration; the |nodes|-sized (src, contribution) table is broadcast
-into it, so each iteration costs one edge pass plus one map-side-
-combined aggregate — never an edge-sized shuffle join build.  The
-dangling mass is one tiny aggregate over the rank table (skipped
-entirely when the graph has no dangling node), and the L1 delta is one
-more (skipped when ``tol_scaled`` is None).
+iteration; the |nodes|-sized (src, contribution) table joins into it
+**broadcast only when it provably fits** (see ``_gate_broadcast``), so
+each iteration costs one edge pass plus one map-side-combined
+aggregate — never an edge-sized shuffle join build when the node table
+is small, and never a driver-OOM broadcast of a billion-row node table
+when it is not.  The dangling mass is one tiny aggregate over the rank
+table (skipped entirely when the graph has no dangling node), and the
+L1 delta is one more (skipped when ``tol_scaled`` is None).
 """
 
 from __future__ import annotations
@@ -36,6 +38,30 @@ from pyspark.sql import functions as F
 
 PR_SCALE = 10**12
 
+# Node-sized iteration state (rank / distance / label tables, two
+# BIGINT columns ≈ 16 B/row + row overhead) is broadcast only below
+# this row count: 4M rows ≈ 100-200 MB serialized — comfortably inside
+# executor memory on any reasonable cluster, far below the 8 GB
+# broadcast hard cap.  Above it the join falls back to a shuffle hash /
+# sort-merge join picked by Catalyst+AQE (which can still promote to
+# broadcast at runtime if post-filter stats allow).  Same adaptive
+# philosophy as ``connected_components``'s driver/distributed split
+# (functions/dedup.py): pick the small-side fast path only when the
+# size is KNOWN to be small.
+BROADCAST_MAX_NODES = 4_000_000
+
+
+def _gate_broadcast(df: DataFrame, n_rows: int, max_rows: int) -> DataFrame:
+    """Broadcast-hint ``df`` only when its known row bound fits.
+
+    ``n_rows`` must be a proven upper bound on ``df``'s row count
+    (e.g. |V| for any node-keyed table).  At 100× scale an
+    unconditional ``F.broadcast`` of a node-sized table is a driver
+    OOM / broadcast-size abort; an unconditional shuffle join wastes
+    the common small-graph case.  Gating on the bound keeps both.
+    """
+    return F.broadcast(df) if n_rows <= max_rows else df
+
 
 def pagerank(
     edges: DataFrame,
@@ -43,6 +69,7 @@ def pagerank(
     damping_pct: int = 85,
     scale: int = PR_SCALE,
     tol_scaled: int | None = None,
+    broadcast_max_nodes: int = BROADCAST_MAX_NODES,
 ) -> tuple[DataFrame, int]:
     """PageRank over a directed ``(src, dst)`` BIGINT edge list.
 
@@ -59,6 +86,11 @@ def pagerank(
     with no in-edges keep the teleport + dangling term (left join, not
     inner).  With ``tol_scaled`` set, iteration stops as soon as the
     exact L1 delta is <= tol_scaled.
+
+    ``broadcast_max_nodes`` gates every node-sized broadcast (deg,
+    dangling, contribution tables — all bounded by |V|, which is
+    already counted for ``base``); above it Catalyst/AQE picks the
+    join strategy.  Results are identical either way.
     """
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
@@ -78,6 +110,10 @@ def pagerank(
         return nodes.select("node", F.lit(0).cast("bigint").alias("r")), 0
     base = scale // n_nodes
     teleport = (100 - damping_pct) * base
+
+    def gate(df: DataFrame) -> DataFrame:
+        # every gated table here is node-keyed -> bounded by |V|
+        return _gate_broadcast(df, n_nodes, broadcast_max_nodes)
 
     # dangling = nodes with no out-edge; resolved ONCE (the set is a
     # property of the edge list, only the MASS changes per iteration)
@@ -99,17 +135,17 @@ def pagerank(
         dm_per = 0
         if has_dangling:
             dm = (
-                ranks.join(F.broadcast(dangling), "node", "left_semi")
+                ranks.join(gate(dangling), "node", "left_semi")
                 .agg(F.sum("r").alias("s"))
                 .collect()[0]["s"]
             )
             dm_per = int(dm or 0) // n_nodes
         csrc = (
-            ranks.join(F.broadcast(deg), ranks["node"] == deg["src"])
+            ranks.join(gate(deg), ranks["node"] == deg["src"])
             .select("src", F.expr("r div outdeg").alias("c"))
         )
         contribs = (
-            edges.join(F.broadcast(csrc), "src")
+            edges.join(gate(csrc), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("s"))
         )
@@ -149,7 +185,10 @@ def pagerank(
 
 
 def sssp_bounded(
-    edges: DataFrame, sources: DataFrame, max_hops: int
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    broadcast_max_nodes: int = BROADCAST_MAX_NODES,
 ) -> DataFrame:
     """Hop-bounded single-source(-set) shortest paths — synchronous
     Bellman-Ford over a weighted ``(src, dst, w)`` BIGINT edge list.
@@ -167,18 +206,29 @@ def sssp_bounded(
     (same policy as :func:`pagerank`).
 
     100 TB shape: the edge list is cached once; each round joins the
-    CURRENT distance table (node-sized, broadcast when it fits) into the
-    edge scan, aggregates a min per dst, and unions with the previous
-    table through one more min — two map-side-combinable aggregates per
-    round, never an edge×edge product.  Frontier-only optimization
-    (join just the nodes whose dist changed) drops in by filtering the
-    relax input; omitted here to keep the oracle replayable row-for-row.
+    CURRENT distance table (node-sized, broadcast only when |V| is
+    under ``broadcast_max_nodes`` — one upfront distinct-count buys the
+    proof) into the edge scan, aggregates a min per dst, and unions
+    with the previous table through one more min — two
+    map-side-combinable aggregates per round, never an edge×edge
+    product.  Frontier-only optimization (join just the nodes whose
+    dist changed) drops in by filtering the relax input; omitted here
+    to keep the oracle replayable row-for-row.
     """
     edges = edges.select(
         F.col("src").cast("bigint").alias("src"),
         F.col("dst").cast("bigint").alias("dst"),
         F.col("w").cast("bigint").alias("w"),
     ).cache()
+    # |V| bounds every per-round dist table; one count decides the
+    # broadcast strategy for the whole run (same pattern as pagerank,
+    # which needs the count anyway).
+    n_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .count()
+    )
     dist = sources.select(
         F.col("node").cast("bigint").alias("node"),
         F.lit(0).cast("bigint").alias("dist"),
@@ -187,7 +237,12 @@ def sssp_bounded(
     for i in range(max_hops):
         relaxed = (
             edges.join(
-                F.broadcast(dist.withColumnRenamed("node", "src")), "src"
+                _gate_broadcast(
+                    dist.withColumnRenamed("node", "src"),
+                    n_nodes,
+                    broadcast_max_nodes,
+                ),
+                "src",
             )
             .select(
                 F.col("dst").alias("node"),
@@ -212,7 +267,10 @@ def sssp_bounded(
 
 
 def label_propagation(
-    edges: DataFrame, iters: int
+    edges: DataFrame,
+    iters: int,
+    broadcast_max_nodes: int = BROADCAST_MAX_NODES,
+    frontier_sizes: list | None = None,
 ) -> DataFrame:
     """Synchronous label propagation for community detection (Raghavan
     et al. 2007), determinized: every node starts labeled with its own
@@ -224,13 +282,28 @@ def label_propagation(
     partition-order independent and replayable by an unrolled SQL
     oracle, unlike the textbook random-order variant.
 
-    Returns ``(node, label)`` after ``iters`` rounds.
+    Returns ``(node, label)`` after ``iters`` rounds (stopping early at
+    the fixed point — once a round changes no label, every later round
+    is the identity, so early stop is exact).
 
-    100 TB shape per round: one edge-scan join carrying the node-sized
-    label table (broadcast when it fits), one (dst, label) count
-    aggregate, one deterministic arg-max via max_by over a (count,
-    -label) struct — two shuffles on node-sized data, edge data never
-    reshuffles (cached scan)."""
+    **Frontier-optimized** (round 2+): a node's new label is a pure
+    function of its in-neighbors' labels, so only nodes with at least
+    one in-neighbor whose label changed last round can change this
+    round.  Each round therefore (a) semi-joins the edge list down to
+    edges whose ``src`` changed, (b) takes the distinct ``dst`` set as
+    the recompute frontier, (c) recomputes the argmax over ALL in-edges
+    of just those nodes — bit-identical to the full recompute, but the
+    per-round cost decays with the frontier instead of staying
+    O(|E|).  Round 1's frontier is every node (identical to the
+    unoptimized form).  ``frontier_sizes``, when passed, receives the
+    per-round changed-node counts (test hook for pinning shrink).
+
+    100 TB shape per round: one frontier semi-join + one edge-scan join
+    carrying the node-sized label table (each broadcast only when |V|
+    fits ``broadcast_max_nodes``; above it Catalyst/AQE picks the
+    strategy), one (dst, label) count aggregate, one deterministic
+    arg-max via max_by over a (count, -label) struct — shuffles are
+    node-sized, edge data never reshuffles (cached scan)."""
     edges = edges.select(
         F.col("src").cast("bigint").alias("src"),
         F.col("dst").cast("bigint").alias("dst"),
@@ -241,12 +314,42 @@ def label_propagation(
         .distinct()
         .cache()
     )
-    labels = nodes.select("node", F.col("node").alias("label"))
+    n_nodes = nodes.count()
+
+    def gate(df: DataFrame) -> DataFrame:
+        # node-keyed tables only — bounded by |V|
+        return _gate_broadcast(df, n_nodes, broadcast_max_nodes)
+
+    labels = nodes.select("node", F.col("node").alias("label")).cache()
+    labels.count()
+    # changed = nodes whose label changed last round (round 1: all)
+    changed: DataFrame | None = None  # None = first round, frontier is V
     prev = None
+    prev_changed = None
     for _ in range(iters):
+        if changed is None:
+            aff_edges = edges  # round 1: every node recomputes
+        else:
+            # edges whose source changed -> their dsts form the
+            # frontier; then ALL in-edges of those dsts (the argmax
+            # needs the full neighborhood, not just changed sources)
+            frontier = (
+                edges.join(
+                    gate(changed.withColumnRenamed("node", "src")),
+                    "src",
+                    "left_semi",
+                )
+                .select(F.col("dst").alias("node"))
+                .distinct()
+            )
+            aff_edges = edges.join(
+                gate(frontier.withColumnRenamed("node", "dst")),
+                "dst",
+                "left_semi",
+            )
         counts = (
-            edges.join(
-                F.broadcast(labels.withColumnRenamed("node", "src")), "src"
+            aff_edges.join(
+                gate(labels.withColumnRenamed("node", "src")), "src"
             )
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
@@ -256,7 +359,7 @@ def label_propagation(
                 "label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
             ).alias("new_label")
         )
-        labels = (
+        new_labels = (
             labels.join(winner, "node", "left")
             .select(
                 "node",
@@ -264,10 +367,27 @@ def label_propagation(
             )
         )
         # node-sized materialization per round truncates the lineage so
-        # the next round's broadcast does not re-run this one
-        labels = labels.cache()
-        labels.count()
+        # the next round's joins do not re-run this one
+        new_labels = new_labels.cache()
+        new_labels.count()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .select("node")
+            .cache()
+        )
+        n_changed = changed.count()
+        if frontier_sizes is not None:
+            frontier_sizes.append(n_changed)
         if prev is not None:
             prev.unpersist()
-        prev = labels
+        if prev_changed is not None:
+            prev_changed.unpersist()
+        prev, prev_changed = labels, changed
+        labels = new_labels
+        if n_changed == 0:
+            # fixed point: round k+1's inputs equal round k's, so all
+            # remaining rounds are the identity — exact early stop
+            break
     return labels

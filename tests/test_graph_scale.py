@@ -1,0 +1,160 @@
+"""Scale-shape tests for functions/graph.py (round-7 VERDICT asks #2
+and #4): size-gated broadcasts on the node-sized iteration tables, and
+the frontier-optimized label propagation.
+
+The broadcast gate is the 100 TB guard: a |V|-sized rank/label/distance
+table cannot broadcast at a billion nodes — the hint must disappear
+above the threshold while results stay bit-identical either way."""
+
+from __future__ import annotations
+
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from starryskyqueryengine_spark.functions.graph import (
+    PR_SCALE,
+    _gate_broadcast,
+    label_propagation,
+    pagerank,
+    sssp_bounded,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@contextlib.contextmanager
+def _no_auto_broadcast(spark):
+    """Disable Catalyst's size-based auto-broadcast so a BroadcastHashJoin
+    in the plan can only come from the explicit hint under test."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+
+
+# ------------------------------------------------------------- the gate
+
+
+def test_gate_broadcast_hints_only_below_threshold(spark):
+    with _no_auto_broadcast(spark):
+        big = spark.range(0, 1000).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+        small = spark.range(0, 10).select(F.col("id").alias("k"))
+        # below the bound: the explicit hint forces a broadcast join
+        hinted = big.join(_gate_broadcast(small, 10, 100), "k")
+        assert "BroadcastHashJoin" in _plan(hinted)
+        # above the bound: no hint, and with auto-broadcast off the
+        # planner must pick a shuffle-based join — the plan you'd run
+        # when the node table is a billion rows
+        gated = big.join(_gate_broadcast(small, 10, 5), "k")
+        assert "BroadcastHashJoin" not in _plan(gated)
+
+
+# -------------------------------------------- results identical both ways
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_pagerank_identical_above_and_below_gate(spark):
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (5, 1)]
+    ranks_bc, it_bc = pagerank(_edges(spark, pairs), max_iters=4)
+    ranks_sh, it_sh = pagerank(
+        _edges(spark, pairs), max_iters=4, broadcast_max_nodes=0
+    )
+    assert it_bc == it_sh
+    assert sorted(map(tuple, ranks_bc.collect())) == sorted(
+        map(tuple, ranks_sh.collect())
+    )
+
+
+def test_sssp_identical_above_and_below_gate(spark):
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 1), (1, 3, 10), (3, 4, 2)], "src long, dst long, w long"
+    )
+    sources = spark.createDataFrame([(1,)], "node long")
+    d_bc = sssp_bounded(edges, sources, max_hops=3)
+    d_sh = sssp_bounded(edges, sources, max_hops=3, broadcast_max_nodes=0)
+    assert sorted(map(tuple, d_bc.collect())) == sorted(map(tuple, d_sh.collect()))
+
+
+def test_label_propagation_identical_above_and_below_gate(spark):
+    pairs = [(1, 2), (2, 1), (2, 3), (3, 2), (4, 5), (5, 4), (3, 4), (4, 3)]
+    l_bc = label_propagation(_edges(spark, pairs), iters=3)
+    l_sh = label_propagation(_edges(spark, pairs), iters=3, broadcast_max_nodes=0)
+    assert sorted(map(tuple, l_bc.collect())) == sorted(map(tuple, l_sh.collect()))
+
+
+# ------------------------------------------------- frontier optimization
+
+
+def _lpa_reference(pairs, n_rounds):
+    """Driver-side synchronous LPA with the same determinization (most
+    frequent in-neighbor label, ties to smallest) — the oracle for the
+    frontier-optimized distributed form."""
+    nodes = sorted({x for p in pairs for x in p})
+    in_nbrs: dict[int, list[int]] = {v: [] for v in nodes}
+    for s, d in pairs:
+        in_nbrs[d].append(s)
+    labels = {v: v for v in nodes}
+    for _ in range(n_rounds):
+        new = {}
+        for v in nodes:
+            if not in_nbrs[v]:
+                new[v] = labels[v]
+                continue
+            freq: dict[int, int] = {}
+            for u in in_nbrs[v]:
+                freq[labels[u]] = freq.get(labels[u], 0) + 1
+            best = max(freq.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        if new == labels:
+            break
+        labels = new
+    return labels
+
+
+@pytest.mark.parametrize("iters", [1, 2, 4])
+def test_label_propagation_matches_reference(spark, iters):
+    # two K3 cliques bridged by one undirected edge + a dangling spur:
+    # exercises ties, convergence, and no-in-edge keep-label
+    und = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    pairs = und + [(b, a) for a, b in und] + [(7, 1)]  # 7->1 only: 7 keeps label
+    got = dict(
+        map(tuple, label_propagation(_edges(spark, pairs), iters=iters).collect())
+    )
+    assert got == _lpa_reference(pairs, iters)
+
+
+def test_label_propagation_frontier_shrinks_and_early_stops(spark):
+    # K4 clique (both directions): round 1 changes all 4 labels,
+    # round 2 changes exactly one (node 1 -> 1 settles back), round 3
+    # changes none -> early stop. Frontier sizes must shrink strictly.
+    und = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    sizes: list[int] = []
+    labels = label_propagation(
+        _edges(spark, und), iters=10, frontier_sizes=sizes
+    )
+    assert sizes[-1] == 0, sizes
+    assert len(sizes) < 10, "fixed point must stop early"
+    assert all(a > b for a, b in zip(sizes, sizes[1:])), sizes
+    # and the fixed point is the reference's
+    assert dict(map(tuple, labels.collect())) == _lpa_reference(und, 10)
+
+
+def test_pagerank_ranks_sum_to_scale(spark):
+    pairs = [(1, 2), (2, 3), (3, 1), (4, 1)]  # 4 is source-only; 3->1 etc.
+    ranks, _ = pagerank(_edges(spark, pairs), max_iters=3)
+    total = ranks.agg(F.sum("r")).collect()[0][0]
+    # conserved up to integer-division remainders (n_nodes per division)
+    assert abs(total - PR_SCALE) < 4 * 100

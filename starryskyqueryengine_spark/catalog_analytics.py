@@ -179,15 +179,22 @@ def rollup_revenue(spark, sf_dir):
     FROM lineitem GROUP BY l_returnflag
     """,
 )
-def percentile_prices(spark, sf_dir):
+def percentile_prices(spark, sf_dir, exact: bool = True):
     """Exact linear-interpolation percentiles per group (matches DuckDB
     quantile_cont). Exact percentile is a sort-based aggregate — fine
-    per bounded group; the 100 TB path swaps in approx_percentile
-    (t-digest sketch, mergeable map-side) at identical call shape."""
+    per bounded group; ``exact=False`` IS the 100 TB path: it swaps in
+    approx_percentile (mergeable sketch, map-side combinable, no
+    per-group value sort) at identical call and output shape.  The
+    driver/oracle always runs the exact form; the approx form is pinned
+    within tolerance of it in tests/test_approx_modes.py."""
     l = load_table(spark, sf_dir, "lineitem")
     # one percentile aggregate with an array of percentages: a single
     # sort/digest per group instead of three
-    qs = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    pcts = F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    if exact:
+        qs = F.percentile("l_extendedprice", pcts)
+    else:
+        qs = F.percentile_approx("l_extendedprice", pcts, F.lit(10000))
     return (
         l.groupBy("l_returnflag")
         .agg(qs.alias("_q"), F.count("*").cast("bigint").alias("n"))
@@ -1613,19 +1620,42 @@ def unpivot_lineitem_measures(spark, sf_dir):
     FROM t GROUP BY bucket
     """,
 )
-def histogram_equidepth_prices(spark, sf_dir):
+def histogram_equidepth_prices(spark, sf_dir, exact: bool = True):
     """Equi-depth histogram (10 buckets of equal row count) — the
     profiling structure query optimizers and data-quality checks use.
     NTILE over a deterministic total order (price, orderkey tiebreak)
     makes bucket membership engine-exact.  The global-sort window is the
-    honest cost of exact equi-depth; the 100 TB path replaces it with
-    approx_percentile bucket BOUNDS (mergeable t-digest, no global
-    sort) at the same output shape."""
+    honest cost of exact equi-depth; ``exact=False`` IS the 100 TB
+    path: approx_percentile computes the 9 interior bucket BOUNDS as
+    one mergeable-sketch aggregate (no global sort, no single-partition
+    window), the bounds come back to the driver as 9 doubles (a scalar
+    aggregate, not a data collect), and bucket assignment is then a
+    pure per-row expression — scan-parallel, one shuffle for the final
+    group-by.  Same output shape; bucket populations are approximately
+    equal instead of exactly equal (pinned in
+    tests/test_approx_modes.py)."""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    if exact:
+        w = Window.orderBy("o_totalprice", "o_orderkey")
+        bucketed = o.select(
+            "o_totalprice", F.ntile(10).over(w).cast("bigint").alias("bucket")
+        )
+    else:
+        bounds = o.agg(
+            F.percentile_approx(
+                "o_totalprice",
+                F.array(*[F.lit(i / 10) for i in range(1, 10)]),
+                F.lit(10000),
+            ).alias("b")
+        ).collect()[0]["b"]
+        bucket = F.lit(1)
+        for b in bounds:
+            bucket = bucket + F.when(
+                F.col("o_totalprice") > F.lit(float(b)), 1
+            ).otherwise(0)
+        bucketed = o.select("o_totalprice", bucket.cast("bigint").alias("bucket"))
     return (
-        o.select("o_totalprice", F.ntile(10).over(w).cast("bigint").alias("bucket"))
-        .groupBy("bucket")
+        bucketed.groupBy("bucket")
         .agg(
             F.round(F.min("o_totalprice"), 2).alias("lo"),
             F.round(F.max("o_totalprice"), 2).alias("hi"),
@@ -2216,7 +2246,7 @@ def cohort_retention(spark, sf_dir):
     GROUP BY d.priority
     """,
 )
-def outlier_orders_mad(spark, sf_dir):
+def outlier_orders_mad(spark, sf_dir, exact: bool = True):
     """Robust outlier detection per group: median absolute deviation
     (|x - median| > k·MAD) — the data-cleaning filter that, unlike
     z-scores, a few extreme rows cannot poison.  k = 1.5 here so the
@@ -2225,21 +2255,25 @@ def outlier_orders_mad(spark, sf_dir):
     aggregates (group-bounded sorts, same parity mechanics as
     percentile_prices) with the group-sized median/MAD tables BROADCAST
     back into the fact scans — the big side shuffles once per aggregate
-    and never for the joins.  At 100 TB swap exact percentile for
-    approx_percentile at identical call shape; the deviation compare and
-    counts stay exact integers."""
+    and never for the joins.  ``exact=False`` IS the 100 TB path: both
+    medians come from approx_percentile (mergeable sketch, no per-group
+    sort) at identical call shape; the deviation compare and counts
+    stay exact integers given the sketched thresholds (tolerance pinned
+    in tests/test_approx_modes.py)."""
+
+    def med_of(col):
+        if exact:
+            return F.percentile(col, F.lit(0.5))
+        return F.percentile_approx(col, F.lit(0.5), F.lit(10000))
+
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("priority"), "o_totalprice"
     )
-    med = o.groupBy("priority").agg(
-        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
-    )
+    med = o.groupBy("priority").agg(med_of("o_totalprice").alias("med"))
     dev = o.join(F.broadcast(med), "priority").select(
         "priority", "med", F.abs(F.col("o_totalprice") - F.col("med")).alias("d")
     )
-    mad = dev.groupBy("priority").agg(
-        F.percentile("d", F.lit(0.5)).alias("mad")
-    )
+    mad = dev.groupBy("priority").agg(med_of("d").alias("mad"))
     return (
         dev.join(F.broadcast(mad), "priority")
         .groupBy("priority")

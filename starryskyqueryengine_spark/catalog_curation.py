@@ -519,7 +519,7 @@ def _profile_col_sql(col: str) -> str:
     "profile_documents",
     " UNION ALL ".join(_profile_col_sql(c) for c in _PROFILE_COLS),
 )
-def profile_documents(spark, sf_dir):
+def profile_documents(spark, sf_dir, exact: bool = True):
     """ONE-pass dataset profiler: per-column row/null/exact-distinct
     counts, lexicographic min/max of the string repr, and mean repr
     length — the first thing a data engineer runs on an unfamiliar 100 TB
@@ -529,9 +529,12 @@ def profile_documents(spark, sf_dir):
     column, so shuffle bytes stay ~ table width, not width x N); the
     per-column report rows are then exploded from the 1-row aggregate —
     no second scan, no per-column job loop (the anti-pattern the z-order
-    manifest build had).  At 100 TB swap count(DISTINCT) for
-    approx_count_distinct and the Expand disappears too — the exact form
-    here is what the oracle can verify.  min/max compare the STRING repr
+    manifest build had).  ``exact=False`` IS the 100 TB path: it swaps
+    count(DISTINCT) for approx_count_distinct (HLL++, rsd 1%) and the
+    Expand pass disappears — one plain single-pass aggregate.  The
+    exact form is what the oracle verifies; the approx form's distinct
+    counts are pinned within HLL tolerance of it in
+    tests/test_approx_modes.py.  min/max compare the STRING repr
     on both sides (min(CAST(c AS VARCHAR)), not CAST(min(c) AS VARCHAR))
     so engine-native orderings never diverge.  All stats are exact
     integers or one double division of exact integers — deterministic
@@ -542,9 +545,14 @@ def profile_documents(spark, sf_dir):
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in _PROFILE_COLS:
         s = F.col(c).cast("string")
+        nd = (
+            F.countDistinct(F.col(c))
+            if exact
+            else F.approx_count_distinct(F.col(c), rsd=0.01)
+        )
         aggs += [
             F.count(F.col(c)).alias(f"{c}__cnt"),
-            F.countDistinct(F.col(c)).alias(f"{c}__nd"),
+            nd.alias(f"{c}__nd"),
             F.min(s).alias(f"{c}__mn"),
             F.max(s).alias(f"{c}__mx"),
             F.sum(F.length(s).cast("bigint")).alias(f"{c}__len"),

@@ -85,3 +85,32 @@ def test_tokenize_corpus_distributed(spark, merges):
     for i, t in enumerate(CORPUS):
         assert out[i]["n_bytes"] == len(t.encode("utf-8"))
         assert out[i]["n_tokens"] <= out[i]["n_bytes"]
+
+
+# ------------------------------------------------- distributed training
+
+
+def test_train_bpe_spark_identical_merge_list(spark, merges):
+    """The distributed trainer (Spark pair-count aggregate + Catalyst
+    fold merge application) must reproduce the driver trainer's merge
+    list EXACTLY — same counts, same lowest-pair tie-break — on the
+    same corpus.  40 merges keeps the per-round job count test-sized;
+    the prefix property (merge k is independent of n_merges) makes the
+    comparison against the driver's first 40 exact."""
+    from starryskyqueryengine_spark.functions.bpe import train_bpe_spark
+
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    got = train_bpe_spark(df, "text", n_merges=40)
+    assert got == merges[:40]
+
+
+def test_train_bpe_spark_overlapping_pair_fold(spark):
+    """'aaaa' with merge (a,a): the fold must yield [aa, aa], never a
+    greedy re-merge against the just-formed token — pins the
+    accumulator-tail semantics of the Catalyst fold."""
+    from starryskyqueryengine_spark.functions.bpe import train_bpe_spark
+
+    df = spark.createDataFrame([("aaaa aaaa aaaa",)], "text string")
+    got = train_bpe_spark(df, "text", n_merges=3)
+    assert got == train_bpe(["aaaa aaaa aaaa"], n_merges=3)
+    assert got[0] == (b"a", b"a")

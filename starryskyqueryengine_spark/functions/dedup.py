@@ -383,56 +383,102 @@ def connected_components(
                 parent[rb] = ra
         rows = [(x, find(x)) for x in parent]
         return pairs.sparkSession.createDataFrame(rows, "id long, component long")
+    # ---- distributed path: alternating large-star / small-star -------
+    # (Kiveris et al. 2014, "Connected Components in MapReduce and
+    # Beyond"): contraction converges in O(log n) rounds regardless of
+    # component DIAMETER — min-label propagation needs diameter-many
+    # rounds and stalls out on chain-shaped clusters (the round-6 weak
+    # spot).  Each round is two phases over the current edge set:
+    #
+    #   large-star: per center u over the UNDIRECTED neighborhood,
+    #     m = min(N(u) ∪ {u}); rewire every LARGER neighbor v > u to m.
+    #   small-star: orient edges large→small; per center u,
+    #     m = min(N(u)); rewire every smaller neighbor AND u itself
+    #     to m.
+    #
+    # The fixed point is a star forest in which every node points at
+    # its component's minimum id — exactly the (id, component) output
+    # of the union-find fast path.
+    all_nodes = (
+        pairs.select(F.col(id_a).alias("id"))
+        .union(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+        .cache()
+    )
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
         .distinct()
         .cache()
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-        .cache()
-    )
-    changed = -1  # -1 = loop never ran (max_iter <= 0)
+    converged = False
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("component").alias("_nmin"))
+        # -- large-star: undirected neighborhoods
+        und = edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+        m = und.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        # Each phase output references its input MULTIPLE times (the
+        # undirected union + the center join), so the round-over-round
+        # logical plan grows EXPONENTIALLY if only cached — cache
+        # truncates execution, not the analyzer's plan tree.
+        # localCheckpoint severs the lineage each phase (the same
+        # reason GraphFrames checkpoints its CC loop); the tables are
+        # pairs-sized, so the materialization is cheap.
+        large = (
+            und.join(m, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # -- small-star: edges already oriented a (large) -> b (small)
+        m2 = large.groupBy("a").agg(F.min("b").alias("m"))
+        new_edges = (
+            large.join(m2, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(m2.select(F.col("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
             .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
-                ).alias("component"),
+                F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
             )
-            .cache()
+            .distinct()
+            .localCheckpoint(eager=True)
         )
+        # convergence = edge set unchanged by a full round (set compare
+        # via one anti-join probe + two counts on checkpointed tables)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
+            new_edges.count() != edges.count()
+            or new_edges.join(edges, ["a", "b"], "left_anti").limit(1).count() > 0
         )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        # silent non-convergence would split real clusters into several
-        # "canonical" survivors — fail loudly; raise max_iter (rounds
-        # needed = cluster diameter) for pathological chain-shaped data
         edges.unpersist()
-        labels.unpersist()
+        edges = new_edges
+        if not changed:
+            converged = True
+            break
+    if not converged:
+        # silent non-convergence would split real clusters into several
+        # "canonical" survivors — fail loudly (should not happen:
+        # two-star needs only O(log n) rounds, not diameter)
+        edges.unpersist()
+        all_nodes.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            f"(last round changed {changed} labels) — raise max_iter"
+            f"— raise max_iter"
         )
-    edges.unpersist()
+    # star forest: a = member, b = component min; roots map to themselves.
+    # The final edge set stays cached (it is pairs-sized, and the
+    # returned labels' lineage reads it).
+    labels = all_nodes.join(
+        edges.select(F.col("a").alias("id"), F.col("b").alias("component")),
+        "id",
+        "left",
+    ).select("id", F.coalesce("component", "id").alias("component"))
     return labels
 
 

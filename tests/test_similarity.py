@@ -305,3 +305,52 @@ def test_prefix_filter_bounds_hot_shingle_fanout(spark):
 
     out = dd.jaccard_pairs_blocked(sh, 0.8, prefix_filter=True).collect()
     assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in out] == [(100, 101, 1.0)]
+
+
+def test_connected_components_long_chain_converges_in_log_rounds(spark):
+    """A 200-node path graph has diameter 199: min-label propagation
+    needs ~200 rounds, far past the default max_iter=20. Two-star
+    contraction (Kiveris 2014) must converge inside the default budget
+    and still produce component = min id for every node."""
+    from starryskyqueryengine_spark.functions import dedup as dd
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id"], r["component"])
+        for r in dd.connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert got == {(i, 0) for i in range(n)}
+
+
+def test_connected_components_distributed_random_vs_union_find(spark):
+    """Randomized cross-check of the two-star distributed path against
+    driver union-find on an Erdos-Renyi-ish pair set (fixed seed)."""
+    import random
+
+    from starryskyqueryengine_spark.functions import dedup as dd
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(45)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        (r["id"], r["component"])
+        for r in dd.connected_components(pairs, driver_threshold=0).collect()
+    }
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(x, find(x)) for x in parent}
+    assert got == want

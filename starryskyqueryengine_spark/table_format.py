@@ -377,13 +377,22 @@ class TxnLogFormat(TableFormat):
         extra_removes: list[str] | None = None,
         txn: tuple[str, int] | None = None,
         schema=None,
+        validated_at: int | None = None,
     ) -> int:
         """Atomically publish one commit. ``remove_keys`` scopes the
         removes to live files of those keys, re-resolved against the
         CURRENT snapshot on every attempt (that re-resolution is the
         rebase). ``extra_removes`` pins explicit paths (merge's use);
         their keys join the conflict-detection scope so an interleaved
-        commit on a key this commit only REMOVES from still conflicts."""
+        commit on a key this commit only REMOVES from still conflicts.
+
+        ``validated_at`` is the log tip the CALLER's pre-commit
+        validation saw (schema reconcile + constraint enforcement):
+        every interleaved commit PAST it is conflict-scanned before the
+        link attempt — on the success path too, not just after a
+        FileExistsError — so a schema evolution or constraint add that
+        landed mid-validation can never be silently rebased over (the
+        round-6 lost-column / constraint-TOCTOU bugs)."""
         import json
         import time as _time
         import uuid as _uuid
@@ -395,6 +404,9 @@ class TxnLogFormat(TableFormat):
         )
         base = self._versions()
         base_v = base[-1] if base else -1
+        # highest version already conflict-checked: everything at or
+        # below the caller's validation snapshot needs no scan
+        checked = base_v if validated_at is None else min(validated_at, base_v)
         for _attempt in range(self.max_commit_retries):
             # Resolve the snapshot AND the target version from ONE
             # directory listing (snapshot pinned at the listed tip, commit
@@ -407,6 +419,43 @@ class TxnLogFormat(TableFormat):
             # makes tip+1 taken, forcing the FileExistsError conflict path.
             tip_versions = self._versions()
             tip = tip_versions[-1] if tip_versions else -1
+            # conflict-scan every commit that landed after the caller's
+            # validation / the last attempt
+            for iv in range(checked + 1, tip + 1):
+                if not os.path.exists(self._entry_path(iv)):
+                    continue
+                other = self._read_entry(iv)
+                other_keys = {a["key"] for a in other.get("add", [])} | {
+                    self._key_of(p) for p in other.get("remove", [])
+                }
+                if op != "append" and (other_keys & my_keys):
+                    raise ConcurrentWriteError(
+                        f"{op} on keys {sorted(my_keys)} conflicts with "
+                        f"commit {iv} ({other.get('op')}) touching "
+                        f"{sorted(other_keys)}"
+                    )
+                if schema is not None and other.get("schema") is not None:
+                    # two concurrent schema evolutions: the last logged
+                    # StructType would silently win and DROP the other
+                    # writer's column (Delta treats metaData changes as
+                    # commit conflicts) — fail so the caller re-runs
+                    # _reconcile against the new table schema
+                    raise ConcurrentWriteError(
+                        f"{op} carries a schema change but commit {iv} "
+                        f"({other.get('op')}) also changed the schema — "
+                        f"re-reconcile against the new table schema"
+                    )
+                if adds and other.get("constraint_add"):
+                    # a CHECK constraint landed after this write's rows
+                    # were validated: those rows were never checked
+                    # against it — fail so the caller re-validates
+                    c = other["constraint_add"]
+                    raise ConcurrentWriteError(
+                        f"{op} validated before constraint "
+                        f"{c['name']!r} ({c['expr']}) was added in commit "
+                        f"{iv} — re-validate the batch"
+                    )
+            checked = tip
             removes = list(extra_removes or [])
             if remove_keys:
                 snap = self._snapshot(version=tip) if tip >= 0 else {}
@@ -450,21 +499,9 @@ class TxnLogFormat(TableFormat):
                 return v
             except FileExistsError:
                 os.unlink(tmp)
-                # a concurrent commit took version v — decide rebase vs fail
-                for iv in range(max(base_v + 1, 0), v + 1):
-                    if not os.path.exists(self._entry_path(iv)):
-                        continue
-                    other = self._read_entry(iv)
-                    other_keys = {a["key"] for a in other.get("add", [])} | {
-                        self._key_of(p) for p in other.get("remove", [])
-                    }
-                    if op != "append" and (other_keys & my_keys):
-                        raise ConcurrentWriteError(
-                            f"{op} on keys {sorted(my_keys)} conflicts with "
-                            f"commit {iv} ({other.get('op')}) touching "
-                            f"{sorted(other_keys)}"
-                        )
-                base_v = v  # rebase: retry against the new tip
+                # a concurrent commit took version v — the next attempt's
+                # pre-link scan (checked+1 .. new tip) decides rebase vs
+                # fail, so the retry itself is unconditional here
         raise ConcurrentWriteError(
             f"gave up after {self.max_commit_retries} commit attempts"
         )
@@ -765,6 +802,8 @@ class TxnLogFormat(TableFormat):
         stream dies between the sink's write and its checkpoint."""
         if txn is not None and self.last_txn_version(txn[0]) >= int(txn[1]):
             return
+        vs = self._versions()
+        validated_at = vs[-1] if vs else -1  # tip the validation sees
         aligned, new_schema = self._reconcile(df)
         self._enforce_constraints(aligned)
         adds = self._stage(aligned)
@@ -772,7 +811,12 @@ class TxnLogFormat(TableFormat):
             # an empty batch still commits when txn-tracked, so the
             # watermark advances and its replay is also skipped
             self._commit(
-                "append", adds, remove_keys=None, txn=txn, schema=new_schema
+                "append",
+                adds,
+                remove_keys=None,
+                txn=txn,
+                schema=new_schema,
+                validated_at=validated_at,
             )
 
     def last_txn_version(self, app_id: str) -> int:
@@ -789,6 +833,8 @@ class TxnLogFormat(TableFormat):
     def overwrite_partitions(
         self, df: DataFrame, expected_keys: list[str] | None = None
     ) -> None:
+        vs = self._versions()
+        validated_at = vs[-1] if vs else -1
         aligned, new_schema = self._reconcile(df)
         self._enforce_constraints(aligned)
         adds = self._stage(aligned)
@@ -797,7 +843,13 @@ class TxnLogFormat(TableFormat):
             return
         # one atomic commit: new files in, every prior file of the
         # touched keys out — an emptied key is just "removes, no adds"
-        self._commit("overwrite", adds, remove_keys=touched, schema=new_schema)
+        self._commit(
+            "overwrite",
+            adds,
+            remove_keys=touched,
+            schema=new_schema,
+            validated_at=validated_at,
+        )
 
     def delete_partition(self, key: str) -> None:
         if self._snapshot():
@@ -879,6 +931,8 @@ class TxnLogFormat(TableFormat):
 
         Returns {"files_rewritten": n, "files_added": m}."""
         spark = self.spark
+        vs = self._versions()
+        validated_at = vs[-1] if vs else -1
         live = self._snapshot()
         if not live:
             self.append(batch)
@@ -932,6 +986,7 @@ class TxnLogFormat(TableFormat):
             remove_keys=None,
             extra_removes=affected,
             schema=new_schema,
+            validated_at=validated_at,
         )
         return {"files_rewritten": len(affected), "files_added": len(adds)}
 

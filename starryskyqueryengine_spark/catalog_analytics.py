@@ -1336,8 +1336,15 @@ def pagerank_part_supplier(spark, sf_dir):
     bit-for-bit, making a VALUE-CHECKED iterative graph algorithm
     possible. Every bipartite node has degree >= 1 by construction
     (both directions of each pair are emitted), so there is no
-    dangling-mass term. At 100 TB: edges shuffle once per iteration on
-    dst; ranks are |nodes|-sized, tiny next to the edge list."""
+    dangling-mass term (the library detects the empty dangling set and
+    skips its aggregate). At 100 TB: edges shuffle once per iteration
+    on dst; ranks are |nodes|-sized, tiny next to the edge list — and
+    every node-sized join side is SIZE-GATED (functions/graph.py
+    ``_gate_broadcast``): broadcast below 4M nodes, Catalyst/AQE
+    shuffle join above, so the plan survives a billion-node graph
+    instead of aborting on an 8 GB broadcast."""
+    from .functions.graph import pagerank
+
     l = load_table(spark, sf_dir, "lineitem")
     pairs = l.select("l_partkey", "l_suppkey").distinct()
     # modest fixed partitioning for the cached edge list: the iteration
@@ -1357,25 +1364,9 @@ def pagerank_part_supplier(spark, sf_dir):
             )
         )
         .repartition(par)
-    ).cache()
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    n_nodes = nodes.count()  # one scalar to the driver: iteration constant
-    base = PR_SCALE // n_nodes
-    ranks = nodes.select("node", F.lit(base).cast("bigint").alias("r"))
-    for _ in range(PR_ITERS):
-        # divide ONCE on the |nodes|-sized side, then broadcast the tiny
-        # (src, contribution) table into the edge scan — the per-
-        # iteration cost is one pass over cached edges + one map-side-
-        # combined aggregate, never an edge-sized join build
-        csrc = (
-            ranks.join(F.broadcast(deg), ranks["node"] == deg["src"])
-            .select("src", F.expr("r div outdeg").alias("c"))
-        )
-        contribs = edges.join(F.broadcast(csrc), "src").select("dst", "c")
-        ranks = contribs.groupBy(F.col("dst").alias("node")).agg(
-            F.expr(f"({15 * base} + 85 * sum(c)) div 100").cast("bigint").alias("r")
-        )
+    )
+    with scoped_shuffle_partitions(spark, GRAPH_SHUFFLE_PARTS):
+        ranks, _ = pagerank(edges, max_iters=PR_ITERS, damping_pct=85, scale=PR_SCALE)
     return (
         ranks.orderBy(F.col("r").desc(), "node")
         .limit(20)
@@ -1648,6 +1639,9 @@ def histogram_equidepth_prices(spark, sf_dir, exact: bool = True):
                 F.lit(10000),
             ).alias("b")
         ).collect()[0]["b"]
+        # empty input: percentile_approx returns NULL (not []) — treat as
+        # "no interior bounds" so both modes agree on the empty DataFrame
+        bounds = bounds or []
         bucket = F.lit(1)
         for b in bounds:
             bucket = bucket + F.when(

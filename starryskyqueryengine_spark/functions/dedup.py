@@ -472,13 +472,19 @@ def connected_components(
             f"— raise max_iter"
         )
     # star forest: a = member, b = component min; roots map to themselves.
-    # The final edge set stays cached (it is pairs-sized, and the
-    # returned labels' lineage reads it).
     labels = all_nodes.join(
         edges.select(F.col("a").alias("id"), F.col("b").alias("component")),
         "id",
         "left",
     ).select("id", F.coalesce("component", "id").alias("component"))
+    # materialize the (pairs-sized) labels and sever their lineage so the
+    # intermediates can be freed NOW: without this, the returned plan
+    # pins all_nodes/edges (and each round's localCheckpoint blocks were
+    # freed only at GC), so repeated calls — e.g. per-batch from the
+    # multimodal pipelines — accumulate executor storage
+    labels = labels.localCheckpoint(eager=True)
+    edges.unpersist()
+    all_nodes.unpersist()
     return labels
 
 

@@ -220,19 +220,22 @@ def sssp_bounded(
         F.col("dst").cast("bigint").alias("dst"),
         F.col("w").cast("bigint").alias("w"),
     ).cache()
-    # |V| bounds every per-round dist table; one count decides the
-    # broadcast strategy for the whole run (same pattern as pagerank,
-    # which needs the count anyway).
-    n_nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .count()
-    )
     dist = sources.select(
         F.col("node").cast("bigint").alias("node"),
         F.lit(0).cast("bigint").alias("dist"),
     ).distinct()
+    # |V ∪ sources| bounds every per-round dist table (sources may seed
+    # nodes absent from the edge list — without them the "proven upper
+    # bound" the broadcast gate relies on could be exceeded); one count
+    # decides the broadcast strategy for the whole run (same pattern as
+    # pagerank, which needs the count anyway).
+    n_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .unionByName(dist.select("node"))
+        .distinct()
+        .count()
+    )
     prev = None
     for i in range(max_hops):
         relaxed = (
@@ -324,11 +327,19 @@ def label_propagation(
     labels.count()
     # changed = nodes whose label changed last round (round 1: all)
     changed: DataFrame | None = None  # None = first round, frontier is V
+    n_changed = n_nodes  # round 1's frontier is every node
     prev = None
     prev_changed = None
-    for _ in range(iters):
-        if changed is None:
-            aff_edges = edges  # round 1: every node recomputes
+    for i in range(iters):
+        # Adaptive cutoff (round-7 verdict #6): while the changed set is
+        # still a large fraction of V, the two frontier semi-joins cost
+        # ~O(|E|) themselves and prune little — the full recompute is
+        # strictly cheaper.  The frontier machinery only pays once the
+        # frontier has actually shrunk; bit-identical either way (the
+        # frontier path recomputes the same argmaxes the full path does,
+        # unchanged nodes keep their label through the coalesce).
+        if changed is None or 2 * n_changed >= n_nodes:
+            aff_edges = edges  # frontier ~ V: full recompute is cheaper
         else:
             # edges whose source changed -> their dsts form the
             # frontier; then ALL in-edges of those dsts (the argmax
@@ -370,6 +381,17 @@ def label_propagation(
         # the next round's joins do not re-run this one
         new_labels = new_labels.cache()
         new_labels.count()
+        if i == iters - 1 and frontier_sizes is None:
+            # final round: n_changed only feeds early stop, the next
+            # round's frontier, and the test hook — none exist now, so
+            # skip the changed-set join+count entirely
+            if prev is not None:
+                prev.unpersist()
+            if prev_changed is not None:
+                prev_changed.unpersist()
+            labels.unpersist()
+            labels = new_labels
+            break
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -67,12 +67,17 @@ def main() -> None:
     # warmup: initialize executors/codegen against a tiny table
     run_df(spark.read.parquet(f"{sf_dir}/region.parquet"))
 
-    # lap 1 (cold): includes whole-stage-codegen compilation and Python
-    # worker spin-up; lap 2 is the steady-state number a long-running
-    # cluster actually sees. Both are reported; `value` = steady state.
-    cold: dict[str, float] = {}
-    timings: dict[str, float] = {}
-    for lap in (cold, timings):
+    # THREE laps (round-7 verdict #7): lap 1 (cold) carries one-time
+    # whole-stage-codegen compilation and Python-worker spin-up; laps
+    # 2-3 are steady state.  The heavy iterative queries showed 30-40%
+    # INTRA-run spread in round 7, so the headline per-query figure is
+    # the MEDIAN of the three laps — robust to a single noisy lap in
+    # either direction, unlike best-of (chases lucky laps) or a single
+    # steady lap (chases unlucky ones).  The per-query min is kept as a
+    # sidecar for continuity with rounds <= 7, whose `value` was
+    # best-of-two.
+    laps: list[dict[str, float]] = [{}, {}, {}]
+    for lap in laps:
         for i, (name, fn) in enumerate(queries.items()):
             if i % GC_EVERY == 0:
                 force_gc()
@@ -87,23 +92,26 @@ def main() -> None:
         lap["flagship_materialize"] = round(time.perf_counter() - t0, 4)
         spark.catalog.clearCache()
 
-    # headline = best-of-two per query: lap 1 carries one-time codegen /
-    # Python-worker spin-up, and either lap can catch transient machine
-    # noise — the per-query min is the reproducible steady-state figure
-    best = {k: min(cold[k], timings[k]) for k in timings}
-    total = round(sum(best.values()), 4)
+    cold, lap2, lap3 = laps
+    median = {k: sorted([cold[k], lap2[k], lap3[k]])[1] for k in cold}
+    best = {k: min(cold[k], lap2[k], lap3[k]) for k in cold}
+    total = round(sum(median.values()), 4)
     payload = {
         "metric": "catalog_total_runtime",
         "value": total,
         "unit": "sec",
-        "queries": best,
+        "queries": median,
         "sf": sf,
         "cold_total_sec": round(sum(cold.values()), 4),
-        "lap2_total_sec": round(sum(timings.values()), 4),
+        "lap2_total_sec": round(sum(lap2.values()), 4),
+        "lap3_total_sec": round(sum(lap3.values()), 4),
+        "best_total_sec": round(sum(best.values()), 4),
         # per-lap detail (sidecar only): lets a regression be classified
-        # as one-lap noise vs both-laps real without re-running
+        # as one-lap noise vs real without re-running
         "queries_cold": cold,
-        "queries_lap2": timings,
+        "queries_lap2": lap2,
+        "queries_lap3": lap3,
+        "queries_best": best,
     }
     # Round-1 driver capture truncated the wide per-query line
     # ("parsed": null): full detail goes to stderr + a sidecar file, and
@@ -115,8 +123,11 @@ def main() -> None:
         json.dump(payload, fh, indent=1)
     spark.stop()
     compact = {k: payload[k] for k in
-               ("metric", "value", "unit", "sf", "cold_total_sec", "lap2_total_sec")}
-    compact["queries"] = {k: best[k] for k in sorted(best, key=best.get, reverse=True)[:5]}
+               ("metric", "value", "unit", "sf", "cold_total_sec",
+                "lap2_total_sec", "lap3_total_sec", "best_total_sec")}
+    compact["queries"] = {
+        k: median[k] for k in sorted(median, key=median.get, reverse=True)[:5]
+    }
     compact["queries_full"] = "bench_full.json"
     sys.stdout.flush()
     print(json.dumps(compact), flush=True)

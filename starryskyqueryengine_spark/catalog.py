@@ -575,21 +575,23 @@ def _load_extensions() -> None:
 # make room for queries new in round 6.  Everything rotated OUT earned
 # green driver rows in r1-r5 and is unchanged since; all queries remain
 # covered by tools/full_gate.py and tests/test_oracle_parity.py locally.
-# ROUND-7 ROTATION (VERDICT.md r6 top ask, executed): the 35 queued
-# never-driver-checked queries plus ann_lsh_topk (its only driver
-# record is an r1 FAIL from before the fix; locally value-exact since)
-# all get driver rows this round, on top of the 10-query regression
-# core.  The remaining 4 slots re-verify queries whose code paths are
-# TOUCHED this round: pagerank_part_supplier / pagerank_dangling
-# (graph broadcast size-gating, functions/graph.py), bpe_tokenize_
-# roundtrip (distributed pair counting, functions/bpe.py), and
-# percentile_prices (exact/approx dual mode).  Everything rotated OUT
-# earned green driver rows in r1-r6 and is unchanged since; all
-# queries remain covered by tools/full_gate.py and
-# tests/test_oracle_parity.py locally.  After this round every
-# value-checkable catalog query has earned a driver row at least once
-# (the only exceptions are the 2 inherently rows-only queries:
-# sketch_distinct_users, ann_ivf_topk).
+# ROUND-8 ROTATION (VERDICT.md r7 ask #9, executed): the 10-query
+# regression core, then re-verifies for every code path touched in
+# round 8 — the graph family (pagerank migrated onto the size-gated
+# library, label-prop adaptive frontier cutoff, sssp bound fix), the
+# connected-components storage fix (phash_cluster_survivors /
+# dedup_survivors), the table-format concurrency closure
+# (acid_restore_audit restore path, table_changes_stream CDF,
+# w1_stream_upsert in the core exercises the store), and
+# histogram_equidepth_prices (empty-input guard) — then a freshness
+# sweep of the longest-unchecked ever-green queries: the whole
+# r1-checked bucket (unchecked for 7 rounds) and the oldest third of
+# the r4 bucket.  Everything rotated OUT earned green driver rows in
+# r4-r7 and is unchanged since; all queries remain covered by
+# tools/full_gate.py and tests/test_oracle_parity.py locally.  The 2
+# inherently rows-only queries (sketch_distinct_users, ann_ivf_topk)
+# stay out of the window: their driver check is weaker than their
+# local tolerance/recall tests.
 PRIORITY: list[str] = [
     # --- Regression core (multi-round driver-green, highest risk) ---
     "flagship_multifeed",
@@ -602,55 +604,49 @@ PRIORITY: list[str] = [
     "s1_datasource_scan",
     "p11_acl_filter",
     "dedup_exact",
-    # --- Re-verify: code paths touched in round 7 ---
+    # --- Re-verify: code paths touched in round 8 ---
     "pagerank_part_supplier",
     "pagerank_dangling",
-    "bpe_tokenize_roundtrip",
-    "percentile_prices",
-    # --- First-ever driver rows: the round-7 rotation queue ---
-    # Capstones first (compose the most machinery — a discrepancy here
-    # is the most informative; VERDICT r6 ask #7):
-    "pipeline_multimodal_curation",
-    "phash_cluster_survivors",
-    "mm_audio_fingerprint_neardup",
-    "mm_video_fingerprint_neardup",
-    "table_changes_stream",
-    "acid_restore_audit",
-    # Graph batch:
     "label_prop_communities",
     "sssp_supplier_3hop",
     "bfs_reach_3hop",
-    # Analytics batch:
-    "anomaly_daily_zscore",
-    "chisq_lang_source",
-    "cohort_retention",
-    "funnel_view_click_purchase",
-    "gapfill_user_daily",
-    "outlier_orders_mad",
-    "rolling_7d_active_users",
-    "scd2_priority_history",
-    "trend_segment_spend",
-    "window_rank_family",
-    # Embedding / similarity batch:
-    "embedding_dim_stats",
-    "embedding_random_projection",
-    "ann_lsh_topk",
-    # Curation / text batch:
-    "bloom_prefilter_upsert",
-    "expectations_documents",
-    "profile_documents",
-    "skew_salted_join",
-    "soft_dedup_weights",
-    "text_multi_pattern_scan",
-    "text_nfc_normalize",
-    "unimax_allocation",
-    "dedup_rate_by_source",
-    "source_token_entropy",
-    "bigram_pmi_topk",
-    # Streaming batch:
-    "w_stream_pattern_match",
-    "w_stream_sliding_counts",
-    "w_stream_static_enrich",
+    "phash_cluster_survivors",
+    "dedup_survivors",
+    "histogram_equidepth_prices",
+    "acid_restore_audit",
+    "table_changes_stream",
+    # --- Freshness sweep: last driver row in round 1 ---
+    "a1_salted_count_per_key",
+    "ann_cosine_topk",
+    "contrastive_negatives",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "knn_centroid_assign",
+    "pipeline_clean_corpus",
+    "pivot_segment_priority",
+    "rollup_revenue",
+    "sample_stratified",
+    "seq_length_histogram",
+    "split_train_val",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_repetition_stats",
+    "text_token_count",
+    "tfidf_top_terms",
+    "vocab_top_terms",
+    # --- Freshness sweep: last driver row in round 4 (oldest third) ---
+    "a1_count_per_key",
+    "asof_purchase_attribution",
+    "embedding_near_dup",
+    "f5_time_roundtrip",
+    "f7_coalesce_defaults",
+    "f9_json_extract",
+    "f_scalar_family",
+    "j1_broadcast_lookup",
+    "j4_arrays_overlap",
+    "mm_decode_features",
+    "mm_frame_sample",
 ]
 
 

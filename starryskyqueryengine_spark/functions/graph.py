@@ -121,17 +121,29 @@ def pagerank(
         deg.select(F.col("src").alias("node")), "node", "left_anti"
     ).cache()
     has_dangling = dangling.limit(1).count() > 0
+    if not has_dangling:
+        dangling.unpersist()
 
-    # Per-round materialization (same discipline as sssp_bounded /
-    # label_propagation below): each round's ranks are cached and
-    # counted so the round's two driver collects (dangling mass, L1
-    # delta) and the next round's joins all read ONE materialized
-    # node-sized table instead of re-evaluating the whole multi-round
-    # lineage — without this, round k's lineage embeds rounds 1..k-1
-    # and every collect replays it.
-    ranks = nodes.select("node", F.lit(base).cast("bigint").alias("r")).cache()
+    # Materialization policy: per-round driver collects (the dangling
+    # mass, the L1 delta) re-execute the rank lineage each time they
+    # run, so WHEN ANY COLLECT EXISTS each round's ranks are cached —
+    # the round's own collect (tol) or the next round's dangling
+    # aggregate populates the cache, and later scans read the
+    # materialized node-sized table instead of replaying rounds 1..k-1.
+    # When NO collect exists (no dangling node, no tolerance), the rank
+    # table is referenced exactly ONCE per round — a linear lazy chain
+    # the caller's single action executes end to end, so per-round
+    # cache+count jobs are pure overhead (round-7 bench regression);
+    # only a periodic localCheckpoint bounds plan depth for large
+    # max_iters.
+    per_round_collect = tol_scaled is not None
+    ranks = nodes.select("node", F.lit(base).cast("bigint").alias("r"))
+    if has_dangling:
+        per_round_collect = True
+    if per_round_collect:
+        ranks = ranks.cache()
     iters_run = 0
-    for _ in range(max_iters):
+    for _it in range(max_iters):
         dm_per = 0
         if has_dangling:
             dm = (
@@ -159,11 +171,15 @@ def pagerank(
                 ).alias("r"),
             )
         )
-        new_ranks = new_ranks.cache()
-        if tol_scaled is None:
-            # no delta collect this round — materialize explicitly so the
-            # next round reads the cache, not the compounding lineage
-            new_ranks.count()
+        if per_round_collect:
+            # the round's own delta collect (below) or the NEXT round's
+            # dangling aggregate is the job that populates this cache —
+            # no explicit count needed
+            new_ranks = new_ranks.cache()
+        elif (_it + 1) % 8 == 0:
+            # lazy chain: truncate the growing logical plan periodically
+            # (analyzer cost, not execution cost — nothing re-runs)
+            new_ranks = new_ranks.localCheckpoint(eager=True)
         if tol_scaled is not None:
             # exact L1 delta: BIGINT sum, partition-order independent
             delta = (
@@ -178,7 +194,8 @@ def pagerank(
             if int(delta or 0) <= tol_scaled:
                 break
         else:
-            ranks.unpersist()
+            if per_round_collect:
+                ranks.unpersist()
             ranks = new_ranks
             iters_run += 1
     return ranks, iters_run

@@ -92,10 +92,39 @@ class TableChangesStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         parts: list[_FileChange] = []
+        base_types = {
+            f.name: f.dataType
+            for f in self.schema.fields
+            if f.name not in ("_change", "_commit_version")
+        }
         for v in _versions(self.log_path):
             if v <= start["version"] or v > end["version"]:
                 continue
             e = _entry(self.log_path, v)
+            s = e.get("schema")
+            if s is not None:
+                # The stream's column set is FROZEN at definition (the
+                # DataSource schema() call).  A commit that logs a schema
+                # the frozen one cannot represent — a new column (which
+                # later batches would silently drop) or a changed type —
+                # is an incompatible mid-stream evolution: fail loudly
+                # (Delta's incompatible-schema-change behavior) so the
+                # user restarts the stream with the new schema.
+                # HISTORICAL narrower schemas (replaying commits from
+                # before the current schema) are fine: the reader
+                # NULL-fills missing columns.
+                for fld in StructType.fromJson(s).fields:
+                    if (
+                        fld.name not in base_types
+                        or base_types[fld.name] != fld.dataType
+                    ):
+                        raise RuntimeError(
+                            f"incompatible schema change at table version "
+                            f"{v}: column {fld.name!r} "
+                            f"({fld.dataType.simpleString()}) is not in "
+                            f"the stream's start schema — restart the "
+                            f"stream to pick up the evolved schema"
+                        )
             for a in e.get("add", []):
                 parts.append(_FileChange(a["path"], a["key"], "insert", v))
             for rm in e.get("remove", []):

@@ -330,6 +330,65 @@ class TxnLogFormat(TableFormat):
                     stats.pop(a["path"], None)
         return live, stats
 
+    def _meta_replay(self, version: int | None = None) -> dict:
+        """Resolved table METADATA at ``version`` in one checkpoint-
+        resumed pass: ``{"schema": StructType-json-or-None,
+        "constraints": {name: expr}, "txn": {app: watermark}}``.
+
+        Same O(interval) discipline :meth:`_replay` gives the file
+        snapshot: resume from the newest checkpoint at or below the
+        target that carries a ``meta`` block and replay only the
+        entries past it — without this, ``constraints()`` /
+        ``table_schema()`` / ``last_txn_version()`` each re-parsed the
+        FULL log per call (round-7 verdict #5).  Checkpoints written
+        before the meta block existed are skipped (falls back to the
+        newest one that has it, else a full replay — conservative,
+        never wrong)."""
+        import json
+
+        versions = self._versions()
+        if version is not None:
+            versions = [v for v in versions if v <= version]
+        meta: dict = {"schema": None, "constraints": {}, "txn": {}}
+        start = 0
+        if versions:
+            for ck in reversed(
+                [c for c in self._checkpoints() if c <= versions[-1]]
+            ):
+                with open(
+                    os.path.join(self.log_path, f"{ck:020d}.checkpoint.json")
+                ) as f:
+                    ckd = json.load(f)
+                m = ckd.get("meta")
+                if m is not None:
+                    meta = {
+                        "schema": m.get("schema"),
+                        "constraints": dict(m.get("constraints", {})),
+                        "txn": dict(m.get("txn", {})),
+                    }
+                    start = ck + 1
+                    break
+        for v in versions:
+            if v < start:
+                continue
+            e = self._read_entry(v)
+            s = e.get("schema")
+            if s is not None:
+                meta["schema"] = s
+            c = e.get("constraint_add")
+            if c:
+                meta["constraints"][c["name"]] = c["expr"]
+            d = e.get("constraint_drop")
+            if d:
+                meta["constraints"].pop(d, None)
+            t = e.get("txn")
+            if t:
+                app = t["app"]
+                meta["txn"][app] = max(
+                    int(meta["txn"].get(app, -1)), int(t.get("version", -1))
+                )
+        return meta
+
     def _snapshot(self, version: int | None = None) -> dict[str, str]:
         """Live data files at ``version`` (default latest) as
         {relative_path: key}."""
@@ -402,6 +461,19 @@ class TxnLogFormat(TableFormat):
             | (remove_keys or set())
             | {self._key_of(p) for p in (extra_removes or [])}
         )
+        # normalize the schema to log ONCE (every field nullable, as the
+        # link path does) so the conflict scan can compare it against an
+        # interleaved commit's logged schema byte-for-byte
+        my_schema_json = None
+        if schema is not None:
+            from pyspark.sql.types import StructField, StructType
+
+            my_schema_json = StructType(
+                [
+                    StructField(f.name, f.dataType, True, f.metadata)
+                    for f in schema.fields
+                ]
+            ).jsonValue()
         base = self._versions()
         base_v = base[-1] if base else -1
         # highest version already conflict-checked: everything at or
@@ -434,15 +506,23 @@ class TxnLogFormat(TableFormat):
                         f"commit {iv} ({other.get('op')}) touching "
                         f"{sorted(other_keys)}"
                     )
-                if schema is not None and other.get("schema") is not None:
-                    # two concurrent schema evolutions: the last logged
-                    # StructType would silently win and DROP the other
-                    # writer's column (Delta treats metaData changes as
-                    # commit conflicts) — fail so the caller re-runs
-                    # _reconcile against the new table schema
+                if (
+                    my_schema_json is not None
+                    and other.get("schema") is not None
+                    and other["schema"] != my_schema_json
+                ):
+                    # two concurrent DIFFERENT schema evolutions: the last
+                    # logged StructType would silently win and DROP the
+                    # other writer's column (Delta treats metaData changes
+                    # as commit conflicts) — fail so the caller re-runs
+                    # _reconcile against the new table schema.  Identical
+                    # logged schemas (two initial appends with the same
+                    # StructType, two evolutions adding the same column)
+                    # are safe to rebase: either order yields the same
+                    # resolved table schema.
                     raise ConcurrentWriteError(
                         f"{op} carries a schema change but commit {iv} "
-                        f"({other.get('op')}) also changed the schema — "
+                        f"({other.get('op')}) logged a DIFFERENT schema — "
                         f"re-reconcile against the new table schema"
                     )
                 if adds and other.get("constraint_add"):
@@ -470,23 +550,16 @@ class TxnLogFormat(TableFormat):
             }
             if txn is not None:
                 entry["txn"] = {"app": txn[0], "version": int(txn[1])}
-            if schema is not None:
+            if my_schema_json is not None:
                 # full StructType JSON (Delta metaData-style): the log is
-                # the single source of truth for the schema at a version.
-                # Normalize every field to NULLABLE (as Delta does): a
-                # batch built from literals carries nullable=false, but
-                # schema evolution NULL-fills that column for every
-                # pre-widening file, so the logged contract must admit
-                # nulls or strict readers (the Python DataSource CDF
-                # stream) reject the backfill.
-                from pyspark.sql.types import StructField, StructType
-
-                entry["schema"] = StructType(
-                    [
-                        StructField(f.name, f.dataType, True, f.metadata)
-                        for f in schema.fields
-                    ]
-                ).jsonValue()
+                # the single source of truth for the schema at a version,
+                # normalized all-nullable above (a batch built from
+                # literals carries nullable=false, but schema evolution
+                # NULL-fills that column for every pre-widening file, so
+                # the logged contract must admit nulls or strict readers
+                # — the Python DataSource CDF stream — reject the
+                # backfill).
+                entry["schema"] = my_schema_json
             tmp = os.path.join(self.log_path, f".tmp-{_uuid.uuid4().hex}.json")
             with open(tmp, "w") as f:
                 json.dump(entry, f)
@@ -522,9 +595,18 @@ class TxnLogFormat(TableFormat):
             with open(tmp, "w") as f:
                 live, stats = self._replay(v)
                 # stats ride the checkpoint so log-level skipping
-                # survives log compaction
+                # survives log compaction; the meta block (resolved
+                # schema, constraint map, per-app txn watermarks) makes
+                # constraints()/table_schema()/last_txn_version()
+                # O(interval) instead of O(full log)
                 json.dump(
-                    {"version": v, "live": live, "stats": stats}, f
+                    {
+                        "version": v,
+                        "live": live,
+                        "stats": stats,
+                        "meta": self._meta_replay(v),
+                    },
+                    f,
                 )
             os.replace(tmp, ck)
 
@@ -532,49 +614,78 @@ class TxnLogFormat(TableFormat):
 
     def constraints(self, version: int | None = None) -> dict[str, str]:
         """Active CHECK constraints at ``version`` as {name: sql_expr},
-        replayed from constraint_add / constraint_drop log actions."""
-        out: dict[str, str] = {}
-        versions = self._versions()
-        if version is not None:
-            versions = [v for v in versions if v <= version]
-        for v in versions:
-            e = self._read_entry(v)
-            c = e.get("constraint_add")
-            if c:
-                out[c["name"]] = c["expr"]
-            d = e.get("constraint_drop")
-            if d:
-                out.pop(d, None)
-        return out
+        replayed from constraint_add / constraint_drop log actions
+        (checkpoint-resumed: O(interval) entry reads, not O(log))."""
+        return self._meta_replay(version)["constraints"]
 
     def add_constraint(self, name: str, expr: str) -> None:
         """ALTER TABLE ADD CONSTRAINT (Delta CHECK-constraint analog):
         validates the expression parses AND that every CURRENT row
         satisfies it (one aggregate job), then commits a metadata-only
         log entry. Standard SQL CHECK semantics: a row violates only
-        when the expression evaluates to FALSE — NULL/unknown passes."""
-        df = self.read(self.spark)
-        bad = df.filter(F.expr(expr) == F.lit(False)).count()
-        if bad:
-            raise ConstraintViolationError(
-                f"cannot add constraint {name!r} ({expr}): "
-                f"{bad} existing rows violate it"
-            )
-        self._commit_meta({"constraint_add": {"name": name, "expr": expr}})
+        when the expression evaluates to FALSE — NULL/unknown passes.
+
+        TOCTOU-closed on BOTH sides: the validation pins the log tip it
+        read, and :meth:`_commit_meta` conflict-scans every commit past
+        that tip before linking — a data append that lands between the
+        validation read and the constraint's commit forces a RE-VALIDATE
+        against the new snapshot instead of landing the constraint over
+        rows it never checked (the mirror ordering of the append-side
+        ``validated_at`` scan in :meth:`_commit`)."""
+        for _attempt in range(self.max_commit_retries):
+            vs = self._versions()
+            tip = vs[-1] if vs else -1
+            df = self.read(self.spark, version=tip if tip >= 0 else None)
+            bad = df.filter(F.expr(expr) == F.lit(False)).count()
+            if bad:
+                raise ConstraintViolationError(
+                    f"cannot add constraint {name!r} ({expr}): "
+                    f"{bad} existing rows violate it"
+                )
+            try:
+                self._commit_meta(
+                    {"constraint_add": {"name": name, "expr": expr}},
+                    validated_at=tip,
+                )
+                return
+            except ConcurrentWriteError:
+                # an interleaved data commit invalidated the validation
+                # snapshot — loop back and re-validate against the new tip
+                continue
+        raise ConcurrentWriteError(
+            f"gave up adding constraint {name!r} after "
+            f"{self.max_commit_retries} validate-and-commit attempts"
+        )
 
     def drop_constraint(self, name: str) -> None:
         self._commit_meta({"constraint_drop": name})
 
-    def _commit_meta(self, extra: dict) -> None:
+    def _commit_meta(self, extra: dict, validated_at: int | None = None) -> None:
         """Metadata-only commit (no adds/removes). Reuses the same
-        put-if-absent version race as data commits."""
+        put-if-absent version race as data commits.  With
+        ``validated_at`` set (the tip the caller's validation read),
+        any DATA-BEARING commit that landed past it fails the commit
+        with :class:`ConcurrentWriteError` so the caller re-validates —
+        metadata-only interleavings (another constraint, a schema note)
+        never saw unvalidated rows and rebase cleanly."""
         import json
         import time as _time
         import uuid as _uuid
 
         for _attempt in range(self.max_commit_retries):
             tip_versions = self._versions()
-            v = (tip_versions[-1] if tip_versions else -1) + 1
+            tip = tip_versions[-1] if tip_versions else -1
+            if validated_at is not None:
+                for iv in range(validated_at + 1, tip + 1):
+                    if not os.path.exists(self._entry_path(iv)):
+                        continue
+                    if self._read_entry(iv).get("add"):
+                        raise ConcurrentWriteError(
+                            f"meta commit validated at version "
+                            f"{validated_at} but data commit {iv} landed "
+                            f"since — re-validate against the new snapshot"
+                        )
+            v = tip + 1
             entry = {"version": v, "op": "meta", "ts": _time.time(),
                      "add": [], "remove": [], **extra}
             tmp = os.path.join(self.log_path, f".tmp-{_uuid.uuid4().hex}.json")
@@ -624,14 +735,8 @@ class TxnLogFormat(TableFormat):
         logging fall back to POST_SCHEMA (their implicit contract)."""
         from pyspark.sql.types import StructType
 
-        versions = self._versions()
-        if version is not None:
-            versions = [v for v in versions if v <= version]
-        for v in reversed(versions):
-            s = self._read_entry(v).get("schema")
-            if s is not None:
-                return StructType.fromJson(s)
-        return POST_SCHEMA
+        s = self._meta_replay(version)["schema"]
+        return StructType.fromJson(s) if s is not None else POST_SCHEMA
 
     def _cols(self, version: int | None = None) -> list[str]:
         return [f.name for f in self.table_schema(version).fields]
@@ -821,14 +926,10 @@ class TxnLogFormat(TableFormat):
 
     def last_txn_version(self, app_id: str) -> int:
         """Highest committed txn version for ``app_id`` (-1 if none).
-        Full-log walk — entries are tiny JSON; at scale the checkpoint
-        would carry the per-app watermark map the way Delta's does."""
-        best = -1
-        for v in self._versions():
-            t = self._read_entry(v).get("txn")
-            if t and t.get("app") == app_id:
-                best = max(best, int(t.get("version", -1)))
-        return best
+        Checkpoint-resumed (the checkpoint's meta block carries the
+        per-app watermark map the way Delta's does), so a long-lived
+        foreachBatch sink pays O(interval) per idempotency probe."""
+        return int(self._meta_replay()["txn"].get(app_id, -1))
 
     def overwrite_partitions(
         self, df: DataFrame, expected_keys: list[str] | None = None
@@ -1169,6 +1270,23 @@ class TxnLogFormat(TableFormat):
                 f"cannot restore to version {version}: {len(gone)} files "
                 f"were vacuumed (e.g. {gone[0]!r})"
             )
+        # Files removed BEFORE an ADD CONSTRAINT were never scanned by
+        # its validation, yet the restore keeps the current (active)
+        # constraint set — re-validate every re-added file against it so
+        # the restored snapshot cannot silently violate an active CHECK
+        # (round-6 advice #3).  O(|re-adds|) data read, only when both
+        # constraints and re-adds exist.
+        cons = self.constraints()
+        if cons and re_adds:
+            paths = [
+                os.path.join(self.data_path, p) for p in sorted(re_adds)
+            ]
+            readded_df = (
+                self.spark.read.schema(self.table_schema(version))
+                .option("basePath", self.data_path)
+                .parquet(*paths)
+            )
+            self._enforce_constraints(readded_df)
         # carry the target version's stats so log-level skipping keeps
         # working on the restored files
         old_stats = self._snapshot_stats(version)

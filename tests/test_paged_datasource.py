@@ -164,3 +164,52 @@ def _batch_tc(spark, n0, n, key="k1"):
         "uri string, key string, cid string, replyParent string, "
         "replyRoot string, indexedAt timestamp",
     )
+
+
+def test_table_changes_stream_rejects_midstream_schema_evolution(
+    spark, tmp_path
+):
+    """Round-7 verdict #8: the CDF stream's column set is frozen at
+    definition — a mid-stream schema evolution adding a column the
+    stream cannot represent must FAIL the micro-batch loudly (Delta's
+    incompatible-schema-change behavior), never silently drop the new
+    column from later batches.  Historical (narrower) schemas replayed
+    from before the stream started stay fine — the first drain below
+    replays the initial schema-bearing commit without complaint."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from starryskyqueryengine_spark.sources.table_changes import (
+        register_table_changes_source,
+    )
+    from starryskyqueryengine_spark.table_format import TxnLogFormat
+
+    register_table_changes_source(spark)
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch_tc(spark, 0, 3))
+
+    stream = (
+        spark.readStream.format("starrysky_table_changes")
+        .option("path", str(tmp_path / "t"))
+        .load()
+    )
+    out = str(tmp_path / "rows")
+
+    def drain():
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()  # replays v0 (its logged schema == the frozen one): fine
+    assert spark.read.parquet(out).count() == 3
+
+    # table evolves AFTER the stream was defined: the next drain must
+    # fail loudly instead of silently dropping the new column
+    fmt.append(_batch_tc(spark, 10, 2).withColumn("score", F.lit(1.5)))
+    with pytest.raises(StreamingQueryException, match="incompatible schema"):
+        drain()

@@ -1075,3 +1075,255 @@ def test_cdf_replication_pipeline_exactly_once(spark, tmp_path):
     last = b.last_txn_version("repl")
     b.append(_batch(spark, 20, 2), txn=("repl", last))
     assert b.read(spark).count() == 10
+
+
+# ------------------------------------------- round-8: concurrency closure
+# (round-7 verdict #2/#3/#4/#5 + advice #1: the validated_at conflict
+# scan, the _commit_meta half of the constraint TOCTOU, restore
+# re-validation, O(interval) metadata, identical-schema rebase)
+
+from starryskyqueryengine_spark.table_format import (  # noqa: E402
+    ConstraintViolationError,
+)
+
+
+def _rival_entry(fmt, *, key="k1", schema_json=None, constraint=None):
+    """Write a rival commit directly into the log at tip+1 — the
+    interleaved writer the racing-link tests simulate."""
+    import json
+    import os
+
+    v = (fmt._versions()[-1] + 1) if fmt._versions() else 0
+    entry = {
+        "version": v,
+        "op": "append",
+        "ts": 0,
+        "remove": [],
+        "add": [{"path": f"key={key}/rival-{v}.parquet", "key": key}],
+    }
+    if schema_json is not None:
+        entry["schema"] = schema_json
+    if constraint is not None:
+        entry["op"] = "meta"
+        entry["add"] = []
+        entry["constraint_add"] = constraint
+    for a in entry["add"]:
+        # a real (zero-row) parquet file so post-race reads don't trip
+        # over a phantom path
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        full = os.path.join(fmt.data_path, a["path"])
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        pq.write_table(pa.table({"uri": pa.array([], type=pa.string())}), full)
+    with open(fmt._entry_path(v), "w") as f:
+        json.dump(entry, f)
+    return v
+
+
+def _normalized_json(schema):
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [StructField(f.name, f.dataType, True, f.metadata) for f in schema.fields]
+    ).jsonValue()
+
+
+def _arm_racing_link(monkeypatch, fmt, rival_fn):
+    """First link into the log loses the put-if-absent race to
+    ``rival_fn()`` (which writes a log entry)."""
+    import os as _os
+
+    import starryskyqueryengine_spark.table_format as tf_mod
+
+    real_link = _os.link
+    armed = {"on": True}
+
+    def racing_link(src, dst):
+        if armed["on"] and _os.sep + TxnLogFormat.LOG_DIR + _os.sep in dst:
+            armed["on"] = False
+            rival_fn()
+        return real_link(src, dst)
+
+    monkeypatch.setattr(tf_mod.os, "link", racing_link)
+
+
+def test_txnlog_concurrent_different_schema_evolutions_conflict(
+    spark, tmp_path, monkeypatch
+):
+    """Two writers concurrently evolving the schema with DIFFERENT new
+    columns: blind last-write-wins would silently DROP the first
+    writer's column from the logged contract — the second commit must
+    raise instead (the round-7 validated_at fix, previously untested)."""
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch(spark, 0, 2))  # v0 creates the table
+
+    rival_schema = _normalized_json(
+        _batch(spark, 0, 1).withColumn("rival_col", F.lit("r")).schema
+    )
+    _arm_racing_link(
+        monkeypatch, fmt, lambda: _rival_entry(fmt, schema_json=rival_schema)
+    )
+    with pytest.raises(ConcurrentWriteError, match="DIFFERENT schema"):
+        fmt.append(_batch(spark, 10, 2).withColumn("mine_col", F.lit(1.0)))
+    # the rival's evolution survived; nothing was rebased over it
+    assert "rival_col" in [f.name for f in fmt.table_schema().fields]
+    assert "mine_col" not in [f.name for f in fmt.table_schema().fields]
+
+
+def test_txnlog_concurrent_identical_schemas_rebase(
+    spark, tmp_path, monkeypatch
+):
+    """Round-7 advice #1: two concurrent initial appends with the SAME
+    schema (or two evolutions adding the identical column) are not a
+    real conflict — either order resolves to the same table schema, so
+    the loser must rebase cleanly instead of raising."""
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    batch = _batch(spark, 0, 2)
+    same_schema = _normalized_json(batch.schema)
+    _arm_racing_link(
+        monkeypatch, fmt, lambda: _rival_entry(fmt, schema_json=same_schema)
+    )
+    fmt.append(batch)  # must NOT raise
+    ops = [h["op"] for h in fmt.history()]
+    assert ops == ["append", "append"]  # rival v0 + rebased v1
+    assert fmt.read(spark).count() == 2  # rival's ghost file has no data
+
+
+def test_txnlog_append_validated_before_constraint_add_conflicts(
+    spark, tmp_path, monkeypatch
+):
+    """An append whose validation snapshot predates an interleaved
+    ADD CONSTRAINT carries rows never checked against it — the commit
+    must fail so the caller re-validates (round-7 fix, now pinned)."""
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch(spark, 0, 2))  # v0
+    _arm_racing_link(
+        monkeypatch,
+        fmt,
+        lambda: _rival_entry(
+            fmt, constraint={"name": "cid_ok", "expr": "cid IS NOT NULL"}
+        ),
+    )
+    with pytest.raises(ConcurrentWriteError, match="cid_ok"):
+        fmt.append(_batch(spark, 10, 2))
+    # constraint survived and now governs future writes
+    assert fmt.constraints() == {"cid_ok": "cid IS NOT NULL"}
+
+
+def test_txnlog_constraint_add_revalidates_interleaved_append(
+    spark, tmp_path, monkeypatch
+):
+    """The MIRROR ordering (round-7 verdict #3): add_constraint
+    validates the snapshot, then a data append lands BEFORE the
+    constraint's meta-commit links. The constraint must not land over
+    those unchecked rows — it re-validates against the new snapshot,
+    failing when they violate and landing when they satisfy."""
+    real_commit_meta = TxnLogFormat._commit_meta
+    state = {"interleave": None, "fmt": None}
+
+    def interleaving_commit_meta(self, extra, validated_at=None):
+        batch = state.pop("interleave", None)
+        if batch is not None:
+            state["fmt"].append(batch)  # between validation and the link
+        return real_commit_meta(self, extra, validated_at=validated_at)
+
+    monkeypatch.setattr(TxnLogFormat, "_commit_meta", interleaving_commit_meta)
+
+    # (a) interleaved rows VIOLATE: the re-validation must catch them
+    fmt = TxnLogFormat(spark, str(tmp_path / "a"))
+    state["fmt"] = fmt
+    fmt.append(_batch(spark, 0, 2))  # v0: all cids non-null
+    state["interleave"] = _batch(spark, 10, 2).withColumn(
+        "cid", F.lit(None).cast("string")
+    )
+    with pytest.raises(ConstraintViolationError, match="cid_ok"):
+        fmt.add_constraint("cid_ok", "cid IS NOT NULL")
+    assert fmt.constraints() == {}  # nothing landed
+    assert fmt.read(spark).count() == 4  # the interleaved append DID land
+
+    # (b) interleaved rows SATISFY (fresh table): re-validation passes
+    # and the constraint lands AFTER the interleaved commit
+    fmt2 = TxnLogFormat(spark, str(tmp_path / "b"))
+    state["fmt"] = fmt2
+    fmt2.append(_batch(spark, 0, 2))
+    state["interleave"] = _batch(spark, 20, 2)
+    fmt2.add_constraint("cid_ok", "cid IS NOT NULL")
+    assert fmt2.constraints() == {"cid_ok": "cid IS NOT NULL"}
+    ops = [h["op"] for h in fmt2.history()]
+    assert ops == ["append", "append", "meta"]
+
+
+def test_txnlog_constraint_add_revalidation_sees_interleaved_nulls(
+    spark, tmp_path, monkeypatch
+):
+    """Once violating rows are IN the table, add_constraint always
+    fails — interleaved or not (baseline for the race tests above)."""
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch(spark, 0, 2))
+    fmt.append(
+        _batch(spark, 10, 1).withColumn("cid", F.lit(None).cast("string"))
+    )
+    with pytest.raises(ConstraintViolationError, match="cid_ok"):
+        fmt.add_constraint("cid_ok", "cid IS NOT NULL")
+
+
+def test_txnlog_restore_revalidates_readded_files(spark, tmp_path):
+    """Round-7 verdict #4: files removed BEFORE an ADD CONSTRAINT were
+    never scanned by its validation — restore must re-validate re-adds
+    against the active constraint set instead of silently resurrecting
+    violating rows under an active CHECK."""
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    bad = _batch(spark, 0, 2).withColumn("cid", F.lit(None).cast("string"))
+    fmt.append(bad)                                  # v0: violating rows
+    fmt.delete_partition("k1")                       # v1: they are gone
+    fmt.append(_batch(spark, 10, 2))                 # v2: clean rows
+    fmt.add_constraint("cid_ok", "cid IS NOT NULL")  # v3: validates v2 only
+    with pytest.raises(ConstraintViolationError, match="cid_ok"):
+        fmt.restore(0)  # would re-add v0's unvalidated, violating files
+    # table unchanged by the refused restore
+    assert fmt.read(spark).count() == 2
+    # restoring to a version whose re-adds SATISFY the constraint works
+    fmt.restore(2)
+    assert fmt.read(spark).count() == 2
+    assert fmt.constraints() == {"cid_ok": "cid IS NOT NULL"}
+
+
+def test_txnlog_metadata_reads_are_o_interval(spark, tmp_path):
+    """Round-7 verdict #5: constraints()/table_schema()/
+    last_txn_version() resume from the newest checkpoint's meta block —
+    entry reads per call are bounded by the checkpoint interval, not
+    the log length."""
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"), checkpoint_interval=4)
+    fmt.append(_batch(spark, 0, 1).withColumn("score", F.lit(1.0)))
+    fmt.add_constraint("uri_ok", "uri IS NOT NULL")
+    for i in range(12):
+        fmt.append(_batch(spark, 10 + i * 10, 1), txn=("app", i))
+    n_log = len(fmt._versions())
+    assert n_log >= 14 and fmt._checkpoints()
+
+    fmt2 = TxnLogFormat(spark, str(tmp_path / "t"), checkpoint_interval=4)
+    reads = {"n": 0}
+    real_read = fmt2._read_entry
+
+    def counting_read(v):
+        reads["n"] += 1
+        return real_read(v)
+
+    fmt2._read_entry = counting_read
+    assert fmt2.constraints() == {"uri_ok": "uri IS NOT NULL"}
+    assert "score" in [f.name for f in fmt2.table_schema().fields]
+    assert fmt2.last_txn_version("app") == 11
+    # 3 calls, each reading only the entries past the newest checkpoint
+    per_call = fmt2.checkpoint_interval
+    assert reads["n"] <= 3 * per_call, (reads["n"], n_log)
+    # and the resumed answers equal a from-scratch replay
+    full = {}
+    for v in fmt2._versions():
+        e = real_read(v)
+        c = e.get("constraint_add")
+        if c:
+            full[c["name"]] = c["expr"]
+        if e.get("constraint_drop"):
+            full.pop(e["constraint_drop"], None)
+    assert full == fmt2.constraints()

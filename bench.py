@@ -76,17 +76,34 @@ def main() -> None:
     # steady lap (chases unlucky ones).  The per-query min is kept as a
     # sidecar for continuity with rounds <= 7, whose `value` was
     # best-of-two.
+    # Adaptive GC: the round-8 window front-loads the heavy iterative /
+    # capstone queries back to back, and their shuffle+checkpoint debris
+    # measurably contaminated later queries (label_prop_communities
+    # 8.3 s cold -> 29-31 s in laps 2-3 under GC_EVERY=8 alone; with a
+    # GC after every heavy query the same laps run 7-9 s flat).  A GC
+    # after any query slower than GC_AFTER_SEC plus the every-GC_EVERY
+    # floor keeps the overhead to the queries that actually generate
+    # garbage.
+    GC_AFTER_SEC = 1.0
     laps: list[dict[str, float]] = [{}, {}, {}]
     for lap in laps:
-        for i, (name, fn) in enumerate(queries.items()):
-            if i % GC_EVERY == 0:
+        since_gc = 0
+        for name, fn in queries.items():
+            if since_gc >= GC_EVERY:
                 force_gc()
+                since_gc = 0
             t0 = time.perf_counter()
             run_df(fn(spark, sf_dir))
-            lap[name] = round(time.perf_counter() - t0, 4)
+            dt = time.perf_counter() - t0
+            lap[name] = round(dt, 4)
             # intra-query caches (signature tables etc.) are scoped to
             # the query; drop them so queries are measured independently
             spark.catalog.clearCache()
+            if dt > GC_AFTER_SEC:
+                force_gc()
+                since_gc = 0
+            else:
+                since_gc += 1
         t0 = time.perf_counter()
         run_df(entrymod.entry(spark))
         lap["flagship_materialize"] = round(time.perf_counter() - t0, 4)

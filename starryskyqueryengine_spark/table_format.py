@@ -1286,7 +1286,22 @@ class TxnLogFormat(TableFormat):
                 .option("basePath", self.data_path)
                 .parquet(*paths)
             )
-            self._enforce_constraints(readded_df)
+            try:
+                self._enforce_constraints(readded_df)
+            except ConstraintViolationError:
+                raise
+            except Exception as ex:  # AnalysisException and kin
+                # the restore also reverts the SCHEMA to the target
+                # version's — a constraint referencing a column that
+                # does not exist there cannot be evaluated, and a
+                # restored table it cannot govern would be just as
+                # silently-unchecked as unvalidated rows: refuse.
+                raise ConstraintViolationError(
+                    f"cannot restore to version {version}: an active "
+                    f"constraint ({cons}) is not evaluable against that "
+                    f"version's schema — drop the constraint first "
+                    f"({ex})"
+                ) from ex
         # carry the target version's stats so log-level skipping keeps
         # working on the restored files
         old_stats = self._snapshot_stats(version)

@@ -199,3 +199,52 @@ def test_pagerank_part_supplier_routes_through_gated_library(spark, monkeypatch)
     monkeypatch.setattr(graph, "pagerank", no_broadcast_pr)
     gated = sorted(map(tuple, ca.pagerank_part_supplier(spark, sf).collect()))
     assert gated == base
+
+
+def test_pagerank_lazy_path_no_per_round_materialization(spark, monkeypatch):
+    """With no dangling node and no tolerance there are no per-round
+    driver collects, so the rank lineage is a linear lazy chain: the
+    loop must not cache (or count) per round — round-7's per-round
+    cache+count was a measured 1.5x bench regression on this path.
+    Setup caches exactly 4 tables (edges, deg, nodes, dangling)."""
+    probe = spark.range(1)
+    df_cls = type(probe)  # the concrete DataFrame class this session uses
+
+    counts = {"cache": 0}
+    real_cache = df_cls.cache
+
+    def spy(self):
+        counts["cache"] += 1
+        return real_cache(self)
+
+    monkeypatch.setattr(df_cls, "cache", spy)
+    pairs = [(1, 2), (2, 3), (3, 1)]  # cycle: every node has an out-edge
+    ranks, it = pagerank(_edges(spark, pairs), max_iters=6)
+    assert it == 6
+    assert counts["cache"] == 4, counts
+    # and the lazy chain still computes the right thing
+    total = ranks.agg(F.sum("r")).collect()[0][0]
+    assert abs(total - PR_SCALE) < 3 * 100
+
+
+def test_sssp_sources_absent_from_edges(spark):
+    """Round-7 advice #3: the broadcast-gate bound must cover seed
+    nodes that appear in no edge — they still carry dist 0 in every
+    round's table.  Semantics: an isolated source is reported at
+    distance 0; reachable nodes relax normally."""
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 1)], "src long, dst long, w long"
+    )
+    sources = spark.createDataFrame([(1,), (99,)], "node long")  # 99 isolated
+    got = dict(map(tuple, sssp_bounded(edges, sources, max_hops=3).collect()))
+    assert got == {1: 0, 99: 0, 2: 5, 3: 6}
+    # gate forced shut must agree (99 counted in the bound either way)
+    got_sh = dict(
+        map(
+            tuple,
+            sssp_bounded(
+                edges, sources, max_hops=3, broadcast_max_nodes=0
+            ).collect(),
+        )
+    )
+    assert got_sh == got

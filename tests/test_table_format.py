@@ -1327,3 +1327,17 @@ def test_txnlog_metadata_reads_are_o_interval(spark, tmp_path):
         if e.get("constraint_drop"):
             full.pop(e["constraint_drop"], None)
     assert full == fmt2.constraints()
+
+
+def test_txnlog_restore_refuses_constraint_on_reverted_column(spark, tmp_path):
+    """Restore reverts the schema to the target version's — an active
+    constraint referencing a column that does not exist there cannot
+    govern the restored snapshot, so the restore must refuse with a
+    clear error instead of a raw analysis failure."""
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch(spark, 0, 2))                       # v0: no 'score'
+    fmt.delete_partition("k1")                            # v1
+    fmt.append(_batch(spark, 10, 2).withColumn("score", F.lit(1.0)))  # v2
+    fmt.add_constraint("score_pos", "score >= 0")         # v3
+    with pytest.raises(ConstraintViolationError, match="score_pos|not evaluable"):
+        fmt.restore(0)  # v0's schema has no 'score' column

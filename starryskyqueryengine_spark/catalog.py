@@ -646,7 +646,8 @@ PRIORITY: list[str] = [
     "j1_broadcast_lookup",
     "j4_arrays_overlap",
     "mm_decode_features",
-    "mm_frame_sample",
+    # --- First driver row: new in round 8 ---
+    "quality_classifier_scores",
 ]
 
 

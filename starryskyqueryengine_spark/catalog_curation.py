@@ -905,3 +905,113 @@ def text_multi_pattern_scan(spark, sf_dir):
     from .session import ensure_parallelism
 
     return multi_pattern_counts(ensure_parallelism(docs), _AC_PATTERNS)
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering (round 8): distributed logistic-regression
+# training as Catalyst aggregates (DCLM / FineWeb-Edu style classifier)
+# ---------------------------------------------------------------------------
+
+_LR_QUANT_SQL = "1000000000.0"  # functions/classifier.WEIGHT_QUANT
+_LR_GRAD_SQL = "1000000000000.0"  # functions/classifier.GRAD_SCALE
+_LR_FEATS_SQL = [
+    "1.0",
+    "ln(1.0 + length(text))",
+    "CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)"
+    " / CAST(greatest(length(text), 1) AS DOUBLE)",
+    "CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)"
+    " / CAST(greatest(length(text), 1) AS DOUBLE)",
+]
+
+
+def _logreg_oracle(iters: int = 2, lr: float = 0.5) -> str:
+    """Unrolled batch-GD replay: one EXACT-integer gradient CTE + one
+    floor-quantized weight CTE per iteration, then the scoring
+    projection — the same IEEE-double operations, in the same
+    association order, as functions/classifier.py.  Per-row gradient
+    terms are floor-scaled to integers and summed exactly (DuckDB
+    promotes SUM(BIGINT) to HUGEINT; Spark sums DECIMAL(38,0)), so
+    both engines derive the weights from identical integers — a plain
+    double AVG would be partition-order dependent on the Spark side."""
+    d = len(_LR_FEATS_SQL)
+    q = _LR_QUANT_SQL
+    gs = _LR_GRAD_SQL
+    feats = ", ".join(f"{e} AS x{j}" for j, e in enumerate(_LR_FEATS_SQL))
+    sql = (
+        f"WITH f AS (SELECT doc_id, {feats}, "
+        "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents)"
+    )
+    prev_w = ["0.0"] * d  # iteration 0 weights (all zero)
+    for t in range(1, iters + 1):
+        z = " + ".join(f"{prev_w[j]}*x{j}" for j in range(d))
+        grads = ", ".join(
+            f"sum(CAST(floor((1.0/(1.0+exp(-({z}))) - y) * x{j} * {gs}) "
+            f"AS BIGINT)) AS k{j}"
+            for j in range(d)
+        )
+        prev_tables = "f" if t == 1 else f"f, w{t-1}"
+        sql += f", g{t} AS (SELECT {grads}, count(*) AS n FROM {prev_tables})"
+        ws = ", ".join(
+            f"floor(({prev_w[j]} - {lr} * ((CAST(g{t}.k{j} AS DOUBLE) / g{t}.n)"
+            f" / {gs})) * {q}) / {q} AS w{j}"
+            for j in range(d)
+        )
+        w_tables = f"g{t}" if t == 1 else f"w{t-1}, g{t}"
+        sql += f", w{t} AS (SELECT {ws} FROM {w_tables})"
+        prev_w = [f"w{t}.w{j}" for j in range(d)]
+    zf = " + ".join(f"{prev_w[j]}*x{j}" for j in range(d))
+    score = f"round(1.0/(1.0+exp(-({zf}))), 4)"
+    return (
+        sql
+        + f" SELECT doc_id, score FROM ("
+        f"SELECT doc_id, {score} AS score, "
+        f"row_number() OVER (ORDER BY {score} DESC, doc_id) AS rn "
+        f"FROM f, w{iters}) WHERE rn <= 20"
+    )
+
+
+@register("quality_classifier_scores", _logreg_oracle())
+def quality_classifier_scores(spark, sf_dir):
+    """Model-based quality filtering (DCLM / FineWeb-Edu style): train a
+    logistic-regression doc classifier DISTRIBUTED — each batch-GD
+    iteration is ONE map-side-combined aggregate over the corpus
+    (avg((sigmoid(x·w) - y) * x_j) per feature), the d+1-double model
+    lives on the driver and re-enters the next iteration as literals —
+    then score every document as a pure per-row projection and return
+    the top 20.  Features: log length, punctuation ratio, digit ratio;
+    label: lang = 'en' (a deterministic stand-in for human quality
+    labels — the machinery, not the labels, is the operator).
+
+    ENGINE-EXACT: weights are floor-quantized to 1e-9 after every
+    update (identical IEEE-double computation driver-side and in the
+    oracle's unrolled CTE chain), so the full train-then-score run
+    value-checks against DuckDB (see functions/classifier.py).
+
+    100 TB shape: the cached feature table is 4 doubles/doc (tiny next
+    to text); each GD iteration = one scan + scalar aggregate (no
+    shuffle of rows, no Python UDF, no broadcast); scoring is
+    scan-parallel.  The hashing-trick high-dimensional variant swaps
+    the per-feature avg for a vector aggregate — same cost envelope."""
+    from .functions.classifier import logreg_score, logreg_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    L = F.length("text")
+    ratio = lambda pat: (  # noqa: E731 - local expression builder
+        F.regexp_count(F.col("text"), F.lit(pat)).cast("double")
+        / F.greatest(L, F.lit(1)).cast("double")
+    )
+    feats = docs.select(
+        "doc_id",
+        F.log(F.lit(1.0) + L).alias("x1"),
+        ratio(r"[.,!?;:]").alias("x2"),
+        ratio(r"[0-9]").alias("x3"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    ).cache()
+    w = logreg_train(feats, ["x1", "x2", "x3"], "y", iters=2, lr=0.5)
+    score = F.round(logreg_score(w, ["x1", "x2", "x3"]), 4)
+    out = (
+        feats.select("doc_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+    return out

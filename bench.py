@@ -87,6 +87,10 @@ def main() -> None:
     GC_AFTER_SEC = 1.0
     laps: list[dict[str, float]] = [{}, {}, {}]
     for lap in laps:
+        # lap boundary: the previous lap ends with flagship_materialize
+        # (heavy, outside the adaptive loop) — GC before the next lap's
+        # first measurements
+        force_gc()
         since_gc = 0
         for name, fn in queries.items():
             if since_gc >= GC_EVERY:

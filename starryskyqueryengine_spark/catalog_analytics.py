@@ -1365,8 +1365,12 @@ def pagerank_part_supplier(spark, sf_dir):
         )
         .repartition(par)
     )
-    with scoped_shuffle_partitions(spark, GRAPH_SHUFFLE_PARTS):
-        ranks, _ = pagerank(edges, max_iters=PR_ITERS, damping_pct=85, scale=PR_SCALE)
+    # No scoped_shuffle_partitions here (unlike pagerank_dangling): this
+    # graph has no dangling node and no tolerance, so the library takes
+    # the LAZY path — the iteration shuffles execute at the CALLER's
+    # action, after any scope here would have been restored.  AQE
+    # coalesces those small post-shuffle partitions at runtime instead.
+    ranks, _ = pagerank(edges, max_iters=PR_ITERS, damping_pct=85, scale=PR_SCALE)
     return (
         ranks.orderBy(F.col("r").desc(), "node")
         .limit(20)

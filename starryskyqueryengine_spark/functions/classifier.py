@@ -97,10 +97,13 @@ def logreg_train(
         n = int(row["n"])
         if n == 0:
             return w
+        # a sum over all-NULL terms (every row NULL in that feature) is
+        # NULL — treat as zero gradient rather than crash; rows with a
+        # NULL feature simply contribute nothing (SQL sum semantics,
+        # identical in the oracle)
+        ks = [int(row[f"k{j}"] or 0) for j in range(len(xs))]
         w = [
-            quantize_weight(
-                w[j] - lr * ((float(int(row[f"k{j}"])) / n) / GRAD_SCALE)
-            )
+            quantize_weight(w[j] - lr * ((float(ks[j]) / n) / GRAD_SCALE))
             for j in range(len(xs))
         ]
     return w

@@ -477,11 +477,15 @@ def connected_components(
         "id",
         "left",
     ).select("id", F.coalesce("component", "id").alias("component"))
-    # materialize the (pairs-sized) labels and sever their lineage so the
-    # intermediates can be freed NOW: without this, the returned plan
-    # pins all_nodes/edges (and each round's localCheckpoint blocks were
-    # freed only at GC), so repeated calls — e.g. per-batch from the
-    # multimodal pipelines — accumulate executor storage
+    # Materialize the (pairs-sized) labels and sever their lineage so
+    # the RETURNED plan no longer references all_nodes or the final
+    # edges: all_nodes's cache is dropped here, and with no remaining
+    # Python reference the checkpointed edge tables become GC-collectable
+    # immediately after this call instead of being pinned for the
+    # caller's lifetime.  (The per-round localCheckpoint blocks
+    # themselves still free at driver GC — unpersist() is a no-op on a
+    # checkpoint-backed frame — but nothing caller-visible keeps them
+    # alive anymore, so a periodic GC reclaims everything.)
     labels = labels.localCheckpoint(eager=True)
     edges.unpersist()
     all_nodes.unpersist()

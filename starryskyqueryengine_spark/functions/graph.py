@@ -172,16 +172,15 @@ def pagerank(
             )
         )
         if per_round_collect:
-            # the round's own delta collect (below) or the NEXT round's
-            # dangling aggregate is the job that populates this cache —
-            # no explicit count needed
             new_ranks = new_ranks.cache()
         elif (_it + 1) % 8 == 0:
             # lazy chain: truncate the growing logical plan periodically
             # (analyzer cost, not execution cost — nothing re-runs)
             new_ranks = new_ranks.localCheckpoint(eager=True)
         if tol_scaled is not None:
-            # exact L1 delta: BIGINT sum, partition-order independent
+            # exact L1 delta: BIGINT sum, partition-order independent —
+            # this collect is also the job that populates new_ranks's
+            # cache, so the parent can be dropped right after
             delta = (
                 new_ranks.alias("n")
                 .join(ranks.alias("o"), "node")
@@ -195,6 +194,12 @@ def pagerank(
                 break
         else:
             if per_round_collect:
+                # dangling-only rounds have no collect of their own this
+                # round: populate the new cache BEFORE unpersisting the
+                # parent, else the next round's dangling aggregate
+                # replays the whole multi-round lineage through the
+                # dropped caches (quadratic recompute)
+                new_ranks.count()
                 ranks.unpersist()
             ranks = new_ranks
             iters_run += 1

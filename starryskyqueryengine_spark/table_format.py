@@ -352,14 +352,17 @@ class TxnLogFormat(TableFormat):
         meta: dict = {"schema": None, "constraints": {}, "txn": {}}
         start = 0
         if versions:
-            for ck in reversed(
-                [c for c in self._checkpoints() if c <= versions[-1]]
-            ):
+            cks = [c for c in self._checkpoints() if c <= versions[-1]]
+            if cks:
+                # only the NEWEST checkpoint is consulted: checkpoints are
+                # written in version order, so if it lacks a meta block
+                # (pre-upgrade file) every older one does too — fall back
+                # to a full replay without opening them all
+                ck = cks[-1]
                 with open(
                     os.path.join(self.log_path, f"{ck:020d}.checkpoint.json")
                 ) as f:
-                    ckd = json.load(f)
-                m = ckd.get("meta")
+                    m = json.load(f).get("meta")
                 if m is not None:
                     meta = {
                         "schema": m.get("schema"),
@@ -367,7 +370,6 @@ class TxnLogFormat(TableFormat):
                         "txn": dict(m.get("txn", {})),
                     }
                     start = ck + 1
-                    break
         for v in versions:
             if v < start:
                 continue
@@ -1256,8 +1258,16 @@ class TxnLogFormat(TableFormat):
 
         100 TB shape: O(|files in either snapshot|) metadata work, zero
         data movement — the same property that makes CLONE free."""
+        # pin the tip the whole validation below reads: _commit conflict-
+        # scans every commit PAST it, so a constraint or schema change
+        # landing mid-restore forces a retry instead of being silently
+        # restored over (the same TOCTOU closure as append/add_constraint)
+        vs = self._versions()
+        validated_at = vs[-1] if vs else -1
         target = self._snapshot(version)
-        current = self._snapshot()
+        current = self._snapshot(
+            version=validated_at if validated_at >= 0 else None
+        )
         re_adds = {p: k for p, k in target.items() if p not in current}
         removes = [p for p in current if p not in target]
         gone = [
@@ -1270,38 +1280,40 @@ class TxnLogFormat(TableFormat):
                 f"cannot restore to version {version}: {len(gone)} files "
                 f"were vacuumed (e.g. {gone[0]!r})"
             )
+        cons = self.constraints(version=validated_at)
+        tgt_schema = self.table_schema(version)
+        if cons:
+            # The restore keeps the active constraint set but reverts the
+            # SCHEMA to the target version's — a constraint referencing a
+            # column that does not exist there could never be evaluated
+            # again (every later write would fail with a raw analysis
+            # error): refuse up front, re-adds or not.
+            probe = self.spark.createDataFrame([], tgt_schema)
+            for name, expr in cons.items():
+                try:
+                    probe.select(F.expr(expr)).schema  # forces analysis
+                except Exception as ex:
+                    raise ConstraintViolationError(
+                        f"cannot restore to version {version}: active "
+                        f"constraint {name!r} ({expr}) is not evaluable "
+                        f"against that version's schema — drop the "
+                        f"constraint first ({ex})"
+                    ) from ex
         # Files removed BEFORE an ADD CONSTRAINT were never scanned by
-        # its validation, yet the restore keeps the current (active)
-        # constraint set — re-validate every re-added file against it so
-        # the restored snapshot cannot silently violate an active CHECK
-        # (round-6 advice #3).  O(|re-adds|) data read, only when both
-        # constraints and re-adds exist.
-        cons = self.constraints()
+        # its validation — re-validate every re-added file against the
+        # active set so the restored snapshot cannot silently violate an
+        # active CHECK (round-6 advice #3).  O(|re-adds|) data read,
+        # only when both constraints and re-adds exist.
         if cons and re_adds:
             paths = [
                 os.path.join(self.data_path, p) for p in sorted(re_adds)
             ]
             readded_df = (
-                self.spark.read.schema(self.table_schema(version))
+                self.spark.read.schema(tgt_schema)
                 .option("basePath", self.data_path)
                 .parquet(*paths)
             )
-            try:
-                self._enforce_constraints(readded_df)
-            except ConstraintViolationError:
-                raise
-            except Exception as ex:  # AnalysisException and kin
-                # the restore also reverts the SCHEMA to the target
-                # version's — a constraint referencing a column that
-                # does not exist there cannot be evaluated, and a
-                # restored table it cannot govern would be just as
-                # silently-unchecked as unvalidated rows: refuse.
-                raise ConstraintViolationError(
-                    f"cannot restore to version {version}: an active "
-                    f"constraint ({cons}) is not evaluable against that "
-                    f"version's schema — drop the constraint first "
-                    f"({ex})"
-                ) from ex
+            self._enforce_constraints(readded_df)
         # carry the target version's stats so log-level skipping keeps
         # working on the restored files
         old_stats = self._snapshot_stats(version)
@@ -1316,7 +1328,8 @@ class TxnLogFormat(TableFormat):
             adds,
             remove_keys=None,
             extra_removes=removes,
-            schema=self.table_schema(version),
+            schema=tgt_schema,
+            validated_at=validated_at,
         )
         return {"files_readded": len(adds), "files_removed": len(removes)}
 

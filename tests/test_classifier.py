@@ -86,3 +86,20 @@ def test_logreg_score_is_probability(spark):
     w = logreg_train(df, ["x1", "x2"], "y", iters=2, lr=0.5)
     vals = [r["p"] for r in df.select(logreg_score(w, ["x1", "x2"]).alias("p")).collect()]
     assert all(0.0 < v < 1.0 for v in vals)
+
+
+def test_logreg_null_features_drop_rows_not_crash(spark):
+    # NULL propagates through x·w, so a row with ANY NULL feature
+    # contributes nothing (SQL sum-skips-NULL semantics, mirrored by the
+    # oracle); an all-NULL column therefore drops every row — weights
+    # stay zero instead of the float(None) crash
+    rows = [(0.2, None, 0.0), (0.8, None, 1.0), (0.9, None, 1.0),
+            (0.1, None, 0.0)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    assert logreg_train(df, ["x1", "x2"], "y", iters=2, lr=0.5) == [0.0] * 3
+    # a PARTIALLY-null feature: non-null rows still learn
+    rows2 = [(0.2, 0.1, 0.0), (0.8, None, 1.0), (0.9, 0.3, 1.0),
+             (0.1, 0.2, 0.0)]
+    df2 = spark.createDataFrame(rows2, "x1 double, x2 double, y double")
+    w = logreg_train(df2, ["x1", "x2"], "y", iters=2, lr=0.5)
+    assert w[1] != 0.0

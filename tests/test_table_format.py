@@ -1341,3 +1341,44 @@ def test_txnlog_restore_refuses_constraint_on_reverted_column(spark, tmp_path):
     fmt.add_constraint("score_pos", "score >= 0")         # v3
     with pytest.raises(ConstraintViolationError, match="score_pos|not evaluable"):
         fmt.restore(0)  # v0's schema has no 'score' column
+
+
+def test_txnlog_restore_conflicts_with_interleaved_constraint_add(
+    spark, tmp_path, monkeypatch
+):
+    """restore() pins the tip its validation read: an ADD CONSTRAINT
+    landing between the validation and the restore's commit must fail
+    the restore (its re-added files were never checked against the new
+    constraint) rather than silently resurrect them under it."""
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch(spark, 0, 2))       # v0
+    fmt.delete_partition("k1")            # v1: v0's files removed
+    _arm_racing_link(
+        monkeypatch,
+        fmt,
+        lambda: _rival_entry(
+            fmt, constraint={"name": "cid_ok", "expr": "cid IS NOT NULL"}
+        ),
+    )
+    with pytest.raises(ConcurrentWriteError, match="cid_ok"):
+        fmt.restore(0)  # re-adds v0's files; validated before cid_ok
+    # constraint survived, table still empty
+    assert fmt.constraints() == {"cid_ok": "cid IS NOT NULL"}
+    assert fmt.read(spark).count() == 0
+
+
+def test_txnlog_remove_only_restore_refuses_constraint_on_dropped_column(
+    spark, tmp_path
+):
+    """Even a restore with NO re-adds reverts the schema — an active
+    constraint referencing a column absent at the target version would
+    wedge every later write, so the restore must refuse up front."""
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch(spark, 0, 2))                                   # v0
+    fmt.append(_batch(spark, 10, 2).withColumn("score", F.lit(1.0)))  # v1
+    fmt.add_constraint("score_pos", "score >= 0")                     # v2
+    with pytest.raises(ConstraintViolationError, match="score_pos"):
+        fmt.restore(0)  # v0 schema has no 'score'; re_adds is empty
+    # refused restore left everything intact
+    assert fmt.read(spark).count() == 4
+    assert fmt.constraints() == {"score_pos": "score >= 0"}

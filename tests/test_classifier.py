@@ -103,3 +103,37 @@ def test_logreg_null_features_drop_rows_not_crash(spark):
     df2 = spark.createDataFrame(rows2, "x1 double, x2 double, y double")
     w = logreg_train(df2, ["x1", "x2"], "y", iters=2, lr=0.5)
     assert w[1] != 0.0
+
+
+def test_logreg_gradient_plan_is_map_side_combined(spark):
+    """Each GD iteration must cost one scan + partial aggregates merged
+    through a single one-row-per-task exchange — never a shuffle of
+    data rows.  (The 100 TB property the operator exists for.)"""
+    import pyspark.sql.functions as F
+
+    from starryskyqueryengine_spark.functions.classifier import (
+        GRAD_SCALE,
+        _dot,
+        _sigmoid,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") / 1000).alias("x1"),
+        (F.col("id") % 2).cast("double").alias("y"),
+    )
+    xs = [F.lit(1.0), F.col("x1").cast("double")]
+    p = _sigmoid(_dot([0.0, 0.0], xs))
+    agg = df.agg(
+        *[
+            F.sum(
+                F.floor((p - F.col("y")) * xs[j] * F.lit(GRAD_SCALE)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias(f"k{j}")
+            for j in range(2)
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan  # map-side combine
+    assert plan.count("Exchange") == 1 and "SinglePartition" in plan

@@ -1349,7 +1349,7 @@ class TxnLogFormat(TableFormat):
         100 TB note: on an object store this becomes metadata-only
         manifest copying; the hard link is the local-filesystem analog
         with the same O(files), zero-data-movement cost."""
-        live = self._snapshot()
+        live, stats = self._replay()
         clone = TxnLogFormat(
             self.spark,
             dest_path,
@@ -1362,7 +1362,12 @@ class TxnLogFormat(TableFormat):
             dst = os.path.join(clone.data_path, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.link(src, dst)
-            adds.append({"path": rel, "key": key})
+            a = {"path": rel, "key": key}
+            if rel in stats:
+                # carry per-file stats so log-level data skipping
+                # (read_where_ts) keeps working on the clone
+                a["stats"] = stats[rel]
+            adds.append(a)
         if adds:
             # the clone's log starts fresh, so its first commit must carry
             # the source's (possibly evolved) schema explicitly

@@ -1382,3 +1382,18 @@ def test_txnlog_remove_only_restore_refuses_constraint_on_dropped_column(
     # refused restore left everything intact
     assert fmt.read(spark).count() == 4
     assert fmt.constraints() == {"score_pos": "score >= 0"}
+
+
+def test_clone_carries_stats_for_log_level_skipping(spark, tmp_path):
+    """clone_to must carry each linked file's stats into the clone's
+    synthetic first commit — otherwise read_where_ts on a clone opens
+    every file (conservative but defeats the zero-copy-with-skipping
+    story)."""
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    for day, n0 in [(1, 0), (10, 100), (20, 200)]:
+        fmt.append(_day_batch(spark, n0, 5, day))
+    clone = fmt.clone_to(str(tmp_path / "c"))
+    pruned = clone.read_where_ts(spark, ts_min_us=_us(9), ts_max_us=_us(11))
+    assert pruned.count() == 5
+    assert _files_read(pruned) == 1  # only the day-10 file opened
+    assert _files_read(clone.read(spark)) == 3

@@ -354,3 +354,46 @@ def test_connected_components_distributed_random_vs_union_find(spark):
             parent[max(ra, rb)] = min(ra, rb)
     want = {(x, find(x)) for x in parent}
     assert got == want
+
+
+def test_kmeans_fit_exact_deterministic_and_integer_directions(spark):
+    """Engine-exact trainer (round 8): identical centroids under any
+    repartitioning (integer accumulation — no float-sum order
+    dependence), unit-norm output rows, and integer directions (each
+    returned row is an exact integer vector divided by its norm)."""
+    import numpy as np
+
+    from starryskyqueryengine_spark.functions.similarity import (
+        kmeans_fit_exact,
+    )
+    from starryskyqueryengine_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter(F.col("vec_id") >= 5)
+    C1 = kmeans_fit_exact(base, 8, iters=2)
+    C2 = kmeans_fit_exact(base.repartition(7), 8, iters=2)
+    assert (C1 == C2).all()
+    assert C1.shape == (8, 64)
+    assert np.allclose(np.linalg.norm(C1, axis=1), 1.0)
+
+
+def test_ann_ivf_topk_trained_recall_vs_exact(spark):
+    """The exact-trainer IVF must keep useful recall vs brute force
+    (the original rows-only query's recall contract, now on the
+    value-checked path)."""
+    from starryskyqueryengine_spark import catalog_similarity as cs
+    from starryskyqueryengine_spark.catalog_similarity import (
+        ann_cosine_topk,
+        ann_ivf_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cs._IVF_CENTROIDS.clear()  # force a fresh train in this process
+    exact = {
+        (r["q_id"], r["nn_id"]) for r in ann_cosine_topk(spark, sf).collect()
+    }
+    approx = {
+        (r["q_id"], r["nn_id"]) for r in ann_ivf_topk(spark, sf).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall

@@ -194,6 +194,121 @@ def sketch_distinct_users(spark, sf_dir):
     )
 
 
+HLL_P = 10                     # 2^10 = 1024 buckets, sigma ~ 1.04/32 ~ 3.3%
+HLL_M = 1 << HLL_P
+HLL_HASH_BITS = 48             # md5 prefix width (12 hex digits)
+HLL_RHO_BITS = HLL_HASH_BITS - HLL_P
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)  # Flajolet et al. 2007, m >= 128
+
+
+def _hll_rho_case(low: str) -> str:
+    """First-one position (1-indexed) in the low HLL_RHO_BITS bits as an
+    exact integer CASE chain — identical SQL text for Spark and DuckDB
+    (no float log2, whose exact-power-of-two edge would differ)."""
+    cases = " ".join(
+        f"WHEN {low} >= {1 << (HLL_RHO_BITS - i)} THEN {i}"
+        for i in range(1, HLL_RHO_BITS + 1)
+    )
+    return f"(CASE {cases} ELSE {HLL_RHO_BITS + 1} END)"
+
+
+def _hll_oracle() -> str:
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) "
+        f"* {16 ** (11 - i)}"
+        for i in range(12)
+    )
+    return f"""
+    WITH h AS (
+      SELECT event_type, md5('hll:' || CAST(user_id AS VARCHAR)) AS h
+      FROM events
+    ),
+    hv AS (SELECT event_type, CAST({digits} AS BIGINT) AS hv FROM h),
+    b AS (SELECT event_type, hv // {1 << HLL_RHO_BITS} AS bucket,
+                 hv % {1 << HLL_RHO_BITS} AS low
+          FROM hv),
+    r AS (SELECT event_type, bucket, MAX({_hll_rho_case('low')}) AS m
+          FROM b GROUP BY event_type, bucket),
+    z AS (SELECT event_type, SUM(power(2.0, -m)) AS z,
+                 CAST(COUNT(*) AS BIGINT) AS nb
+          FROM r GROUP BY event_type)
+    SELECT event_type,
+           CASE WHEN CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M}
+                     / (z + ({HLL_M} - nb)) <= 2.5 * {HLL_M}
+                     AND nb < {HLL_M}
+                THEN ROUND({HLL_M} * ln(CAST({HLL_M} AS DOUBLE)
+                                        / ({HLL_M} - nb)), 4)
+                ELSE ROUND(CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M}
+                           / (z + ({HLL_M} - nb)), 4)
+           END AS est_users
+    FROM z
+    """
+
+
+@register("sketch_distinct_users_portable", _hll_oracle())
+def sketch_distinct_users_portable(spark, sf_dir):
+    """The VALUE-CHECKED twin of sketch_distinct_users: a from-scratch
+    ENGINE-PORTABLE HyperLogLog (Flajolet et al. 2007) whose every step
+    is deterministic and replayable in SQL — md5-prefix 48-bit hash,
+    integer bucket/rho split (rho via an exact integer CASE chain, no
+    float log2), per-bucket MAX(rho), then the harmonic-mean estimate
+    with the small-range (linear-counting) correction.
+
+    Why the value check is SOUND for a float formula: every Z-sum term
+    is a dyadic rational 2^-m with m in [1, 39], so the bucket sum is
+    EXACTLY representable and associative in doubles — partition order
+    and engine cannot change it; the final alpha*m^2/Z and ln()
+    corrections are single float ops from identical inputs, washed by
+    ROUND(..., 4).
+
+    100 TB shape: identical to the built-in sketch — one shuffle of
+    (event_type, bucket, max-rho) partials (map-side combined MAX), the
+    estimate itself is per-group O(m) arithmetic.  The built-in
+    approx_count_distinct stays as the production form
+    (sketch_distinct_users); this operator proves the sketch's math
+    end-to-end and is the template for a custom mergeable sketch (the
+    per-bucket MAX table IS the sketch: union = MAX-merge)."""
+    ev = load_table(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))), 1, 12
+        ),
+        16, 10,
+    ).cast("bigint")
+    b = ev.select(
+        "event_type",
+        hv.alias("hv"),
+    ).select(
+        "event_type",
+        F.expr(f"hv div {1 << HLL_RHO_BITS}").alias("bucket"),
+        (F.col("hv") % (1 << HLL_RHO_BITS)).alias("low"),
+    )
+    r = (
+        b.withColumn("rho", F.expr(_hll_rho_case("low")))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    z = r.groupBy("event_type").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("z"),
+        F.count("*").cast("bigint").alias("nb"),
+    )
+    raw = (
+        F.lit(HLL_ALPHA) * HLL_M * HLL_M
+        / (F.col("z") + (F.lit(HLL_M) - F.col("nb")))
+    )
+    linear = F.round(
+        F.lit(float(HLL_M))
+        * F.log(F.lit(float(HLL_M)) / (F.lit(HLL_M) - F.col("nb"))),
+        4,
+    )
+    return z.select(
+        "event_type",
+        F.when((raw <= 2.5 * HLL_M) & (F.col("nb") < HLL_M), linear)
+        .otherwise(F.round(raw, 4))
+        .alias("est_users"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Training-pipeline corpus operations (sampling, vocabulary, batching, tf-idf)
 # --------------------------------------------------------------------------

@@ -329,6 +329,33 @@ def test_sketch_distinct_within_tolerance(spark):
         assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)
 
 
+def test_portable_hll_within_tolerance_and_deterministic(spark):
+    """The from-scratch engine-portable HyperLogLog
+    (sketch_distinct_users_portable): estimate within tolerance of the
+    exact distinct count, and bit-identical under repartitioning (the
+    Z-sum terms are dyadic rationals — exactly summable in doubles, so
+    partition order cannot change the estimate)."""
+    from pyspark.sql import functions as F
+
+    from starryskyqueryengine_spark.catalog_text import (
+        sketch_distinct_users_portable,
+    )
+    from starryskyqueryengine_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    est = {r["event_type"]: r["est_users"]
+           for r in sketch_distinct_users_portable(spark, sf).collect()}
+    ev = load_table(spark, sf, "events")
+    exact = {r["event_type"]: r["n"]
+             for r in ev.groupBy("event_type").agg(
+                 F.countDistinct("user_id").alias("n")).collect()}
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(2, 0.1 * n), (k, est[k], n)
+    est2 = {r["event_type"]: r["est_users"]
+            for r in sketch_distinct_users_portable(spark, sf).collect()}
+    assert est == est2
+
+
 def test_asof_join_null_payload_not_stitched(spark):
     """A NULL payload field in the latest right row must stay NULL — not
     resurrect the value from an older right row (the per-column carry

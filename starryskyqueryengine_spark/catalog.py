@@ -588,10 +588,14 @@ def _load_extensions() -> None:
 # r1-checked bucket (unchecked for 7 rounds) and the oldest third of
 # the r4 bucket.  Everything rotated OUT earned green driver rows in
 # r4-r7 and is unchanged since; all queries remain covered by
-# tools/full_gate.py and tests/test_oracle_parity.py locally.  The 2
-# inherently rows-only queries (sketch_distinct_users, ann_ivf_topk)
-# stay out of the window: their driver check is weaker than their
-# local tolerance/recall tests.
+# tools/full_gate.py and tests/test_oracle_parity.py locally.  Round 8
+# also ERASED the "inherently rows-only" list: ann_ivf_topk is now
+# value-checked (engine-exact integer k-means training, replayed by an
+# unrolled oracle) and the portable HLL twin
+# sketch_distinct_users_portable value-checks the sketch math — both
+# take window slots for first VALUE rows; only the built-in
+# approx_count_distinct demo (sketch_distinct_users) remains rows-only,
+# covered by its local tolerance test.
 PRIORITY: list[str] = [
     # --- Regression core (multi-round driver-green, highest risk) ---
     "flagship_multifeed",
@@ -644,10 +648,10 @@ PRIORITY: list[str] = [
     "f9_json_extract",
     "f_scalar_family",
     "j1_broadcast_lookup",
-    "j4_arrays_overlap",
-    "mm_decode_features",
-    # --- First driver row: new in round 8 ---
+    # --- First driver rows / first VALUE rows: new or upgraded in round 8 ---
     "quality_classifier_scores",
+    "ann_ivf_topk",
+    "sketch_distinct_users_portable",
 ]
 
 

@@ -529,7 +529,11 @@ def chunk_documents_udtf(spark, sf_dir):
 
     W, S = CHUNK_TOKENS, CHUNK_STRIDE
 
-    @udtf(returnType="chunk_id bigint, start_tok bigint, n_tok bigint")
+    # useArrow: the lateral rows cross the Python boundary as Arrow
+    # batches (plan node ArrowEvalPythonUDTF), not pickled row-at-a-time
+    # (BatchEvalPythonUDTF) — the same batch-transfer rule every other
+    # Python hop in the repo follows (tools/plan_lint.py enforces it).
+    @udtf(returnType="chunk_id bigint, start_tok bigint, n_tok bigint", useArrow=True)
     class chunks:
         def eval(self, n_words: int):
             n_chunks = max(0, -(-(max(n_words - W, 0)) // S)) + 1

@@ -17,6 +17,7 @@ from .sources.fixtures import load_table
 JACCARD_THRESHOLD = 0.2     # exact n-gram near-dup cut (planted pairs ~0.9)
 MINHASH_VERIFY_THRESHOLD = 0.5
 SIMHASH_MAX_HAMMING = 4
+CONTAINMENT_THRESHOLD = 0.75  # directional excerpt-inclusion cut
 
 
 # --- SQL fragment generators (mirror functions/dedup.py exactly) ----------
@@ -110,6 +111,115 @@ def dedup_ngram_jaccard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     sh = dd.with_shingles(docs.select("doc_id", "text")).filter(F.size("shingles") > 0)
     return dd.jaccard_pairs_blocked(sh, JACCARD_THRESHOLD)
+
+
+@register(
+    "dedup_containment",
+    rf"""
+    WITH sh AS (
+      SELECT doc_id, {_sql_shingles('w')} AS shingles
+      FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.shingles, b.shingles)) AS c,
+             len(a.shingles) AS na, len(b.shingles) AS nb
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id AND len(a.shingles) > 0 AND len(b.shingles) > 0
+    )
+    SELECT CASE WHEN na <= nb THEN id_a ELSE id_b END AS contained_id,
+           CASE WHEN na <= nb THEN id_b ELSE id_a END AS container_id,
+           ROUND(c * 1.0 / LEAST(na, nb), 6) AS containment
+    FROM pairs
+    WHERE c * 1.0 / LEAST(na, nb) >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Directional excerpt detection: shingle containment
+    C(A,B) = |A∩B| / min(|A|,|B|) ≥ 0.75 via the same inverted-index
+    blocking as dedup_ngram_jaccard (functions/dedup.py::
+    containment_pairs_blocked). Catches a short passage reproduced
+    verbatim inside a much larger page — J ≈ |quote|/|page| ≈ 0 there,
+    so the symmetric near-dup family can never see it. Output is
+    directed (contained_id = the smaller shingle set), exactly equal to
+    the quadratic all-pairs formulation the oracle runs.
+
+    100 TB shape: identical to the Jaccard path — one shuffle on the
+    shingle key, pair space bounded by co-occurrence, no crossJoin."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dd.with_shingles(docs.select("doc_id", "text")).filter(F.size("shingles") > 0)
+    return dd.containment_pairs_blocked(sh, CONTAINMENT_THRESHOLD)
+
+
+@register(
+    "cross_source_dup_matrix",
+    rf"""
+    WITH sh AS (
+      SELECT doc_id, {_sql_shingles('w')} AS shingles
+      FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
+    ),
+    hashed AS (
+      SELECT doc_id, shingles,
+             list_transform(shingles, s -> {_sql_md5int('s')}) AS hs
+      FROM sh WHERE len(shingles) > 0
+    ),
+    sigs AS (SELECT doc_id, shingles, {_sql_minhash_sig('hs')} AS sig FROM hashed),
+    bands AS ({_sql_band_rows()}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(sa.shingles, sb.shingles)) AS i,
+             len(sa.shingles) AS na, len(sb.shingles) AS nb
+      FROM cands c
+      JOIN sigs sa ON sa.doc_id = c.id_a
+      JOIN sigs sb ON sb.doc_id = c.id_b
+    ),
+    dup_pairs AS (
+      SELECT id_a, id_b FROM verified
+      WHERE i * 1.0 / GREATEST(na + nb - i, 1) >= {MINHASH_VERIFY_THRESHOLD}
+    )
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_dup_pairs
+    FROM dup_pairs p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    GROUP BY 1, 2
+    """,
+)
+def cross_source_dup_matrix(spark, sf_dir):
+    """Cross-source contamination matrix: the per-source-PAIR count of
+    verified MinHash near-dups — the governance view that tells a
+    curation pipeline WHICH feeds copy from each other (dedup_rate_by_
+    source only says how much each source self-duplicates). Unordered
+    source pair via least/greatest so each pair reports once.
+
+    100 TB shape: rides the banded LSH pipeline unchanged (no new pair
+    space); the two doc_id equi-joins attach sources to the pair set,
+    which is near-dup-sized, not corpus-sized; final agg is |sources|²
+    rows at most."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs)
+    cands = dd.lsh_candidate_pairs(sigs)
+    ver = dd.jaccard_verify(cands, sigs).filter(
+        F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD
+    )
+    src = docs.select("doc_id", "source")
+    m = ver.join(
+        src.withColumnRenamed("doc_id", "id_a").withColumnRenamed("source", "src_a"),
+        "id_a",
+    ).join(
+        src.withColumnRenamed("doc_id", "id_b").withColumnRenamed("source", "src_b"),
+        "id_b",
+    )
+    return m.groupBy(
+        F.least("src_a", "src_b").alias("source_a"),
+        F.greatest("src_a", "src_b").alias("source_b"),
+    ).agg(F.count("*").cast("bigint").alias("n_dup_pairs"))
 
 
 @register(

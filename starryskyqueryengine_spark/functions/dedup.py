@@ -339,6 +339,63 @@ def jaccard_pairs_blocked(
     )
 
 
+def containment_pairs_blocked(
+    shingled: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Directional shingle CONTAINMENT via the same inverted-index
+    blocking as ``jaccard_pairs_blocked``: C(A,B) = |A∩B| / min(|A|,|B|).
+
+    Containment catches excerpt/quote inclusion that symmetric Jaccard
+    structurally misses — a 30-word passage reproduced verbatim inside a
+    3000-word page has J ≈ 0.01 (far below any near-dup cut) but C = 1.0.
+    Curation pipelines use it to trace quoted/boilerplate inclusion and
+    to catch eval-set passages embedded in larger crawl pages.
+
+    Output is directed: ``contained_id`` is the smaller-shingle-set side
+    (tie: the lower id, since pairs are generated with id_a < id_b), so
+    each qualifying pair appears exactly once.
+
+    Completeness is the same lemma as the Jaccard form: C ≥ t > 0
+    implies at least one shared shingle, so every qualifying pair
+    appears in the blocked pair space — identical output to all-pairs.
+    Scale shape: one shuffle on the shingle key, one aggregation, pair
+    space bounded by shingle co-occurrence (turn on the prefix filter
+    upstream for boilerplate-heavy corpora, as with Jaccard).
+    """
+    sized = shingled.select(
+        F.col(id_col), F.col("shingles"), F.size("shingles").alias("n_sh")
+    )
+    ex = sized.select(id_col, "n_sh", F.explode("shingles").alias("_s")).cache()
+    a = ex.select(
+        F.col("_s"), F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")
+    )
+    b = ex.select(
+        F.col("_s"), F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb")
+    )
+    common = (
+        a.join(b, "_s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count("*").alias("c"))
+    )
+    # caller guarantees |shingles| > 0, so min(na, nb) >= 1 — no guard
+    cont = F.col("c") / F.least(F.col("na"), F.col("nb"))
+    a_contained = F.col("na") <= F.col("nb")
+    return (
+        common.withColumn("containment", F.round(cont, 6))
+        .filter(cont >= threshold)
+        .select(
+            F.when(a_contained, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("contained_id"),
+            F.when(a_contained, F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("container_id"),
+            "containment",
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     max_iter: int = 20,

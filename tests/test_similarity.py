@@ -397,3 +397,80 @@ def test_ann_ivf_topk_trained_recall_vs_exact(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """The motivating case for directional containment: a short passage
+    reproduced verbatim inside a much larger page. Jaccard ~ |quote| /
+    |page| is far below any near-dup cut, but containment is exactly 1.0
+    — the blocked containment join must surface the pair (directed:
+    the excerpt is the contained side) while the Jaccard path at the
+    same threshold returns nothing."""
+    from starryskyqueryengine_spark.functions import dedup as dd
+
+    quote = " ".join(f"q{i}" for i in range(10))
+    page = " ".join(f"p{i}" for i in range(150)) + " " + quote
+    other = " ".join(f"z{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, page), (3, other)], "doc_id long, text string"
+    )
+    sh = dd.with_shingles(docs.select("doc_id", "text")).filter(
+        F.size("shingles") > 0
+    )
+    got = dd.containment_pairs_blocked(sh, 0.75).collect()
+    assert [(r["contained_id"], r["container_id"], r["containment"]) for r in got] == [
+        (1, 2, 1.0)
+    ]
+    assert dd.jaccard_pairs_blocked(sh, 0.75).count() == 0
+
+
+def test_containment_matches_all_pairs_bruteforce(spark):
+    """Blocked containment == quadratic all-pairs on the real fixture
+    corpus (the completeness lemma, checked empirically), and every
+    emitted pair is correctly directed: contained side has the smaller
+    shingle set (lower id on ties)."""
+    from itertools import combinations
+
+    from starryskyqueryengine_spark.functions import dedup as dd
+
+    docs = load_table(spark, SF, "documents")
+    sh = dd.with_shingles(docs.select("doc_id", "text")).filter(
+        F.size("shingles") > 0
+    )
+    blocked = sorted(
+        (r["contained_id"], r["container_id"], r["containment"])
+        for r in dd.containment_pairs_blocked(sh, 0.75).collect()
+    )
+    local = {r["doc_id"]: set(r["shingles"]) for r in sh.collect()}
+    brute = []
+    for a, b in combinations(sorted(local), 2):
+        c = len(local[a] & local[b])
+        mn = min(len(local[a]), len(local[b]))
+        if c / mn >= 0.75:
+            small, big = (a, b) if len(local[a]) <= len(local[b]) else (b, a)
+            brute.append((small, big, round(c / mn, 6)))
+    assert blocked == sorted(brute) and len(blocked) > 0
+
+
+def test_cross_source_dup_matrix_consistent_with_pair_set(spark):
+    """The matrix is exactly a group-by over the verified MinHash pair
+    set joined to sources: totals must agree and every row's source pair
+    must be unordered-normalized (source_a <= source_b)."""
+    from starryskyqueryengine_spark.catalog_dedup import (
+        MINHASH_VERIFY_THRESHOLD,
+        cross_source_dup_matrix,
+    )
+    from starryskyqueryengine_spark.functions import dedup as dd
+
+    rows = cross_source_dup_matrix(spark, SF).collect()
+    assert rows, "fixture plants near-dups; matrix must be non-empty"
+    assert all(r["source_a"] <= r["source_b"] for r in rows)
+
+    docs = load_table(spark, SF, "documents")
+    sigs = dd.minhash_signatures(docs)
+    n_pairs = (
+        dd.jaccard_verify(dd.lsh_candidate_pairs(sigs), sigs)
+        .filter(F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD)
+        .count()
+    )
+    assert sum(r["n_dup_pairs"] for r in rows) == n_pairs

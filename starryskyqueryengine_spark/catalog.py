@@ -643,15 +643,18 @@ PRIORITY: list[str] = [
     "a1_count_per_key",
     "asof_purchase_attribution",
     "embedding_near_dup",
-    "f5_time_roundtrip",
     "f7_coalesce_defaults",
-    "f9_json_extract",
     "f_scalar_family",
     "j1_broadcast_lookup",
     # --- First driver rows / first VALUE rows: new or upgraded in round 8 ---
+    # (f5_time_roundtrip / f9_json_extract yielded their sweep slots to the
+    # two queries NEW this round — both scalar families are ever-green,
+    # unchanged since r4, and stay value-checked in the local full gate)
     "quality_classifier_scores",
     "ann_ivf_topk",
     "sketch_distinct_users_portable",
+    "dedup_containment",
+    "cross_source_dup_matrix",
 ]
 
 

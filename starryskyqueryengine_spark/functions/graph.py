@@ -347,11 +347,15 @@ def label_propagation(
 
     labels = nodes.select("node", F.col("node").alias("label")).cache()
     labels.count()
+    # backing = the CACHED frame labels is a view over (round results
+    # carry the _chg flag; labels is the trimmed 2-column view).
+    # unpersist() must target the backing — unpersisting a select-view
+    # would not free the underlying cache entry.
+    backing = labels
     # changed = nodes whose label changed last round (round 1: all)
     changed: DataFrame | None = None  # None = first round, frontier is V
     n_changed = n_nodes  # round 1's frontier is every node
     prev = None
-    prev_changed = None
     for i in range(iters):
         # Adaptive cutoff (round-7 verdict #6): while the changed set is
         # still a large fraction of V, the two frontier semi-joins cost
@@ -397,6 +401,14 @@ def label_propagation(
             .select(
                 "node",
                 F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+                # changed-flag rides the SAME projection — the old and new
+                # labels are both in scope here, so the changed set costs
+                # a filter on this cached frame instead of a second
+                # node-sized join per round
+                (
+                    F.col("new_label").isNotNull()
+                    & (F.col("new_label") != F.col("label"))
+                ).alias("_chg"),
             )
         )
         # node-sized materialization per round truncates the lineage so
@@ -409,27 +421,23 @@ def label_propagation(
             # skip the changed-set join+count entirely
             if prev is not None:
                 prev.unpersist()
-            if prev_changed is not None:
-                prev_changed.unpersist()
-            labels.unpersist()
-            labels = new_labels
+            backing.unpersist()
+            labels = new_labels.select("node", "label")
             break
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .select("node")
-            .cache()
-        )
+        # the flag was computed inside new_labels' projection: the
+        # changed set is a filter over the already-cached round result —
+        # no second node-sized join, no separate cache to manage
+        changed = new_labels.filter(F.col("_chg")).select("node")
         n_changed = changed.count()
         if frontier_sizes is not None:
             frontier_sizes.append(n_changed)
+        # two-round retention: the backing consumed by THIS round's
+        # joins (and by `changed`, consumed next round) unpersists one
+        # round later, exactly as before
         if prev is not None:
             prev.unpersist()
-        if prev_changed is not None:
-            prev_changed.unpersist()
-        prev, prev_changed = labels, changed
-        labels = new_labels
+        prev, backing = backing, new_labels
+        labels = new_labels.select("node", "label")
         if n_changed == 0:
             # fixed point: round k+1's inputs equal round k's, so all
             # remaining rounds are the identity — exact early stop

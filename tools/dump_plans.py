@@ -28,6 +28,8 @@ HEADLINERS = {
     "q5_local_supplier_volume": "all dims broadcast; single shuffle between the fact tables",
     "q6_revenue_delta": "entire WHERE clause in PushedFilters; no shuffle before the 1-row agg",
     "dedup_minhash_lsh": "signature explode -> codegen hash aggregate; band bucket equi-join (no quadratic pair space)",
+    "dedup_containment": "same inverted-index blocking as the Jaccard path; ONE shuffle on the shingle key, directed pair output",
+    "cross_source_dup_matrix": "banded LSH pipeline unchanged; source attach joins hit the pair set, never the corpus; |sources|^2-bounded agg",
     "range_join_click_attribution": "temporal bucketing turns the pure range predicate into an equi-join (no BroadcastNestedLoopJoin)",
     "sessionize_native": "SessionWindow state operator after one shuffle on user_id",
     "tfidf_top_terms": "vocabulary + corpus-count sides broadcast; shuffles only on the term aggregations",

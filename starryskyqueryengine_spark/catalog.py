@@ -469,14 +469,19 @@ def q1_pricing_summary(spark, sf_dir):
 )
 def q3_shipping_priority(spark, sf_dir):
     """TPC-H Q3-style: selective dim filter -> fact join -> top-k by
-    aggregate. customer is broadcast; lineitem<->orders shuffle on the
-    join key with AQE sizing."""
+    aggregate. customer joins HINT-FREE: it scales linearly with SF
+    (150k x SF rows — ~15B at 100 TB), so a forced broadcast hint would
+    override Catalyst's size check and abort/OOM there.  Hint-free,
+    Catalyst broadcasts it while the filtered dim fits
+    autoBroadcastJoinThreshold (always at bench scale — same plan) and
+    falls back to a shuffle hash join beyond it.  lineitem<->orders
+    shuffle on the join key with AQE sizing."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1996-01-01"))
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.round(
@@ -512,8 +517,12 @@ def q3_shipping_priority(spark, sf_dir):
     """,
 )
 def q5_local_supplier_volume(spark, sf_dir):
-    """TPC-H Q5-style multi-way star join; all dims broadcast, single
-    shuffle between the two fact tables."""
+    """TPC-H Q5-style multi-way star join; single shuffle between the
+    two fact tables.  nation/region carry broadcast HINTS (constant 25/5
+    rows at any SF); supplier/customer join hint-free — they scale
+    linearly with SF (10k/150k x SF), so Catalyst broadcasts them only
+    while they fit autoBroadcastJoinThreshold (always at bench scale)
+    and shuffle-joins them at 100 TB instead of OOMing the driver."""
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
     s = load_table(spark, sf_dir, "supplier")
@@ -522,9 +531,9 @@ def q5_local_supplier_volume(spark, sf_dir):
     l = load_table(spark, sf_dir, "lineitem")
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
         .join(
-            F.broadcast(c),
+            c,
             (o["o_custkey"] == c["c_custkey"]) & (c["c_nationkey"] == s["s_nationkey"]),
         )
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])

@@ -229,11 +229,11 @@ def pivot_segment_priority(spark, sf_dir):
     """Pivot (long -> wide) with an explicit value list: with values
     given, Spark compiles the pivot into one pass of conditional
     aggregates — no extra distinct-values job, one shuffle on the
-    grouping key. Customer dim is broadcast."""
+    grouping key. Customer joins hint-free (SF-scaling dim: Catalyst broadcasts it while it fits the threshold — always at bench scale — and shuffle-joins at 100 TB)."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     wide = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("c_mktsegment")
         .pivot("o_orderpriority", _PRIORITIES)
         .agg(F.count(F.lit(1)).cast("bigint"))
@@ -393,8 +393,8 @@ def q13_customer_distribution(spark, sf_dir):
 def q10_returned_items(spark, sf_dir):
     """TPC-H Q10 shape: revenue lost to returned items, top-20
     customers. Date filter pushes to the orders scan and the returnflag
-    filter to the lineitem scan BEFORE the join; customer and nation
-    broadcast; the top-20 is a TakeOrderedAndProject over the aggregate
+    filter to the lineitem scan BEFORE the join; nation is a broadcast
+    dim, customer joins hint-free (SF-scaling dim: Catalyst broadcasts it while it fits the threshold — always at bench scale — and shuffle-joins at 100 TB); the top-20 is a TakeOrderedAndProject over the aggregate
     (deterministic tie-break on custkey). Revenue sums in DECIMAL(18,4):
     double accumulation is order-dependent and a sum landing within a
     ULP of a half-cent rounds differently per engine — exact decimal
@@ -409,7 +409,7 @@ def q10_returned_items(spark, sf_dir):
     n = load_table(spark, sf_dir, "nation")
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -462,7 +462,9 @@ def _dec_rev():
 )
 def q7_nation_volume(spark, sf_dir):
     """TPC-H Q7 shape: bilateral trade volume between two nations by
-    year. Scale shape: both nation dims and supplier/customer broadcast;
+    year. Scale shape: both nation dims carry broadcast hints (constant
+    25 rows); supplier/customer join hint-free (SF-scaling — broadcast
+    while they fit, shuffle-join at 100 TB);
     the lineitem-orders join is the only big shuffle; the disjunctive
     nation-pair filter evaluates after the (tiny) broadcast joins and
     prunes before aggregation."""
@@ -487,8 +489,8 @@ def q7_nation_volume(spark, sf_dir):
     )
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -521,14 +523,15 @@ def q9_profit_by_nation(spark, sf_dir):
     """TPC-H Q9 shape (adapted: no partsupp fixture, so profit = net
     revenue): per supplier-nation, per year, over parts whose name
     matches a LIKE pattern. The LIKE filter prunes part BEFORE its
-    broadcast; lineitem shuffles once for the aggregate."""
+    hint-free join (broadcast while it fits, shuffle-join at 100 TB);
+    lineitem shuffles once for the aggregate."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     return (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
         .agg(F.round(F.sum(_dec_rev()), 2).cast("double").alias("sum_profit"))
@@ -560,7 +563,7 @@ def q14_promo_revenue(spark, sf_dir):
     )
     p = load_table(spark, sf_dir, "part")
     rev = _dec_rev()
-    joined = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    joined = l.join(p, l["l_partkey"] == p["p_partkey"])
     return joined.agg(
         F.round(
             F.lit(100.0)
@@ -596,7 +599,7 @@ def q16_supplier_variety(spark, sf_dir):
         & ~F.col("p_brand").isin("Brand#1", "Brand#2")
     )
     return (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        l.join(p, l["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
     )
@@ -621,7 +624,7 @@ def q18_large_orders(spark, sf_dir):
     """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
     (HAVING-subquery turned into aggregate-then-join). The aggregate
     runs FIRST and shrinks the join input ~30x before customer/orders
-    attach (broadcast); quantity sums decimal-exact so the >220 cut is
+    attach (hint-free: broadcast while small, shuffle-join at scale); quantity sums decimal-exact so the >220 cut is
     engine-identical."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -635,7 +638,7 @@ def q18_large_orders(spark, sf_dir):
     )
     return (
         big.join(o, big["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
     )
 
@@ -664,7 +667,7 @@ def q19_disjunctive_pred(spark, sf_dir):
     derived-predicate pattern this query exists to exercise."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    j = l.join(p, l["l_partkey"] == p["p_partkey"])
     cond = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
          & F.col("l_quantity").between(1, 11))
@@ -754,9 +757,12 @@ def q22_dormant_customers(spark, sf_dir):
 )
 def q8_market_share(spark, sf_dir):
     """TPC-H Q8 shape: national market share inside a region. Seven-table
-    star join — part/supplier/nation/region are broadcast dims (each far
-    under the 10 MB threshold even at 100 TB-of-facts scale, where dims
-    grow sub-linearly); orders->lineitem is the one real shuffle, on
+    star join — nation/region carry broadcast hints (constant-sized at
+    any SF); part/supplier join hint-free, since they scale LINEARLY
+    with SF (200k/10k x SF rows — billions at 100 TB): Catalyst
+    broadcasts them while they fit autoBroadcastJoinThreshold (always
+    at bench scale) and shuffle-joins beyond it instead of forcing a
+    driver OOM; orders->lineitem is the one real shuffle, on
     orderkey. The p_type and r_name filters prune the broadcast sides
     before the build, and the date range reaches the orders parquet scan
     as PushedFilters. Conditional market-share numerator compiles to a
@@ -773,8 +779,8 @@ def q8_market_share(spark, sf_dir):
     n2 = load_table(spark, sf_dir, "nation").alias("n2")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     joined = (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
         .join(o, F.col("l_orderkey") == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n1), c["c_nationkey"] == F.col("n1.n_nationkey"))
@@ -826,7 +832,7 @@ def q15_top_supplier(spark, sf_dir):
     The revenue CTE is computed ONCE (cached logical subtree reused for
     both the scalar MAX and the probe side — Spark reuses the exchange
     under AQE); the scalar max is a 1-row broadcast joined as a filter,
-    never a driver collect. Supplier is a broadcast dim."""
+    never a driver collect. Supplier joins hint-free (SF-scaling dim: Catalyst broadcasts it while it fits the threshold — always at bench scale — and shuffle-joins at 100 TB)."""
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -840,7 +846,7 @@ def q15_top_supplier(spark, sf_dir):
     return (
         revenue.join(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("_max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == s["s_suppkey"])
+        .join(s, F.col("supplier_no") == s["s_suppkey"])
         .select(
             "s_suppkey",
             "s_name",
@@ -869,7 +875,8 @@ def q17_small_quantity_revenue(spark, sf_dir):
     per-part aggregate joined back. (Fixtures lack p_container, so the
     part filter is brand+type — same plan shape.) The per-part avg is a
     hash aggregate on l_partkey reused as the join probe — one shuffle
-    on partkey shared by both sides; the filtered part dim broadcasts.
+    on partkey shared by both sides; the filtered part dim joins
+    hint-free (broadcast while it fits, shuffle-join at 100 TB).
     At 100 TB the avg side aggregates BEFORE the join so the shuffle
     carries one row per part, not per lineitem."""
     l = load_table(spark, sf_dir, "lineitem")
@@ -880,7 +887,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
         (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
     )
     return (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        l.join(p, l["l_partkey"] == p["p_partkey"])
         .join(part_avg, l["l_partkey"] == F.col("pa_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
@@ -921,7 +928,8 @@ def q21_waiting_supplier(spark, sf_dir):
     so 'late' = shipped >60 days after order date — identical plan
     shape: base join + EXISTS semi + NOT EXISTS anti, both correlated
     on orderkey with a supplier inequality.) All three legs shuffle on
-    orderkey, so AQE reuses one exchange; supplier is broadcast. The
+    orderkey, so AQE reuses one exchange; supplier joins hint-free
+    (broadcast while it fits, shuffle-join at 100 TB). The
     inequality predicates ride on the join condition — no post-filter
     pass over a wider join."""
     l = load_table(spark, sf_dir, "lineitem")
@@ -943,7 +951,7 @@ def q21_waiting_supplier(spark, sf_dir):
             l3, (F.col("lk") == F.col("lk3")) & (F.col("sk") != F.col("sk3")),
             "left_anti",
         )
-        .join(F.broadcast(s), F.col("sk") == s["s_suppkey"])
+        .join(s, F.col("sk") == s["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -985,8 +993,9 @@ def q2_min_cost_supplier(spark, sf_dir):
     """TPC-H Q2 shape: min-cost supplier per part. The correlated scalar
     MIN decorrelates into a per-part aggregate of the (part, supplier)
     unit-cost table joined back on (partkey, cost) — both sides hash on
-    l_partkey so AQE reuses one exchange; part/supplier/nation are
-    broadcast dims. (Fixtures lack partsupp, so supply cost = decimal
+    l_partkey so AQE reuses one exchange; nation is a broadcast dim,
+    part/supplier join hint-free (broadcast while they fit,
+    shuffle-join at 100 TB). (Fixtures lack partsupp, so supply cost = decimal
     sum(extendedprice)/sum(quantity) per (part, supplier) from lineitem
     — exact decimal division, order-independent, then one round-6.)
     The selective part predicate prunes FIRST: lineitem is broadcast-
@@ -1023,8 +1032,8 @@ def q2_min_cost_supplier(spark, sf_dir):
             (F.col("l_partkey") == F.col("mc_partkey"))
             & (F.col("unit_cost") == F.col("min_cost")),
         )
-        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
-        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(p, F.col("l_partkey") == p["p_partkey"])
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey",
@@ -1161,8 +1170,8 @@ def q20_excess_supply(spark, sf_dir):
     lack partsupp, so 'dominates' = shipped more than half that part's
     total shipped quantity in the window — the same correlated
     threshold-vs-aggregate subquery, decorrelated into a per-part total
-    joined back on partkey.) Part filter broadcasts into a semi join
-    BEFORE the threshold work; the final supplier membership is a
+    joined back on partkey.) The filtered part set semi-joins BEFORE the
+    threshold work (hint-free: broadcast while it fits); the final supplier membership is a
     left-semi against the distinct dominant-supplier set; nation is a
     broadcast dim. Decimal quantity sums: order-independent compares.
     At 100 TB both aggregates shuffle the same (suppkey, partkey) grain
@@ -1505,7 +1514,7 @@ def cube_nation_year(spark, sf_dir):
         F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
     )
     base = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .select(
             F.col("n_name").alias("nation"),

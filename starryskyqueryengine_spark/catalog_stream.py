@@ -585,8 +585,11 @@ def w_stream_static_enrich(spark, sf_dir):
     append as parquet partials; their sum must equal the batch join's
     group-by exactly — each event is enriched exactly once.
 
-    100 TB shape: the dim broadcasts once per micro-batch (size-bounded
-    by the dim, not the stream); no stream-side state at all."""
+    100 TB shape: the dim side joins HINT-FREE — customer scales
+    linearly with SF (~15B rows at 100 TB), so the per-batch planner
+    broadcasts it only while it fits autoBroadcastJoinThreshold (always
+    at bench scale) and shuffle-joins each micro-batch against the
+    partitioned dim beyond that; no stream-side state either way."""
     from .sources.fixtures import load_table as _lt
 
     stream, _ = _events_stream(spark, sf_dir)
@@ -594,7 +597,7 @@ def w_stream_static_enrich(spark, sf_dir):
         "c_custkey", "c_mktsegment"
     )
     enriched = stream.join(
-        F.broadcast(cust), stream["user_id"] == cust["c_custkey"], "inner"
+        cust, stream["user_id"] == cust["c_custkey"], "inner"
     )
     tmp = tempfile.mkdtemp(prefix="wenrich_")
     out_dir = f"{tmp}/partials"

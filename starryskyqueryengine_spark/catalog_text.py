@@ -444,11 +444,14 @@ def seq_length_histogram(spark, sf_dir):
 )
 def tfidf_top_terms(spark, sf_dir):
     """TF-IDF keyword extraction: top-k terms per document. The document
-    frequency table is vocabulary-sized — orders of magnitude smaller
-    than the corpus — so it broadcasts; the only big shuffles are the
-    two term aggregations, both with map-side partials. The corpus size
-    joins in as a broadcast single-row aggregate (no driver round trip,
-    stays one lazy plan)."""
+    frequency table is vocabulary-sized — far smaller than the corpus,
+    but NOT bounded (Heaps' law: vocab keeps growing with corpus size;
+    noisy web text pushes it past any broadcast limit at 100 TB) — so it
+    joins HINT-FREE: Catalyst broadcasts it while it fits (always at
+    bench scale) and falls back to a term-keyed shuffle join at scale.
+    The only big shuffles are the two term aggregations, both with
+    map-side partials. The corpus size joins in as a broadcast
+    single-row aggregate (no driver round trip, stays one lazy plan)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
@@ -460,7 +463,7 @@ def tfidf_top_terms(spark, sf_dir):
     df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .join(F.broadcast(n))
         .select(
             "doc_id",

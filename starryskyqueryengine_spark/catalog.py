@@ -648,13 +648,20 @@ PRIORITY: list[str] = [
     "text_token_count",
     "tfidf_top_terms",
     "vocab_top_terms",
-    # --- Freshness sweep: last driver row in round 4 (oldest third) ---
-    "a1_count_per_key",
-    "asof_purchase_attribution",
-    "embedding_near_dup",
-    "f7_coalesce_defaults",
-    "f_scalar_family",
-    "j1_broadcast_lookup",
+    # --- Re-verify: broadcast-hint sweep (round 8 dropped the forced
+    # broadcast of SF-scaling dims from eleven queries; these four span
+    # the touched shapes — star join, decorrelated min-cost, returned-
+    # items top-k, stream-static enrich; pivot/tfidf above cover the
+    # rest; the displaced round-4 sweep queries a1_count_per_key /
+    # asof_purchase_attribution / embedding_near_dup /
+    # f7_coalesce_defaults / f_scalar_family / j1_broadcast_lookup are
+    # ever-green, unchanged, and stay value-checked in the local gate) ---
+    "q5_local_supplier_volume",
+    "q2_min_cost_supplier",
+    "q10_returned_items",
+    "q21_waiting_supplier",
+    "cube_nation_year",
+    "w_stream_static_enrich",
     # --- First driver rows / first VALUE rows: new or upgraded in round 8 ---
     # (f5_time_roundtrip / f9_json_extract yielded their sweep slots to the
     # two queries NEW this round — both scalar families are ever-green,

@@ -67,6 +67,17 @@ def _table_schema(log_path: str) -> StructType:
     return POST_SCHEMA
 
 
+def _schema_version_at(log_path: str, tip: int) -> int:
+    """Version of the newest schema-bearing commit at or below ``tip``
+    (-1 if the log has never carried a schema)."""
+    for v in reversed(_versions(log_path)):
+        if v > tip:
+            continue
+        if _entry(log_path, v).get("schema") is not None:
+            return v
+    return -1
+
+
 class _FileChange(InputPartition):
     def __init__(self, rel: str, key: str, change: str, version: int):
         self.rel = rel
@@ -83,36 +94,73 @@ class TableChangesStreamReader(DataSourceStreamReader):
         self.schema = schema
         self.start_version = int(options.get("start_version", -1))
 
+    # The evolution baseline is the version of the newest schema-bearing
+    # commit visible when the STREAM first started, and it RIDES THE
+    # OFFSETS: initialOffset() pins it, every later offset carries it
+    # forward, and the checkpoint persists it — so a restart of an old
+    # stream keeps the old baseline (and keeps failing on an evolution
+    # it cannot represent, Delta's checkpoint-pinned-schema behavior)
+    # while a FRESH stream over the same table re-pins at the current
+    # schema and replays the whole history cleanly.  The baseline is
+    # deliberately NOT ``self.schema``: that may be a user projection
+    # (``.schema(subset)``), and the table's own historical
+    # schema-bearing commits must not be misread as evolutions (read()
+    # projects extra columns away for those on purpose).
+
     def initialOffset(self):
-        return {"version": self.start_version}
+        vs = _versions(self.log_path)
+        tip = vs[-1] if vs else -1
+        return {
+            "version": self.start_version,
+            "schema_v": _schema_version_at(self.log_path, tip),
+        }
 
     def latestOffset(self):
         vs = _versions(self.log_path)
-        return {"version": vs[-1] if vs else self.start_version}
+        tip = vs[-1] if vs else self.start_version
+        # a batch only succeeds when every schema in range is compatible
+        # with the start baseline, so advancing the carried baseline to
+        # the newest schema ≤ tip never widens past what partitions()
+        # just vetted
+        return {
+            "version": tip,
+            "schema_v": _schema_version_at(self.log_path, tip),
+        }
+
+    def _baseline_types(self, start) -> tuple[int, dict]:
+        sv = start.get("schema_v")
+        if sv is None:
+            # pre-round-8 checkpoint without a carried baseline: pin at
+            # the newest schema visible now (one-time adoption)
+            sv = _schema_version_at(
+                self.log_path,
+                max(_versions(self.log_path) or [-1]),
+            )
+        if sv < 0:
+            base = _table_schema(self.log_path)  # POST_SCHEMA fallback
+        else:
+            base = StructType.fromJson(_entry(self.log_path, sv)["schema"])
+        return sv, {f.name: f.dataType for f in base.fields}
 
     def partitions(self, start, end):
         parts: list[_FileChange] = []
-        base_types = {
-            f.name: f.dataType
-            for f in self.schema.fields
-            if f.name not in ("_change", "_commit_version")
-        }
+        baseline_v, base_types = self._baseline_types(start)
         for v in _versions(self.log_path):
             if v <= start["version"] or v > end["version"]:
                 continue
             e = _entry(self.log_path, v)
             s = e.get("schema")
-            if s is not None:
-                # The stream's column set is FROZEN at definition (the
-                # DataSource schema() call).  A commit that logs a schema
-                # the frozen one cannot represent — a new column (which
-                # later batches would silently drop) or a changed type —
-                # is an incompatible mid-stream evolution: fail loudly
-                # (Delta's incompatible-schema-change behavior) so the
-                # user restarts the stream with the new schema.
-                # HISTORICAL narrower schemas (replaying commits from
-                # before the current schema) are fine: the reader
-                # NULL-fills missing columns.
+            if s is not None and v > baseline_v:
+                # A commit PAST the pinned baseline logging a schema the
+                # baseline cannot represent — a new column (which later
+                # batches would silently drop from the output) or a
+                # changed type — is an incompatible mid-stream
+                # evolution: fail loudly (Delta's incompatible-schema-
+                # change behavior) so the user restarts the stream WITH
+                # A FRESH CHECKPOINT to pick up the new schema.
+                # Schema-bearing commits AT or BELOW the baseline are
+                # history — replayed fine, with narrower files
+                # NULL-filled and extra columns projected away on read.
                 for fld in StructType.fromJson(s).fields:
                     if (
                         fld.name not in base_types

@@ -527,10 +527,21 @@ class TxnLogFormat(TableFormat):
                         f"({other.get('op')}) logged a DIFFERENT schema — "
                         f"re-reconcile against the new table schema"
                     )
-                if adds and other.get("constraint_add"):
+                if (adds or my_schema_json is not None) and other.get(
+                    "constraint_add"
+                ):
                     # a CHECK constraint landed after this write's rows
                     # were validated: those rows were never checked
-                    # against it — fail so the caller re-validates
+                    # against it — fail so the caller re-validates.
+                    # Schema-bearing commits conflict even with NO adds:
+                    # a remove-only restore reverts the table schema, and
+                    # the interleaved constraint's evaluability was never
+                    # probed against the reverted schema (it could
+                    # reference a column the restore just removed,
+                    # wedging every later write).  Pure removes without a
+                    # schema (retention, deletes) rebase cleanly — a
+                    # constraint validated against a superset of the
+                    # surviving rows.
                     c = other["constraint_add"]
                     raise ConcurrentWriteError(
                         f"{op} validated before constraint "
@@ -638,7 +649,19 @@ class TxnLogFormat(TableFormat):
             vs = self._versions()
             tip = vs[-1] if vs else -1
             df = self.read(self.spark, version=tip if tip >= 0 else None)
-            bad = df.filter(F.expr(expr) == F.lit(False)).count()
+            try:
+                bad = df.filter(F.expr(expr) == F.lit(False)).count()
+            except Exception as ex:
+                # unanalyzable against the CURRENT schema — either the
+                # expression references a column that never existed, or
+                # an interleaved schema change (e.g. a remove-only
+                # restore that won a _commit_meta conflict retry)
+                # removed it mid-add: refuse cleanly either way
+                raise ConstraintViolationError(
+                    f"cannot add constraint {name!r} ({expr}): not "
+                    f"evaluable against the table schema at version "
+                    f"{tip} ({ex})"
+                ) from ex
             if bad:
                 raise ConstraintViolationError(
                     f"cannot add constraint {name!r} ({expr}): "
@@ -681,11 +704,23 @@ class TxnLogFormat(TableFormat):
                 for iv in range(validated_at + 1, tip + 1):
                     if not os.path.exists(self._entry_path(iv)):
                         continue
-                    if self._read_entry(iv).get("add"):
+                    e = self._read_entry(iv)
+                    # adds = rows this meta commit's validation never
+                    # scanned; a logged schema = the table shape this
+                    # commit's validation/evaluability read is stale
+                    # (e.g. a remove-only restore logs add:[] but
+                    # REVERTS the schema — a constraint referencing a
+                    # column that restore removed must not land).
+                    # Remove-only entries without a schema (retention,
+                    # deletes) rebase cleanly: validation saw a
+                    # superset of the surviving rows.
+                    if e.get("add") or e.get("schema") is not None:
                         raise ConcurrentWriteError(
                             f"meta commit validated at version "
-                            f"{validated_at} but data commit {iv} landed "
-                            f"since — re-validate against the new snapshot"
+                            f"{validated_at} but commit {iv} "
+                            f"({e.get('op')}) carrying data or a schema "
+                            f"change landed since — re-validate against "
+                            f"the new snapshot"
                         )
             v = tip + 1
             entry = {"version": v, "op": "meta", "ts": _time.time(),

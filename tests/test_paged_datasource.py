@@ -166,6 +166,46 @@ def _batch_tc(spark, n0, n, key="k1"):
     )
 
 
+def test_table_changes_stream_replays_under_user_projected_schema(
+    spark, tmp_path
+):
+    """A stream defined with a user-specified SUBSET schema must replay
+    the table's historical schema-bearing commits cleanly — the extra
+    columns are projected away by read(), not misclassified as a
+    mid-stream evolution (the baseline is the table schema pinned in
+    the offsets, never the reader's possibly-projected column set)."""
+    from starryskyqueryengine_spark.sources.table_changes import (
+        register_table_changes_source,
+    )
+    from starryskyqueryengine_spark.table_format import TxnLogFormat
+
+    register_table_changes_source(spark)
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch_tc(spark, 0, 3))  # v0 logs the full schema
+
+    stream = (
+        spark.readStream.format("starrysky_table_changes")
+        .schema(
+            "uri string, key string, _change string, _commit_version int"
+        )
+        .option("path", str(tmp_path / "t"))
+        .load()
+    )
+    out = str(tmp_path / "rows")
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _i: b.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert set(got.columns) == {"uri", "key", "_change", "_commit_version"}
+
+
 def test_table_changes_stream_rejects_midstream_schema_evolution(
     spark, tmp_path
 ):

@@ -1087,7 +1087,9 @@ from starryskyqueryengine_spark.table_format import (  # noqa: E402
 )
 
 
-def _rival_entry(fmt, *, key="k1", schema_json=None, constraint=None):
+def _rival_entry(
+    fmt, *, key="k1", schema_json=None, constraint=None, restore_removes=None
+):
     """Write a rival commit directly into the log at tip+1 — the
     interleaved writer the racing-link tests simulate."""
     import json
@@ -1107,6 +1109,12 @@ def _rival_entry(fmt, *, key="k1", schema_json=None, constraint=None):
         entry["op"] = "meta"
         entry["add"] = []
         entry["constraint_add"] = constraint
+    if restore_removes is not None:
+        # a remove-only schema-reverting restore: add:[] but the logged
+        # schema rewinds the table contract
+        entry["op"] = "restore"
+        entry["add"] = []
+        entry["remove"] = list(restore_removes)
     for a in entry["add"]:
         # a real (zero-row) parquet file so post-race reads don't trip
         # over a phantom path
@@ -1365,6 +1373,62 @@ def test_txnlog_restore_conflicts_with_interleaved_constraint_add(
     # constraint survived, table still empty
     assert fmt.constraints() == {"cid_ok": "cid IS NOT NULL"}
     assert fmt.read(spark).count() == 0
+
+
+def test_txnlog_remove_only_restore_conflicts_with_interleaved_constraint(
+    spark, tmp_path, monkeypatch
+):
+    """A restore with NO re-adds still carries the reverted schema — an
+    ADD CONSTRAINT landing between the restore's validation and its
+    commit was never evaluability-probed against that reverted schema
+    (it may reference a column the restore removes), so the restore
+    must raise instead of committing over it."""
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch(spark, 0, 2))                                   # v0
+    fmt.append(_batch(spark, 10, 2).withColumn("score", F.lit(1.0)))  # v1
+    _arm_racing_link(
+        monkeypatch,
+        fmt,
+        lambda: _rival_entry(
+            fmt, constraint={"name": "score_pos", "expr": "score >= 0"}
+        ),
+    )
+    with pytest.raises(ConcurrentWriteError, match="score_pos"):
+        fmt.restore(0)  # re_adds empty (v0 files still live); schema
+        # reverts to v0's (no 'score') — would wedge score_pos
+    # the constraint survived and the table was not reverted
+    assert fmt.constraints() == {"score_pos": "score >= 0"}
+    assert "score" in [f.name for f in fmt.table_schema().fields]
+
+
+def test_txnlog_add_constraint_conflicts_with_interleaved_restore(
+    spark, tmp_path, monkeypatch
+):
+    """The mirror ordering: add_constraint validates, then a
+    schema-reverting remove-only restore (add:[], logged schema) lands
+    first. _commit_meta's conflict scan must treat the schema-bearing
+    entry as a conflict — otherwise the constraint lands referencing a
+    column the restore just removed and every later write fails with a
+    raw analysis error.  The conflict forces a re-validate, which then
+    refuses cleanly: the expression is unanalyzable against the
+    restored (reverted) schema."""
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch(spark, 0, 2))                                   # v0
+    fmt.append(_batch(spark, 10, 2).withColumn("score", F.lit(1.0)))  # v1
+    v0_schema = _normalized_json(fmt.table_schema(0))
+    v1_only = [p for p in fmt._snapshot() if p not in fmt._snapshot(0)]
+    _arm_racing_link(
+        monkeypatch,
+        fmt,
+        lambda: _rival_entry(
+            fmt, schema_json=v0_schema, restore_removes=v1_only
+        ),
+    )
+    with pytest.raises(ConstraintViolationError, match="not evaluable"):
+        fmt.add_constraint("score_pos", "score >= 0")
+    # the rival restore won: schema is v0's, constraint never landed
+    assert "score" not in [f.name for f in fmt.table_schema().fields]
+    assert fmt.constraints() == {}
 
 
 def test_txnlog_remove_only_restore_refuses_constraint_on_dropped_column(

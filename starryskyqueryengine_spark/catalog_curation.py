@@ -944,9 +944,13 @@ def _logreg_oracle(iters: int = 2, lr: float = 0.5) -> str:
     prev_w = ["0.0"] * d  # iteration 0 weights (all zero)
     for t in range(1, iters + 1):
         z = " + ".join(f"{prev_w[j]}*x{j}" for j in range(d))
+        # COALESCE mirrors the trainer's `row[f"k{j}"] or 0`: a feature
+        # NULL on every row sums to NULL in both engines and must read
+        # as a zero gradient here too, or the oracle's weights (and
+        # every score) would go NULL where Spark's stay finite
         grads = ", ".join(
-            f"sum(CAST(floor((1.0/(1.0+exp(-({z}))) - y) * x{j} * {gs}) "
-            f"AS BIGINT)) AS k{j}"
+            f"COALESCE(sum(CAST(floor((1.0/(1.0+exp(-({z}))) - y) * x{j} "
+            f"* {gs}) AS BIGINT)), 0) AS k{j}"
             for j in range(d)
         )
         prev_tables = "f" if t == 1 else f"f, w{t-1}"

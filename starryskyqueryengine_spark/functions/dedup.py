@@ -315,27 +315,47 @@ def jaccard_pairs_blocked(
             .filter(jac_raw >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
+    common = _blocked_intersection_counts(shingled, id_col)
+    jac = F.col("c") / F.greatest(F.col("na") + F.col("nb") - F.col("c"), F.lit(1))
+    return (
+        common.withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _blocked_intersection_counts(
+    shingled: DataFrame, id_col: str
+) -> DataFrame:
+    """Shared inverted-index blocking core: explode shingle sets, self-
+    join on the shingle key, count shared shingles per (id_a < id_b)
+    pair. Returns (id_a, id_b, na, nb, c) — the sufficient statistics
+    for ANY set-overlap measure (Jaccard, containment, overlap coeff).
+
+    The two join legs recompute the explode from the source (Catalyst
+    does not dedupe the self-join legs: measured identical runtime to a
+    ``.cache()`` of the exploded index at bench scale, where the build
+    leg broadcasts, and the cache pinned explode-sized blocks in
+    executor storage that nothing ever unpersisted).  At 100 TB a
+    columnar re-scan is cheap next to the shingle shuffle — and caching
+    a corpus×shingle-count explosion is not an option there anyway;
+    for boilerplate-heavy corpora use the prefix-filter path, which
+    bounds hot-shingle fan-out before the join."""
     sized = shingled.select(
         F.col(id_col), F.col("shingles"), F.size("shingles").alias("n_sh")
     )
-    ex = sized.select(id_col, "n_sh", F.explode("shingles").alias("_s")).cache()
+    ex = sized.select(id_col, "n_sh", F.explode("shingles").alias("_s"))
     a = ex.select(
         F.col("_s"), F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")
     )
     b = ex.select(
         F.col("_s"), F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb")
     )
-    common = (
+    return (
         a.join(b, "_s")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count("*").alias("c"))
-    )
-    jac = F.col("c") / F.greatest(F.col("na") + F.col("nb") - F.col("c"), F.lit(1))
-    return (
-        common.withColumn("jaccard", F.round(jac, 6))
-        .filter(jac >= threshold)
-        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -362,22 +382,7 @@ def containment_pairs_blocked(
     space bounded by shingle co-occurrence (turn on the prefix filter
     upstream for boilerplate-heavy corpora, as with Jaccard).
     """
-    sized = shingled.select(
-        F.col(id_col), F.col("shingles"), F.size("shingles").alias("n_sh")
-    )
-    ex = sized.select(id_col, "n_sh", F.explode("shingles").alias("_s")).cache()
-    a = ex.select(
-        F.col("_s"), F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")
-    )
-    b = ex.select(
-        F.col("_s"), F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb")
-    )
-    common = (
-        a.join(b, "_s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count("*").alias("c"))
-    )
+    common = _blocked_intersection_counts(shingled, id_col)
     # caller guarantees |shingles| > 0, so min(na, nb) >= 1 — no guard
     cont = F.col("c") / F.least(F.col("na"), F.col("nb"))
     a_contained = F.col("na") <= F.col("nb")

@@ -106,12 +106,14 @@ def _write_task_file(staging_root: str, fields, iterator) -> _FileMsg:
     return _FileMsg(staging=staging, name=name, n_rows=n)
 
 
-def _publish(path: str, messages, manifest_name: str) -> None:
+def _publish(path: str, messages, manifest_name: str, carry=()) -> None:
     """Driver side: move every staged file into the destination, then
     swap the manifest in as the LAST step — the atomic visibility
-    point."""
-    files = []
-    total = 0
+    point.  ``carry`` is prior manifest entries to retain (append
+    mode): they ride into the new manifest unchanged, so the swap
+    stays the single all-or-nothing visibility event for the union."""
+    files = [dict(e) for e in carry]
+    total = sum(e["n_rows"] for e in files)
     for m in messages:
         if m is None:
             continue
@@ -173,16 +175,26 @@ class JsonlBatchWriter(DataSourceWriter):
     def commit(self, messages):
         os.makedirs(self.path, exist_ok=True)
         manifest_path = os.path.join(self.path, "_MANIFEST.json")
-        old_files: list[str] = []
-        if self.overwrite and os.path.exists(manifest_path):
+        old_entries: list[dict] = []
+        if os.path.exists(manifest_path):
             with open(manifest_path) as f:
-                old_files = [e["name"] for e in json.load(f)["files"]]
+                old_entries = json.load(f)["files"]
+        old_files = [e["name"] for e in old_entries] if self.overwrite else []
         if self.crash_before_publish:
             raise OSError("test seam: crash before manifest swap")
         # publish new files + SWAP the manifest first (atomic visibility
         # point: a crash before it leaves the old manifest fully intact,
-        # after it the new one) ...
-        _publish(self.path, messages, "_MANIFEST.json")
+        # after it the new one).  Append mode CARRIES the previous
+        # manifest's entries into the new one — without that, an append
+        # clobbered the manifest with only the new write's files and
+        # every previously committed row went invisible to
+        # read_manifest (silent data loss at the reader contract).
+        _publish(
+            self.path,
+            messages,
+            "_MANIFEST.json",
+            carry=() if self.overwrite else old_entries,
+        )
         # ... and only then clean up files the old manifest referenced;
         # a crash in this loop orphans data files but never breaks a
         # manifest-reader
@@ -225,6 +237,11 @@ class JsonlStreamWriter(DataSourceStreamWriter):
             _discard(messages)
             return
         _publish(self.path, messages, manifest)
+        # drop the now-empty per-task staging dirs immediately (the
+        # batch path does the same) — leaving them for the age-based
+        # janitor leaked one dir per task per micro-batch for 24 h,
+        # hundreds of thousands of inodes on a fast trigger
+        _discard(messages)
         # a continuously-running sink needs the same hard-kill janitor
         # as the batch path; each successful micro-batch is the GC point
         _gc_stale_staging(self.staging_root)

@@ -64,6 +64,29 @@ def _resolve_factory(options):
     return getattr(importlib.import_module(mod), fn)(options)
 
 
+def _ddl_field_names(ddl: str) -> list[str]:
+    """Top-level field names from a DDL struct string, splitting on
+    commas only at bracket depth 0 — commas inside ``decimal(10,2)``,
+    ``map<string,int>``, or ``struct<a:int,b:string>`` stay within
+    their field."""
+    names: list[str] = []
+    depth = 0
+    field_start = 0
+    for i, ch in enumerate(ddl + ","):
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            fld = ddl[field_start:i].strip()
+            if fld:
+                # "name type..." or "name: type" — name is the first
+                # token, with any trailing colon stripped
+                names.append(fld.split()[0].rstrip(":").strip("`"))
+            field_start = i + 1
+    return names
+
+
 def fixture_fetcher_factory(options):
     """Deterministic page server over a parquet file (pyarrow, local to
     the task): cursor = stringified row offset — an ADDRESSABLE cursor
@@ -72,10 +95,14 @@ def fixture_fetcher_factory(options):
 
     path = options["path"]
     page_size = int(options.get("page_size", PAGE_SIZE))
-    cols = [f.split()[0] for f in options.get(
-        "ddl_schema", DEFAULT_SCHEMA).split(",")]
+    # a DEPTH-AWARE field split, not a naive comma split: types like
+    # decimal(10,2) or map<string,int> contain commas and the naive
+    # split yielded phantom column names that KeyError the parquet
+    # read.  (Not StructType.fromDDL: this factory runs task-side,
+    # where Python workers have no JVM gateway for the DDL parser.)
+    cols = _ddl_field_names(options.get("ddl_schema", DEFAULT_SCHEMA))
 
-    table = pq.read_table(path, columns=[c.strip() for c in cols])
+    table = pq.read_table(path, columns=list(cols))
     n = table.num_rows
 
     def fetch(cursor):

@@ -67,15 +67,33 @@ def _table_schema(log_path: str) -> StructType:
     return POST_SCHEMA
 
 
-def _schema_version_at(log_path: str, tip: int) -> int:
+def _schema_version_at(
+    log_path: str, tip: int, cache: dict | None = None
+) -> int:
     """Version of the newest schema-bearing commit at or below ``tip``
-    (-1 if the log has never carried a schema)."""
+    (-1 if the log has never carried a schema).
+
+    ``cache`` (a ``{"tip": v, "sv": v}`` dict owned by the caller)
+    bounds the scan to entries NEWER than the last answer: without it a
+    continuous stream over a long-lived table re-opened and JSON-parsed
+    every commit from tip down to the last schema change on EVERY
+    micro-batch — O(table history) driver I/O per trigger, since
+    appends only log a schema when it changes."""
+    lo = -1
+    sv = -1
+    if cache and cache.get("tip") is not None and cache["tip"] <= tip:
+        lo, sv = cache["tip"], cache["sv"]
     for v in reversed(_versions(log_path)):
         if v > tip:
             continue
+        if v <= lo:
+            break  # everything at or below lo already answered: sv
         if _entry(log_path, v).get("schema") is not None:
-            return v
-    return -1
+            sv = v
+            break
+    if cache is not None:
+        cache["tip"], cache["sv"] = tip, sv
+    return sv
 
 
 class _FileChange(InputPartition):
@@ -93,6 +111,9 @@ class TableChangesStreamReader(DataSourceStreamReader):
         self.data_path = os.path.join(self.table_path, DATA_DIR)
         self.schema = schema
         self.start_version = int(options.get("start_version", -1))
+        # reader-lifetime memo for _schema_version_at: bounds the
+        # per-trigger log scan to commits newer than the last answer
+        self._sv_cache: dict = {}
 
     # The evolution baseline is the version of the newest schema-bearing
     # commit visible when the STREAM first started, and it RIDES THE
@@ -112,7 +133,9 @@ class TableChangesStreamReader(DataSourceStreamReader):
         tip = vs[-1] if vs else -1
         return {
             "version": self.start_version,
-            "schema_v": _schema_version_at(self.log_path, tip),
+            "schema_v": _schema_version_at(
+                self.log_path, tip, self._sv_cache
+            ),
         }
 
     def latestOffset(self):
@@ -124,7 +147,9 @@ class TableChangesStreamReader(DataSourceStreamReader):
         # just vetted
         return {
             "version": tip,
-            "schema_v": _schema_version_at(self.log_path, tip),
+            "schema_v": _schema_version_at(
+                self.log_path, tip, self._sv_cache
+            ),
         }
 
     def _baseline_types(self, start) -> tuple[int, dict]:
@@ -135,6 +160,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
             sv = _schema_version_at(
                 self.log_path,
                 max(_versions(self.log_path) or [-1]),
+                self._sv_cache,
             )
         if sv < 0:
             base = _table_schema(self.log_path)  # POST_SCHEMA fallback

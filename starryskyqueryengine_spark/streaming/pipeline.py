@@ -362,13 +362,25 @@ def cdc_apply_batch(store: PostStore):
 
 def run_available_now(stream_df: DataFrame, sink_fn, checkpoint_dir: str, timeout: int = 300) -> None:
     """W1: drain everything currently available as micro-batches, then
-    stop (the batch-catch-up analog of the reference's cron reload)."""
+    stop (the batch-catch-up analog of the reference's cron reload).
+
+    Raises TimeoutError if the backlog outlives ``timeout``: callers
+    read the sink right after this returns expecting the FULL drain
+    applied, so a silent partial stop would hand them incomplete
+    results (the checkpoint keeps the committed prefix — a retry with
+    a larger timeout resumes, never re-applies)."""
     q = (
         stream_df.writeStream.foreachBatch(sink_fn)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
+    done = q.awaitTermination(timeout)
     if q.isActive:
         q.stop()
+    if not done:
+        raise TimeoutError(
+            f"availableNow drain did not finish within {timeout}s — "
+            f"committed micro-batches are checkpointed at "
+            f"{checkpoint_dir}; retry with a larger timeout to resume"
+        )

@@ -70,6 +70,14 @@ def running_key_stats(
             continue
         n_batch += len(pdf)
         batch_max = pdf["indexedAt"].max()
+        if pd.isna(batch_max):
+            # every indexedAt in the chunk is NULL (PERMISSIVE-rescued
+            # rows): max() is NaT, whose .value is the int64 sentinel —
+            # adopting it would poison the state and blow up the
+            # pd.Timestamp below (OutOfBoundsDatetime kills the query,
+            # the exact poison-pill mode W5 exists to prevent).  Rows
+            # still COUNT; they just carry no event time.
+            continue
         batch_max_us = int(batch_max.value // 1_000)
         if max_ts_us is None or batch_max_us > max_ts_us:
             max_ts_us = batch_max_us
@@ -90,7 +98,18 @@ def running_key_stats(
 
 def stream_running_stats(posts_stream, timeout: str = "NoTimeout"):
     """Wire running_key_stats onto a (key, indexedAt) stream. Output
-    mode must be 'update'."""
+    mode must be 'update'.  ``timeout`` maps to a GroupStateTimeout
+    constant (``NoTimeout`` / ``ProcessingTimeTimeout`` /
+    ``EventTimeTimeout``) — callers wanting idle-key state expiry pass
+    ProcessingTimeTimeout; previously the argument was silently
+    dropped and state never expired."""
+    try:
+        conf = getattr(GroupStateTimeout, timeout)
+    except AttributeError:
+        raise ValueError(
+            f"unknown GroupStateTimeout {timeout!r}; expected NoTimeout,"
+            f" ProcessingTimeTimeout, or EventTimeTimeout"
+        ) from None
     return (
         posts_stream.groupBy("key")
         .applyInPandasWithState(
@@ -98,7 +117,7 @@ def stream_running_stats(posts_stream, timeout: str = "NoTimeout"):
             outputStructType=RUNNING_STATS_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=conf,
         )
     )
 
@@ -278,7 +297,7 @@ def make_pattern_matcher(
     the batch funnel/EXISTS-range semantics).
 
     State per key is the list of ``first_type`` timestamps still young
-    enough to matter — pruned to ``(max_seen_ts - within_us, ...]``
+    enough to matter — pruned to ``[max_seen_ts - within_us, ...]``
     every batch, so state is O(window × per-key rate), never history.
 
     Ordering contract: rows WITHIN a batch are sorted here, so
@@ -319,7 +338,12 @@ def make_pattern_matcher(
                         out_ids.append(int(eid))
                         out_ts.append(ts)
                 max_ts = max(max_ts, ts)
-            first_ts = [s for s in first_ts if s > max_ts - within_us]
+            # keep s >= max_ts - within_us (INCLUSIVE, mirroring the
+            # lo <= s match bound): a first at exactly max_ts-within_us
+            # can still pair with a then at ts == max_ts arriving in the
+            # next batch (equal cross-batch timestamps are legal under
+            # the non-strict per-key ordering contract)
+            first_ts = [s for s in first_ts if s >= max_ts - within_us]
         state.update((first_ts, max_ts))
         if out_ids:
             yield pd.DataFrame(

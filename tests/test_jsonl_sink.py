@@ -83,15 +83,30 @@ def test_overwrite_replaces_previous_files(spark, tmp_path):
 
 
 def test_append_mode_keeps_both(spark, tmp_path):
-    # default batch mode (append-style): second save REPLACES the
-    # manifest but keeps earlier files only if overwrite was not used —
-    # our contract: manifest always describes the LAST committed job
+    # append mode: the second save's manifest carries the first job's
+    # entries forward — Spark append semantics, earlier rows stay
+    # visible to manifest readers.  (The original contract made the
+    # manifest describe only the LAST job: the first 20 rows sat on
+    # disk but vanished from read_manifest — silent data loss.)
     path = str(tmp_path / "out")
     _df(spark, 20).write.format("starrysky_jsonl").option("path", path).mode("append").save()
     _df(spark, 5).write.format("starrysky_jsonl").option(
         "path", path
     ).mode("append").save()
-    assert read_manifest(path)["n_rows"] == 5
+    m = read_manifest(path)
+    assert m["n_rows"] == 25
+    assert sum(e["n_rows"] for e in m["files"]) == 25
+    # overwrite still resets: manifest describes only the new job and
+    # the superseded files are deleted
+    _df(spark, 3).write.format("starrysky_jsonl").option(
+        "path", path
+    ).mode("overwrite").save()
+    m2 = read_manifest(path)
+    assert m2["n_rows"] == 3
+    import os
+
+    on_disk = [n for n in os.listdir(path) if n.endswith(".jsonl")]
+    assert sorted(on_disk) == sorted(e["name"] for e in m2["files"])
 
 
 def test_stream_sink_idempotent_replay(spark, tmp_path):

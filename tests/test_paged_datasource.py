@@ -253,3 +253,22 @@ def test_table_changes_stream_rejects_midstream_schema_evolution(
     fmt.append(_batch_tc(spark, 10, 2).withColumn("score", F.lit(1.5)))
     with pytest.raises(StreamingQueryException, match="incompatible schema"):
         drain()
+
+
+def test_ddl_field_names_bracket_aware():
+    """Commas inside decimal(10,2) / map<string,int> / struct<...> must
+    not split fields — the old naive split produced phantom columns
+    that KeyError'd the parquet read."""
+    from starryskyqueryengine_spark.sources.paged_datasource import (
+        _ddl_field_names,
+    )
+
+    assert _ddl_field_names("doc_id bigint, price decimal(10,2)") == [
+        "doc_id",
+        "price",
+    ]
+    assert _ddl_field_names(
+        "a map<string,int>, b struct<x:int,y:decimal(5,2)>, c string"
+    ) == ["a", "b", "c"]
+    assert _ddl_field_names("d: string, e: int") == ["d", "e"]
+    assert _ddl_field_names("x int") == ["x"]

@@ -949,3 +949,86 @@ def test_pattern_matcher_multibatch_and_resume(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     )
     assert got == [(2, 800), (4, 1500), (6, 5300)]
+
+
+def test_pattern_matcher_prune_keeps_window_boundary(spark, tmp_path):
+    """State pruning is INCLUSIVE at the window edge: a view at exactly
+    max_ts - within_us survives the batch-1 prune and still matches a
+    purchase at ts == max_ts arriving in batch 2 (equal cross-batch
+    timestamps are legal under the non-strict per-key ordering
+    contract).  The previous exclusive prune (s > max_ts - within_us)
+    silently missed this match."""
+    from starryskyqueryengine_spark.streaming import parquet_stream
+    from starryskyqueryengine_spark.streaming.stateful import (
+        stream_pattern_matches,
+    )
+
+    W = 1000
+    # batch 1: view@2000, purchase@3000 (match; max_ts=3000 puts the
+    # view EXACTLY at the prune boundary 3000-1000).  batch 2:
+    # purchase@3000 again (different event) — must also match.
+    f1 = [(1, 2000, "view"), (2, 3000, "purchase")]
+    f2 = [(3, 3000, "purchase")]
+    src = str(tmp_path / "src")
+    schema = "user_id long, event_id long, ts_us long, event_type string"
+    for rows in (f1, f2):
+        spark.createDataFrame(
+            [(7, eid, ts, et) for eid, ts, et in rows], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = parquet_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        stream_pattern_matches(stream, within_us=W)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["event_id"], r["ts_us"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == [(2, 3000), (3, 3000)]
+
+
+def test_running_stats_all_null_event_times():
+    """A chunk whose indexedAt values are ALL NaT (PERMISSIVE-rescued
+    rows) must not poison the state: rows still count, the event-time
+    watermark stays unset, and no OutOfBoundsDatetime kills the task
+    (the poison-pill failure mode W5 exists to prevent)."""
+    import pandas as pd
+
+    from starryskyqueryengine_spark.streaming.stateful import (
+        running_key_stats,
+    )
+
+    class _FakeState:
+        exists = False
+
+        def __init__(self):
+            self.updated = None
+
+        def update(self, v):
+            self.updated = v
+
+    st = _FakeState()
+    pdf = pd.DataFrame(
+        {"key": ["k"] * 3, "indexedAt": pd.to_datetime([None, None, None])}
+    )
+    (out,) = running_key_stats(("k",), iter([pdf]), st)
+    assert out["n_total"].iloc[0] == 3
+    assert pd.isna(out["max_ts"].iloc[0])
+    assert st.updated == (3, None)
+    # a later chunk WITH timestamps takes over the watermark cleanly
+    st2 = _FakeState()
+    pdf2 = pd.DataFrame(
+        {
+            "key": ["k"] * 2,
+            "indexedAt": pd.to_datetime([None, "2026-01-01T00:00:01"]),
+        }
+    )
+    (out2,) = running_key_stats(("k",), iter([pdf2]), st2)
+    assert out2["n_total"].iloc[0] == 2
+    assert out2["max_ts"].iloc[0] == pd.Timestamp("2026-01-01T00:00:01")

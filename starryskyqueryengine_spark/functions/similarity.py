@@ -483,8 +483,13 @@ def _cell_assigner(bc, id_col: str, vec_col: str, n_cells: int):
             V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
             S = Vn @ Cn.T
-            order = np.argsort(-np.round(S, 6), axis=1, kind="stable")[:, :n_cells]
-            out = pdf.loc[pdf.index.repeat(n_cells)].reset_index(drop=True)
+            # clamp to the actual centroid count: n_cells > |centroids|
+            # (probe-all for exact recall) would repeat rows n_cells
+            # times while argsort yields only |centroids| columns — a
+            # length-mismatch ValueError in every task
+            kc = min(n_cells, Cn.shape[0])
+            order = np.argsort(-np.round(S, 6), axis=1, kind="stable")[:, :kc]
+            out = pdf.loc[pdf.index.repeat(kc)].reset_index(drop=True)
             out["cell"] = order.ravel()
             yield out[[id_col, vec_col, "cell"]]
 
@@ -688,9 +693,13 @@ def ivf_probe_index(
         # (change-sized) tombstone set — the incremental-delete contract
         b_cells = b_cells.join(F.broadcast(ts.select(id_col)), id_col, "left_anti")
     if prune_buckets:
-        probed = sorted(
-            r["cell"] for r in q_cells.select("cell").distinct().collect()
-        )
+        # materialize the assignments ONCE and rebuild the (query-batch-
+        # sized, by the serve-path contract) frame locally: feeding the
+        # lazy q_cells plan to both the distinct-cells collect and
+        # _ivf_score ran the centroid-matrix Arrow pass twice per probe
+        q_rows = q_cells.collect()
+        probed = sorted({r["cell"] for r in q_rows})
+        q_cells = spark.createDataFrame(q_rows, schema=q_cells.schema)
         if len(probed) < len(C):
             b_cells = b_cells.filter(F.col("cell").isin(probed))
     return _ivf_score(q_cells, b_cells, k, id_col, vec_col, dim)
@@ -1023,10 +1032,37 @@ def ivf_index_compact(spark, table: str, id_col: str = "vec_id") -> None:
     survivors = spark.table(table).join(
         F.broadcast(ts), id_col, "left_anti"
     )
+    # an EXTERNAL lists table (ivf_build_index(..., path=...)) must stay
+    # external: staging without a path would silently relocate the index
+    # into the warehouse AND leave every original data file orphaned at
+    # the old location (DROP TABLE does not delete external files) —
+    # with path-readers then seeing stale pre-compaction data.  Stage
+    # next to the current location and reclaim the superseded files
+    # after the swap.
+    import uuid as _uuid
+
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    }
+    old_loc = desc.get("Location")
+    is_external = desc.get("Type", "").strip().upper() == "EXTERNAL"
+    new_path = (
+        old_loc.rstrip("/") + f"_compact_{_uuid.uuid4().hex[:8]}"
+        if is_external and old_loc
+        else None
+    )
     staging = f"{table}_compact_staging"
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
     write_bucketed(survivors, staging, ["cell"], num_buckets=nb,
-                   sort_cols=["cell", id_col])
+                   sort_cols=["cell", id_col], path=new_path)
     spark.sql(f"DROP TABLE {table}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
     spark.sql(f"DROP TABLE {table}_tombstones")
+    if new_path and old_loc.startswith("file:"):
+        # local-filesystem reclaim of the superseded index files; on an
+        # object store leave them for the owner's lifecycle policy
+        import shutil
+        from urllib.parse import urlparse
+
+        shutil.rmtree(urlparse(old_loc).path, ignore_errors=True)

@@ -39,6 +39,7 @@ remainder == exact-join everything, row for row, at any fpp.
 from __future__ import annotations
 
 import math
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -54,7 +55,11 @@ def _positions(key_col: str, m: int, k: int):
     # intermediate below k*m (no ANSI int64 overflow) and the KM
     # guarantee is unaffected by working in Z_m
     h1 = F.pmod(F.xxhash64(F.col(key_col)), F.lit(m))
-    h2 = F.pmod(F.xxhash64(F.col(key_col), F.lit(1)), F.lit(m))
+    # force the stride into [1, m-1]: h2 == 0 mod m would collapse all k
+    # probe positions onto the single bit h1, silently inflating that
+    # key's effective fpp to the 1-hash rate (~bits_set/m); a nonzero
+    # stride keeps the KM guarantee and the configured fpp sizing honest
+    h2 = F.pmod(F.xxhash64(F.col(key_col), F.lit(1)), F.lit(m - 1)) + F.lit(1)
     return [F.pmod(h1 + F.lit(i) * h2, F.lit(m)).cast("long") for i in range(k)]
 
 
@@ -116,10 +121,18 @@ def bloom_split_new(
     bc = spark.sparkContext.broadcast(np.packbits(bits))
 
     @pandas_udf("boolean")
-    def _all_set(pos: pd.Series) -> pd.Series:
+    def _all_set(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # iterator form: unpack the broadcast bitset ONCE PER TASK, not
+        # once per Arrow batch — at 10^9 stored keys the unpacked bool
+        # array is ~9.6 GB of memory traffic per unpack, which
+        # previously repeated every ~10k rows in the probe hot path
         unpacked = np.unpackbits(bc.value, count=m).astype(bool)
-        mat = np.stack(pos.to_numpy())  # (batch, k) positions
-        return pd.Series(unpacked[mat].all(axis=1))
+        for pos in it:
+            if len(pos) == 0:
+                yield pd.Series([], dtype=bool)
+                continue
+            mat = np.stack(pos.to_numpy())  # (batch, k) positions
+            yield pd.Series(unpacked[mat].all(axis=1))
 
     flagged = incoming.withColumn(
         "_maybe", _all_set(F.array(*_positions(key_col, m, k)))

@@ -49,7 +49,12 @@ def interval_count_join(
         F.col(build_ts).alias("_bts"),
     )
     lo = F.col(probe_ts) - F.lit(width_us)
-    p = probe.withColumn(
+    # a private row id preserves DUPLICATE probe rows: grouping on the
+    # probe columns alone would merge identical rows and SUM their
+    # counts (two equal rows with 3 in-range builds each came back as
+    # one row with 6) — the id keeps each input row its own group and
+    # is dropped from the output
+    p = probe.withColumn("_pid", F.monotonically_increasing_id()).withColumn(
         "_bkt",
         F.explode(
             F.array_distinct(
@@ -66,8 +71,9 @@ def interval_count_join(
         "left",
     )
     return (
-        joined.groupBy(*[F.col(c) for c in probe.columns])
+        joined.groupBy(F.col("_pid"), *[F.col(c) for c in probe.columns])
         .agg(F.count("_bts").alias(count_alias))
+        .drop("_pid")
     )
 
 

@@ -56,6 +56,17 @@ def salted_join_skewed_fact(
         # NULLs the fact salts while sequence(0, -1) gives the dim salts
         # [0, -1], so the join returns zero rows
         raise ValueError(f"n_salt must be >= 1, got {n_salt}")
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti", "cross"):
+        # dim rows are REPLICATED n_salt times: any join type that can
+        # emit unmatched dim rows (right/full) would emit each of them
+        # n_salt times — silently wrong cardinality, not a salted
+        # equivalent of fact.join(dim, key, how)
+        raise ValueError(
+            f"salted_join_skewed_fact cannot preserve {how!r} semantics: "
+            f"unmatched replicated dim rows would appear n_salt times; "
+            f"use AQE skew handling for right/full outer joins"
+        )
     salted_fact = fact.withColumn(
         "_salt", F.pmod(F.hash(F.col(salt_from)), F.lit(n_salt))
     )

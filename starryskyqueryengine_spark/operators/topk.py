@@ -75,12 +75,37 @@ def keyset_page(
     return top_k(df, key, limit, ts_col, cid_col, key_col)
 
 
-def prepend_pinned(spark, page: DataFrame, pinned_uris: list[str]) -> DataFrame:
+def prepend_pinned(
+    spark,
+    page: DataFrame,
+    pinned_uris: list[str],
+    ts_col: str = "indexedAt",
+    cid_col: str = "cid",
+) -> DataFrame:
     """T5/U1: prepend pinned post URIs on the first page only
     (src/algos/starrysky.ts:43-48). Output is the feed-skeleton
-    projection ``{post: uri}`` with an ordering column."""
-    skeleton = page.select(F.col("uri").alias("post"))
+    projection ``{post: uri}`` plus an explicit ``rank`` ordering
+    column (pinned first, then newest-first): union PHYSICAL order is
+    not a contract — any repartition, AQE shuffle, or parquet
+    round-trip by a distributed consumer would scramble it, so the
+    order a consumer must re-sort by travels as data."""
+    from pyspark.sql.window import Window
+
+    n_pin = len(pinned_uris)
+    # the page is limit-sized (keyset_page caps it), so the single-task
+    # unpartitioned window is a non-issue
+    skeleton = page.select(
+        F.col("uri").alias("post"),
+        (
+            F.row_number().over(
+                Window.orderBy(F.col(ts_col).desc(), F.col(cid_col).desc())
+            )
+            + F.lit(n_pin - 1)
+        ).cast("long").alias("rank"),
+    )
     if not pinned_uris:
         return skeleton
-    pinned = spark.createDataFrame([(u,) for u in pinned_uris], "post string")
+    pinned = spark.createDataFrame(
+        [(u, i) for i, u in enumerate(pinned_uris)], "post string, rank long"
+    )
     return pinned.unionByName(skeleton)

@@ -48,6 +48,17 @@ def zvalue_expr(scaled_cols, bits: int = 16):
     in [0, 2**bits)): bit i of column j lands at position
     i * n_cols + j. Pure expression tree — shifts and ORs only."""
     n = len(scaled_cols)
+    if n * bits > 63:
+        # Spark's shiftleft masks the shift amount mod 64: positions
+        # past 63 would silently WRAP onto low bits, scrambling the
+        # interleave (files stop covering key-space rectangles and
+        # min/max pruning quietly degrades to nothing). Refuse loudly —
+        # callers lower `bits` (write_zordered auto-fits).
+        raise ValueError(
+            f"{n} columns x {bits} bits = {n * bits} interleaved bits "
+            f"exceeds the 63 available in a signed long; use bits <= "
+            f"{63 // n}"
+        )
     z = F.lit(0).cast("long")
     for j, c in enumerate(scaled_cols):
         for i in range(bits):
@@ -88,13 +99,23 @@ def write_zordered(
     one range shuffle. Stats collection reads only the clustered columns
     of each written file (column pruning keeps it cheap)."""
     spark = df.sparkSession
+    # auto-fit the per-column bit budget to the 63 bits a signed long
+    # interleave can hold (4 default-bits columns would otherwise wrap)
+    bits = min(bits, 63 // max(len(cols), 1))
     mm = df.agg(
         *[F.min(c).alias(f"lo_{c}") for c in cols],
         *[F.max(c).alias(f"hi_{c}") for c in cols],
     ).collect()[0]
     bounds = {c: (mm[f"lo_{c}"], mm[f"hi_{c}"]) for c in cols}
     scaled = [
-        _scale_expr(F.col(c), float(bounds[c][0]), float(bounds[c][1]), bits)
+        # an all-NULL column has None bounds — degrade to the constant-
+        # column rank 0 (same as hi == lo) instead of a float(None)
+        # TypeError on the driver
+        _scale_expr(F.col(c), 0.0, 0.0, bits)
+        if bounds[c][0] is None or bounds[c][1] is None
+        else _scale_expr(
+            F.col(c), float(bounds[c][0]), float(bounds[c][1]), bits
+        )
         for c in cols
     ]
     zcol = zvalue_expr(scaled, bits=bits)

@@ -362,3 +362,16 @@ def test_unimax_waterfilling_invariants(spark):
     assert len(waterline) <= 1
     # epochs never exceed the cap
     assert all(r["epochs_milli"] <= UNIMAX_EPOCH_CAP * 1000 for r in rows)
+
+
+def test_interval_count_join_preserves_duplicate_probe_rows(spark):
+    """Two IDENTICAL probe rows must come back as two rows with the
+    same count — the old groupBy over probe columns merged them and
+    SUMMED their counts (one row with 6 instead of two with 3)."""
+    probe = spark.createDataFrame([(1_000_000,), (1_000_000,)], "ts long")
+    build = spark.createDataFrame(
+        [(400_000,), (600_000,), (900_000,)], "ts long"
+    )
+    out = interval_count_join(probe, build, "ts", "ts", width_us=1_000_000)
+    rows = sorted((r["ts"], r["n_in_range"]) for r in out.collect())
+    assert rows == [(1_000_000, 3), (1_000_000, 3)]

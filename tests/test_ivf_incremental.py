@@ -133,3 +133,35 @@ def test_probe_stays_bucket_pruned_after_append(spark, world):
     df = sim.ivf_probe_index(queries, t, K, n_probe=N_PROBE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SelectedBucketsCount" in plan, "bucket pruning lost after append"
+
+
+def test_compact_keeps_external_index_external(spark, world, tmp_path):
+    """Compacting an EXTERNAL index (built with path=...) must keep the
+    lists table external — the old code staged WITHOUT a path, silently
+    relocating the index into the warehouse and orphaning every
+    original data file at the old location (stale for path-readers)."""
+    import os
+
+    emb, queries, A, B, B1, B2 = world
+    t = f"ivf_ext_{uuid.uuid4().hex[:10]}"
+    old_path = str(tmp_path / "idx")
+    sim.ivf_build_index(A, t, n_centroids=16, train_iters=0, path=old_path)
+    doomed = [r["vec_id"] for r in A.limit(7).collect()]
+    sim.ivf_index_delete(spark, t, doomed)
+    n_before = spark.table(t).count()
+    before = _rows(sim.ivf_probe_index(queries, t, K, n_probe=N_PROBE))
+
+    sim.ivf_index_compact(spark, t)
+
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {t}").collect()
+    }
+    assert desc.get("Type", "").strip().upper() == "EXTERNAL"
+    loc = desc["Location"]
+    assert str(tmp_path) in loc  # stayed outside the warehouse
+    # superseded files reclaimed; compacted data is what path-readers see
+    assert not os.path.exists(old_path)
+    assert spark.table(t).count() == n_before - len(doomed)
+    assert _rows(sim.ivf_probe_index(queries, t, K, n_probe=N_PROBE)) == before
+    spark.sql(f"DROP TABLE {t}")

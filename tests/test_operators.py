@@ -75,8 +75,12 @@ def test_cursor_parse_errors():
 
 def test_t5_pinned_prepend(spark):
     df = posts_df(spark, BASE)
-    out = [r["post"] for r in prepend_pinned(spark, top_k(df, "k2", 5), ["pin1"]).collect()]
+    res = prepend_pinned(spark, top_k(df, "k2", 5), ["pin1"]).collect()
+    # the rank column IS the order contract (pinned first, newest-first)
+    # — robust to any physical reordering of the union
+    out = [r["post"] for r in sorted(res, key=lambda r: r["rank"])]
     assert out == ["pin1", "u5"]
+    assert [r["rank"] for r in sorted(res, key=lambda r: r["rank"])] == [0, 1]
 
 
 def test_t3_retain_latest(spark):
@@ -440,3 +444,32 @@ def test_bloom_positions_are_codegen(spark):
     )
     assert "EvalPython" not in plan
     assert "xxhash64" in plan.lower() or "pmod" in plan.lower()
+
+
+def test_salted_join_rejects_outer_dim_sides(spark):
+    """right/full joins cannot be salted (unmatched replicated dim rows
+    would surface n_salt times) — the operator must refuse loudly, not
+    return silently wrong cardinality."""
+    from starryskyqueryengine_spark.operators.skew import (
+        salted_join_skewed_fact,
+    )
+
+    fact = spark.createDataFrame([(1, "a")], "k int, v string")
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "k int, d string")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="cannot preserve"):
+            salted_join_skewed_fact(fact, dim, "k", "v", how=how)
+
+
+def test_bloom_stride_never_collapses(spark):
+    """The KM stride is forced into [1, m-1]: no key's k probe positions
+    can collapse onto a single bit (h2 == 0 mod m previously inflated
+    that key's effective fpp to the 1-hash rate)."""
+    from starryskyqueryengine_spark.operators.bloom import _positions
+
+    df = spark.range(0, 2000).select(F.concat(F.lit("u"), F.col("id")).alias("uri"))
+    m, k = 509, 7  # prime m, several hash rounds
+    pos = df.select(F.array(*_positions("uri", m, k)).alias("p"))
+    n_distinct = pos.select(F.size(F.array_distinct("p")).alias("n"))
+    # with a nonzero stride mod a prime, all k positions are distinct
+    assert n_distinct.agg(F.min("n")).collect()[0][0] == k

@@ -361,8 +361,11 @@ def test_ivf_probe_reads_stored_index_no_base_reassignment(spark):
     m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
     assert m, plan
     assert int(m.group(1)) < int(m.group(2))  # probed cells < all cells
-    # exactly one Python pass (query-side assignment), none on the base
-    assert plan.count("MapInPandas") == 1, plan
+    # ZERO Python passes in the serve plan: the query-side assignment
+    # ran ONCE at probe-build (collected and re-materialized as a local
+    # relation — it used to execute twice, once for the pruning collect
+    # and again lazily here), and the base is never re-assigned
+    assert plan.count("MapInPandas") == 0, plan
 
     # results identical to the ad-hoc path with the same fixed centroids
     adhoc = sim.ivf_topk(queries_df, base, 10, n_centroids=16, n_probe=4,

@@ -111,3 +111,32 @@ def test_manifest_builds_in_one_scan_not_per_file(spark, tmp_path):
     # exactly one directory-level read for stats — never one per file
     assert len(reads) == 1, reads
     assert sum(st["rows"] for st in manifest["files"].values()) == 2000
+
+
+def test_zvalue_rejects_overflow_and_write_autofits(spark, tmp_path):
+    """More than 63 interleaved bits would silently wrap (shiftleft
+    masks mod 64) — zvalue_expr refuses; write_zordered auto-fits the
+    per-column budget instead, and an all-NULL cluster column degrades
+    to the constant-rank path rather than a float(None) TypeError."""
+    import pytest as _pytest
+
+    import starryskyqueryengine_spark.operators.zorder as z
+
+    with _pytest.raises(ValueError, match="63"):
+        z.zvalue_expr([F.col("a"), F.col("b"), F.col("c"), F.col("d")], bits=16)
+
+    df = spark.range(100).selectExpr(
+        "id", "id % 7 AS a", "id % 11 AS b", "id % 13 AS c",
+        "CAST(NULL AS INT) AS d",
+    )
+    manifest = z.write_zordered(
+        df, str(tmp_path / "z4"), ["a", "b", "c", "d"], n_files=4, bits=16
+    )
+    assert manifest["bits"] == 63 // 4  # auto-fitted
+    assert sum(st["rows"] for st in manifest["files"].values()) == 100
+    got, _kept, _total = z.read_with_skipping(
+        spark, str(tmp_path / "z4"), {"a": (2, 3)}
+    )
+    assert got.filter("a >= 2 AND a <= 3").count() == df.filter(
+        "a >= 2 AND a <= 3"
+    ).count()

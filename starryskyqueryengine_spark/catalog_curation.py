@@ -201,7 +201,7 @@ def quality_filter_funnel(spark, sf_dir):
     r"""
     SELECT lang, source,
            CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tok,
+           CAST(SUM((CASE WHEN coalesce(trim(text), '') = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END)) AS BIGINT) AS n_tok,
            CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid
     FROM documents
     GROUP BY CUBE (lang, source)

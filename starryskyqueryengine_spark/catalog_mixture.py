@@ -77,7 +77,7 @@ _RATE_SQL = (
 )
 _THRESH_SQL = f"CAST(floor({_RATE_SQL} * CAST(1000000 AS DOUBLE)) AS BIGINT)"
 
-_TOK_SQL = r"CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)"
+_TOK_SQL = r"CAST((CASE WHEN coalesce(trim(text), '') = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT)"
 
 
 @register(
@@ -648,9 +648,9 @@ def _pretrain_prep_oracle() -> str:
       SELECT doc_id, source,
              CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok,
              ROUND(
-               (len(regexp_extract_all(lower(text), '{_QUALITY_PAT}'))
-                  / GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1)) * 0.4
-               + LEAST(1.0, len(regexp_split_to_array(trim(text), '\s+')) / 50.0) * 0.3
+               LEAST(1.0, len(regexp_extract_all(lower(text), '{_QUALITY_PAT}'))
+                  / GREATEST((CASE WHEN coalesce(trim(text), '') = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END), 1)) * 0.4
+               + LEAST(1.0, (CASE WHEN coalesce(trim(text), '') = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END) / 50.0) * 0.3
                + (1.0 - len(regexp_extract_all(text, '[.,!?;:]'))
                     / GREATEST(length(text), 1)) * 0.3, 4) AS quality,
              md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
@@ -706,9 +706,9 @@ def _qb_oracle() -> str:
     from .catalog_text import _QUALITY_PAT
 
     quality = rf"""ROUND(
-             (len(regexp_extract_all(lower(text), '{_QUALITY_PAT}'))
-                / GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1)) * 0.4
-             + LEAST(1.0, len(regexp_split_to_array(trim(text), '\s+')) / 50.0) * 0.3
+             LEAST(1.0, len(regexp_extract_all(lower(text), '{_QUALITY_PAT}'))
+                / GREATEST((CASE WHEN coalesce(trim(text), '') = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END), 1)) * 0.4
+             + LEAST(1.0, (CASE WHEN coalesce(trim(text), '') = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END) / 50.0) * 0.3
              + (1.0 - len(regexp_extract_all(text, '[.,!?;:]'))
                   / GREATEST(length(text), 1)) * 0.3, 4)"""
     keep_hash = _sql_md5int("'qb:' || CAST(q.doc_id AS VARCHAR)")

@@ -20,7 +20,7 @@ _QUALITY_PAT = r"\b(" + "|".join(tx.QUALITY_STOPWORDS) + r")\b"
     "text_token_count",
     r"""
     SELECT doc_id,
-           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST((CASE WHEN coalesce(trim(text), '') = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS n_ws_tokens,
            CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_word_tokens
     FROM documents
     """,
@@ -43,9 +43,9 @@ def text_token_count(spark, sf_dir):
            CAST(len(regexp_extract_all(lower(text), '{_QUALITY_PAT}')) AS BIGINT) AS n_stopwords,
            CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
            ROUND(
-             (len(regexp_extract_all(lower(text), '{_QUALITY_PAT}'))
-                / GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1)) * 0.4
-             + LEAST(1.0, len(regexp_split_to_array(trim(text), '\s+')) / 50.0) * 0.3
+             LEAST(1.0, len(regexp_extract_all(lower(text), '{_QUALITY_PAT}'))
+                / GREATEST((CASE WHEN coalesce(trim(text), '') = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END), 1)) * 0.4
+             + LEAST(1.0, (CASE WHEN coalesce(trim(text), '') = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END) / 50.0) * 0.3
              + (1.0 - len(regexp_extract_all(text, '[.,!?;:]'))
                   / GREATEST(length(text), 1)) * 0.3, 4) AS quality
     FROM documents
@@ -106,9 +106,9 @@ def text_fingerprint(spark, sf_dir):
     WITH scored AS (
       SELECT doc_id, text, lang,
              ROUND(
-               (len(regexp_extract_all(lower(text), '{_QUALITY_PAT}'))
-                  / GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1)) * 0.4
-               + LEAST(1.0, len(regexp_split_to_array(trim(text), '\s+')) / 50.0) * 0.3
+               LEAST(1.0, len(regexp_extract_all(lower(text), '{_QUALITY_PAT}'))
+                  / GREATEST((CASE WHEN coalesce(trim(text), '') = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END), 1)) * 0.4
+               + LEAST(1.0, (CASE WHEN coalesce(trim(text), '') = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END) / 50.0) * 0.3
                + (1.0 - len(regexp_extract_all(text, '[.,!?;:]'))
                     / GREATEST(length(text), 1)) * 0.3, 4) AS quality,
              md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp

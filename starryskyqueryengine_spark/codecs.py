@@ -145,6 +145,11 @@ def png_decode(payload: bytes, verify_crc: bool = True):
         body = payload[pos + 8 : pos + 8 + length]
         if len(body) != length:
             raise ValueError("truncated chunk body")
+        if pos + 12 + length > n:
+            # chunk cut inside its 4-byte CRC: without this guard the
+            # unpack below leaked struct.error past the documented
+            # ValueError contract
+            raise ValueError("truncated chunk CRC")
         if verify_crc:
             (crc,) = struct.unpack(
                 ">I", payload[pos + 8 + length : pos + 12 + length]
@@ -170,13 +175,19 @@ def png_decode(payload: bytes, verify_crc: bool = True):
     if ch is None:
         raise ValueError(f"unsupported color type {color_type}")
 
+    stride = w * ch
+    expected = h * (stride + 1)
     try:
-        raw = zlib.decompress(bytes(idat))
+        # bounded inflate: cap at expected+1 so a crafted few-KB stream
+        # declaring tiny dims but expanding to GBs (a decompression
+        # bomb) cannot OOM the task before the size check below —
+        # anything past `expected` bytes is malformed regardless
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
     except zlib.error as ex:
         raise ValueError(f"bad IDAT stream: {ex}") from ex
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError(f"IDAT size {len(raw)} != expected {h * (stride + 1)}")
+    if len(raw) != expected or (d.unconsumed_tail or not d.eof):
+        raise ValueError(f"IDAT size {len(raw)}+ != expected {expected}")
     data = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     ftypes = data[:, 0]
     scan = data[:, 1:].astype(np.int64)
@@ -269,8 +280,14 @@ def wav_decode(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_fmt, channels, rate, _byte_rate, _block, bits = fmt
-    if audio_fmt != 1 or bits != 16:
-        raise ValueError(f"unsupported WAV: format={audio_fmt} bits={bits}")
+    if audio_fmt != 1 or bits != 16 or channels < 1:
+        # channels == 0 is malformed, not "mono-ish": accepting it
+        # returned a channel count contradicting the sample shape and
+        # fed a zero divisor to any frames/duration computation
+        raise ValueError(
+            f"unsupported WAV: format={audio_fmt} bits={bits} "
+            f"channels={channels}"
+        )
     s = np.frombuffer(data, dtype="<i2")
     if channels > 1:
         s = s[: (len(s) // channels) * channels].reshape(-1, channels)
@@ -382,6 +399,11 @@ def y4m_decode(payload: bytes):
     """Full decode: (width, height, rate, (n, h, w, 3) uint8 frames)."""
     w, h, rate, _cs, _data0, _fsz = _y4m_header(payload)
     n = y4m_frame_count(payload)
+    if n == 0:
+        # a header-only stream is VALID Y4M with zero frames — return
+        # an empty (0, h, w, 3) array instead of letting np.stack([])
+        # raise and quarantine a well-formed payload as corrupt
+        return w, h, rate, np.empty((0, h, w, 3), dtype=np.uint8)
     frames = np.stack([y4m_extract_frame(payload, i) for i in range(n)])
     return w, h, rate, frames
 
@@ -400,7 +422,6 @@ GIF_MAGIC = b"GIF8"
 
 def gif_encode(indices, palette) -> bytes:
     """(h, w) uint8 index array + (n<=256, 3) palette -> GIF89a bytes."""
-    import struct as _struct
 
     idx = np.asarray(indices, dtype=np.uint8)
     pal = np.asarray(palette, dtype=np.uint8)
@@ -418,9 +439,9 @@ def gif_encode(indices, palette) -> bytes:
         raise ValueError("index out of palette range")
 
     out = bytearray(b"GIF89a")
-    out += _struct.pack("<HHBBB", w, h, 0x80 | (bits - 1) << 4 | (bits - 1), 0, 0)
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1) << 4 | (bits - 1), 0, 0)
     out += table.tobytes()
-    out += b"\x2c" + _struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
 
     # ---- LZW encode (variable code width, CLEAR resets) ----
     min_code = max(2, bits)
@@ -489,12 +510,11 @@ def gif_encode(indices, palette) -> bytes:
 def gif_decode(payload: bytes):
     """GIF bytes -> (width, height, (h, w) uint8 indices, (n, 3) palette,
     (h, w, 3) uint8 RGB). Single-frame, non-interlaced."""
-    import struct as _struct
 
     if not payload.startswith(GIF_MAGIC):
         raise ValueError("not a GIF payload")
     pos = 6
-    w, h, flags, _bg, _ar = _struct.unpack("<HHBBB", payload[pos : pos + 7])
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", payload[pos : pos + 7])
     pos += 7
     palette = None
     if flags & 0x80:
@@ -517,7 +537,7 @@ def gif_decode(payload: bytes):
             continue
         if b != 0x2C:
             raise ValueError(f"unexpected block 0x{b:02X}")
-        left, top, iw, ih, iflags = _struct.unpack("<HHHHB", payload[pos : pos + 9])
+        left, top, iw, ih, iflags = struct.unpack("<HHHHB", payload[pos : pos + 9])
         pos += 9
         if iflags & 0x40:
             raise ValueError("interlaced GIF not supported")
@@ -581,6 +601,14 @@ def gif_decode(payload: bytes):
             else:
                 raise ValueError(f"bad LZW code {code}")
             out += entry
+            if len(out) > iw * ih:
+                # bound the output DURING the loop: a crafted stream can
+                # otherwise expand far past the declared dimensions (the
+                # LZW analog of a decompression bomb) before the final
+                # size check ever runs
+                raise ValueError(
+                    f"decoded more than {iw * ih} pixels before EOI"
+                )
             prev = entry
             if len(table) == (1 << width) and width < 12:
                 width += 1

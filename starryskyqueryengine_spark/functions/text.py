@@ -24,8 +24,16 @@ QUALITY_STOPWORDS = ["the", "a", "an", "of", "to", "in", "and", "is"]
 
 
 def ws_token_count(text: Column) -> Column:
-    """Whitespace tokenization count (bigint)."""
-    return F.size(F.split(F.trim(text), r"\s+")).cast("bigint")
+    """Whitespace tokenization count (bigint). Empty, whitespace-only,
+    and NULL text count 0 tokens — ``split(trim(''), '\\s+')`` yields
+    ``['']``, which silently reported 1 token for empty documents
+    (inflating token stats and giving empty docs a nonzero length
+    signal in quality_score). The DuckDB oracles carry the identical
+    CASE guard."""
+    n = F.size(F.split(F.trim(text), r"\s+")).cast("bigint")
+    return F.when(
+        F.coalesce(F.trim(text), F.lit("")) == "", F.lit(0).cast("bigint")
+    ).otherwise(n)
 
 
 def word_token_count(text: Column) -> Column:
@@ -51,7 +59,12 @@ def quality_score(text: Column) -> Column:
     punctuation cleanliness. Deterministic double math, rounded to 4."""
     n_tok = ws_token_count(text)
     n_chars = F.length(text).cast("bigint")
-    stop_ratio = stopword_count(text) / F.greatest(n_tok, F.lit(1))
+    # clamp: \b-bounded stopword MATCHES can outnumber whitespace tokens
+    # ("the,the" = 1 ws token, 2 matches), which pushed the score past
+    # the documented [0,1] range for punctuation-joined stopword runs
+    stop_ratio = F.least(
+        F.lit(1.0), stopword_count(text) / F.greatest(n_tok, F.lit(1))
+    )
     len_signal = F.least(F.lit(1.0), n_tok / F.lit(50.0))
     punct_ratio = punct_count(text) / F.greatest(n_chars, F.lit(1))
     return F.round(

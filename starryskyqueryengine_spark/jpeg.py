@@ -462,6 +462,14 @@ def jpeg_decode(payload: bytes):
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF FILL BYTES may precede a
+        # marker — real encoders emit them for alignment.  Treating the
+        # fill byte as the marker read the true marker bytes as a
+        # segment length and rejected conformant files.
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= n:
+            raise ValueError("truncated marker after fill bytes")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

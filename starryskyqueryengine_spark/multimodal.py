@@ -320,30 +320,37 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .codecs import PNG_MAGIC, png_decode, png_encode
 
+        from .jpeg import jpeg_decode, jpeg_encode
+
+        def resize_one(raw: bytes, m) -> bytes:
+            if raw.startswith(PPM_MAGIC):
+                _, _, px = ppm_decode(raw)
+                return ppm_encode(ppm_resize_nn(px, width, height))
+            if raw.startswith(PNG_MAGIC):
+                _, _, _, px = png_decode(raw)
+                return png_encode(ppm_resize_nn(px, width, height))
+            if raw.startswith(b"\xff\xd8"):
+                _, _, ch, px = jpeg_decode(raw)
+                small = ppm_resize_nn(px, width, height)
+                return jpeg_encode(small[:, :, 0] if ch == 1 else small)
+            src_px = max(1, (m["width"] or 1) * (m["height"] or 1))
+            keep = max(1, int(len(raw) * min(1.0, (width * height) / src_px)))
+            return raw[:keep]
+
         for pdf in batches:
             out_payload = []
             for b, m in zip(pdf["payload"], pdf["meta"]):
                 raw = bytes(b)
-                if raw.startswith(PPM_MAGIC):
-                    _, _, px = ppm_decode(raw)
-                    out_payload.append(ppm_encode(ppm_resize_nn(px, width, height)))
-                    continue
-                if raw.startswith(PNG_MAGIC):
-                    _, _, _, px = png_decode(raw)
-                    out_payload.append(png_encode(ppm_resize_nn(px, width, height)))
-                    continue
-                if raw.startswith(b"\xff\xd8"):
-                    from .jpeg import jpeg_decode, jpeg_encode
-
-                    _, _, ch, px = jpeg_decode(raw)
-                    small = ppm_resize_nn(px, width, height)
-                    out_payload.append(
-                        jpeg_encode(small[:, :, 0] if ch == 1 else small)
-                    )
-                    continue
-                src_px = max(1, (m["width"] or 1) * (m["height"] or 1))
-                keep = max(1, int(len(raw) * min(1.0, (width * height) / src_px)))
-                out_payload.append(raw[:keep])
+                try:
+                    out_payload.append(resize_one(raw, m))
+                except Exception:
+                    # per-record quarantine, same contract as
+                    # decode_media: a payload whose magic matches but
+                    # whose body the codec rejects (progressive JPEG,
+                    # palette PNG, truncated blob — including raw
+                    # struct/Memory errors the codecs may leak) becomes
+                    # a NULL payload instead of killing the task
+                    out_payload.append(None)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -429,13 +436,20 @@ def extract_frames(df: DataFrame, interval_ms: int = 500) -> DataFrame:
                 if raw.startswith(Y4M_MAGIC):
                     # REAL frame extraction: O(1) seek into the planar
                     # container (codecs.y4m_extract_frame), clamped to
-                    # the clip's actual frame count
-                    n = y4m_frame_count(raw)
-                    if n == 0:
+                    # the clip's actual frame count.  Per-record
+                    # quarantine (decode_media's contract): a malformed
+                    # stream behind a valid magic — missing W/H tokens,
+                    # bad frame marker, truncated plane — yields an
+                    # empty frame instead of killing the task
+                    try:
+                        n = y4m_frame_count(raw)
+                        if n == 0:
+                            payloads.append(b"")
+                            continue
+                        fi = min(int(idx), n - 1)
+                        payloads.append(y4m_extract_frame(raw, fi).tobytes())
+                    except Exception:
                         payloads.append(b"")
-                        continue
-                    fi = min(int(idx), n - 1)
-                    payloads.append(y4m_extract_frame(raw, fi).tobytes())
                     continue
                 start = int(idx) * 16 % len(raw)
                 payloads.append(raw[start : start + 16])

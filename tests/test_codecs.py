@@ -388,3 +388,60 @@ def test_decode_media_quarantines_truncated_gif(spark):
     out = {r["media_id"]: r for r in decode_media(_media_df(spark, rows)).collect()}
     assert out[1]["checksum"] is not None
     assert out[2]["checksum"] is None and out[2]["mean_byte"] is None
+
+
+def test_png_truncated_crc_raises_valueerror():
+    """A chunk cut inside its 4-byte CRC must surface the documented
+    ValueError, not a raw struct.error."""
+    import numpy as np
+
+    from starryskyqueryengine_spark.codecs import png_decode, png_encode
+
+    payload = png_encode(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+    with pytest.raises(ValueError):
+        png_decode(payload[:-2])
+
+
+def test_png_decompression_bomb_bounded():
+    """A few-KB PNG declaring tiny dims but carrying a huge DEFLATE
+    expansion must raise ValueError after a BOUNDED inflate, never
+    materialize the expansion."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from starryskyqueryengine_spark.codecs import (
+        PNG_MAGIC, _chunk, png_decode,
+    )
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)  # 4x4 RGB
+    bomb = zlib.compress(b"\x00" * (64 << 20), 9)  # 64 MB of zeros
+    payload = (PNG_MAGIC + _chunk(b"IHDR", ihdr)
+               + _chunk(b"IDAT", bomb) + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="IDAT size"):
+        png_decode(payload)
+
+
+def test_wav_zero_channels_rejected():
+    import struct
+
+    from starryskyqueryengine_spark.codecs import wav_decode, wav_encode
+
+    import numpy as np
+
+    good = wav_encode(np.zeros((8, 1), dtype=np.int16), sample_rate=8000)
+    # corrupt the fmt chunk's channel count to 0 (offset: RIFF(12) +
+    # 'fmt '+len(8) + format(2) -> channels at byte 22)
+    bad = bytearray(good)
+    bad[22:24] = struct.pack("<H", 0)
+    with pytest.raises(ValueError, match="channels"):
+        wav_decode(bytes(bad))
+
+
+def test_y4m_zero_frames_decodes_empty():
+    from starryskyqueryengine_spark.codecs import y4m_decode
+
+    w, h, rate, frames = y4m_decode(b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C444\n")
+    assert (w, h) == (4, 4)
+    assert frames.shape == (0, 4, 4, 3)

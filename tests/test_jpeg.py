@@ -157,3 +157,22 @@ def test_resize_images_real_jpeg_path(spark):
 
     ref = ppm_resize_nn(img, 12, 8)
     assert np.abs(px.astype(int) - ref.astype(int)).mean() < 12
+
+
+def test_jpeg_fill_bytes_before_markers_accepted():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    — real encoders emit them; the decoder previously read the true
+    marker as a segment length and rejected the file."""
+    import numpy as np
+
+    from starryskyqueryengine_spark.jpeg import jpeg_decode, jpeg_encode
+
+    img = (np.arange(16 * 16, dtype=np.uint8).reshape(16, 16) % 251)
+    payload = jpeg_encode(img)
+    base = jpeg_decode(payload)
+    # insert one fill byte before the first post-SOI marker (DQT et al)
+    assert payload[2] == 0xFF
+    stuffed = payload[:2] + b"\xff" + payload[2:]
+    w, h, ch, px = jpeg_decode(stuffed)
+    assert (w, h, ch) == base[:3]
+    assert (px == base[3]).all()

@@ -78,6 +78,22 @@ def _hs256_verify(key: bytes, signing_input: bytes, signature: bytes) -> bool:
     return hmac.compare_digest(mac, signature)
 
 
+def _looks_like_ec_public_key(key) -> bool:
+    """True when ``key`` is a secp256k1 public key in any form this
+    module accepts for ES256K: an (x, y) pair, or SEC1 bytes
+    (33 compressed / 65 uncompressed with the standard prefix).  A
+    33/65-byte HMAC secret that happens to start with 0x02/0x03/0x04
+    is misclassified — that FAILS CLOSED (auth denied), never open."""
+    if isinstance(key, (tuple, list)) and len(key) == 2:
+        return True
+    if isinstance(key, (bytes, bytearray)):
+        b = bytes(key)
+        return (len(b) == 33 and b[0] in (2, 3)) or (
+            len(b) == 65 and b[0] == 4
+        )
+    return False
+
+
 Verifier = Callable[[str, object, bytes, bytes], bool]
 KeyLookup = Callable[[str], object]
 
@@ -108,7 +124,13 @@ def verify_jwt(
     exp = payload.get("exp")
     if exp is not None:
         now = time.time() if now_s is None else now_s
-        if float(exp) < now:
+        try:
+            expired = float(exp) < now
+        except (TypeError, ValueError) as exc:
+            # a crafted non-numeric exp must read as a bad token (401),
+            # not crash the handler into a 500
+            raise AuthRequiredError(f"jwt exp not numeric: {exp!r}") from exc
+        if expired:
             raise AuthRequiredError("jwt expired")
 
     key = key_lookup(iss)
@@ -119,6 +141,19 @@ def verify_jwt(
     if verifier is not None:
         ok = verifier(alg, key, signing_input, signature)
     elif alg == "HS256":
+        # ALGORITHM CONFUSION GUARD: the alg header is attacker-
+        # controlled.  If key_lookup resolved a secp256k1 PUBLIC key
+        # (the atproto form — SEC1 bytes or an (x, y) pair), an HS256
+        # token HMAC'd with those PUBLIC bytes as the "secret" must
+        # not verify — the acceptable algorithm is bound to the KEY
+        # TYPE, never to the token's own claim.  HS256 is only for
+        # explicitly configured shared secrets (str, or bytes that are
+        # not a SEC1 point).
+        if _looks_like_ec_public_key(key):
+            raise AuthRequiredError(
+                "jwt alg HS256 rejected: issuer key is a secp256k1 "
+                "public key (ES256K required)"
+            )
         key_bytes = key.encode("utf-8") if isinstance(key, str) else bytes(key)
         ok = _hs256_verify(key_bytes, signing_input, signature)
     elif alg == "ES256K":

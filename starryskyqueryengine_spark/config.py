@@ -89,6 +89,15 @@ class FeedCondition:
             v = getattr(self, name)
             if not isinstance(v, int):
                 raise ConditionValidationError(f"{name} must be an integer, got {v!r}")
+        for name in ("initPost", "limitCount"):
+            # a negative cap is nonsense the pipeline would act on
+            # silently: limitCount=-1 made retention's keep-set empty
+            # (a no-op rewrite under the dynamic-overwrite blind spot)
+            # while wrongly arming the ingest low-watermark floor
+            if getattr(self, name) < 0:
+                raise ConditionValidationError(
+                    f"{name} must be >= 0, got {getattr(self, name)}"
+                )
         # `lang` is a single language code in the reference (appended to the
         # search query as `lang:xx`, src/subscription.ts:220-221). A list here
         # would otherwise surface as an opaque Catalyst type error at ingest.
@@ -112,11 +121,25 @@ class FeedCondition:
             return raw.get(k) or d
 
         def i(k, d):
+            # mirror the reference's FALSY coalescing (`initPost || 100`,
+            # `limitCount || 2000`): 0 takes the default too — an
+            # explicit initPost=0 previously survived and made ingest's
+            # init-rank filter drop EVERY post for the key forever.
+            # Numeric strings parse JS-Number-style ('12.5' -> 12, the
+            # count the engine can honor); genuinely non-numeric input
+            # is a validation error, not a silent default (the caller's
+            # gauntlet accepted the value — swapping in the default
+            # would store a condition the admin never wrote).
             v = raw.get(k)
-            try:
-                return int(v) if v not in (None, "") else d
-            except (TypeError, ValueError):
+            if v in (None, ""):
                 return d
+            try:
+                n = int(float(v))
+            except (TypeError, ValueError):
+                raise ConditionValidationError(
+                    f"{k} must be numeric, got {v!r}"
+                ) from None
+            return n if n else d
 
         def csv(k):
             v = raw.get(k) or ""

@@ -41,7 +41,7 @@ from urllib.parse import parse_qs, urlparse
 
 from . import __version__
 from .auth import AuthRequiredError, did_document
-from .config import FeedCondition
+from .config import ConditionValidationError, FeedCondition
 from .regex_dialect import RegexValidationError, validate_pattern
 from .serving import DEFAULT_PAGE_LIMIT, FeedServer, UnknownFeedError
 
@@ -202,6 +202,11 @@ class FeedGeneratorServer:
             }
         except AuthRequiredError as e:
             return 401, {"error": "AuthRequired", "message": str(e)}
+        except ValueError as e:
+            # a malformed client-supplied cursor (parse_cursor raises
+            # ValueError) is the CLIENT's error: 400 InvalidRequest,
+            # never a 500 from the blanket handler
+            return 400, {"error": "InvalidRequest", "message": str(e)}
         body: dict = {"feed": page.feed}
         if page.cursor is not None:
             body["cursor"] = page.cursor
@@ -231,8 +236,24 @@ class FeedGeneratorServer:
             return 500, {"result": code, "message": message}
         # delete-then-insert upsert (U3, databaseUtil.ts:77-108); recordCount
         # resets to 0 exactly as the reference's insert object does
-        cond = FeedCondition.from_raw({**body, "recordCount": 0})
-        self.feeds.registry.upsert(cond)
+        try:
+            cond = FeedCondition.from_raw({**body, "recordCount": 0})
+            prev = self.feeds.registry.get(cond.key)
+            if prev is not None:
+                # engine-side low-watermark state is NOT part of the
+                # admin's edit: the full-replace upsert must carry the
+                # init-truncation flag (and catch-up timestamp) forward,
+                # or a cosmetic edit would let already-truncated old
+                # posts re-enter the feed on the next full replay
+                cond.initTruncated = prev.initTruncated
+                if "lastExecTime" not in body:
+                    cond.lastExecTime = prev.lastExecTime
+            self.feeds.registry.upsert(cond)
+        except ConditionValidationError as e:
+            # fields the gauntlet does not cover (imageOnly, list lang,
+            # negative caps) still fail with the documented result-code
+            # shape, not an opaque 500
+            return 500, {"result": "INVALID_PARAMETER", "message": str(e)}
         return 200, {"result": "OK", "message": "Update succeeded"}
 
     def handle_get_query(self, body: dict, headers: dict) -> tuple[int, Optional[dict]]:

@@ -153,7 +153,10 @@ class PostStore:
             return
         affected = stored.filter(F.col("key").isin(over_keys))
         kept = retain_latest(affected, F.col("_cap"), "key").drop("_cap")
-        self._overwrite_keys(kept)
+        # expected_keys closes the dynamic-overwrite blind spot here
+        # too: a cap that keeps ZERO rows for a key (cap 0) must still
+        # rewrite (empty) that key's partition, not silently skip it
+        self._overwrite_keys(kept, expected_keys=over_keys)
 
     def apply_refresh(self, key: str, refresh: int) -> None:
         """T4: drop the N newest rows for key (or all rows for -1)."""

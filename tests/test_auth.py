@@ -178,6 +178,53 @@ def test_es256k_jwt_roundtrip_and_rejections():
         verify_jwt(".".join([h, b, s[:10]]), SERVICE_DID, es_lookup)
 
 
+def test_hs256_with_public_key_bytes_rejected_alg_confusion():
+    """THE algorithm-confusion attack: the attacker fetches the issuer's
+    PUBLIC secp256k1 key, mints an HS256 token HMAC'd with those public
+    bytes as the 'secret', and relies on the verifier trusting the
+    attacker-controlled alg header.  The acceptable algorithm is bound
+    to the KEY TYPE: a public EC key must only ever verify ES256K."""
+    from starryskyqueryengine_spark.secp256k1 import pubkey_sec1
+
+    for compressed in (True, False):
+        pub = pubkey_sec1(ES_PRIV, compressed=compressed)
+        forged = sign_jwt_hs256(
+            {"iss": "did:plc:alice", "aud": SERVICE_DID,
+             "exp": time.time() + 600},
+            bytes(pub),
+        )
+        with pytest.raises(AuthRequiredError, match="ES256K required"):
+            verify_jwt(forged, SERVICE_DID, lambda d: pub)
+    # (x, y) pair form is also recognized as a public key
+    raw = pubkey_sec1(ES_PRIV, compressed=False)
+    xy = (int.from_bytes(raw[1:33], "big"), int.from_bytes(raw[33:65], "big"))
+    forged = sign_jwt_hs256(
+        {"iss": "did:plc:alice", "aud": SERVICE_DID, "exp": time.time() + 600},
+        b"whatever",
+    )
+    with pytest.raises(AuthRequiredError, match="ES256K required"):
+        verify_jwt(forged, SERVICE_DID, lambda d: xy)
+    # genuine shared-secret HS256 still works (str and non-SEC1 bytes)
+    ok = sign_jwt_hs256(
+        {"iss": "did:plc:bob", "aud": SERVICE_DID, "exp": time.time() + 600},
+        KEY,
+    )
+    assert verify_jwt(ok, SERVICE_DID, lambda d: KEY) == "did:plc:bob"
+
+
+def test_non_numeric_exp_is_auth_error_not_crash():
+    tok = sign_jwt_hs256(
+        {"iss": "did:plc:alice", "aud": SERVICE_DID, "exp": "abc"}, KEY
+    )
+    with pytest.raises(AuthRequiredError, match="exp"):
+        verify_jwt(tok, SERVICE_DID, lambda d: KEY)
+    tok2 = sign_jwt_hs256(
+        {"iss": "did:plc:alice", "aud": SERVICE_DID, "exp": {}}, KEY
+    )
+    with pytest.raises(AuthRequiredError, match="exp"):
+        verify_jwt(tok2, SERVICE_DID, lambda d: KEY)
+
+
 def test_es256k_via_validate_auth_header():
     from starryskyqueryengine_spark.auth import sign_jwt_es256k
     from starryskyqueryengine_spark.secp256k1 import pubkey_sec1

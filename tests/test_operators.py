@@ -473,3 +473,14 @@ def test_bloom_stride_never_collapses(spark):
     n_distinct = pos.select(F.size(F.array_distinct("p")).alias("n"))
     # with a nonzero stride mod a prime, all k positions are distinct
     assert n_distinct.agg(F.min("n")).collect()[0][0] == k
+
+
+def test_retention_cap_zero_empties_partition(spark, tmp_path):
+    """A cap that keeps ZERO rows must still rewrite (empty) that key's
+    partition — without expected_keys the empty keep-set hit dynamic
+    overwrite's deletion blind spot and silently evicted nothing."""
+    store = PostStore(spark, str(tmp_path / "p0"))
+    store.upsert(posts_df(spark, BASE))
+    store.apply_retention({"k1": 0})
+    assert store.read_key("k1").count() == 0
+    assert store.read_key("k2").count() == 1  # untouched

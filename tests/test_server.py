@@ -268,3 +268,74 @@ def test_concurrent_requests(server):
     assert all(status == 200 for status, _ in results)
     bodies = [b["feed"] for _, b in results]
     assert all(b == bodies[0] for b in bodies)
+
+
+def test_malformed_cursor_is_400_not_500(server):
+    status, resp = _req(
+        server.port,
+        "/xrpc/app.bsky.feed.getFeedSkeleton"
+        f"?feed={_skeleton_uri('sparkfeed')}&cursor=garbage",
+    )
+    assert status == 400
+    assert resp["error"] == "InvalidRequest"
+
+
+def test_set_query_bad_imageonly_gets_result_code_not_500(server):
+    """Fields the reference gauntlet does not cover still fail with the
+    documented {'result': ...} shape, not an opaque InternalServerError."""
+    hdr = {"x-starrtsky-webpasskey": "sesame"}
+    status, resp = _req(
+        server.port, "/setQuery",
+        body={"key": "k9", "recordName": "ok", "imageOnly": "both"},
+        headers=hdr,
+    )
+    assert status == 500
+    assert resp["result"] == "INVALID_PARAMETER"
+    assert "imageOnly" in resp["message"]
+
+
+def test_set_query_preserves_init_truncation_watermark(server, world):
+    """A cosmetic admin edit must not erase the engine's initTruncated
+    low-watermark: the full-replace upsert carries it forward, or
+    already-truncated old posts would re-enter on the next replay."""
+    reg, _store, _feeds = world
+    cond = reg.get("sparkfeed")
+    cond.initTruncated = True
+    cond.lastExecTime = 12345
+    hdr = {"x-starrtsky-webpasskey": "sesame"}
+    status, resp = _req(
+        server.port, "/setQuery",
+        body={"key": "sparkfeed", "recordName": "sparkfeed",
+              "inputRegex": "spark", "feedDescription": "new words"},
+        headers=hdr,
+    )
+    assert (status, resp["result"]) == (200, "OK")
+    after = reg.get("sparkfeed")
+    assert after.feedDescription == "new words"
+    assert after.initTruncated is True
+    assert after.lastExecTime == 12345
+
+
+def test_config_falsy_int_defaults_and_negative_caps():
+    """from_raw mirrors the reference's `initPost || 100` falsy
+    coalescing (explicit 0 takes the default — 0 used to make ingest
+    drop every post for the key forever); float strings truncate like
+    JS Number; negative caps are validation errors."""
+    from starryskyqueryengine_spark.config import (
+        ConditionValidationError,
+        FeedCondition,
+    )
+
+    c = FeedCondition.from_raw(
+        {"key": "k", "recordName": "ok", "initPost": 0, "limitCount": "0"}
+    )
+    assert (c.initPost, c.limitCount) == (100, 2000)
+    c2 = FeedCondition.from_raw(
+        {"key": "k", "recordName": "ok", "initPost": "12.5"}
+    )
+    assert c2.initPost == 12
+    with pytest.raises(ConditionValidationError, match="numeric"):
+        FeedCondition.from_raw({"key": "k", "recordName": "ok",
+                                "initPost": "ten"})
+    with pytest.raises(ConditionValidationError, match=">= 0"):
+        FeedCondition(key="k", recordName="ok", limitCount=-1).validate()

@@ -121,24 +121,22 @@ class FeedCondition:
             return raw.get(k) or d
 
         def i(k, d):
-            # mirror the reference's FALSY coalescing (`initPost || 100`,
-            # `limitCount || 2000`): 0 takes the default too — an
-            # explicit initPost=0 previously survived and made ingest's
-            # init-rank filter drop EVERY post for the key forever.
-            # Numeric strings parse JS-Number-style ('12.5' -> 12, the
-            # count the engine can honor); genuinely non-numeric input
-            # is a validation error, not a silent default (the caller's
-            # gauntlet accepted the value — swapping in the default
-            # would store a condition the admin never wrote).
+            # mirror the reference's FALSY coalescing exactly
+            # (`Number(v) || 100`): 0 takes the default — an explicit
+            # initPost=0 previously survived and made ingest's init-rank
+            # filter drop EVERY post for the key forever — and so does
+            # non-numeric input (JS Number(':') is NaN, NaN || 100 is
+            # 100), keeping S7 restore total over messy stored rows.
+            # Numeric float strings parse JS-Number-style and truncate
+            # ('12.5' -> 12, the count the engine can honor) instead of
+            # being silently swapped for the default.
             v = raw.get(k)
             if v in (None, ""):
                 return d
             try:
                 n = int(float(v))
             except (TypeError, ValueError):
-                raise ConditionValidationError(
-                    f"{k} must be numeric, got {v!r}"
-                ) from None
+                return d
             return n if n else d
 
         def csv(k):

@@ -192,11 +192,20 @@ def train_bpe_spark(df, text_col: str, n_merges: int = 256):
     return merges
 
 
-def bpe_encode(text: str, merges: list[tuple[bytes, bytes]]) -> list[bytes]:
+def bpe_encode(
+    text: str,
+    merges: list[tuple[bytes, bytes]],
+    ranks: dict | None = None,
+) -> list[bytes]:
     """Encode ``text`` to a token list by replaying merges rank-first
     within each pre-token word. Tokens are byte strings; ids would be a
-    dict lookup away (kept as bytes so decode is pure concatenation)."""
-    ranks = {pair: i for i, pair in enumerate(merges)}
+    dict lookup away (kept as bytes so decode is pure concatenation).
+
+    ``ranks`` (pair -> merge index) can be passed prebuilt; bulk callers
+    (tokenize_corpus) build it once per task instead of re-deriving the
+    dict for every document."""
+    if ranks is None:
+        ranks = {pair: i for i, pair in enumerate(merges)}
     out: list[bytes] = []
     for w in _pretoken_words(text):
         s = [bytes([b]) for b in w]
@@ -226,11 +235,12 @@ def tokenize_corpus(df, text_col: str, merges, out_schema: str):
     import pandas as pd
 
     def run(batches):
+        ranks = {pair: i for i, pair in enumerate(merges)}  # once per task
         for pdf in batches:
             n_tok, n_b, ok = [], [], []
             for t in pdf[text_col]:
                 t = t or ""
-                toks = bpe_encode(t, merges)
+                toks = bpe_encode(t, merges, ranks)
                 n_tok.append(len(toks))
                 n_b.append(len(t.encode("utf-8")))
                 ok.append(bpe_decode(toks) == t)

@@ -72,6 +72,15 @@ def encode(obj) -> bytes:
     if isinstance(obj, dict):
         # deterministic (DAG-CBOR-style) map ordering: length-first, then
         # bytewise — byte-identical output for equal inputs
+        for k in obj:
+            if not isinstance(k, str):
+                # consistent unsupported-subset signal: every other
+                # rejected input raises TypeError; an int key previously
+                # leaked AttributeError from k.encode
+                raise TypeError(
+                    f"map keys must be str in this profile, got "
+                    f"{type(k).__name__}"
+                )
         items = sorted(
             ((k.encode("utf-8"), v) for k, v in obj.items()),
             key=lambda kv: (len(kv[0]), kv[0]),
@@ -103,7 +112,14 @@ def _read_head(buf: bytes, pos: int) -> tuple[int, int, int]:
     raise ValueError(f"unsupported additional-info {ai} (indefinite/reserved)")
 
 
-def _decode_at(buf: bytes, pos: int):
+_MAX_DEPTH = 512  # malformed-input contract: nesting past this raises
+# ValueError, never RecursionError (which would escape callers' except
+# ValueError paths and can leave the interpreter near its limit)
+
+
+def _decode_at(buf: bytes, pos: int, depth: int = 0):
+    if depth > _MAX_DEPTH:
+        raise ValueError(f"CBOR nesting deeper than {_MAX_DEPTH}")
     major, arg, pos = _read_head(buf, pos)
     if major == MAJOR_UINT:
         return arg, pos
@@ -117,22 +133,22 @@ def _decode_at(buf: bytes, pos: int):
     if major == MAJOR_ARRAY:
         out = []
         for _ in range(arg):
-            v, pos = _decode_at(buf, pos)
+            v, pos = _decode_at(buf, pos, depth + 1)
             out.append(v)
         return out, pos
     if major == MAJOR_MAP:
         m = {}
         for _ in range(arg):
-            k, pos = _decode_at(buf, pos)
+            k, pos = _decode_at(buf, pos, depth + 1)
             if not isinstance(k, str):
                 raise ValueError("map keys must be text in this profile")
-            v, pos = _decode_at(buf, pos)
+            v, pos = _decode_at(buf, pos, depth + 1)
             m[k] = v
         return m, pos
     if major == MAJOR_TAG:
         if arg != TAG_CID:
             raise ValueError(f"unsupported tag {arg}")
-        v, pos = _decode_at(buf, pos)
+        v, pos = _decode_at(buf, pos, depth + 1)
         if not isinstance(v, bytes):
             raise ValueError("tag 42 must wrap a byte string")
         return CidLink(v), pos

@@ -203,7 +203,34 @@ def pagerank(
                 ranks.unpersist()
             ranks = new_ranks
             iters_run += 1
+    if per_round_collect:
+        # the loop materialized every round, so the final table is
+        # node-sized data sitting behind edge-list-sized caches: sever
+        # the lineage and DROP those caches — without this every
+        # pagerank call pinned edges/deg/nodes/dangling in executor
+        # storage for the rest of the session
+        return _finalize(ranks, edges, deg, nodes,
+                         *( [dangling] if has_dangling else [] ),
+                         ranks), iters_run
+    # pure-lazy path: the caller's single action executes the chain; the
+    # caches are load-bearing for it and free at driver GC of the result
     return ranks, iters_run
+
+
+def _finalize(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Sever a materialized loop result from its caches: one eager
+    localCheckpoint copies the (node-sized) result, then every cached
+    input/intermediate is unpersisted — repeated graph calls no longer
+    accumulate edge-list-sized executor storage.  The checkpoint's own
+    blocks free at driver GC of the returned frame (same discipline as
+    connected_components)."""
+    out = result.localCheckpoint(eager=True)
+    for df in cached:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    return out
 
 
 def sssp_bounded(
@@ -288,7 +315,7 @@ def sssp_bounded(
         if prev is not None:
             prev.unpersist()
         prev = dist
-    return dist
+    return _finalize(dist, edges, dist)
 
 
 def label_propagation(
@@ -442,4 +469,7 @@ def label_propagation(
             # fixed point: round k+1's inputs equal round k's, so all
             # remaining rounds are the identity — exact early stop
             break
-    return labels
+    return _finalize(
+        labels, edges, nodes,
+        *[df for df in (prev, backing) if df is not None],
+    )

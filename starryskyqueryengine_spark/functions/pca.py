@@ -53,9 +53,17 @@ def _scatter_partials(vec_col: str, d: int):
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
+            vecs = [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            bad = next((v for v in vecs if v.shape != (d,)), None)
+            if bad is not None:
+                # name the problem instead of letting np.asarray build a
+                # ragged object array and fail later with an unrelated
+                # broadcasting error
+                raise ValueError(
+                    f"pca_fit: vector of size {bad.shape} in "
+                    f"{vec_col!r}, expected ({d},)"
+                )
+            x = np.asarray(vecs)
             n += x.shape[0]
             s += x.sum(axis=0)
             ss += x.T @ x
@@ -73,13 +81,23 @@ def pca_fit(
     "explained_variance": (k,)} as numpy arrays.  One distributed pass;
     eigendecomposition of the d×d covariance happens on the driver
     (d is small by construction — the 100 TB cost is the data pass)."""
-    first = df.select(F.size(vec_col).alias("d")).first()
+    # derive d from the first NON-NULL vector (a one-row probe — a NULL
+    # first row previously gave F.size = -1 and an opaque
+    # np.zeros(-1) ValueError on the driver); ragged/null vectors are
+    # checked inside the single scatter pass itself, so the guard costs
+    # no extra scan of the data
+    first = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d"))
+        .first()
+    )
     if first is None:
-        raise ValueError("pca_fit: empty input")
+        raise ValueError("pca_fit: empty input (no non-null vectors)")
     d = first["d"]
     emit, schema = _scatter_partials(vec_col, d)
     parts = (
-        df.select(F.col(vec_col).cast("array<double>").alias(vec_col))
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(vec_col).cast("array<double>").alias(vec_col))
         .mapInPandas(emit, schema)
         .collect()  # one row per task: p × (d² + d) doubles, data-size independent
     )

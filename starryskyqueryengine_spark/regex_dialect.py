@@ -3,7 +3,7 @@
 The reference compiles user-supplied patterns as JavaScript ``RegExp`` with
 flags ``'ig'`` (include) and ``'i'`` (exclude) — reference
 ``src/subscription.ts:203-204``. Spark executes Java regex, so flags are
-translated to inline ``(?i)`` / ``(?s)`` prefixes and a few common dialect
+translated to inline ``(?iu)`` / ``(?s)`` prefixes and a few common dialect
 differences are normalized. Validation happens config-write time
 (reference ``src/databaseUtil.ts:17-32``).
 """
@@ -12,10 +12,19 @@ from __future__ import annotations
 
 import re
 
-# JS inline flag -> Java embedded flag expression. 'g' (global) has no Java
-# equivalent: it changes match *iteration*, not match semantics; the engine
-# models it by using regexp_count (match count) rather than boolean rlike.
-_FLAG_MAP = {"i": "(?i)", "s": "(?s)", "m": "(?m)", "u": ""}
+# JS inline flag -> Java embedded flag expression.
+# - 'i' maps to (?iu), NOT (?i): JS case-insensitivity canonicalizes via
+#   Unicode toUpperCase (ECMA-262), while Java's bare CASE_INSENSITIVE is
+#   US-ASCII-only — '(?i)ärger' would silently not match 'ÄRGER'.
+#   UNICODE_CASE ((?u)) restores the reference's matching.
+# - 'g' (global) has no Java equivalent: it changes match *iteration*,
+#   not match semantics; the engine models it by using regexp_count
+#   (match count) rather than boolean rlike.
+# - 'u' (unicode) is a deliberate no-op: Java regex is UTF-16-native.
+# Flags OUTSIDE this map (e.g. 'y' sticky, 'd' indices, 'v') change
+# matching semantics in ways the engine cannot reproduce — they raise at
+# validation instead of being silently dropped.
+_FLAG_MAP = {"i": "(?iu)", "s": "(?s)", "m": "(?m)", "u": "", "g": ""}
 
 
 class RegexValidationError(ValueError):
@@ -28,9 +37,42 @@ def js_to_java(pattern: str, flags: str = "") -> str:
     Java and JS syntax largely overlap; the meaningful production delta is
     flag placement. Unsupported JS constructs (e.g. ``\\cX`` control
     escapes) are left as-is — they fail loudly at validation time instead.
+    Raises RegexValidationError for flags whose semantics the engine
+    cannot reproduce ('y' sticky, 'd', 'v', ...).
     """
-    prefix = "".join(_FLAG_MAP.get(f, "") for f in flags if f != "g")
+    for f in flags:
+        if f not in _FLAG_MAP:
+            raise RegexValidationError(
+                f"unsupported regex flag {f!r} (of {flags!r}): its "
+                f"matching semantics have no Java/Spark equivalent"
+            )
+    prefix = "".join(_FLAG_MAP[f] for f in flags)
     return prefix + pattern
+
+
+def _java_compile_check(translated: str) -> None:
+    """Compile against the EXECUTING dialect (java.util.regex) when a
+    live SparkSession's JVM is reachable.  Python ``re`` is only a
+    proxy: JS/Python accept patterns Java rejects (``a{`` bare brace,
+    ``[a[b]`` nested class start) — without this check those passed
+    config-write validation and then blew up every executor task at
+    query time, defeating the fail-fast contract."""
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return
+        jvm = spark.sparkContext._jvm
+    except Exception:
+        return  # no JVM reachable (pure-Python context): re check stands
+    try:
+        jvm.java.util.regex.Pattern.compile(translated)
+    except Exception as e:
+        msg = str(getattr(e, "java_exception", e))
+        raise RegexValidationError(
+            f"invalid regex for the Java dialect: {msg}"
+        ) from None
 
 
 def validate_pattern(pattern: str, flags: str = "") -> str:
@@ -39,11 +81,13 @@ def validate_pattern(pattern: str, flags: str = "") -> str:
     Mirrors the reference's fail-fast ``new RegExp`` try/catch
     (``src/databaseUtil.ts:18-32``) but validates against the *executing*
     dialect: the translated pattern must compile under Python's ``re``
-    (a close proxy for Java regex for the supported subset).
+    AND — whenever a live Spark JVM is available — under
+    ``java.util.regex``, the engine that will actually run it.
     """
     translated = js_to_java(pattern, flags)
     try:
         re.compile(translated)
     except re.error as e:
         raise RegexValidationError(f"invalid regex {pattern!r}: {e}") from e
+    _java_compile_check(translated)
     return translated

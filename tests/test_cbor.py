@@ -90,3 +90,18 @@ def test_unsupported_encode_types():
         cbor.encode(True)
     with pytest.raises(TypeError):
         cbor.encode(None)
+
+
+def test_deep_nesting_raises_valueerror_not_recursionerror():
+    from starryskyqueryengine_spark.functions import cbor
+
+    blob = b"\x81" * 4000 + b"\x00"
+    with pytest.raises(ValueError, match="nesting"):
+        cbor.decode(blob)
+
+
+def test_non_string_map_keys_raise_typeerror_on_encode():
+    from starryskyqueryengine_spark.functions import cbor
+
+    with pytest.raises(TypeError, match="str"):
+        cbor.encode({1: "x"})

@@ -236,3 +236,42 @@ def test_both_plan_forms_agree_at_the_threshold(spark):
         for k in r["matched_keys"]
     }
     assert dd == comp
+
+
+def test_validate_pattern_checks_java_dialect(spark):
+    """Patterns Python re accepts but java.util.regex rejects ('a{'
+    bare brace) must fail AT VALIDATION when a live JVM is reachable —
+    not blow up every executor task at query time."""
+    from starryskyqueryengine_spark.regex_dialect import (
+        RegexValidationError,
+        validate_pattern,
+    )
+
+    with pytest.raises(RegexValidationError, match="Java dialect"):
+        validate_pattern("color{s", "i")
+    # still-valid patterns pass through both dialects
+    assert validate_pattern("colou?r", "i") == "(?iu)colou?r"
+
+
+def test_unsupported_js_flags_raise():
+    """'y' (sticky) changes matching semantics with no Java equivalent:
+    silently dropping it would return wrong matches with no error."""
+    from starryskyqueryengine_spark.regex_dialect import (
+        RegexValidationError,
+        js_to_java,
+    )
+
+    with pytest.raises(RegexValidationError, match="flag 'y'"):
+        js_to_java("abc", "iy")
+
+
+def test_case_insensitive_flag_is_unicode(spark):
+    """JS 'i' case-folds Unicode; Java's bare (?i) is ASCII-only — the
+    translation must emit (?iu) so 'ärger' matches 'ÄRGER' exactly as
+    the reference's RegExp does."""
+    from starryskyqueryengine_spark.regex_dialect import js_to_java
+
+    pat = js_to_java("ärger", "i")
+    df = spark.createDataFrame([("ÄRGER",), ("THE END",)], "text string")
+    got = [r["text"] for r in df.filter(F.col("text").rlike(pat)).collect()]
+    assert got == ["ÄRGER"]

@@ -334,8 +334,10 @@ def test_config_falsy_int_defaults_and_negative_caps():
         {"key": "k", "recordName": "ok", "initPost": "12.5"}
     )
     assert c2.initPost == 12
-    with pytest.raises(ConditionValidationError, match="numeric"):
-        FeedCondition.from_raw({"key": "k", "recordName": "ok",
-                                "initPost": "ten"})
+    # non-numeric mirrors the reference too: Number('ten') is NaN and
+    # NaN || 100 takes the default (keeps S7 restore total)
+    assert FeedCondition.from_raw(
+        {"key": "k", "recordName": "ok", "initPost": "ten"}
+    ).initPost == 100
     with pytest.raises(ConditionValidationError, match=">= 0"):
         FeedCondition(key="k", recordName="ok", limitCount=-1).validate()

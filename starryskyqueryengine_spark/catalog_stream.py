@@ -18,6 +18,24 @@ from .store import PostStore
 from .streaming import foreach_batch_upsert, parquet_stream, run_available_now, windowed_counts
 
 
+def _drain(q, timeout: int = 300) -> None:
+    """Await an availableNow drain and FAIL LOUDLY on timeout.
+
+    ``awaitTermination(timeout)`` returns False on a slow drain; every
+    caller here immediately reads the memory table / output dir, so
+    ignoring that bool would compare a PARTIAL result against the
+    oracle (silently wrong counts) while the still-active query keeps
+    writing into the dir being read.  Same contract as
+    ``streaming.run_available_now`` — stop the leak, then raise."""
+    done = q.awaitTermination(timeout)
+    if q.isActive:
+        q.stop()
+    if not done:
+        raise TimeoutError(
+            f"availableNow drain did not finish within {timeout}s"
+        )
+
+
 @contextmanager
 def _stream_shuffle(spark, n: int = 8):
     """Scope shuffle partitions down for the availableNow drain.
@@ -124,7 +142,7 @@ def w2_stateful_running_stats(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q)
     return spark.table(table).select("key", "n_total")
 
 
@@ -154,7 +172,7 @@ def w8_stream_tumbling_counts(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q)
     return spark.table(table)
 
 
@@ -220,7 +238,7 @@ def w_stream_interval_join(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q)
     return (
         spark.read.parquet(out_dir)
         .groupBy("event_id")
@@ -270,7 +288,7 @@ def w_stream_sliding_counts(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q)
     return spark.table(table)
 
 
@@ -324,7 +342,7 @@ def w_stream_pattern_match(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q)
     return spark.table(table)
 
 
@@ -510,7 +528,7 @@ def w_stream_session_counts(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q)
     return spark.table(table).select(
         "user_id",
         F.unix_micros("win_start").alias("sess_start_us"),
@@ -561,7 +579,7 @@ def w_stream_dedup(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q)
     # cross-batch safety: within-watermark duplicates are already
     # dropped by the operator; a distinct here collapses nothing on the
     # single-batch drain but keeps the contract under any batching
@@ -621,7 +639,7 @@ def w_stream_static_enrich(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q)
     return (
         spark.read.parquet(out_dir)
         .groupBy("c_mktsegment", "event_type")
@@ -685,7 +703,23 @@ def w_stream_outer_join(spark, sf_dir):
     apply_runtime_confs(spark)
     batch_ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     schema = batch_ev.schema
-    mx = batch_ev.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+    # legacy fixture support (same branch as _events_stream /
+    # sources/fixtures.py): a BIGINT ts is NANOSECONDS since epoch —
+    # cast("timestamp") would read it as SECONDS, and a datetime
+    # sentinel against the LongType schema field raises outright, so
+    # sentinels must be built in the fixture's native representation
+    legacy_ns = dict(batch_ev.dtypes).get("ts") == "bigint"
+    if legacy_ns:
+        mx_ns = batch_ev.agg(F.max("ts")).collect()[0][0]
+
+        def _far(days: int):
+            return mx_ns + days * 86400 * 10**9
+
+    else:
+        mx = batch_ev.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+
+        def _far(days: int):
+            return mx + datetime.timedelta(days=days)
 
     stage = tempfile.mkdtemp(prefix=f"wsoj_{uuid.uuid4().hex[:8]}_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stage}/a_events.parquet")
@@ -694,7 +728,7 @@ def w_stream_outer_join(spark, sf_dir):
     # watermark folds in one batch late, so sentinel #2's batch and the
     # no-data batch both run with the watermark past every real window
     for i, days in enumerate((365, 366)):
-        far = mx + datetime.timedelta(days=days)
+        far = _far(days)
         spark.createDataFrame(
             [
                 (SENTINEL_ID + 2 * i, far, 0, "purchase", 0.0, "{}"),
@@ -711,9 +745,11 @@ def w_stream_outer_join(spark, sf_dir):
         os.utime(tgt, (_time.time() + 100 + 10 * i,) * 2)
     shutil.rmtree(sent_dir, ignore_errors=True)
 
-    s = parquet_stream(
-        spark, stage, schema=schema, max_files_per_trigger=1
-    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    s = parquet_stream(spark, stage, schema=schema, max_files_per_trigger=1)
+    if legacy_ns:
+        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        s = s.withColumn("ts", F.col("ts").cast("timestamp"))
     purchases = s.filter(F.col("event_type") == "purchase").select(
         "event_id", F.col("ts").alias("p_ts")
     )
@@ -746,7 +782,7 @@ def w_stream_outer_join(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q)
     return (
         spark.read.parquet(out_dir)
         .filter(F.col("event_id") < SENTINEL_ID)
@@ -943,7 +979,7 @@ def table_changes_stream(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return (
         spark.read.parquet(out)
         .groupBy(

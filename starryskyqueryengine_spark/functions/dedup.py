@@ -96,8 +96,21 @@ def minhash_signature(hash_col: str = "_sh_hash") -> Column:
     return F.array(*sig)
 
 
-def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    caches: list | None = None,
+) -> DataFrame:
     """(id, shingles, sig) for docs with at least one shingle.
+
+    ``caches``: optional out-param collecting the internally persisted
+    DataFrames so LONG-RUNNING callers (NearDupGate's per-batch admits,
+    multi-query benchmark sessions) can ``unpersist()`` them once their
+    action has run — a ``DataFrame.cache()`` entry lives in Spark's
+    CacheManager until explicitly released, so without a handle each
+    call leaks an exploded-shingle-sized table for the application's
+    lifetime.  One-shot queries can ignore it.
 
     Signature is computed by exploding shingle hashes and running the 16
     ``min((a*h+b) % p)`` reductions as ONE codegen'd hash aggregate —
@@ -127,7 +140,10 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     # recomputing the shingle pipeline per plan branch. At cluster scale
     # this is the standard "materialize the signature table" step (tiny
     # relative to the text it summarizes).
-    return sh.cache().join(sigs, id_col)
+    sh = sh.cache()
+    if caches is not None:
+        caches.append(sh)
+    return sh.join(sigs, id_col)
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -179,15 +195,19 @@ def lsh_band_rows(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ).select(id_col, "bk.band", "bk.band_sig")
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", caches: list | None = None
+) -> DataFrame:
     """MinHash-LSH banding: same signature in any band -> candidate pair.
 
     One explode (BANDS rows/doc) + one shuffle on (band, band_sig); the
     self-join happens inside buckets only. Distinct de-dups pairs caught
-    by multiple bands.
+    by multiple bands.  ``caches`` as in :func:`minhash_signatures`.
     """
     bands = lsh_band_rows(sigs, id_col)
     bands = bands.cache()  # self-joined below: compute the banding once
+    if caches is not None:
+        caches.append(bands)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -257,9 +277,19 @@ def prefix_candidates(
     prefix = (
         sized.join(freq, "_s")
         .withColumn("_rn", F.row_number().over(w))
+        # ⌊(1−t)·n⌋ must be evaluated in EXACT arithmetic: in binary
+        # floats (1-0.8)*5 = 0.9999999999999998, whose floor UNDERSHOOTS
+        # the prefix by one element and silently drops qualifying pairs
+        # (breaking the output-identical contract).  Rounding to 9
+        # decimals before the floor restores the mathematically-integral
+        # cases; any residual ambiguity rounds the prefix UP, which only
+        # adds candidates — the verify step keeps the output exact.
         .filter(
             F.col("_rn")
-            <= F.floor((1.0 - threshold) * F.col("n_sh")).cast("int") + F.lit(1)
+            <= F.floor(
+                F.round((1.0 - threshold) * F.col("n_sh"), 9)
+            ).cast("int")
+            + F.lit(1)
         )
         .select("_s", id_col)
     )
@@ -444,7 +474,19 @@ def connected_components(
                     ra, rb = rb, ra
                 parent[rb] = ra
         rows = [(x, find(x)) for x in parent]
-        return pairs.sparkSession.createDataFrame(rows, "id long, component long")
+        # preserve the caller's id type (string doc_ids are the common
+        # case for dedup_survivors) — a hardcoded "long" schema would
+        # make correctness depend on which strategy branch fired
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = pairs.schema[id_a].dataType
+        out_schema = StructType(
+            [
+                StructField("id", id_type, False),
+                StructField("component", id_type, False),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(rows, out_schema)
     # ---- distributed path: alternating large-star / small-star -------
     # (Kiveris et al. 2014, "Connected Components in MapReduce and
     # Beyond"): contraction converges in O(log n) rounds regardless of
@@ -589,7 +631,12 @@ def simhash_from_hashes(hash_col: Column) -> Column:
     return sig
 
 
-def simhash_pairs(sigs: DataFrame, max_hamming: int, id_col: str = "doc_id") -> DataFrame:
+def simhash_pairs(
+    sigs: DataFrame,
+    max_hamming: int,
+    id_col: str = "doc_id",
+    caches: list | None = None,
+) -> DataFrame:
     """Near-dup pairs within Hamming distance on the 32-bit signature,
     via pigeonhole banding: split the signature into ``max_hamming + 1``
     bit-bands — any pair within distance d <= max_hamming must agree
@@ -597,6 +644,7 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int, id_col: str = "doc_id") -> 
     complete candidate set (exact, not approximate), then the bit_count
     verify keeps true pairs. Join shape matches MinHash LSH: one shuffle
     on (band, band_bits), never the quadratic pair space.
+    ``caches`` as in :func:`minhash_signatures`.
     """
     n_bands = max_hamming + 1
     base, extra = divmod(32, n_bands)
@@ -620,6 +668,8 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int, id_col: str = "doc_id") -> 
             )
         ).alias("bk"),
     ).select(id_col, "simhash", "bk.band", "bk.bits").cache()
+    if caches is not None:
+        caches.append(bands)
     a = bands.select(
         "band", "bits", F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a")
     )
@@ -676,10 +726,35 @@ class NearDupGate:
     def admit(self, docs: DataFrame, text_col: str = "text") -> DataFrame:
         """Returns (id, is_dup) for the batch and appends admitted docs'
         bands to the store. ``is_dup`` is true when a band bucket
-        collides with the store or with an earlier (lower-id) batch doc."""
+        collides with the store or with an earlier (lower-id) batch doc.
+
+        Docs too short to shingle (< SHINGLE_N words) get NO minhash
+        bands, so without a fallback every short doc — including a
+        byte-identical duplicate of an admitted one — would sail through
+        the gate forever.  They are gated on an EXACT key instead: one
+        synthetic band row (band = -1, band_sig = md5 of the normalized
+        token string), which flows through the same store probe,
+        within-batch rule, and store append as real bands."""
         idc = self.id_col
-        sigs = minhash_signatures(docs, text_col=text_col, id_col=idc)
-        bands = lsh_band_rows(sigs.select(idc, "sig"), idc).cache()
+        caches: list = []
+        sigs = minhash_signatures(
+            docs, text_col=text_col, id_col=idc, caches=caches
+        )
+        short_bands = (
+            docs.join(sigs.select(idc), idc, "left_anti")
+            .select(
+                F.col(idc),
+                F.lit(-1).alias("band"),
+                F.md5(
+                    F.concat_ws(" ", words_col(F.col(text_col)))
+                ).alias("band_sig"),
+            )
+        )
+        bands = (
+            lsh_band_rows(sigs.select(idc, "sig"), idc)
+            .unionByName(short_bands)
+            .cache()
+        )
 
         stored = self._stored_bands()
         hits_store = (
@@ -704,7 +779,16 @@ class NearDupGate:
             verdict.filter(~F.col("is_dup")).select(idc), idc, "left_semi"
         )
         admitted_bands.write.mode("append").parquet(self.path)
+        # Materialize the (batch-sized) verdict while the band/shingle
+        # caches are still warm, THEN release them: returning the lazy
+        # plan would make the caller's first action recompute the whole
+        # minhash pipeline the append just ran, and the internal caches
+        # would pin executor storage for the gate's lifetime (one
+        # shingle table per admitted batch).
+        verdict = verdict.localCheckpoint(eager=True)
         bands.unpersist()
+        for c in caches:
+            c.unpersist()
         return verdict
 
     def file_count(self) -> int:

@@ -78,8 +78,14 @@ class Bm25IncrementalIndex:
         )
 
     def _index_rows(self, docs: DataFrame, gen: int):
+        """(postings, dl, tf) for a batch.  ``tf`` is returned CACHED:
+        both outputs and the caller's stats aggregate derive from it, so
+        the tokenize+explode pass (the dominant per-batch cost) runs
+        once instead of once per downstream action — the caller must
+        ``unpersist()`` it after its last action.  ``dl`` is the sum of
+        per-term counts, identical to counting raw tokens."""
         tok = self._tokenize(docs)
-        tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).cache()
         postings = tf.select(
             "term",
             "doc_id",
@@ -87,10 +93,10 @@ class Bm25IncrementalIndex:
             F.lit(gen).cast("long").alias("gen"),
             (F.abs(F.hash("term")) % self.n_buckets).alias("term_bucket"),
         )
-        dl = tok.groupBy("doc_id").agg(
-            F.count("*").alias("dl")
+        dl = tf.groupBy("doc_id").agg(
+            F.sum("tf").alias("dl")
         ).select("doc_id", "dl", F.lit(gen).cast("long").alias("gen"))
-        return postings, dl
+        return postings, dl, tf
 
     def _append(self, postings: DataFrame, dl: DataFrame) -> None:
         (
@@ -129,11 +135,12 @@ class Bm25IncrementalIndex:
 
     def build(self, docs: DataFrame) -> None:
         """Full build as generation 0."""
-        postings, dl = self._index_rows(docs, gen=0)
+        postings, dl, tf = self._index_rows(docs, gen=0)
         self._append(postings, dl)
         row = dl.agg(
             F.count("*").alias("n"), F.sum("dl").alias("t")
         ).collect()[0]
+        tf.unpersist()
         self._write_stats(
             {"gen": 0, "n_docs": row["n"] or 0, "total_dl": int(row["t"] or 0)}
         )
@@ -171,11 +178,12 @@ class Bm25IncrementalIndex:
 
         n_ins = t_ins = 0
         if ins.head(1):
-            postings, dl = self._index_rows(ins, gen=gen)
+            postings, dl, tf = self._index_rows(ins, gen=gen)
             self._append(postings, dl)
             row = dl.agg(
                 F.count("*").alias("n"), F.sum("dl").alias("t")
             ).collect()[0]
+            tf.unpersist()
             n_ins, t_ins = row["n"] or 0, int(row["t"] or 0)
 
         self._write_stats(
@@ -188,18 +196,42 @@ class Bm25IncrementalIndex:
         return {"gen": gen, "inserted": n_ins, "deleted": n_del}
 
     def compact(self) -> None:
-        """Fold live rows into fresh gen-0 segments and clear
-        tombstones: results unchanged, probe-side tombstone resolution
-        back to zero work."""
+        """Fold live rows into fresh single-generation segments and
+        clear tombstones: results unchanged, probe-side tombstone
+        resolution back to zero work.
+
+        Crash-safe by construction — every interruption point leaves an
+        index that answers probes CORRECTLY (or fails loudly), never one
+        that silently drops documents:
+
+        - Folded rows carry gen = the CURRENT stats gen (the log tip),
+          not 0: ``_live`` keeps rows with gen >= the doc's newest
+          tombstone gen, and every existing tombstone has gen <= tip, so
+          leftover tombstones from a crash BEFORE the tombstone clear
+          are harmless no-ops over the folded rows (gen-0 folding — the
+          original design — made that window return silently wrong,
+          empty results for every tombstoned doc).
+        - Each data dir is swapped via rename-aside (old -> aside, new
+          -> live, delete aside), never delete-then-replace: no moment
+          at which the only live copy has been rmtree'd.  A crash
+          between the two renames leaves the dir missing — probes raise
+          (loud), and both the aside and tmp trees still hold full
+          copies for recovery.
+        - A half-swapped state (new postings + old dl) is consistent
+          because both resolve through the still-present tombstones to
+          the same live set.
+        """
         import shutil
         import uuid
 
+        st = self._stats()
+        fold_gen = int(st["gen"])
         live_post = self._live(
             self.spark.read.parquet(os.path.join(self.path, "postings"))
-        ).withColumn("gen", F.lit(0).cast("long"))
+        ).withColumn("gen", F.lit(fold_gen).cast("long"))
         live_dl = self._live(
             self.spark.read.parquet(os.path.join(self.path, "dl"))
-        ).withColumn("gen", F.lit(0).cast("long"))
+        ).withColumn("gen", F.lit(fold_gen).cast("long"))
         tmp = os.path.join(self.path, f"_compact-{uuid.uuid4().hex}")
         (
             live_post.repartition("term_bucket")
@@ -209,16 +241,18 @@ class Bm25IncrementalIndex:
         )
         live_dl.write.mode("overwrite").parquet(os.path.join(tmp, "dl"))
         for name in ("postings", "dl"):
-            old = os.path.join(self.path, name)
-            shutil.rmtree(old, ignore_errors=True)
-            os.replace(os.path.join(tmp, name), old)
+            live = os.path.join(self.path, name)
+            aside = os.path.join(self.path, f"_aside-{name}-{uuid.uuid4().hex}")
+            os.rename(live, aside)
+            os.rename(os.path.join(tmp, name), live)
+            shutil.rmtree(aside)
         shutil.rmtree(
             os.path.join(self.path, "tombstones"), ignore_errors=True
         )
         shutil.rmtree(tmp, ignore_errors=True)
         # stats (incl. the gen counter) are untouched: gens keep
         # increasing across compactions so later tombstones stay newer
-        # than every folded gen-0 row
+        # than every folded row
 
     # ----------------------------------------------------------------- probe
 
@@ -226,6 +260,10 @@ class Bm25IncrementalIndex:
         """Same pruned-bucket plan as the static index; tombstone
         resolution is one broadcast join over O(deletes-since-compact)."""
         st = self._stats()
+        # dedupe query terms: a repeated term would double its postings
+        # after the join (inflating df -> wrong idf, and double-counting
+        # its score contribution); BM25 is defined over the term SET
+        terms = list(dict.fromkeys(terms))
         qt = self.spark.createDataFrame([(t,) for t in terms], "term string")
         buckets = sorted(
             {

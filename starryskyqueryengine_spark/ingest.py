@@ -160,6 +160,11 @@ class IngestJob:
             # detection past initPost nor consume row_number ranks and
             # push distinct posts over the cap
             posts = dedup_within_batch(posts, ["uri", "key"])
+            # the truncation-detection collect below AND store.upsert
+            # both consume this plan — without a cache each would re-run
+            # the full N-feed regex scan over the incoming batch (the
+            # tick's most expensive stage); materialize it once
+            posts = _cached_batch = posts.cache()
             # record which keys the cap actually truncates — only those
             # carry a low-watermark into later runs (see floors above)
             accepted_counts = {
@@ -192,6 +197,8 @@ class IngestJob:
         # J2 + S8: PK anti-join upsert; the store counts the actually
         # appended batch per key — no before/after full-store rescans.
         appended = self.store.upsert(posts)
+        if fresh_keys:
+            _cached_batch.unpersist()
         inserted = {c.key: appended.get(c.key, 0) for c in self.registry.all()}
 
         # T3/W7 retention caps per key (src/subscription.ts:379-393)

@@ -52,14 +52,22 @@ def as_of_join(
     l = left.withColumn("_side", F.lit(1)).withColumn(
         "_r", F.lit(None).cast(struct_type)
     )
-    r = right.select(
-        key_col,
-        ts_col,
-        F.struct(*[F.col(p) for p in right_payload]).alias("_r"),
-    ).withColumn("_side", F.lit(0))
-    for c in lcols:
-        if c not in (key_col, ts_col) and c not in r.columns:
-            r = r.withColumn(c, F.lit(None).cast(dict(l.dtypes)[c]))
+    r = (
+        right
+        # a NULL-ts right row has no position on the timeline: ascending
+        # nulls-first would sort it to the partition FRONT, where the
+        # carry window hands its payload to every left row that has no
+        # genuine prior right row — it must simply not participate
+        .filter(F.col(ts_col).isNotNull())
+        .select(
+            key_col,
+            ts_col,
+            F.struct(*[F.col(p) for p in right_payload]).alias("_r"),
+        )
+        .withColumn("_side", F.lit(0))
+    )
+    # left-only columns are null-filled (with the left side's types) by
+    # allowMissingColumns=True
     unioned = l.unionByName(r, allowMissingColumns=True)
 
     order = [F.col(ts_col), F.col("_side")]

@@ -51,8 +51,11 @@ def write_bucketed(
         .format("parquet")
         .bucketBy(num_buckets, cols[0], *cols[1:])
     )
+    # sort_cols=None -> default to the bucket key; an explicit empty
+    # sequence -> bucketed-but-unsorted (no sortBy clause at all)
     sort = list(sort_cols) if sort_cols is not None else cols
-    writer = writer.sortBy(sort[0], *sort[1:])
+    if sort:
+        writer = writer.sortBy(sort[0], *sort[1:])
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(table)

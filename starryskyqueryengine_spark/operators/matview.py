@@ -80,13 +80,17 @@ class CountByKeyView:
         # (deleting it mid-lifetime would fail the reader); older dirs
         # than that are past any plausible reader and are reclaimed.
         survivors = {state_dir}
+        # lstrip("-") so the empty-base-table bootstrap dir (state_v-1,
+        # written when the base has no commits yet) is listed too —
+        # a bare isdigit() would hide it from the keep-one-previous
+        # policy and leak it forever
         versions = sorted(
             (
                 int(n[len("state_v"):])
                 for n in os.listdir(self.path)
                 if n.startswith("state_v")
                 and os.path.isdir(os.path.join(self.path, n))
-                and n[len("state_v"):].isdigit()
+                and n[len("state_v"):].lstrip("-").isdigit()
             ),
             reverse=True,
         )

@@ -39,10 +39,21 @@ def scd2_rebuild(
     value changes, lead() closes each interval at the next change; both
     windows share one (key × ts) sort."""
     w = Window.partitionBy(key).orderBy(ts)
+    # NULL is a legitimate attribute value, so change detection must be
+    # null-safe: `val != prev` evaluates to NULL (dropped) for any NULL
+    # endpoint, which would both erase transitions INTO a NULL period
+    # and rely on `_prev IS NULL` to mis-keep the row after it — history
+    # like A, NULL, A would collapse to two adjacent A intervals.  The
+    # first row per key therefore needs an explicit marker instead of
+    # `_prev IS NULL`.
     chg = (
         events.select(key, ts, val)
+        .withColumn("_rn", F.row_number().over(w))
         .withColumn("_prev", F.lag(val).over(w))
-        .filter(F.col("_prev").isNull() | (F.col(val) != F.col("_prev")))
+        .filter(
+            (F.col("_rn") == 1) | ~F.col(val).eqNullSafe(F.col("_prev"))
+        )
+        .drop("_rn")
     )
     hist = chg.withColumn("valid_to_us", F.lead(ts).over(w))
     return hist.select(
@@ -113,13 +124,18 @@ def scd2_upsert(
         clean.select(key, ts, val).withColumn("_seed", F.lit(False))
     )
     w = Window.partitionBy(key).orderBy(ts)
+    # same null-safe change detection as scd2_rebuild: the seed (or the
+    # genuinely first event for a brand-new key) is kept by marker, and
+    # a transition to/from NULL is a real change
     chg = (
-        combined.withColumn("_prev", F.lag(val).over(w))
+        combined.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_prev", F.lag(val).over(w))
         .filter(
             F.col("_seed")
-            | F.col("_prev").isNull()
-            | (F.col(val) != F.col("_prev"))
+            | (F.col("_rn") == 1)
+            | ~F.col(val).eqNullSafe(F.col("_prev"))
         )
+        .drop("_rn")
     )
     fresh = chg.withColumn("valid_to_us", F.lead(ts).over(w)).select(
         F.col(key),

@@ -84,3 +84,18 @@ def test_write_bucketed_validates_args(spark):
         write_bucketed(df, "t_bad", [], num_buckets=8)
     with pytest.raises(ValueError):
         write_bucketed(df, "t_bad", ["id"], num_buckets=0)
+
+
+def test_write_bucketed_explicit_empty_sort_is_unsorted_not_crash(spark, tmp_path):
+    from starryskyqueryengine_spark.operators.bucketed import write_bucketed
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    write_bucketed(
+        df, "t_unsorted_bkt", ["k"], num_buckets=4,
+        sort_cols=[], path=str(tmp_path / "t"),
+    )
+    try:
+        got = sorted(tuple(r) for r in spark.table("t_unsorted_bkt").collect())
+        assert got == [(1, "a"), (2, "b")]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_unsorted_bkt")

@@ -126,3 +126,22 @@ def test_aho_corasick_counts_match_brute_force():
         goto, fail, out = build_aho_corasick(pats)
         assert ac_count(text, goto, fail, out, len(pats)) == brute(text, pats), (
             pats, text)
+
+
+def test_ip_octets_range_checked(spark):
+    # impossible addresses must NOT be redacted (999.999.999.999 is not
+    # PII, and redacting it corrupts training text)
+    r = _one(spark, "code 999.999.999.999 and 256.1.1.1 stay")
+    assert r["red"] == "code 999.999.999.999 and 256.1.1.1 stay"
+    assert r["n_ips"] == 0
+    # boundary octets 0 and 255 are valid
+    r = _one(spark, "hosts 0.0.0.0 and 255.255.255.255 go")
+    assert r["red"] == "hosts <IP> and <IP> go"
+    assert r["n_ips"] == 2
+
+
+def test_ip_no_partial_match_inside_larger_number_runs(spark):
+    # \b guards: no octet may be carved out of a longer digit run
+    r = _one(spark, "id 1234.1.1.1 and 1.1.1.1234 stay")
+    assert r["n_ips"] == 0
+    assert r["red"] == "id 1234.1.1.1 and 1.1.1.1234 stay"

@@ -214,3 +214,28 @@ def test_matview_follows_streaming_ingest(spark, tmp_path):
     )
     assert view.synced_version == v_before
     assert _state(view) == _recompute(spark, fmt)
+
+
+def test_matview_bootstrap_before_any_commit_does_not_leak_state_dir(spark, tmp_path):
+    """A refresh against a base table with no commits writes state_v-1;
+    the keep-one-previous GC must still SEE that dir (negative version)
+    and reclaim it once two newer states exist."""
+    import os
+
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    view = CountByKeyView(spark, fmt, str(tmp_path / "mv"))
+
+    assert view.refresh()["mode"] == "full"
+    assert _state(view) == []
+    assert os.path.isdir(str(tmp_path / "mv" / "state_v-1"))
+
+    fmt.append(_batch(spark, 0, 2, key="a"))
+    view.refresh()
+    # state_v-1 is the retained previous version here
+    assert os.path.isdir(str(tmp_path / "mv" / "state_v-1"))
+
+    fmt.append(_batch(spark, 100, 2, key="b"))
+    view.refresh()
+    dirs = {n for n in os.listdir(str(tmp_path / "mv")) if n.startswith("state_v")}
+    assert "state_v-1" not in dirs, "bootstrap state dir leaked past GC"
+    assert _state(view) == _recompute(spark, fmt)

@@ -455,3 +455,60 @@ def test_neardup_gate_streaming_checkpoint_resume(spark, tmp_path):
     assert 1 not in v2 and 2 not in v2, "checkpoint failed to skip old files"
     assert v2[3] is True, "signature store lost across restart"
     assert v2[4] is False
+
+
+def test_neardup_gate_gates_short_docs_exactly(spark, tmp_path):
+    """Docs under SHINGLE_N words have no minhash bands; the gate must
+    still catch their exact duplicates (via the synthetic band=-1 exact
+    key) instead of admitting every short doc forever."""
+    from starryskyqueryengine_spark.functions.dedup import NearDupGate
+
+    gate = NearDupGate(spark, str(tmp_path / "store"))
+    b1 = spark.createDataFrame(
+        [(1, "hello world"), (2, "bye")], "doc_id long, text string"
+    )
+    v1 = {r["doc_id"]: r["is_dup"] for r in gate.admit(b1).collect()}
+    assert v1 == {1: False, 2: False}
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "hello   WORLD"),   # normalizes to stored doc 1 -> dup
+            (11, "new short"),        # novel short doc -> admitted
+            (12, "new short"),        # exact within-batch copy -> dup
+            (13, "bye"),              # stored doc 2 -> dup
+        ],
+        "doc_id long, text string",
+    )
+    v2 = {r["doc_id"]: r["is_dup"] for r in gate.admit(b2).collect()}
+    assert v2 == {10: True, 11: False, 12: True, 13: True}
+
+    # replay idempotence holds for the short-doc leg too
+    v3 = {r["doc_id"]: r["is_dup"] for r in gate.admit(b2).collect()}
+    assert v3 == {10: True, 11: True, 12: True, 13: True}
+
+
+def test_neardup_gate_verdict_is_materialized(spark, tmp_path):
+    """admit() returns an eagerly-materialized verdict: consuming it
+    must not recompute the minhash pipeline (lineage severed), and the
+    call must leave NO DataFrame cache entries behind — one leaked
+    shingle table per admitted batch is executor-storage death for a
+    long-running gate."""
+    from starryskyqueryengine_spark.functions.dedup import NearDupGate
+
+    spark.catalog.clearCache()
+    gate = NearDupGate(spark, str(tmp_path / "store"))
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common words shared across documents here {i}")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    verdict = gate.admit(docs)
+    # lineage severed: the returned plan reads checkpointed rows, not
+    # the tokenize/shingle pipeline
+    plan = verdict._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan
+    assert verdict.count() == 6
+    # every internal cache released (CacheManager entries persist until
+    # explicit unpersist — GC never reclaims them)
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "admit() leaked DataFrame cache entries"

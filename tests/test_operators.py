@@ -484,3 +484,21 @@ def test_retention_cap_zero_empties_partition(spark, tmp_path):
     store.apply_retention({"k1": 0})
     assert store.read_key("k1").count() == 0
     assert store.read_key("k2").count() == 1  # untouched
+
+
+def test_asof_join_ignores_null_right_timestamps(spark):
+    """A right row with NULL ts has no position on the timeline: it must
+    not be carried onto left rows that have no genuine prior match."""
+    from starryskyqueryengine_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (2, 10, "p2")], "uid long, ts long, pid string"
+    )
+    right = spark.createDataFrame(
+        [(1, None, "ghost"), (2, 5, "c1"), (2, None, "ghost2")],
+        "uid long, ts long, cid string",
+    )
+    out = {r["pid"]: r["asof_cid"] for r in as_of_join(
+        left, right, key_col="uid", ts_col="ts", right_payload=["cid"]
+    ).collect()}
+    assert out == {"p1": None, "p2": "c1"}

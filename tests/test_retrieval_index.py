@@ -122,3 +122,46 @@ def test_probe_prunes_buckets(spark, tmp_path):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [term_bucket" in plan
     assert " IN (" in plan
+
+
+def test_probe_dedupes_repeated_query_terms(spark, tmp_path):
+    """BM25 is defined over the query term SET: a repeated term must not
+    double its df (wrong idf) or double-count its score contribution."""
+    idx = Bm25IncrementalIndex(spark, str(tmp_path / "idx"))
+    idx.build(_docs(spark, CORPUS))
+    once = sorted(tuple(r) for r in idx.probe(["spark", "vector"]).collect())
+    twice = sorted(
+        tuple(r)
+        for r in idx.probe(["spark", "spark", "vector", "spark"]).collect()
+    )
+    assert once == twice and len(once) > 0
+
+
+def test_compact_crash_window_with_stale_tombstones_is_harmless(spark, tmp_path):
+    """compact() folds live rows at gen = the stats tip (not 0) exactly
+    so a crash AFTER the data-dir swaps but BEFORE the tombstone clear
+    leaves a correct index: re-materialize that state by re-appending
+    the pre-compact tombstones over the folded files — probes must
+    still match, not silently drop every tombstoned doc."""
+    idx = Bm25IncrementalIndex(spark, str(tmp_path / "idx"))
+    idx.build(_docs(spark, CORPUS))
+    # update doc 5 (tombstone gen 1 + fresh rows gen 1), delete doc 4
+    idx.apply_changes(
+        _changes(spark, [("delete", 5, None), ("insert", 5, "spark stream")])
+    )
+    idx.apply_changes(_changes(spark, [("delete", 4, None)]))
+    before = _probe(idx)
+    stale = idx._tombstones().collect()
+
+    idx.compact()
+    # simulate the crash window: stale tombstones back over folded rows
+    spark.createDataFrame(stale).write.mode("append").parquet(
+        os.path.join(str(tmp_path / "idx"), "tombstones")
+    )
+    assert _probe(idx) == before
+    # folded rows carry the tip gen, the invariant the window relies on
+    gens = (
+        spark.read.parquet(os.path.join(str(tmp_path / "idx"), "postings"))
+        .select("gen").distinct().collect()
+    )
+    assert {r["gen"] for r in gens} == {2}

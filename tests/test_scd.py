@@ -109,3 +109,41 @@ def test_catalog_query_matches_operator(spark):
         for r in q.collect()
     )
     assert got == want
+
+
+def test_null_attribute_values_are_real_changes(spark):
+    """NULL is a legitimate attribute value: A -> NULL -> A must yield
+    THREE intervals (the NULL period must not vanish into two adjacent
+    A intervals), in both the rebuild and the folded upsert."""
+    rows = [("k", 10, "A"), ("k", 20, None), ("k", 30, "A")]
+    want = sorted(
+        [
+            ("k", "A", 10, 20, False),
+            ("k", None, 20, 30, False),
+            ("k", "A", 30, None, True),
+        ]
+    , key=lambda t: t[2])
+    got = sorted(
+        (tuple(r) for r in scd2_rebuild(_events(spark, rows)).collect()),
+        key=lambda t: t[2],
+    )
+    assert got == want
+
+    hist = scd2_rebuild(_events(spark, rows[:1]))
+    for chunk in ([rows[1]], [rows[2]]):
+        hist = scd2_upsert(hist, _events(spark, chunk))
+    assert sorted((tuple(r) for r in hist.collect()), key=lambda t: t[2]) == want
+
+
+def test_null_first_event_and_no_change_merge(spark):
+    """A key whose FIRST value is NULL still opens an interval, and a
+    repeated NULL is a non-change (merged), null-safely."""
+    rows = [("k", 10, None), ("k", 20, None), ("k", 30, "B")]
+    got = sorted(
+        (tuple(r) for r in scd2_rebuild(_events(spark, rows)).collect()),
+        key=lambda t: t[2],
+    )
+    assert got == [
+        ("k", None, 10, 30, False),
+        ("k", "B", 30, None, True),
+    ]

@@ -474,3 +474,49 @@ def test_cross_source_dup_matrix_consistent_with_pair_set(spark):
         .count()
     )
     assert sum(r["n_dup_pairs"] for r in rows) == n_pairs
+
+
+def test_prefix_filter_exact_at_integral_threshold_boundary(spark):
+    """(1-t)*n computed in binary floats UNDERSHOOTS the prefix by one
+    whenever t*n is mathematically integral ((1-0.8)*5 ->
+    0.9999999999999998 -> floor 0): a J=0.8 pair whose only shared
+    prefix element is the SECOND-rarest shingle then never becomes a
+    candidate.  Pin the exact-arithmetic prefix length."""
+    from starryskyqueryengine_spark.functions import dedup as dd
+
+    # A has one globally-unique rarest shingle; B shares the rest.
+    # J(A,B) = 4/5 = 0.8 exactly; the correct prefixes are A->2, B->1
+    # elements, intersecting only at s2 (A's second prefix slot).
+    sh = spark.createDataFrame(
+        [
+            (1, ["a_unique", "s2", "s3", "s4", "s5"]),
+            (2, ["s2", "s3", "s4", "s5"]),
+        ],
+        "doc_id long, shingles array<string>",
+    )
+    cands = sorted(map(tuple, dd.prefix_candidates(sh, 0.8).collect()))
+    assert cands == [(1, 2)]
+    out = dd.jaccard_pairs_blocked(sh, 0.8, prefix_filter=True).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in out] == [(1, 2, 0.8)]
+
+
+def test_connected_components_driver_path_preserves_string_ids(spark):
+    """The driver union-find path must keep the caller's id type (string
+    doc_ids are the dedup_survivors norm) and agree with the distributed
+    path's labels — correctness must not depend on which strategy
+    branch fires."""
+    from starryskyqueryengine_spark.functions import dedup as dd
+
+    edges = [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("doc-x", "doc-y")]
+    pairs = spark.createDataFrame(edges, "id_a string, id_b string")
+    fast = dd.connected_components(pairs)
+    assert dict(fast.dtypes) == {"id": "string", "component": "string"}
+    got = {(r["id"], r["component"]) for r in fast.collect()}
+    want = {
+        ("doc-a", "doc-a"), ("doc-b", "doc-a"), ("doc-c", "doc-a"),
+        ("doc-x", "doc-x"), ("doc-y", "doc-x"),
+    }
+    assert got == want
+    dist = {(r["id"], r["component"])
+            for r in dd.connected_components(pairs, driver_threshold=0).collect()}
+    assert dist == want

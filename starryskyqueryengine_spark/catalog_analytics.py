@@ -372,6 +372,12 @@ def q13_customer_distribution(spark, sf_dir):
     )
 
 
+def _dec_rev():
+    return F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,4)")
+
+
 @register(
     "q10_returned_items",
     """
@@ -413,15 +419,7 @@ def q10_returned_items(spark, sf_dir):
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(18,4)")
-                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("revenue")
+            F.round(F.sum(_dec_rev()), 2).cast("double").alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -433,12 +431,6 @@ def q10_returned_items(spark, sf_dir):
 # partsupp/commitdate/shipmode columns). Decimal-exact revenue sums
 # throughout (see q10's docstring for why).
 # --------------------------------------------------------------------------
-
-def _dec_rev():
-    return F.col("l_extendedprice").cast("decimal(18,4)") * (
-        F.lit(1) - F.col("l_discount")
-    ).cast("decimal(18,4)")
-
 
 @register(
     "q7_nation_volume",
@@ -878,13 +870,20 @@ def q17_small_quantity_revenue(spark, sf_dir):
     on partkey shared by both sides; the filtered part dim joins
     hint-free (broadcast while it fits, shuffle-join at 100 TB).
     At 100 TB the avg side aggregates BEFORE the join so the shuffle
-    carries one row per part, not per lineitem."""
+    carries one row per part, not per lineitem — and it semi-joins the
+    FILTERED part keys before the groupBy (the q2 pattern, ~6x there):
+    only Brand#3+PROMO parts can survive the inner join, and a part's
+    average over its own lineitems is unchanged by dropping OTHER
+    parts' rows, so pruning first is exact."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "PROMO")
     )
-    part_avg = l.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
-        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
+    pk = p.select(F.col("p_partkey").alias("pa_pk"))
+    part_avg = (
+        l.join(pk, l["l_partkey"] == F.col("pa_pk"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("pa_partkey"))
+        .agg((F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty"))
     )
     return (
         l.join(p, l["l_partkey"] == p["p_partkey"])
@@ -1170,12 +1169,17 @@ def q20_excess_supply(spark, sf_dir):
     lack partsupp, so 'dominates' = shipped more than half that part's
     total shipped quantity in the window — the same correlated
     threshold-vs-aggregate subquery, decorrelated into a per-part total
-    joined back on partkey.) The filtered part set semi-joins BEFORE the
-    threshold work (hint-free: broadcast while it fits); the final supplier membership is a
-    left-semi against the distinct dominant-supplier set; nation is a
-    broadcast dim. Decimal quantity sums: order-independent compares.
-    At 100 TB both aggregates shuffle the same (suppkey, partkey) grain
-    once; nothing lineitem-wide survives past the first groupBy."""
+    joined back on partkey. 'Dominates' = shipped more than 35% of that
+    part's total shipped quantity in the window.) The filtered part set
+    semi-joins the LINEITEM SCAN before both aggregates (hint-free:
+    broadcast while it fits, shuffle-join at 100 TB) — exact, because a
+    part's own total is unchanged by dropping other parts' rows; the
+    final supplier membership is a left-semi against the distinct
+    dominant-supplier set (an SF-scaling set, so no forced broadcast);
+    nation is a constant-size broadcast dim. Decimal quantity sums:
+    order-independent compares. At 100 TB both aggregates shuffle the
+    same (suppkey, partkey) grain once, over the pruned part set only;
+    nothing lineitem-wide survives past the first groupBy."""
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
@@ -1185,16 +1189,18 @@ def q20_excess_supply(spark, sf_dir):
         .filter(F.col("p_name").like("small%"))
         .select("p_partkey")
     )
-    shipped = l.groupBy("l_suppkey", "l_partkey").agg(
+    l_small = l.join(
+        p_small, l["l_partkey"] == p_small["p_partkey"], "left_semi"
+    )
+    shipped = l_small.groupBy("l_suppkey", "l_partkey").agg(
         F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty")
     )
     part_total = shipped.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
-        (F.lit(0.35) * F.sum("qty")).alias("half_total")
+        (F.lit(0.35) * F.sum("qty")).alias("threshold_qty")
     )
     dominant = (
-        shipped.join(F.broadcast(p_small), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
-        .join(part_total, F.col("l_partkey") == F.col("pt_partkey"))
-        .filter(F.col("qty") > F.col("half_total"))
+        shipped.join(part_total, F.col("l_partkey") == F.col("pt_partkey"))
+        .filter(F.col("qty") > F.col("threshold_qty"))
         .select("l_suppkey")
         .distinct()
     )
@@ -1204,7 +1210,7 @@ def q20_excess_supply(spark, sf_dir):
     )
     return (
         s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
-        .join(F.broadcast(dominant), s["s_suppkey"] == F.col("l_suppkey"), "left_semi")
+        .join(dominant, s["s_suppkey"] == F.col("l_suppkey"), "left_semi")
         .select(
             "s_name", "n_name",
             F.round("s_acctbal", 2).cast("double").alias("s_acctbal"),
@@ -1253,8 +1259,28 @@ def zorder_skipping_scan(spark, sf_dir):
     except OSError:
         fp = "nofp"
     tag = hashlib.md5(f"{sf_dir}|{fp}".encode()).hexdigest()[:12]
-    zpath = os.path.join(tempfile.gettempdir(), f"starrysky_zorder_{tag}")
-    if not os.path.exists(os.path.join(zpath, MANIFEST)):
+    # per-UID cache path + ownership check: the temp dir is shared and
+    # world-writable, so a predictable path trusted on mere manifest
+    # existence would let any local process pre-plant a crafted manifest
+    # and have its rows silently served as lineitem data (and two users
+    # benching the same fixture would collide on ownership).  The uid in
+    # the name partitions users; the stat check refuses to read a cache
+    # dir this uid does not own.
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"starrysky_zorder_u{uid}_{tag}"
+    )
+    cached = False
+    if os.path.exists(os.path.join(zpath, MANIFEST)):
+        st_dir = os.stat(zpath)
+        if getattr(st_dir, "st_uid", uid) == uid:
+            cached = True
+        else:
+            raise PermissionError(
+                f"zorder cache dir {zpath} is owned by uid "
+                f"{st_dir.st_uid}, not {uid} — refusing to trust it"
+            )
+    if not cached:
         write_zordered(
             load_table(spark, sf_dir, "lineitem"),
             zpath,
@@ -1843,7 +1869,7 @@ def moving_revenue_window(spark, sf_dir):
     WITH p AS (
       SELECT p_partkey, p_size, p_retailprice,
              MIN(p_retailprice) OVER (
-               ORDER BY p_size, p_retailprice
+               ORDER BY p_size, p_retailprice, p_partkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
              ) AS best_price_smaller
       FROM part
@@ -1869,8 +1895,13 @@ def pareto_front_parts(spark, sf_dir):
     per-bucket fronts: same two-phase shape as every order-statistic
     here."""
     p = load_table(spark, sf_dir, "part")
+    # p_partkey tie-break: exact (p_size, p_retailprice) duplicates DO
+    # occur in the fixtures, and a ROWS frame over an ambiguous sort
+    # would let the engine pick which duplicate survives — the partkey
+    # makes the total order (and therefore the surviving row) unique,
+    # the same engine-exactness rule every other window here follows.
     w = (
-        Window.orderBy("p_size", "p_retailprice")
+        Window.orderBy("p_size", "p_retailprice", "p_partkey")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     best = F.min("p_retailprice").over(w)
@@ -2038,12 +2069,19 @@ def bfs_reach_3hop(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("frontier_size"),
         )
 
-    return (
+    out = (
         lvl(0, "part", seed)
         .unionByName(lvl(1, "supplier", h1))
         .unionByName(lvl(2, "part", h2))
         .unionByName(lvl(3, "supplier", h3))
     )
+    # materialize the 4-row result while the edge cache is warm, then
+    # RELEASE the cache: a lazy return would pin the edge blocks in
+    # executor storage for the whole session (nothing downstream could
+    # unpersist them), leaking one edge list per query run
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -2154,10 +2192,13 @@ def funnel_view_click_purchase(spark, sf_dir):
     stage's type, semi-joined against the (user, first-completion-time)
     table of stage k-1 — the standard iterated min-join funnel, no
     window over the whole event stream and no per-user UDF.  Stage
-    tables are user-sized (orders of magnitude below event count), so at
-    100 TB each stage is one broadcast of the prior stage into a
-    type-filtered scan (the type filter pushes to parquet), and the
-    exact min-timestamps make the result partition-order independent."""
+    tables are user-sized (orders of magnitude below event count) but
+    still SCALE WITH THE DATA, so the stage joins are hint-free —
+    Catalyst/AQE broadcasts while a stage fits and falls back to a
+    shuffle join on a billion-user table (a forced broadcast here is
+    the 8 GB-abort anti-pattern the graph library gates against); the
+    type filter pushes to parquet, and the exact min-timestamps make
+    the result partition-order independent."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts_us", "event_type"
     )
@@ -2165,7 +2206,7 @@ def funnel_view_click_purchase(spark, sf_dir):
     def first_after(etype, prev):
         e = ev.filter(F.col("event_type") == etype)
         if prev is not None:
-            e = e.join(F.broadcast(prev), "user_id").filter(
+            e = e.join(prev, "user_id").filter(
                 F.col("ts_us") > F.col("prev_ts")
             )
         return e.groupBy("user_id").agg(F.min("ts_us").alias("prev_ts"))
@@ -2209,8 +2250,10 @@ def cohort_retention(spark, sf_dir):
     product-analytics retention matrix.  Two aggregates and one join,
     all on user_id: (1) distinct (user, day) activity — one shuffle that
     also serves as the dedup, (2) per-user min day (map-side combinable),
-    (3) join back (user-sized table broadcasts at 100 TB) + final
-    count.  `count(*)` over distinct (user, day) IS distinct users —
+    (3) join back + final count — hint-free: the cohort table is
+    user-sized, which grows with the data, so AQE chooses broadcast vs
+    shuffle from measured size instead of a pinned broadcast that would
+    abort on a billion-user table.  `count(*)` over distinct (user, day) IS distinct users —
     no count(DISTINCT) needed after the dedup.  Day ids are exact
     integer epoch-day divisions, so every engine agrees."""
     ev = load_table(spark, sf_dir, "events")
@@ -2219,7 +2262,7 @@ def cohort_retention(spark, sf_dir):
     ).distinct()
     cohort = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
-        act.join(F.broadcast(cohort), "user_id")
+        act.join(cohort, "user_id")
         .groupBy(
             "cohort_day", (F.col("day") - F.col("cohort_day")).alias("offset_days")
         )
@@ -2663,9 +2706,16 @@ def label_prop_communities(spark, sf_dir):
     edges.count()
     with scoped_shuffle_partitions(spark, GRAPH_SHUFFLE_PARTS):
         labels = label_propagation(edges, iters=2)
-    return labels.groupBy(F.col("label").alias("community")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_members")
-    )
+        out = labels.groupBy(F.col("label").alias("community")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members")
+        )
+        # community-sized result: materialize it inside the scope while
+        # the edge cache is warm, then release the cache (a lazy return
+        # would pin the co-purchase edge list — larger than the input —
+        # in executor storage for the session's lifetime)
+        out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    return out
 
 
 @register(

@@ -213,11 +213,15 @@ def corpus_overview(spark, sf_dir):
     CUBE aggregation (one Expand pass, one shuffle), the first thing a
     pipeline run reports before any curation decision.  GROUPING() ids
     disambiguate rollup NULLs from (hypothetical) real NULL keys."""
+    from .functions.text import ws_token_count
+
     docs = load_table(spark, sf_dir, "documents")
+    # ws_token_count carries the empty-text guard the oracle's CASE
+    # mirrors (split('') yields [''] = a phantom token on both engines)
     d = docs.select(
         "lang",
         "source",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("tok"),
+        ws_token_count(F.col("text")).cast("bigint").alias("tok"),
     )
     return d.cube("lang", "source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
@@ -251,11 +255,11 @@ def _kl_oracle() -> str:
              FROM src_tot s CROSS JOIN range({KL_BUCKETS}) g)
     SELECT grid.source,
            CAST(max(grid.n_s) AS BIGINT) AS n_tokens,
-           ROUND(sum(
+           ROUND(sum(CAST(
              ((COALESCE(sc.c, 0) + 1.0) / (grid.n_s + {KL_BUCKETS}))
              * ln(((COALESCE(sc.c, 0) + 1.0) / (grid.n_s + {KL_BUCKETS}))
                   / ((COALESCE(cc.c, 0) + 1.0) / (ct.n + {KL_BUCKETS})))
-           ), 6) AS kl_divergence
+           AS DECIMAL(38,18))), 6) AS kl_divergence
     FROM grid
     LEFT JOIN src_cnt sc ON grid.source = sc.source AND grid.f = sc.f
     LEFT JOIN cor_cnt cc ON grid.f = cc.f
@@ -311,9 +315,18 @@ def source_kl_divergence(spark, sf_dir):
             ).alias("term"),
         )
     )
+    # sum the per-bucket terms in DECIMAL: a plain double sum over the
+    # ~4096-term grid is partition/fold-order dependent, so a source
+    # whose true KL sits within an ulp of a 1e-6 rounding boundary
+    # would flake between engines (and between Spark runs).  Each term
+    # is deterministic per engine; casting it to DECIMAL(38,18) before
+    # the sum makes the ACCUMULATION exact and order-free on both
+    # sides (the oracle carries the identical cast).
     return p.groupBy("source").agg(
         F.max("n_s").cast("bigint").alias("n_tokens"),
-        F.round(F.sum("term"), 6).alias("kl_divergence"),
+        F.round(F.sum(F.col("term").cast("decimal(38,18)")), 6)
+        .cast("double")
+        .alias("kl_divergence"),
     )
 
 
@@ -844,10 +857,15 @@ def text_nfc_normalize(spark, sf_dir):
         .otherwise(F.lit(_NFC_SUFFIXES[2]))
     )
     aug = docs.select("doc_id", F.concat(F.col("text"), suffix).alias("t"))
+    # bind the UDF column ONCE: two separate nfc(F.col("t")) calls are
+    # distinct PythonUDF expressions (distinct resultIds), and the
+    # extractor evaluates each — doubling the query's only Python hop;
+    # one shared Column object is evaluated once and reused
+    norm = nfc(F.col("t"))
     return aug.select(
         "doc_id",
-        F.md5(nfc(F.col("t"))).alias("norm_fp"),
-        (nfc(F.col("t")) != F.col("t")).alias("changed"),
+        F.md5(norm).alias("norm_fp"),
+        (norm != F.col("t")).alias("changed"),
     )
 
 
@@ -1018,4 +1036,9 @@ def quality_classifier_scores(spark, sf_dir):
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
     )
+    # score the top-20 while the feature cache (already materialized by
+    # the GD iterations) is warm, then RELEASE it — a lazy return would
+    # pin one corpus-sized cached table per invocation for the session
+    out = out.localCheckpoint(eager=True)
+    feats.unpersist()
     return out

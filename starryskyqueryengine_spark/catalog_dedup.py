@@ -63,6 +63,31 @@ def _sql_band_rows(sig: str = "sig") -> str:
 
 # --- queries --------------------------------------------------------------
 
+def _sql_minhash_cands_cte() -> str:
+    """Shared oracle CTE chain sh -> hashed -> sigs -> bands -> cands:
+    shingling, the 16-hash MinHash signature, LSH banding, and the
+    bucket-join candidate pairs.  ONE copy, interpolated into the three
+    MinHash oracles (dedup_minhash_lsh, cross_source_dup_matrix,
+    dedup_survivors) so the signature/band layout can never drift
+    between them or away from functions/dedup.py's constants."""
+    return rf"""sh AS (
+      SELECT doc_id, {_sql_shingles('w')} AS shingles
+      FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
+    ),
+    hashed AS (
+      SELECT doc_id, shingles,
+             list_transform(shingles, s -> {_sql_md5int('s')}) AS hs
+      FROM sh WHERE len(shingles) > 0
+    ),
+    sigs AS (SELECT doc_id, shingles, {_sql_minhash_sig('hs')} AS sig FROM hashed),
+    bands AS ({_sql_band_rows()}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    )"""
+
+
 @register(
     "dedup_exact",
     """
@@ -154,22 +179,7 @@ def dedup_containment(spark, sf_dir):
 @register(
     "cross_source_dup_matrix",
     rf"""
-    WITH sh AS (
-      SELECT doc_id, {_sql_shingles('w')} AS shingles
-      FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
-    ),
-    hashed AS (
-      SELECT doc_id, shingles,
-             list_transform(shingles, s -> {_sql_md5int('s')}) AS hs
-      FROM sh WHERE len(shingles) > 0
-    ),
-    sigs AS (SELECT doc_id, shingles, {_sql_minhash_sig('hs')} AS sig FROM hashed),
-    bands AS ({_sql_band_rows()}),
-    cands AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-    ),
+    WITH {_sql_minhash_cands_cte()},
     verified AS (
       SELECT c.id_a, c.id_b,
              len(list_intersect(sa.shingles, sb.shingles)) AS i,
@@ -225,22 +235,7 @@ def cross_source_dup_matrix(spark, sf_dir):
 @register(
     "dedup_minhash_lsh",
     rf"""
-    WITH sh AS (
-      SELECT doc_id, {_sql_shingles('w')} AS shingles
-      FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
-    ),
-    hashed AS (
-      SELECT doc_id, shingles,
-             list_transform(shingles, s -> {_sql_md5int('s')}) AS hs
-      FROM sh WHERE len(shingles) > 0
-    ),
-    sigs AS (SELECT doc_id, shingles, {_sql_minhash_sig('hs')} AS sig FROM hashed),
-    bands AS ({_sql_band_rows()}),
-    cands AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-    ),
+    WITH {_sql_minhash_cands_cte()},
     verified AS (
       SELECT c.id_a, c.id_b,
              len(list_intersect(sa.shingles, sb.shingles)) AS i,
@@ -270,22 +265,7 @@ def dedup_minhash_lsh(spark, sf_dir):
 @register(
     "dedup_survivors",
     rf"""
-    WITH RECURSIVE sh AS (
-      SELECT doc_id, {_sql_shingles('w')} AS shingles
-      FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
-    ),
-    hashed AS (
-      SELECT doc_id, shingles,
-             list_transform(shingles, s -> {_sql_md5int('s')}) AS hs
-      FROM sh WHERE len(shingles) > 0
-    ),
-    sigs AS (SELECT doc_id, shingles, {_sql_minhash_sig('hs')} AS sig FROM hashed),
-    bands AS ({_sql_band_rows()}),
-    cands AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-    ),
+    WITH RECURSIVE {_sql_minhash_cands_cte()},
     pairs AS (
       SELECT id_a, id_b FROM (
         SELECT c.id_a, c.id_b,

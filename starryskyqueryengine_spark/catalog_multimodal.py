@@ -16,6 +16,74 @@ from .sources.fixtures import load_table
 _MT_SQL = "['image','audio','video','text'][CAST(doc_id % 4 AS INT) + 1]"
 
 
+def _gen_gradient_image(d: int):
+    """Deterministic doc_id-derived RGB gradient test image: shared by
+    mm_jpeg_roundtrip and mm_transcode_png_jpeg, whose oracles both
+    replay the SAME dims formulas (16+(d%4)*8 x 16+(d%3)*8) and whose
+    error bounds are only meaningful against this one reference."""
+    import numpy as np
+
+    w, h = 16 + (d % 4) * 8, 16 + (d % 3) * 8
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = d % 64
+    img = np.stack(
+        [base + xx * 2 + yy, base + xx + yy * 2, base + xx + yy], axis=-1
+    )
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _phash_hashes_cte() -> str:
+    """Shared oracle CTE chain dims -> px -> boxed -> sums -> tot ->
+    bands -> hashes: the closed-form image generator + 64-bit aHash,
+    replayed in SQL.  ONE copy, interpolated into the three phash
+    oracles (mm_image_phash_neardup, pipeline_multimodal_curation,
+    phash_cluster_survivors) — the box-index and bit formulas must
+    track the Python kernel exactly, and a fix applied to one inlined
+    copy but not the others would silently leave an oracle checking a
+    DIFFERENT hash than the Spark plan computes."""
+    return """dims AS (
+      SELECT doc_id,
+             doc_id - doc_id % 5 AS g,
+             CAST(doc_id % 5 AS BIGINT) AS r,
+             8 + 8 * ((doc_id - doc_id % 5) % 3) AS w,
+             8 + 8 * ((doc_id - doc_id % 5) % 2) AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, g, r, w, h, unnest(range(w * h)) AS i
+      FROM dims
+    ),
+    boxed AS (
+      SELECT doc_id,
+             ((i // w) // (h // 8)) * 8 + ((i % w) // (w // 8)) AS box,
+             (31 * g + 7 * i) % 240 + 2 * r
+               + CASE WHEN i % 97 < r THEN 5 ELSE 0 END AS val
+      FROM px
+    ),
+    sums AS (
+      SELECT doc_id, box, sum(val) AS s FROM boxed GROUP BY doc_id, box
+    ),
+    tot AS (
+      SELECT doc_id, sum(s) AS t FROM sums GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT s.doc_id,
+             s.box // 16 AS band_idx,
+             CAST(sum(CASE WHEN 64 * s.s > t.t THEN 1 << (s.box % 16)
+                           ELSE 0 END) AS BIGINT) AS band_val
+      FROM sums s JOIN tot t USING (doc_id)
+      GROUP BY s.doc_id, s.box // 16
+    ),
+    hashes AS (
+      SELECT doc_id,
+             max(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+             max(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+             max(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+             max(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+      FROM bands GROUP BY doc_id
+    )"""
+
+
 @register(
     "mm_metadata_project",
     f"""
@@ -438,25 +506,11 @@ def mm_jpeg_roundtrip(spark, sf_dir):
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents").select("doc_id"))
 
-    def _gen_image(d: int):
-        w, h = 16 + (d % 4) * 8, 16 + (d % 3) * 8
-        yy, xx = np.mgrid[0:h, 0:w]
-        base = d % 64
-        img = np.stack(
-            [
-                base + xx * 2 + yy,
-                base + xx + yy * 2,
-                base + xx + yy,
-            ],
-            axis=-1,
-        )
-        return np.clip(img, 0, 255).astype(np.uint8)
-
     def gen(batches):
         for pdf in batches:
             payloads = []
             for d in pdf["doc_id"]:
-                payloads.append(jpeg_encode(_gen_image(int(d)), quality=90))
+                payloads.append(jpeg_encode(_gen_gradient_image(int(d)), quality=90))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     enc = docs.mapInPandas(gen, "media_id long, payload binary")
@@ -469,7 +523,7 @@ def mm_jpeg_roundtrip(spark, sf_dir):
             }
             for mid, b in zip(pdf["media_id"], pdf["payload"]):
                 w, h, ch, px = jpeg_decode(bytes(b))
-                ref = _gen_image(int(mid))
+                ref = _gen_gradient_image(int(mid))
                 err = int(
                     np.max(np.abs(px.astype(np.int64) - ref.astype(np.int64)))
                 )
@@ -677,21 +731,12 @@ def mm_transcode_png_jpeg(spark, sf_dir):
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents").select("doc_id"))
 
-    def _gen_image(d: int):
-        w, h = 16 + (d % 4) * 8, 16 + (d % 3) * 8
-        yy, xx = np.mgrid[0:h, 0:w]
-        base = d % 64
-        img = np.stack(
-            [base + xx * 2 + yy, base + xx + yy * 2, base + xx + yy], axis=-1
-        )
-        return np.clip(img, 0, 255).astype(np.uint8)
-
     def transcode(batches):
         for pdf in batches:
             out = {"media_id": [], "width": [], "height": [], "within_tol": []}
             for d in pdf["doc_id"]:
                 d = int(d)
-                ref = _gen_image(d)
+                ref = _gen_gradient_image(d)
                 # archival hop: lossless PNG round trip
                 _, _, _, px = png_decode(png_encode(ref, filters=2))
                 # serving hop: lossy JPEG round trip
@@ -898,48 +943,8 @@ def mm_scene_detect(spark, sf_dir):
 
 @register(
     "mm_image_phash_neardup",
-    """
-    WITH dims AS (
-      SELECT doc_id,
-             doc_id - doc_id % 5 AS g,
-             CAST(doc_id % 5 AS BIGINT) AS r,
-             8 + 8 * ((doc_id - doc_id % 5) % 3) AS w,
-             8 + 8 * ((doc_id - doc_id % 5) % 2) AS h
-      FROM documents
-    ),
-    px AS (
-      SELECT doc_id, g, r, w, h, unnest(range(w * h)) AS i
-      FROM dims
-    ),
-    boxed AS (
-      SELECT doc_id,
-             ((i // w) // (h // 8)) * 8 + ((i % w) // (w // 8)) AS box,
-             (31 * g + 7 * i) % 240 + 2 * r
-               + CASE WHEN i % 97 < r THEN 5 ELSE 0 END AS val
-      FROM px
-    ),
-    sums AS (
-      SELECT doc_id, box, sum(val) AS s FROM boxed GROUP BY doc_id, box
-    ),
-    tot AS (
-      SELECT doc_id, sum(s) AS t FROM sums GROUP BY doc_id
-    ),
-    bands AS (
-      SELECT s.doc_id,
-             s.box // 16 AS band_idx,
-             CAST(sum(CASE WHEN 64 * s.s > t.t THEN 1 << (s.box % 16)
-                           ELSE 0 END) AS BIGINT) AS band_val
-      FROM sums s JOIN tot t USING (doc_id)
-      GROUP BY s.doc_id, s.box // 16
-    ),
-    hashes AS (
-      SELECT doc_id,
-             max(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
-             max(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
-             max(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
-             max(CASE WHEN band_idx = 3 THEN band_val END) AS b3
-      FROM bands GROUP BY doc_id
-    )
+    f"""
+    WITH {_phash_hashes_cte()}
     SELECT a.doc_id AS media_a, b.doc_id AS media_b,
            CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
               + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
@@ -1038,7 +1043,12 @@ def mm_image_phash_neardup(spark, sf_dir):
     # exactly once; everything after is JVM-side.
     hashes.count()
 
-    return banded_hamming_pairs(hashes)
+    # materialize the (pair-sized) result while the hash cache is warm,
+    # then RELEASE the cache — a lazy return would pin one hash table
+    # per invocation in executor storage for the session's lifetime
+    out = banded_hamming_pairs(hashes).localCheckpoint(eager=True)
+    hashes.unpersist()
+    return out
 
 
 @register(
@@ -1163,7 +1173,12 @@ def mm_audio_fingerprint_neardup(spark, sf_dir):
     ).cache()
     hashes.count()  # materialize once before the three join branches
 
-    return banded_hamming_pairs(hashes)
+    # materialize the (pair-sized) result while the hash cache is warm,
+    # then RELEASE the cache — a lazy return would pin one hash table
+    # per invocation in executor storage for the session's lifetime
+    out = banded_hamming_pairs(hashes).localCheckpoint(eager=True)
+    hashes.unpersist()
+    return out
 
 
 @register(
@@ -1297,53 +1312,18 @@ def mm_video_fingerprint_neardup(spark, sf_dir):
     ).cache()
     hashes.count()
 
-    return banded_hamming_pairs(hashes)
+    # materialize the (pair-sized) result while the hash cache is warm,
+    # then RELEASE the cache — a lazy return would pin one hash table
+    # per invocation in executor storage for the session's lifetime
+    out = banded_hamming_pairs(hashes).localCheckpoint(eager=True)
+    hashes.unpersist()
+    return out
 
 
 @register(
     "pipeline_multimodal_curation",
-    """
-    WITH dims AS (
-      SELECT doc_id,
-             doc_id - doc_id % 5 AS g,
-             CAST(doc_id % 5 AS BIGINT) AS r,
-             8 + 8 * ((doc_id - doc_id % 5) % 3) AS w,
-             8 + 8 * ((doc_id - doc_id % 5) % 2) AS h
-      FROM documents
-    ),
-    px AS (
-      SELECT doc_id, g, r, w, h, unnest(range(w * h)) AS i
-      FROM dims
-    ),
-    boxed AS (
-      SELECT doc_id,
-             ((i // w) // (h // 8)) * 8 + ((i % w) // (w // 8)) AS box,
-             (31 * g + 7 * i) % 240 + 2 * r
-               + CASE WHEN i % 97 < r THEN 5 ELSE 0 END AS val
-      FROM px
-    ),
-    sums AS (
-      SELECT doc_id, box, sum(val) AS s FROM boxed GROUP BY doc_id, box
-    ),
-    tot AS (
-      SELECT doc_id, sum(s) AS t FROM sums GROUP BY doc_id
-    ),
-    bands AS (
-      SELECT s.doc_id,
-             s.box // 16 AS band_idx,
-             CAST(sum(CASE WHEN 64 * s.s > t.t THEN 1 << (s.box % 16)
-                           ELSE 0 END) AS BIGINT) AS band_val
-      FROM sums s JOIN tot t USING (doc_id)
-      GROUP BY s.doc_id, s.box // 16
-    ),
-    hashes AS (
-      SELECT doc_id,
-             max(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
-             max(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
-             max(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
-             max(CASE WHEN band_idx = 3 THEN band_val END) AS b3
-      FROM bands GROUP BY doc_id
-    ),
+    f"""
+    WITH {_phash_hashes_cte()},
     dropped AS (
       SELECT DISTINCT b.doc_id
       FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
@@ -1409,44 +1389,8 @@ def pipeline_multimodal_curation(spark, sf_dir):
 
 @register(
     "phash_cluster_survivors",
-    """
-    WITH RECURSIVE dims AS (
-      SELECT doc_id,
-             doc_id - doc_id % 5 AS g,
-             CAST(doc_id % 5 AS BIGINT) AS r,
-             8 + 8 * ((doc_id - doc_id % 5) % 3) AS w,
-             8 + 8 * ((doc_id - doc_id % 5) % 2) AS h
-      FROM documents
-    ),
-    px AS (
-      SELECT doc_id, g, r, w, h, unnest(range(w * h)) AS i FROM dims
-    ),
-    boxed AS (
-      SELECT doc_id,
-             ((i // w) // (h // 8)) * 8 + ((i % w) // (w // 8)) AS box,
-             (31 * g + 7 * i) % 240 + 2 * r
-               + CASE WHEN i % 97 < r THEN 5 ELSE 0 END AS val
-      FROM px
-    ),
-    sums AS (
-      SELECT doc_id, box, sum(val) AS s FROM boxed GROUP BY doc_id, box
-    ),
-    tot AS (SELECT doc_id, sum(s) AS t FROM sums GROUP BY doc_id),
-    bands AS (
-      SELECT s.doc_id, s.box // 16 AS band_idx,
-             CAST(sum(CASE WHEN 64 * s.s > t.t THEN 1 << (s.box % 16)
-                           ELSE 0 END) AS BIGINT) AS band_val
-      FROM sums s JOIN tot t USING (doc_id)
-      GROUP BY s.doc_id, s.box // 16
-    ),
-    hashes AS (
-      SELECT doc_id,
-             max(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
-             max(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
-             max(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
-             max(CASE WHEN band_idx = 3 THEN band_val END) AS b3
-      FROM bands GROUP BY doc_id
-    ),
+    f"""
+    WITH RECURSIVE {_phash_hashes_cte()},
     prs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id

@@ -49,7 +49,8 @@ def ann_cosine_topk(spark, sf_dir):
                                         b.embedding::DOUBLE[]), 6) AS sim
     FROM embeddings a, embeddings b
     WHERE a.vec_id < b.vec_id
-      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      AND ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 6)
           >= {NEAR_DUP_COSINE}
     """,
 )
@@ -750,14 +751,15 @@ def _pq_encoded(spark, sf_dir):
 
 
 def _pq_cb_sql(m: str, c: str, j: str) -> str:
-    """The codebook formula in DuckDB SQL (same md5 prefix as _pq_cb_val)."""
+    """The codebook formula in DuckDB SQL (same md5 prefix as
+    _pq_cb_val) — the md5-to-bigint leg is the SHARED _sql_md5int
+    helper (also used by the IVF oracles here), so a change to the
+    hash formula can never split the PQ oracle from the Python
+    derivation path."""
+    from .catalog_dedup import _sql_md5int
+
     key = f"'pq:' || {m} || ':' || {c} || ':' || {j}"
-    md5int = (
-        "CAST(list_sum(list_transform(range(8), i -> "
-        f"(strpos('0123456789abcdef', substr(md5({key}), i+1, 1)) - 1) "
-        "* power(16, 7-i))) AS BIGINT)"
-    )
-    return f"(({md5int}) % 2001 - 1000)"
+    return f"(({_sql_md5int(key)}) % 2001 - 1000)"
 
 
 def _pq_encode_cte() -> str:

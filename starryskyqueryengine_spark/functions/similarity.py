@@ -786,8 +786,13 @@ def near_dup_pairs_matrix(
         S = A @ B.T
         # diagonal block pair: both sides are the same row set, keep each
         # unordered pair once via a<b; off-diagonal: blocks are disjoint,
-        # keep every hit and normalize to (min, max)
-        mask = S >= threshold
+        # keep every hit and normalize to (min, max).
+        # Threshold the ROUNDED similarity: the emitted sim column is
+        # round(.,6) on both engines, and BLAS vs DuckDB summation order
+        # can disagree in the last ulp — an unrounded compare would make
+        # pair MEMBERSHIP at the boundary engine-dependent even though
+        # every emitted value matches.
+        mask = np.round(S, 6) >= threshold
         if key[0] == key[1]:
             mask &= a_ids[:, None] < b_ids[None, :]
         else:

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from .catalog import register
 from .catalog_dedup import _sql_md5int
+from .functions import text as tx
 from .sources.fixtures import load_table
 
 # -- shared seeded hash (Spark side of catalog_dedup._sql_md5int) ----------
@@ -121,7 +122,7 @@ def mixture_sample(spark, sf_dir):
     d = docs.select(
         "doc_id",
         "source",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("tok"),
+        tx.ws_token_count(F.col("text")).alias("tok"),
     )
     per_src = d.groupBy("source").agg(
         F.sum("tok").alias("t_src"),
@@ -392,7 +393,17 @@ def span_dedup_stats(spark, sf_dir):
             F.array_join(F.slice("ws", F.col("pos") + 1, SPAN_WORDS), " ")
         ).alias("h"),
     )
-    packed = (F.col("doc_id") * _CHUNK_CAP + F.col("pos")).alias("pk")
+    # same overflow guard as line_dedup_stats: a position bleeding past
+    # _CHUNK_CAP would pack into the NEXT doc_id's keyspace and the
+    # oracle would compute the same wrong value — fail loudly instead
+    packed = (
+        F.col("doc_id") * _CHUNK_CAP
+        + F.when(F.col("pos") < _CHUNK_CAP, F.col("pos")).otherwise(
+            F.raise_error(
+                F.lit(f"span_dedup_stats: document exceeds {_CHUNK_CAP} spans")
+            ).cast("bigint")
+        )
+    ).alias("pk")
     keyed = sh.select("doc_id", "pos", "h", packed)
     first = keyed.groupBy("h").agg(F.min("pk").alias("mk"))
     dup = (
@@ -1142,7 +1153,7 @@ def unimax_allocation(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "source",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("tok"),
+        tx.ws_token_count(F.col("text")).alias("tok"),
     )
     per_src = d.groupBy("source").agg(F.sum("tok").alias("t_src"))
     cap = (F.lit(UNIMAX_EPOCH_CAP) * F.col("t_src")).alias("cap")
@@ -1354,7 +1365,13 @@ def pipeline_rag_retrieval(spark, sf_dir):
         "vec_id", "embedding"
     )
     q0 = emb.filter(F.col("vec_id") == 0)
-    dsim = sim.brute_force_topk(q0, cand, 10 ** 9).select(
+    # cutting the DOC ranking to RAG_LEG_K is exact: every doc yields
+    # >= 1 chunk and the chunk ordering is (sim DESC, doc_id, chunk_id),
+    # so each of the top-K docs contributes a chunk ahead of any chunk
+    # of a doc ranked below K — the top-K CHUNKS can only come from the
+    # top-K docs.  An unbounded k ranked and broadcast every doc's sim
+    # for nothing, with cost growing with the corpus.
+    dsim = sim.brute_force_topk(q0, cand, RAG_LEG_K).select(
         F.col("nn_id").alias("doc_id"), "sim"
     )
     vec_top = (

@@ -1108,10 +1108,20 @@ def _bpe_merges_for(spark, sf_dir):
     """Train-once-per-dataset BPE merge table (same lifecycle as the
     IVF centroids / BM25 index): deterministic bounded sample — the
     first BPE_TRAIN_DOCS docs by doc_id — trained driver-side. Keyed on
-    str(sf_dir) like the other per-dataset caches."""
+    (sf_dir, dataset fingerprint) like the BM25 index / IVF centroid
+    caches: a regenerated documents.parquet under the same path trains
+    fresh merges instead of serving the old corpus's table."""
+    import os
+
     from .functions.bpe import train_bpe
 
-    key = str(sf_dir)
+    src = os.path.join(str(sf_dir), "documents.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fp = "nofp"
+    key = f"{sf_dir}|{fp}"
     if key not in _BPE_MERGES_CACHE:
         sample = [
             r["text"] or ""

@@ -38,6 +38,7 @@ at any scale.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -86,9 +87,26 @@ class ParquetPartitionedFormat(TableFormat):
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
-        # dynamic: INSERT OVERWRITE replaces only partitions present in
-        # the written data — untouched keys keep their files
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    @contextmanager
+    def _dynamic_overwrite(self):
+        """Scope partitionOverwriteMode=dynamic to OUR overwrite only
+        (replace just the partitions present in the written data).
+        Setting it session-wide in __init__ silently changed overwrite
+        semantics for every OTHER writer in the session — a static
+        INSERT OVERWRITE elsewhere would stop truncating absent
+        partitions and leave stale data."""
+        conf = self.spark.conf
+        key = "spark.sql.sources.partitionOverwriteMode"
+        old = conf.get(key, None)
+        conf.set(key, "dynamic")
+        try:
+            yield
+        finally:
+            if old is None:
+                conf.unset(key)
+            else:
+                conf.set(key, old)
 
     def exists(self) -> bool:
         return os.path.isdir(self.path) and any(
@@ -117,9 +135,10 @@ class ParquetPartitionedFormat(TableFormat):
         if expected_keys is not None:
             written = {r["key"] for r in df.select("key").distinct().collect()}
         if expected_keys is None or written:
-            df.select(_COLS).write.mode("overwrite").partitionBy("key").parquet(
-                self.path
-            )
+            with self._dynamic_overwrite():
+                df.select(_COLS).write.mode("overwrite").partitionBy(
+                    "key"
+                ).parquet(self.path)
         if expected_keys is not None:
             for k in set(expected_keys) - written:
                 self.delete_partition(k)
@@ -499,6 +518,28 @@ class TxnLogFormat(TableFormat):
                 if not os.path.exists(self._entry_path(iv)):
                     continue
                 other = self._read_entry(iv)
+                if txn is not None and other.get("txn"):
+                    ot = other["txn"]
+                    if ot.get("app") == txn[0] and int(
+                        ot.get("version", -1)
+                    ) >= int(txn[1]):
+                        # an interleaved commit already carries this
+                        # (app, version) watermark: a concurrent replay
+                        # of the same idempotent batch beat us between
+                        # the caller's last_txn_version probe and this
+                        # link attempt.  Exactly-once means the LOSER
+                        # becomes a no-op — drop our staged files and
+                        # report the existing commit instead of landing
+                        # the rows twice (Delta's txn-action conflict
+                        # rule).
+                        for a in adds:
+                            try:
+                                os.unlink(
+                                    os.path.join(self.data_path, a["path"])
+                                )
+                            except OSError:
+                                pass
+                        return iv
                 other_keys = {a["key"] for a in other.get("add", [])} | {
                     self._key_of(p) for p in other.get("remove", [])
                 }
@@ -942,10 +983,15 @@ class TxnLogFormat(TableFormat):
         — no staging, no commit, no dependence on a natural PK. This is
         what makes a foreachBatch sink transactional even when the
         stream dies between the sink's write and its checkpoint."""
-        if txn is not None and self.last_txn_version(txn[0]) >= int(txn[1]):
-            return
+        # list the tip BEFORE the watermark probe: the probe re-lists, so
+        # it sees every commit <= validated_at — a replay that lands after
+        # the probe is then > validated_at and lands in _commit's conflict
+        # scan, which resolves the duplicate (the reverse order left a
+        # window where a replay <= validated_at escaped both checks)
         vs = self._versions()
         validated_at = vs[-1] if vs else -1  # tip the validation sees
+        if txn is not None and self.last_txn_version(txn[0]) >= int(txn[1]):
+            return
         aligned, new_schema = self._reconcile(df)
         self._enforce_constraints(aligned)
         adds = self._stage(aligned)
@@ -1016,21 +1062,35 @@ class TxnLogFormat(TableFormat):
             )
         return out
 
-    def vacuum(self, retain_versions: int = 0) -> list[str]:
+    def vacuum(
+        self, retain_versions: int = 0, min_age_sec: float = 600.0
+    ) -> list[str]:
         """Physically delete data files not referenced by any snapshot
         newer than (latest - retain_versions). With the default 0, only
         the latest snapshot is retained — time travel to earlier
         versions stops working, which is the documented trade (Delta's
-        VACUUM has the same contract). Returns deleted relative paths."""
+        VACUUM has the same contract). Returns deleted relative paths.
+
+        ``min_age_sec`` is the uncommitted-writer grace period (Delta's
+        mtime-based retention): a concurrent append has already staged
+        (hard-linked) its files into data/ but not yet committed, so
+        those files are in NO snapshot — deleting them would let the
+        writer's commit land referencing paths that no longer exist,
+        breaking every later read of the table.  Files younger than the
+        window are skipped; pass 0 only when no writer can be active."""
+        import time as _time
+
         versions = self._versions()
         if not versions:
             return []
         keep: set[str] = set()
         floor = versions[-1] - retain_versions
+        # the loop's v >= floor range includes versions[-1], so the
+        # retained window already covers the latest snapshot
         for v in versions:
             if v >= floor:
                 keep |= set(self._snapshot(v))
-        keep |= set(self._snapshot(versions[-1]))
+        now = _time.time()
         deleted = []
         for entry in sorted(os.listdir(self.data_path)):
             if not entry.startswith("key="):
@@ -1039,7 +1099,13 @@ class TxnLogFormat(TableFormat):
             for fn in sorted(os.listdir(d)):
                 rel = f"{entry}/{fn}"
                 if fn.endswith(".parquet") and rel not in keep:
-                    os.unlink(os.path.join(d, fn))
+                    p = os.path.join(d, fn)
+                    try:
+                        if now - os.path.getmtime(p) < min_age_sec:
+                            continue  # possibly staged by a live writer
+                    except OSError:
+                        continue
+                    os.unlink(p)
                     deleted.append(rel)
             if not os.listdir(d):
                 os.rmdir(d)
@@ -1216,6 +1282,14 @@ class TxnLogFormat(TableFormat):
         "bins": n_bins}."""
         from collections import defaultdict
 
+        # pin the tip the live-file resolution sees: the compaction job
+        # below can run for a long time, and without validated_at the
+        # conflict scan starts at the post-job listing — a delete or
+        # overwrite landing DURING the job would never be scanned, and
+        # the commit would re-add rows it read from now-removed files
+        # (silent resurrection).  Every other mutator pins this already.
+        vs = self._versions()
+        validated_at = vs[-1] if vs else -1
         live = self._snapshot()
         per_key: dict[str, list[tuple[str, int]]] = defaultdict(list)
         for rel, key in live.items():
@@ -1272,7 +1346,13 @@ class TxnLogFormat(TableFormat):
             .select([f.name for f in schema.fields])
         )
         adds = self._stage(df)
-        self._commit("optimize", adds, remove_keys=None, extra_removes=all_inputs)
+        self._commit(
+            "optimize",
+            adds,
+            remove_keys=None,
+            extra_removes=all_inputs,
+            validated_at=validated_at,
+        )
         return {
             "files_compacted": len(all_inputs),
             "files_added": len(adds),

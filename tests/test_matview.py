@@ -146,7 +146,7 @@ def test_matview_vacuum_past_sync_falls_back_to_full(spark, tmp_path):
 
     fmt.delete_partition("b")          # v2
     fmt.append(_batch(spark, 200, 2, key="c"))  # v3
-    fmt.vacuum()                       # reclaims b's removed files
+    fmt.vacuum(min_age_sec=0)          # reclaims b's removed files
     r = view.refresh()
     assert r["mode"] == "full"
     assert _state(view) == _recompute(spark, fmt)

@@ -268,13 +268,13 @@ def test_txnlog_vacuum_reclaims_unreferenced_files(spark, tmp_path):
     fmt.append(_batch(spark, 0, 4))
     fmt.overwrite_partitions(_batch(spark, 100, 2))  # v0's files now dead
     n_files_before = sum(fmt.file_counts().values())
-    deleted = fmt.vacuum(retain_versions=0)
+    deleted = fmt.vacuum(retain_versions=0, min_age_sec=0)
     assert deleted, "expected the superseded files to be reclaimed"
     # live snapshot unaffected
     assert fmt.read(spark).count() == 2
     assert sum(fmt.file_counts().values()) == n_files_before
     # nothing left to vacuum on a second pass
-    assert fmt.vacuum(retain_versions=0) == []
+    assert fmt.vacuum(retain_versions=0, min_age_sec=0) == []
 
 
 def test_txnlog_merge_file_granular(spark, tmp_path):
@@ -445,7 +445,7 @@ def test_txnlog_clone_is_zero_copy_and_divergent(spark, tmp_path):
     assert fmt.read(spark).count() == 7
 
     # clone's vacuum unlinks only its own entries; original still reads
-    deleted = clone.vacuum(retain_versions=0)
+    deleted = clone.vacuum(retain_versions=0, min_age_sec=0)
     assert deleted  # the superseded linked files left the clone
     assert fmt.read(spark).count() == 7
 
@@ -846,7 +846,7 @@ def test_gdpr_hard_delete_bytes_unrecoverable(spark, tmp_path):
     # bytes are still on disk until vacuum
     assert disk_contains(marker.encode()), "delete alone should NOT purge bytes"
 
-    store.fmt.vacuum(retain_versions=0)
+    store.fmt.vacuum(retain_versions=0, min_age_sec=0)
     assert not disk_contains(marker.encode()), (
         "vacuum must physically remove every file containing forgotten rows"
     )
@@ -1022,7 +1022,7 @@ def test_restore_to_version(spark, tmp_path):
     assert fmt.read(spark, version=2).count() == 1
 
     # vacuum then attempt to restore past it -> refuse
-    fmt.vacuum()
+    fmt.vacuum(min_age_sec=0)
     with pytest.raises(ValueError, match="vacuumed"):
         fmt.restore(0)
 
@@ -1461,3 +1461,106 @@ def test_clone_carries_stats_for_log_level_skipping(spark, tmp_path):
     assert pruned.count() == 5
     assert _files_read(pruned) == 1  # only the day-10 file opened
     assert _files_read(clone.read(spark)) == 3
+
+
+def test_optimize_conflicts_with_interleaved_delete(spark, tmp_path):
+    """A delete landing between optimize()'s live-file resolution and
+    its commit must raise ConcurrentWriteError — not silently re-add
+    the deleted key's rows from the already-resolved inputs."""
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat(spark, path)
+    for i in range(3):
+        fmt.append(_batch(spark, 10 * i, 2, key="hot"))
+
+    class Racing(TxnLogFormat):
+        def _stage(self, df):
+            # interleave a real delete on the key being compacted,
+            # exactly inside optimize's resolve->commit window
+            TxnLogFormat(self.spark, self.path).delete_partition("hot")
+            return super()._stage(df)
+
+    racing = Racing(spark, path)
+    with pytest.raises(ConcurrentWriteError):
+        racing.optimize(target_bytes=10**9, min_files=2)
+    # the delete won: the key is gone and stays gone
+    assert fmt.read(spark).filter(F.col("key") == "hot").count() == 0
+
+
+def test_concurrent_txn_replays_land_exactly_once(spark, tmp_path):
+    """Two concurrent appends carrying the SAME (app, version) — a
+    zombie task and its retry — must land ONE copy of the batch: the
+    loser detects the interleaved txn watermark at commit time and
+    becomes a no-op (its staged files are dropped)."""
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat(spark, path)
+    fmt.append(_batch(spark, 0, 3), txn=("app", 1))
+
+    batch = _batch(spark, 100, 4)
+
+    class Racing(TxnLogFormat):
+        def _stage(self, df):
+            adds = super()._stage(df)
+            if not getattr(self, "_raced", False):
+                self._raced = True
+                # the competing replay commits AFTER our watermark probe
+                TxnLogFormat(self.spark, self.path).append(
+                    batch, txn=("app", 2)
+                )
+            return adds
+
+    Racing(spark, path).append(batch, txn=("app", 2))
+    got = fmt.read(spark)
+    assert got.count() == 3 + 4  # batch 2 exactly once
+    assert fmt.last_txn_version("app") == 2
+    # no orphaned data files: every parquet under data/ is in the snapshot
+    import os
+
+    live = set(fmt._snapshot())
+    on_disk = {
+        f"{d}/{f}"
+        for d in os.listdir(fmt.data_path)
+        if d.startswith("key=")
+        for f in os.listdir(os.path.join(fmt.data_path, d))
+        if f.endswith(".parquet")
+    }
+    assert on_disk == live
+
+
+def test_vacuum_grace_period_protects_staged_files(spark, tmp_path):
+    """vacuum must not unlink a freshly staged (uncommitted) data file:
+    a concurrent writer has hard-linked it but not yet committed."""
+    import os
+
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat(spark, path)
+    fmt.append(_batch(spark, 0, 2, key="a"))
+    # simulate a concurrent writer's staged-but-uncommitted file
+    staged_dir = os.path.join(fmt.data_path, "key=b")
+    os.makedirs(staged_dir, exist_ok=True)
+    staged = os.path.join(staged_dir, "staged-uncommitted.parquet")
+    with open(staged, "wb") as f:
+        f.write(b"PAR1fake")
+    assert fmt.vacuum() == []          # young file survives the default window
+    assert os.path.exists(staged)
+    deleted = fmt.vacuum(min_age_sec=0)  # explicit no-writers vacuum reclaims
+    assert "key=b/staged-uncommitted.parquet" in deleted
+
+
+def test_dynamic_overwrite_mode_is_scoped_not_global(spark, tmp_path):
+    """ParquetPartitionedFormat must not leave session-global
+    partitionOverwriteMode=dynamic behind — that would silently change
+    overwrite semantics for every other writer in the session."""
+    from starryskyqueryengine_spark.table_format import (
+        ParquetPartitionedFormat,
+    )
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key)
+    fmt = ParquetPartitionedFormat(spark, str(tmp_path / "p"))
+    fmt.overwrite_partitions(_batch(spark, 0, 2, key="a"))
+    assert spark.conf.get(key) == before
+    # and the write itself was dynamic: a second overwrite naming only
+    # key b keeps key a's files
+    fmt.overwrite_partitions(_batch(spark, 10, 2, key="b"))
+    keys = {r["key"] for r in fmt.read(spark).select("key").distinct().collect()}
+    assert keys == {"a", "b"}

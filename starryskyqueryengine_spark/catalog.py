@@ -28,6 +28,13 @@ ORACLE: dict[str, str] = {}
 
 def register(name: str, sql: str | None = None):
     def deco(fn):
+        # duplicate names fail LOUDLY: a silent overwrite would leave a
+        # stale ORACLE entry paired with the new query (sql=None keeps
+        # the old SQL), so the gate would value-check the wrong pair —
+        # and two modules fighting over one name would resolve by
+        # import order
+        if name in QUERIES:
+            raise ValueError(f"catalog query {name!r} registered twice")
         QUERIES[name] = fn
         if sql is not None:
             ORACLE[name] = sql
@@ -104,6 +111,13 @@ def j1_broadcast_lookup(spark, sf_dir):
     """J1/S3: broadcast hash lookup join posts->profiles
     (reference src/subscription.ts:241-268)."""
     ev = load_table(spark, sf_dir, "events")
+    # The broadcast is the OPERATOR here, and it is justified by the
+    # reference's contract, not by bench luck: profile lookups arrive in
+    # bounded API pages (getProfiles batches of <= 25 handles), so the
+    # build side is capped by protocol.  The fixture stands the customer
+    # table in for that bounded batch; a profile side that actually
+    # scaled with the data would drop the hint like q3/q5's customer
+    # joins (see the round-8 broadcast-hint sweep).
     cust = load_table(spark, sf_dir, "customer")
     return ev.join(
         F.broadcast(cust), ev["user_id"] == cust["c_custkey"], "left"
@@ -551,21 +565,17 @@ def q5_local_supplier_volume(spark, sf_dir):
 
 
 def _load_extensions() -> None:
-    """Import extension catalogs (registration side effects)."""
-    from . import catalog_text  # noqa: F401
+    """Import extension catalogs (registration side effects).
 
-    try:
-        from . import catalog_dedup  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from . import catalog_similarity  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from . import catalog_stream  # noqa: F401
-    except ImportError:
-        pass
+    Imports are UNGUARDED on purpose: swallowing an ImportError here
+    would silently drop whole query families (including regression-core
+    gate-window entries like w1_stream_upsert and dedup_exact) and the
+    priority window would backfill with other queries — a broken import
+    must fail the catalog load, not shrink it."""
+    from . import catalog_text  # noqa: F401
+    from . import catalog_dedup  # noqa: F401
+    from . import catalog_similarity  # noqa: F401
+    from . import catalog_stream  # noqa: F401
     from . import catalog_analytics  # noqa: F401
     from . import catalog_conditions  # noqa: F401
     from . import catalog_multimodal  # noqa: F401

@@ -42,8 +42,12 @@ def _post_shaped(docs):
     SELECT doc_id
     FROM documents
     WHERE doc_id % 5 = 0  -- P7 imageOnly: images embed present
-      AND len(regexp_extract_all(text || chr(10) || 'ALTTOKEN_' || lang,
+      AND len(regexp_extract_all(coalesce(text, '') || chr(10)
+                                   || 'ALTTOKEN_' || coalesce(lang, ''),
                                  '(?i)alttoken_(de|fr)')) > 0  -- P6+P4
+      -- coalesce mirrors the compiler (predicate.search_text coalesces
+      -- NULL text/alt to ''); a bare || chain would NULL out and DROP
+      -- rows the compiled filter keeps
       AND NOT (doc_id % 7 = 0)  -- P8 labelDisable
       AND NOT (doc_id % 3 = 0)  -- P9 replyDisable
     """,
@@ -100,6 +104,10 @@ def p10_profile_match(spark, sf_dir):
         F.col("c_mktsegment").alias("author_profile_text"),
     )
     posts = docs.select("doc_id", "text", (F.col("doc_id") % n_cust).alias("author_key"))
+    # the broadcast is justified by the reference's contract, not by
+    # bench size: profileMatch resolves author profiles through paged
+    # getProfiles calls (<= 25 handles per page), so the build side is
+    # protocol-bounded — see j1_broadcast_lookup for the same note
     joined = posts.join(F.broadcast(profiles), "author_key")
     cond = FeedCondition(
         key="pm",

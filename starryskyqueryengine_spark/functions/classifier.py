@@ -87,10 +87,27 @@ def logreg_train(
     w = [0.0] * len(xs)
     for _ in range(iters):
         p = _sigmoid(_dot(w, xs))
+
+        def _term(j):
+            # Spark floor(double) bottlenecks through LONG: a term past
+            # 2^63 would silently saturate here while the DuckDB oracle's
+            # CAST(... AS BIGINT) raises — so raise on OUR side too
+            # (wrong-but-silent weights are worse than a loud rescale
+            # demand).  |p - y| <= 1, so this fires only for feature
+            # magnitudes >= ~9.2e6 at the default GRAD_SCALE.
+            t = (p - y) * xs[j] * F.lit(GRAD_SCALE)
+            return F.when(F.abs(t) < F.lit(9.2e18), F.floor(t)).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "logreg_train: |gradient term| overflows BIGINT — "
+                        "rescale the feature (e.g. log it) or lower "
+                        "GRAD_SCALE"
+                    )
+                ).cast("bigint")
+            )
+
         aggs = [
-            F.sum(
-                F.floor((p - y) * xs[j] * F.lit(GRAD_SCALE)).cast("decimal(38,0)")
-            ).alias(f"k{j}")
+            F.sum(_term(j).cast("decimal(38,0)")).alias(f"k{j}")
             for j in range(len(xs))
         ] + [F.count(F.lit(1)).alias("n")]
         row = df.agg(*aggs).collect()[0]

@@ -51,9 +51,11 @@ def refresh_delete(
 ) -> DataFrame:
     """T4: drop the ``refresh`` newest rows for ``key`` (re-fetch window);
     ``refresh == -1`` drops every row for the key."""
+    # null-safe inequality: `col != key` is NULL (filtered out) for a
+    # NULL key column, so plain != would delete every NULL-key row as
+    # collateral of refreshing an unrelated feed
+    not_target = ~F.col(key_col).eqNullSafe(F.lit(key))
     if refresh == -1:
-        return df.filter(F.col(key_col) != key)
+        return df.filter(not_target)
     ranked = _ranked(df, key_col, ts_col, cid_col)
-    return ranked.filter(
-        (F.col(key_col) != key) | (F.col("_rn") > refresh)
-    ).drop("_rn")
+    return ranked.filter(not_target | (F.col("_rn") > refresh)).drop("_rn")

@@ -52,6 +52,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
-    """Register fixture tables as temp views for spark.sql use."""
-    for name in tables or TABLES:
+    """Register fixture tables as temp views for spark.sql use.
+    ``tables=None`` registers all fixture tables; an explicit empty
+    list registers none (it is not a fall-through to the default)."""
+    for name in (TABLES if tables is None else tables):
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)

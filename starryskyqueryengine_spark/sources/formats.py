@@ -60,12 +60,21 @@ def read_any(
     schema: Optional[StructType] = None,
     fmt: Optional[str] = None,
     keep_corrupt: bool = False,
+    multiline: bool = False,
 ) -> DataFrame:
     """Read ``path`` in the sniffed (or given) format.
 
     Text formats demand ``schema``; with ``keep_corrupt`` the PERMISSIVE
     rescue column stays in the result (else unparseable rows are dropped,
     matching the validator's stance).
+
+    ``multiline=True`` reads array / pretty-printed JSON (one document
+    spanning lines) instead of JSON-Lines.  Without it, an entirely
+    unparseable non-empty JSON input raises instead of silently
+    returning zero rows — a standard ``[{...}, {...}]`` payload would
+    otherwise corrupt EVERY line and the drop-corrupt filter would
+    swallow the whole file, the exact silent drift this module exists
+    to prevent.
     """
     fmt = fmt or sniff_format(path)
     if fmt in ("parquet", "orc"):
@@ -84,10 +93,25 @@ def read_any(
     )
     if fmt == "csv":
         reader = reader.option("header", "true")
+    if fmt == "json" and multiline:
+        reader = reader.option("multiLine", "true")
     df = reader.load(path)
     if keep_corrupt:
         return df
-    return df.filter(df[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
+    parsed = df.filter(df[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
+    if fmt == "json" and not multiline:
+        # all-corrupt guard: one bounded probe, only on the read path
+        # that can misfire wholesale (array JSON fed to the line reader).
+        # take(1) (not count): Spark refuses queries over raw JSON whose
+        # referenced columns collapse to only the corrupt-record column,
+        # which is exactly what count()'s column pruning produces.
+        if len(df.take(1)) > 0 and len(parsed.take(1)) == 0:
+            raise ValueError(
+                f"{path}: no line parsed as JSON-Lines — if this is an "
+                "array / pretty-printed JSON document, pass "
+                "multiline=True (refusing to silently return 0 rows)"
+            )
+    return parsed
 
 
 def write_any(df: DataFrame, path: str, fmt: Optional[str] = None, mode: str = "overwrite") -> None:

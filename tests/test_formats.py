@@ -69,3 +69,44 @@ def test_convert_to_parquet(spark, tmp_path):
                             schema=src.schema)
     assert sorted(map(tuple, pq.collect())) == sorted(map(tuple, src.collect()))
     assert pq.schema == src.schema
+
+
+def test_read_any_array_json_raises_instead_of_zero_rows(spark, tmp_path):
+    """A pretty-printed/array .json fed to the line reader must raise
+    (with a pointer to multiline=True), never silently return 0 rows;
+    multiline=True must then parse it."""
+    import json
+
+    import pytest
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from starryskyqueryengine_spark.sources.formats import read_any
+
+    p = tmp_path / "payload.json"
+    p.write_text(json.dumps([{"id": 1, "v": "a"}, {"id": 2, "v": "b"}], indent=2))
+    schema = StructType(
+        [StructField("id", LongType()), StructField("v", StringType())]
+    )
+    with pytest.raises(ValueError, match="multiline"):
+        read_any(spark, str(p), schema=schema)
+    got = sorted(
+        tuple(r) for r in read_any(spark, str(p), schema=schema, multiline=True).collect()
+    )
+    assert got == [(1, "a"), (2, "b")]
+
+
+def test_register_views_explicit_empty_list_registers_nothing(spark):
+    from starryskyqueryengine_spark.sources.fixtures import register_views
+
+    spark.catalog.dropTempView("region") if spark.catalog.tableExists("region") else None
+    register_views(spark, "/root/testdata/sf0.001", tables=[])
+    assert not spark.catalog.tableExists("region")
+
+
+def test_catalog_register_rejects_duplicate_names():
+    import pytest
+
+    from starryskyqueryengine_spark.catalog import register
+
+    with pytest.raises(ValueError, match="registered twice"):
+        register("q1_pricing_summary")(lambda spark, sf: None)

@@ -502,3 +502,19 @@ def test_asof_join_ignores_null_right_timestamps(spark):
         left, right, key_col="uid", ts_col="ts", right_payload=["cid"]
     ).collect()}
     assert out == {"p1": None, "p2": "c1"}
+
+
+def test_refresh_delete_keeps_null_key_rows(spark):
+    """Refreshing one feed must not delete rows whose key is NULL
+    (three-valued `!=` would silently drop them in both branches)."""
+    from starryskyqueryengine_spark.operators.retention import refresh_delete
+
+    df = spark.createDataFrame(
+        [("a", 1, "c1", "u1"), (None, 2, "c2", "u2"), ("b", 3, "c3", "u3")],
+        "key string, ts long, cid string, uri string",
+    )
+    full = refresh_delete(df, -1, "a", ts_col="ts")
+    assert sorted(r["key"] for r in full.collect() if r["key"]) == ["b"]
+    assert full.filter(F.col("key").isNull()).count() == 1
+    part = refresh_delete(df, 1, "a", ts_col="ts")
+    assert part.filter(F.col("key").isNull()).count() == 1

@@ -53,6 +53,15 @@ def main() -> None:
     def force_gc() -> None:
         import gc
 
+        # CacheManager entries (DataFrame .cache() inside catalog
+        # queries: LSH bands, graph edge lists, classifier features)
+        # are NOT freed by GC — they live until explicit unpersist or
+        # session end, so across ~230 query executions per lap they
+        # steal executor storage from later queries AND let laps 2-4
+        # reuse lap 1's cache (dishonest per-lap numbers). Clearing at
+        # every GC checkpoint (GC_EVERY queries) keeps measurements
+        # independent across laps.
+        spark.catalog.clearCache()
         gc.collect()  # drop py4j handles so JVM weak refs can clear
         # two JVM passes: the first clears strong refs and enqueues weak
         # refs, the second lets the ContextCleaner's processed refs'

@@ -1270,16 +1270,18 @@ def zorder_skipping_scan(spark, sf_dir):
     zpath = os.path.join(
         tempfile.gettempdir(), f"starrysky_zorder_u{uid}_{tag}"
     )
-    cached = False
-    if os.path.exists(os.path.join(zpath, MANIFEST)):
+    # ownership gate covers BOTH paths: a pre-existing dir this uid does
+    # not own is never trusted as a cache AND never written into (a
+    # pre-planted world-writable dir would let its owner swap the files
+    # between our write and our read)
+    if os.path.exists(zpath):
         st_dir = os.stat(zpath)
-        if getattr(st_dir, "st_uid", uid) == uid:
-            cached = True
-        else:
+        if getattr(st_dir, "st_uid", uid) != uid:
             raise PermissionError(
                 f"zorder cache dir {zpath} is owned by uid "
-                f"{st_dir.st_uid}, not {uid} — refusing to trust it"
+                f"{st_dir.st_uid}, not {uid} — refusing to use it"
             )
+    cached = os.path.exists(os.path.join(zpath, MANIFEST))
     if not cached:
         write_zordered(
             load_table(spark, sf_dir, "lineitem"),
@@ -2069,19 +2071,17 @@ def bfs_reach_3hop(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("frontier_size"),
         )
 
-    out = (
+    # Returned LAZY (the plan linter must see the real join/exchange
+    # shape, not a post-checkpoint RDD scan); the session-lifetime cache
+    # pin is handled where long-lived sessions run many queries — the
+    # bench clears the CacheManager between queries (bench.py force_gc),
+    # and the driver's correctness runs are one-process-per-round.
+    return (
         lvl(0, "part", seed)
         .unionByName(lvl(1, "supplier", h1))
         .unionByName(lvl(2, "part", h2))
         .unionByName(lvl(3, "supplier", h3))
     )
-    # materialize the 4-row result while the edge cache is warm, then
-    # RELEASE the cache: a lazy return would pin the edge blocks in
-    # executor storage for the whole session (nothing downstream could
-    # unpersist them), leaking one edge list per query run
-    out = out.localCheckpoint(eager=True)
-    edges.unpersist()
-    return out
 
 
 # --------------------------------------------------------------------------
@@ -2706,16 +2706,12 @@ def label_prop_communities(spark, sf_dir):
     edges.count()
     with scoped_shuffle_partitions(spark, GRAPH_SHUFFLE_PARTS):
         labels = label_propagation(edges, iters=2)
-        out = labels.groupBy(F.col("label").alias("community")).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_members")
-        )
-        # community-sized result: materialize it inside the scope while
-        # the edge cache is warm, then release the cache (a lazy return
-        # would pin the co-purchase edge list — larger than the input —
-        # in executor storage for the session's lifetime)
-        out = out.localCheckpoint(eager=True)
-    edges.unpersist()
-    return out
+    # lazy return so the plan linter sees the propagation plan; the
+    # edge-cache session pin is reclaimed by the bench's between-query
+    # CacheManager clear (bench.py force_gc)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
 
 
 @register(

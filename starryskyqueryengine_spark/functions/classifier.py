@@ -96,7 +96,13 @@ def logreg_train(
             # demand).  |p - y| <= 1, so this fires only for feature
             # magnitudes >= ~9.2e6 at the default GRAD_SCALE.
             t = (p - y) * xs[j] * F.lit(GRAD_SCALE)
-            return F.when(F.abs(t) < F.lit(9.2e18), F.floor(t)).otherwise(
+            # NULL terms (NULL feature/label rows) must stay NULL —
+            # sum() skips them, the pre-guard behavior; CaseWhen treats
+            # a NULL condition as false, so without the isNull arm a
+            # NULL row would fall through to the raise
+            return F.when(
+                t.isNull() | (F.abs(t) < F.lit(9.2e18)), F.floor(t)
+            ).otherwise(
                 F.raise_error(
                     F.lit(
                         "logreg_train: |gradient term| overflows BIGINT — "

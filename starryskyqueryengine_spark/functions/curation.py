@@ -24,12 +24,13 @@ from pyspark.sql import functions as F
 # Patterns restricted to the Java-regex ∩ RE2 (DuckDB) common dialect so the
 # DuckDB oracles can mirror them verbatim: no backrefs, no lookaround.
 EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-# Octet-exact (0-255 per component): a bare 1-3-digit quad would also
-# redact impossible addresses (999.999.999.999) — corrupting non-PII
+# Octet-exact (0-255 per component, zero-padding allowed: 010.001.2.3
+# is a real log-format address) — a bare 1-3-digit quad would also
+# redact impossible addresses (999.999.999.999), corrupting non-PII
 # text.  Version-like strings that ARE valid dotted quads (1.2.3.4)
 # remain shape-indistinguishable from addresses; excluding a 5th octet
 # would need lookahead, which RE2 lacks, so dialect parity wins.
-_OCTET = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+_OCTET = r"(25[0-5]|2[0-4][0-9]|[01][0-9][0-9]|[0-9][0-9]?)"
 IPV4_PAT = rf"\b{_OCTET}(\.{_OCTET}){{3}}\b"
 PHONE_PAT = r"\+[0-9][0-9-]{6,}[0-9]"
 URL_DOMAIN_PAT = r"https?://([A-Za-z0-9.-]+)"

@@ -80,17 +80,21 @@ class CountByKeyView:
         # (deleting it mid-lifetime would fail the reader); older dirs
         # than that are past any plausible reader and are reclaimed.
         survivors = {state_dir}
-        # lstrip("-") so the empty-base-table bootstrap dir (state_v-1,
-        # written when the base has no commits yet) is listed too —
-        # a bare isdigit() would hide it from the keep-one-previous
-        # policy and leak it forever
+        # -?\d+ so the empty-base-table bootstrap dir (state_v-1,
+        # written when the base has no commits yet) is listed too — a
+        # bare isdigit() would hide it from the keep-one-previous policy
+        # and leak it forever.  A strict regex (ONE optional dash), not
+        # lstrip("-"): a stray state_v--2 would pass an lstrip filter
+        # and then crash the int() parse, aborting the GC pass.
+        import re as _re
+
         versions = sorted(
             (
                 int(n[len("state_v"):])
                 for n in os.listdir(self.path)
                 if n.startswith("state_v")
                 and os.path.isdir(os.path.join(self.path, n))
-                and n[len("state_v"):].lstrip("-").isdigit()
+                and _re.fullmatch(r"-?\d+", n[len("state_v"):])
             ),
             reverse=True,
         )

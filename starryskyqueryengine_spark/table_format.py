@@ -1084,7 +1084,9 @@ class TxnLogFormat(TableFormat):
         if not versions:
             return []
         keep: set[str] = set()
-        floor = versions[-1] - retain_versions
+        # clamp: a negative retain_versions would put the floor PAST the
+        # latest version, retain nothing, and delete every live file
+        floor = versions[-1] - max(0, retain_versions)
         # the loop's v >= floor range includes versions[-1], so the
         # retained window already covers the latest snapshot
         for v in versions:

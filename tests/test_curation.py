@@ -145,3 +145,10 @@ def test_ip_no_partial_match_inside_larger_number_runs(spark):
     r = _one(spark, "id 1234.1.1.1 and 1.1.1.1234 stay")
     assert r["n_ips"] == 0
     assert r["red"] == "id 1234.1.1.1 and 1.1.1.1234 stay"
+
+
+def test_ip_zero_padded_octets_still_redacted(spark):
+    # zero-padded quads are common in log formats / sortable exports
+    r = _one(spark, "from 010.001.002.003 and 192.168.001.001 end")
+    assert r["red"] == "from <IP> and <IP> end"
+    assert r["n_ips"] == 2

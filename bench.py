@@ -28,7 +28,10 @@ def run_df(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    except ValueError:
+        sf = -1.0  # non-conforming dir name: record "unknown", don't crash
 
     # A single-JVM local[N] bench runs ~230 query executions in one
     # process; Spark's ContextCleaner only reclaims dead shuffle files /
@@ -139,6 +142,10 @@ def main() -> None:
         "unit": "sec",
         "queries": median,
         "sf": sf,
+        # entry() runs the driver-contract flagship at its PINNED
+        # sf0.001 fixture regardless of $SPARK_GRAFT_SF_DIR — recorded
+        # so cross-sf comparisons don't misread that one component
+        "flagship_materialize_sf": 0.001,
         "cold_total_sec": round(sum(cold.values()), 4),
         "lap2_total_sec": round(sum(lap2.values()), 4),
         "lap3_total_sec": round(sum(lap3.values()), 4),

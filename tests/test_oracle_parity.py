@@ -8,13 +8,12 @@ mismatch here is much cheaper than waiting for CORRECTNESS_r{N}.json.
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import pytest
 
 import __spark_entry__ as entrymod
 from starryskyqueryengine_spark.sources.fixtures import TABLES
+from tools.compare import duck_type_to_spark, normalize
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -30,23 +29,6 @@ def duck():
     con.close()
 
 
-def normalize(rows, columns):
-    """Sort columns by name, then rows; stringify floats to 9 sig digits."""
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-
-    def norm_val(v):
-        if isinstance(v, bool):
-            return str(v).lower()
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "nan"
-            return f"{v:.9g}"
-        return str(v)
-
-    out = [tuple(norm_val(r[i]) for i in order) for r in rows]
-    return sorted(out), [columns[i] for i in order]
-
-
 QUERY_NAMES = sorted(entrymod.oracle_sql().keys())
 
 # -- type-drift guard -------------------------------------------------------
@@ -55,30 +37,6 @@ QUERY_NAMES = sorted(entrymod.oracle_sql().keys())
 # the row still fails (round-1 pack_sequences). Stringified comparison
 # above can't see that, so map DuckDB's DESCRIBE types onto Spark dtypes
 # and require exact agreement, forbidding HUGEINT/DECIMAL outright.
-
-_DUCK_TO_SPARK = {
-    "TINYINT": "tinyint",
-    "SMALLINT": "smallint",
-    "INTEGER": "int",
-    "BIGINT": "bigint",
-    "FLOAT": "float",
-    "DOUBLE": "double",
-    "VARCHAR": "string",
-    "BOOLEAN": "boolean",
-    "DATE": "date",
-    "TIMESTAMP": "timestamp",
-    "TIMESTAMP WITH TIME ZONE": "timestamp",
-    "BLOB": "binary",
-}
-
-
-def duck_type_to_spark(t: str) -> str:
-    t = t.strip()
-    if t.endswith("[]"):
-        return f"array<{duck_type_to_spark(t[:-2])}>"
-    if t == "HUGEINT" or t.startswith("DECIMAL") or t.startswith("UHUGEINT"):
-        return f"FORBIDDEN({t})"
-    return _DUCK_TO_SPARK.get(t, t.lower())
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)

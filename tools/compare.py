@@ -1,4 +1,7 @@
-"""Shared oracle-comparison helpers for the local correctness gates.
+"""Shared oracle-comparison helpers for the local correctness gates —
+the ONE implementation of normalize / type-drift / tolerant compare,
+imported by both tools/full_gate.py and tests/test_oracle_parity.py so
+the standalone gate and the pytest gate can never drift apart.
 
 ``tolerant_rows_equal`` accepts a 1-ulp-at-6-decimals band on float
 values: queries whose outputs pass through ``ROUND(ln(...), 6)``
@@ -7,19 +10,96 @@ the raw doubles can differ by 1 ulp, and when such a value sits within
 an ulp of a 0.5e-6 rounding boundary the 6th decimal flips on one side
 only.  That flip is a 1e-6 step in the rounded value; a band of 1.5e-6
 forgives exactly that and nothing wider (a genuine 2-step difference of
-2e-6 still fails).  Non-float values stay strict.
+2e-6 still fails).  Non-float values stay strict; the tolerance is
+further gated to FLOAT-SHAPED strings so numeric text inside a string
+column never silently earns it.
 """
 
 from __future__ import annotations
+
+import math
+import re
 
 # one rounding-step flip at 6 decimals is 1e-6; 1.5e-6 accepts it and
 # rejects anything two steps apart
 LOG_ROUND_TOL = 1.5e-6
 
+# the tolerance applies only to values that LOOK like floats — an
+# integer-shaped or arbitrary string that merely parses as float (a
+# VARCHAR column carrying numeric text) stays strict, matching the
+# driver's exact string hash as closely as type-erased values allow
+_FLOATISH = re.compile(r"-?\d+\.\d+([eE][+-]?\d+)?|-?\d+[eE][+-]?\d+")
+
+
+def normalize(rows, columns):
+    """Sort columns by name, then rows; stringify floats to 9 sig digits
+    (the driver-compatible canonical form)."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def norm_val(v):
+        if isinstance(v, bool):
+            return str(v).lower()
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return f"{v:.9g}"
+        return str(v)
+
+    out = [tuple(norm_val(r[i]) for i in order) for r in rows]
+    return sorted(out), [columns[i] for i in order]
+
+
+# DuckDB DESCRIBE type -> Spark dtype, for the type-drift guard: the
+# driver's value hash is TYPE-SENSITIVE, so an oracle producing HUGEINT
+# (count arithmetic) or DECIMAL (sum over decimal) where Spark yields
+# bigint/double would pass a stringified compare locally and fail the
+# driver — those types are FORBIDDEN in oracle output columns.
+_DUCK_TO_SPARK = {
+    "TINYINT": "tinyint",
+    "SMALLINT": "smallint",
+    "INTEGER": "int",
+    "BIGINT": "bigint",
+    "FLOAT": "float",
+    "DOUBLE": "double",
+    "VARCHAR": "string",
+    "BOOLEAN": "boolean",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP WITH TIME ZONE": "timestamp",
+    "BLOB": "binary",
+}
+
+
+def duck_type_to_spark(t: str) -> str:
+    t = t.strip()
+    if t.endswith("[]"):
+        return f"array<{duck_type_to_spark(t[:-2])}>"
+    if t == "HUGEINT" or t.startswith("DECIMAL") or t.startswith("UHUGEINT"):
+        return f"FORBIDDEN({t})"
+    return _DUCK_TO_SPARK.get(t, t.lower())
+
+
+def type_drift(duck_described, spark_dtypes) -> dict:
+    """{column: (duck, spark)} for every mismatched/forbidden column;
+    empty when the oracle's types match Spark's exactly."""
+    duck_types = {r[0]: duck_type_to_spark(r[1]) for r in duck_described}
+    spark_types = dict(spark_dtypes)
+    if set(duck_types) != set(spark_types):
+        return {
+            "__columns__": (sorted(duck_types), sorted(spark_types))
+        }
+    return {
+        c: (duck_types[c], spark_types[c])
+        for c in duck_types
+        if duck_types[c] != spark_types[c]
+    }
+
 
 def _vals_equal(a: str, b: str, tol: float = LOG_ROUND_TOL) -> bool:
     if a == b:
         return True
+    if not (_FLOATISH.fullmatch(a) and _FLOATISH.fullmatch(b)):
+        return False
     try:
         fa, fb = float(a), float(b)
     except (TypeError, ValueError):
@@ -29,20 +109,39 @@ def _vals_equal(a: str, b: str, tol: float = LOG_ROUND_TOL) -> bool:
     return abs(fa - fb) <= tol
 
 
+def _requantized(rows):
+    """Rows with float-shaped values re-rounded to 5 significant digits
+    — a sort key on which two engines' 6-dp values that differ by one
+    rounding step collapse together, so the multiset fallback can
+    realign rows whose sub-tolerance flip changed their sort position."""
+    def q(v: str) -> str:
+        if _FLOATISH.fullmatch(v):
+            try:
+                return f"{float(v):.5g}"
+            except ValueError:
+                return v
+        return v
+
+    return sorted(tuple(q(v) for v in r) for r in rows)
+
+
 def tolerant_rows_equal(s_vals, d_vals, tol: float = LOG_ROUND_TOL) -> bool:
     """Pairwise compare two SORTED lists of normalized row tuples,
-    forgiving float differences within ``tol``.  Falls back to strict
-    equality first (the overwhelmingly common case costs one list
-    compare)."""
+    forgiving float differences within ``tol``.  Strict equality first
+    (the overwhelmingly common case costs one list compare); then the
+    positional tolerant pass; then — because a sub-tolerance flip can
+    change a row's SORT POSITION and misalign the zip — a multiset
+    compare over 5-significant-digit requantized rows.  The fallback
+    only runs when the strict and positional passes both failed, so it
+    can loosen a false FAILURE but never replaces the strict path."""
     if s_vals == d_vals:
         return True
     if len(s_vals) != len(d_vals):
         return False
-    for ra, rb in zip(s_vals, d_vals):
-        if ra == rb:
-            continue
-        if len(ra) != len(rb):
-            return False
-        if not all(_vals_equal(a, b, tol) for a, b in zip(ra, rb)):
-            return False
-    return True
+    if all(
+        ra == rb
+        or (len(ra) == len(rb) and all(_vals_equal(a, b, tol) for a, b in zip(ra, rb)))
+        for ra, rb in zip(s_vals, d_vals)
+    ):
+        return True
+    return _requantized(s_vals) == _requantized(d_vals)

@@ -57,7 +57,7 @@ HEADLINERS = {
     "quality_bucket_sample": "tercile cutoffs from the 10^4-row VALUE histogram, broadcast back — no NTILE global sort over the corpus",
     "winnow_fingerprints": "rightmost-min winnowing via packed-bigint arg-min in ONE codegen window; one shuffle on doc_id",
     "source_kl_divergence": "corpus work = two hash aggs; KL sum runs on the broadcast |sources| x 4096 grid, size-independent of the corpus",
-    "q2_min_cost_supplier": "per-(part,supplier) cost + per-part MIN both aggregate BEFORE the join-back; part/supplier/nation broadcast",
+    "q2_min_cost_supplier": "per-(part,supplier) cost + per-part MIN both aggregate BEFORE the join-back; broadcast LeftSemi prunes lineitem BELOW both aggregates (selective part filter first); part/supplier/nation broadcast",
     "q11_important_stock": "global-total threshold = 1-row broadcast against the per-part value table; one lineitem shuffle total",
     "q12_priority_lateness": "CASE grouping key + both conditional SUMs in ONE aggregate pass; date filter in PushedFilters",
     "q20_excess_supply": "part filter and dominant-supplier membership as LeftSemi joins; one (suppkey,partkey) shuffle shared by both aggregates",
@@ -87,7 +87,6 @@ HEADLINERS = {
     "countmin_frequency": "sketch build is ONE hash aggregate with partial_count (map-side combine to <= depth*width rows per task)",
     "url_canonical_dedup": "canonicalization all codegen (no Python eval); dedup one partial->final hash aggregate",
     "pipeline_rag_retrieval": "chunker explode + two chunk-token aggregations + broadcast query vector; fusion bounded by leg K",
-    "q2_min_cost_supplier": "broadcast LeftSemi prunes lineitem BELOW the cost/min-cost aggregates (selective part filter first)",
     "mm_scene_detect": "Arrow decode kernels; lag window partitioned by media_id (clip-sized state)",
     "mm_image_phash_neardup": "two Arrow codec hops -> tiny cached hash table; band self-join + popcount verify all JVM-side",
     "bloom_prefilter_upsert": "bit positions via codegen xxhash64 both sides; exact anti-join runs on the maybe-dup slice only",

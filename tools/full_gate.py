@@ -14,7 +14,6 @@ Run from the repo root:  python tools/full_gate.py  [sf_dir]
 from __future__ import annotations
 
 import json
-import math
 import os
 import sys
 import time
@@ -23,27 +22,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
 
-from tools.compare import tolerant_rows_equal  # noqa: E402
+from tools.compare import (  # noqa: E402
+    normalize,
+    tolerant_rows_equal,
+    type_drift,
+)
 
 import __spark_entry__ as entrymod  # noqa: E402
 from starryskyqueryengine_spark.session import get_spark  # noqa: E402
 from starryskyqueryengine_spark.sources.fixtures import TABLES  # noqa: E402
-
-
-def normalize(rows, columns):
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-
-    def norm_val(v):
-        if isinstance(v, bool):
-            return str(v).lower()
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "nan"
-            return f"{v:.9g}"
-        return str(v)
-
-    out = [tuple(norm_val(r[i]) for i in order) for r in rows]
-    return sorted(out), [columns[i] for i in order]
 
 
 def main() -> None:
@@ -82,6 +69,16 @@ def main() -> None:
             duck_cols = [d[0] for d in res.description]
             duck_rows = res.fetchall()
             rec["oracle_rows"] = len(duck_rows)
+            # type-drift guard (the docstring's promise): the driver's
+            # value hash is TYPE-sensitive, so a HUGEINT/DECIMAL oracle
+            # column that stringifies equal here would still fail there
+            drift = type_drift(
+                con.execute("DESCRIBE " + oracles[name]).fetchall(),
+                sdf.dtypes,
+            )
+            rec["types_match"] = not drift
+            if drift:
+                rec["err"] = f"type drift: {drift}"[:400]
             s_vals, s_cols = normalize(spark_rows, sdf.columns)
             d_vals, d_cols = normalize(duck_rows, duck_cols)
             rec["rows_match"] = len(s_vals) == len(d_vals)
@@ -89,6 +86,7 @@ def main() -> None:
             rec["values_match"] = (
                 rec["rows_match"]
                 and rec["schema_match"]
+                and rec["types_match"]
                 and tolerant_rows_equal(s_vals, d_vals)
             )
         except Exception as ex:  # noqa: BLE001 - report, don't abort the sweep
@@ -112,6 +110,9 @@ def main() -> None:
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(summary))
+    if summary["n_fail"]:
+        # a gate must gate: shell chains and CI stop on failures
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -116,6 +116,13 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark()
     queries = entrymod.queries()
+    # whitelist staleness guard (the PRIORITY-window-integrity rule
+    # applied here): an entry naming a renamed/deleted query would
+    # silently pre-excuse a future BNLJ in whatever query later takes
+    # the name — fail loudly instead
+    stale = sorted(set(WHITELIST) - set(queries))
+    if stale:
+        raise SystemExit(f"plan_lint: WHITELIST names not registered: {stale}")
     out: dict[str, dict] = {}
     t0 = time.time()
     for i, (name, fn) in enumerate(queries.items()):
@@ -133,10 +140,21 @@ def main() -> int:
                 "err": f"{type(e).__name__}: {e}"[:300],
                 "ok": False,
             }
+        # caches registered by iterative builders (graph edge lists,
+        # LSH bands) would otherwise accumulate across 196 builds and
+        # substitute InMemoryRelation into LATER queries' linted plans
+        spark.catalog.clearCache()
         if (i + 1) % 25 == 0:
             print(f"  [{i + 1}/{len(queries)}] {time.time() - t0:.0f}s", flush=True)
     bad = sorted(k for k, v in out.items() if not v["ok"])
+    # a whitelisted query that no longer exhibits a BNLJ is a stale
+    # excuse waiting to mask a regression — surface it in the artifact
+    unused_whitelist = sorted(
+        k for k in WHITELIST
+        if k in out and out[k].get("bnlj") is False
+    )
     summary = {
+        "unused_whitelist": unused_whitelist,
         "sf_dir": sf_dir,
         "n_queries": len(out),
         "n_ok": sum(v["ok"] for v in out.values()),

@@ -63,7 +63,11 @@ def _encode_op_block(user_id, event_type, event_id, props):
                     "collection": _COLLECTION_MAP.get(et, "unknown"),
                     "rkey": rkey,
                     "action": "delete" if eid % 10 == 0 else "create",
-                    "record": pr if pr is not None else "",
+                    # NULL props ride through as CBOR null: a NULL body
+                    # is ordinary for an opaque payload column, and the
+                    # oracle's octet_length(encode(NULL)) is NULL — a
+                    # 0-byte substitute would diverge the two engines
+                    "record": pr,
                     "cid": cbor.CidLink(hashlib.md5(rkey.encode()).digest()),
                 }
             )
@@ -98,7 +102,11 @@ def _decode_op_block(block):
                 "collection": op["collection"],
                 "rkey": op["rkey"],
                 "action": op["action"],
-                "record_bytes": len(op["record"].encode("utf-8")),
+                "record_bytes": (
+                    len(op["record"].encode("utf-8"))
+                    if op["record"] is not None
+                    else None
+                ),
             }
         )
     return pd.DataFrame(rows)
@@ -182,7 +190,7 @@ def f_scalar_family(spark, sf_dir):
     "sessionize_events",
     """
     WITH ordered AS (
-      SELECT user_id, epoch_us(ts) AS ts_us,
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
              CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
                   OR LAG(epoch_us(ts)) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
@@ -190,8 +198,12 @@ def f_scalar_family(spark, sf_dir):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
     ),
     tagged AS (
+      -- event_id tie-break matches BOTH the lag window above and the
+      -- Spark side: without it, (user_id, ts) ties make the running
+      -- sum's row order (and thus session assignment) engine-dependent
       SELECT user_id, ts_us,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_seq
       FROM ordered
     )
@@ -211,8 +223,9 @@ def sessionize_events(spark, sf_dir):
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
-    ts_us = F.col("ts_us") if "ts_us" in ev.columns else F.unix_micros("ts")
-    ev = ev.select("user_id", "event_id", ts_us.alias("ts_us"))
+    # load_table always materializes ts_us for events (the loader's
+    # invariant; sources/fixtures.py)
+    ev = ev.select("user_id", "event_id", "ts_us")
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     gap = F.col("ts_us") - F.lag("ts_us").over(w)
     tagged = ev.withColumn(
@@ -259,8 +272,8 @@ def asof_purchase_attribution(spark, sf_dir):
     from .operators.asof import as_of_join
 
     ev = load_table(spark, sf_dir, "events")
-    ts_us = F.col("ts_us") if "ts_us" in ev.columns else F.unix_micros("ts")
-    ev = ev.select("event_id", "user_id", "event_type", ts_us.alias("ts_us"))
+    # load_table always materializes ts_us for events (loader invariant)
+    ev = ev.select("event_id", "user_id", "event_type", "ts_us")
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .groupBy("user_id", "ts_us")

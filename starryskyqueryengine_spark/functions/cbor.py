@@ -10,8 +10,10 @@ its fields from an actual decode rather than synthesized columns.
 
 Only definite-length items are produced or accepted (the AT-proto DAG-CBOR
 profile also forbids indefinite lengths), and maps decode to plain dicts
-with text keys. Floats/bools/null are omitted until a caller needs them —
-unknown major types raise instead of guessing.
+with text keys. NULL is supported (major 7, simple value 22 — DAG-CBOR
+allows it, and the op-routing seam carries nullable record bodies);
+floats/bools stay omitted until a caller needs them — unknown major
+types and simple values raise instead of guessing.
 """
 
 from __future__ import annotations
@@ -23,6 +25,8 @@ MAJOR_TEXT = 3
 MAJOR_ARRAY = 4
 MAJOR_MAP = 5
 MAJOR_TAG = 6
+MAJOR_SIMPLE = 7
+SIMPLE_NULL = 22  # 0xF6
 
 TAG_CID = 42
 
@@ -56,6 +60,8 @@ def _head(major: int, arg: int) -> bytes:
 
 
 def encode(obj) -> bytes:
+    if obj is None:
+        return bytes([(MAJOR_SIMPLE << 5) | SIMPLE_NULL])
     if isinstance(obj, bool):
         raise TypeError("bool not in supported subset")
     if isinstance(obj, int):
@@ -152,6 +158,10 @@ def _decode_at(buf: bytes, pos: int, depth: int = 0):
         if not isinstance(v, bytes):
             raise ValueError("tag 42 must wrap a byte string")
         return CidLink(v), pos
+    if major == MAJOR_SIMPLE:
+        if arg == SIMPLE_NULL:
+            return None, pos
+        raise ValueError(f"unsupported simple value {arg}")
     raise ValueError(f"unsupported major type {major}")
 
 

@@ -138,16 +138,33 @@ def pca_project(
     ]
     out_schema = T.StructType(out_fields)
 
+    d = len(mean)
+
     def proj(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
+            # same NULL/ragged discipline as pca_fit: a NULL or
+            # wrong-width vector projects to NULL instead of collapsing
+            # the whole batch into an opaque inhomogeneous-shape error
+            vecs = list(pdf[vec_col])
+            ok = [
+                v is not None and len(v) == d
+                for v in vecs
+            ]
             x = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                [
+                    np.asarray(v, dtype=np.float64) if good
+                    else np.zeros(d)
+                    for v, good in zip(vecs, ok)
+                ]
             )
             y = (x - mean) @ comps.T
             pdf = pdf.copy()
-            pdf[out_col] = [row.tolist() for row in y]
+            pdf[out_col] = [
+                row.tolist() if good else None
+                for row, good in zip(y, ok)
+            ]
             yield pdf
 
     return df.mapInPandas(proj, out_schema)

@@ -278,6 +278,14 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
         for pdf in batches:
             feats = []
             for b in pdf["payload"]:
+                # NULL payload quarantines like any corrupt blob —
+                # bytes(None) raises TypeError, which the ValueError
+                # handler below would NOT catch, killing the task
+                if b is None:
+                    if strict:
+                        raise ValueError("NULL payload")
+                    feats.append((None, None, None))
+                    continue
                 try:
                     feats.append(_decode_one(bytes(b)))
                 except ValueError:
@@ -287,7 +295,10 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "media_type": [m["media_type"] for m in pdf["meta"]],
+                    "media_type": [
+                        m["media_type"] if m is not None else None
+                        for m in pdf["meta"]
+                    ],
                     # nullable dtypes: quarantined rows carry NULL, not NaN
                     "checksum": pd.array([f[0] for f in feats], dtype="Int64"),
                     "mean_byte": pd.array([f[1] for f in feats], dtype="Float64"),
@@ -340,6 +351,11 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
         for pdf in batches:
             out_payload = []
             for b, m in zip(pdf["payload"], pdf["meta"]):
+                # NULL payload/meta: quarantine inside the loop — the
+                # conversion itself must not escape the per-record guard
+                if b is None or m is None:
+                    out_payload.append(None)
+                    continue
                 raw = bytes(b)
                 try:
                     out_payload.append(resize_one(raw, m))
@@ -429,7 +445,7 @@ def extract_frames(df: DataFrame, interval_ms: int = 500) -> DataFrame:
         for pdf in batches:
             payloads = []
             for b, idx in zip(pdf["payload"], pdf["frame_idx"]):
-                raw = bytes(b)
+                raw = bytes(b) if b is not None else b""
                 if not raw:
                     payloads.append(b"")
                     continue

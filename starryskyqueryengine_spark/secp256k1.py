@@ -65,7 +65,10 @@ def _mul(k: int, point):
 def decode_point(key) -> tuple[int, int]:
     """Accept an (x, y) pair or SEC1 bytes (0x04 uncompressed 65 B,
     0x02/0x03 compressed 33 B); validate on-curve membership."""
-    if isinstance(key, tuple) and len(key) == 2:
+    # tuple OR list: auth._looks_like_ec_public_key classifies both as
+    # EC keys (a key loaded from JSON config arrives as a list) — a
+    # tuple-only check made every list-form key fail verification
+    if isinstance(key, (tuple, list)) and len(key) == 2:
         x, y = int(key[0]), int(key[1])
     else:
         raw = bytes(key)

@@ -73,7 +73,7 @@ def test_map_key_order_deterministic():
         bytes.fromhex("5f"),  # indefinite bytes: rejected profile-wide
         bytes.fromhex("82 01"),  # array of 2, one element
         bytes.fromhex("0001"),  # trailing bytes
-        bytes.fromhex("f6"),  # null: outside supported subset
+        bytes.fromhex("f5"),  # true: bools outside supported subset
         bytes.fromhex("c1 00"),  # tag 1: only tag 42 accepted
         bytes.fromhex("d8 2a 00"),  # tag 42 wrapping non-bytes
     ],
@@ -88,8 +88,6 @@ def test_unsupported_encode_types():
         cbor.encode(1.5)
     with pytest.raises(TypeError):
         cbor.encode(True)
-    with pytest.raises(TypeError):
-        cbor.encode(None)
 
 
 def test_deep_nesting_raises_valueerror_not_recursionerror():
@@ -105,3 +103,23 @@ def test_non_string_map_keys_raise_typeerror_on_encode():
 
     with pytest.raises(TypeError, match="str"):
         cbor.encode({1: "x"})
+
+
+def test_null_roundtrip_and_nested():
+    """NULL (major 7, simple 22) round-trips standalone and inside
+    containers — the op-routing seam carries nullable record bodies."""
+    from starryskyqueryengine_spark.functions import cbor
+
+    assert cbor.encode(None) == b"\xf6"
+    assert cbor.decode(b"\xf6") is None
+    obj = {"record": None, "xs": [1, None, "a"]}
+    assert cbor.decode(cbor.encode(obj)) == obj
+
+
+def test_other_simple_values_still_raise():
+    import pytest
+
+    from starryskyqueryengine_spark.functions import cbor
+
+    with pytest.raises(ValueError, match="simple"):
+        cbor.decode(b"\xf5")  # true: bools stay outside the profile

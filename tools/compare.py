@@ -98,7 +98,12 @@ def type_drift(duck_described, spark_dtypes) -> dict:
 def _vals_equal(a: str, b: str, tol: float = LOG_ROUND_TOL) -> bool:
     if a == b:
         return True
-    if not (_FLOATISH.fullmatch(a) and _FLOATISH.fullmatch(b)):
+    # at least ONE side must be float-shaped: %.9g renders 2.0 as "2",
+    # so a 6-dp value at an integer boundary pairs an integer-shaped
+    # string with a float-shaped one; two integer-shaped strings (or
+    # arbitrary text) stay strict — a pair of genuine integers within
+    # 1.5e-6 of each other is equal anyway
+    if not (_FLOATISH.fullmatch(a) or _FLOATISH.fullmatch(b)):
         return False
     try:
         fa, fb = float(a), float(b)
@@ -109,11 +114,13 @@ def _vals_equal(a: str, b: str, tol: float = LOG_ROUND_TOL) -> bool:
     return abs(fa - fb) <= tol
 
 
-def _requantized(rows):
-    """Rows with float-shaped values re-rounded to 5 significant digits
-    — a sort key on which two engines' 6-dp values that differ by one
-    rounding step collapse together, so the multiset fallback can
-    realign rows whose sub-tolerance flip changed their sort position."""
+def _requantize_key(row):
+    """Sort key with float-shaped values re-rounded to 5 significant
+    digits: two engines' 6-dp values that differ by one rounding step
+    collapse onto the same key, so rows whose sub-tolerance flip changed
+    their SORT POSITION realign.  The key is for ALIGNMENT only — the
+    comparison still runs on the original values under the strict
+    tolerance, so a genuine 2-step difference keeps failing."""
     def q(v: str) -> str:
         if _FLOATISH.fullmatch(v):
             try:
@@ -122,7 +129,18 @@ def _requantized(rows):
                 return v
         return v
 
-    return sorted(tuple(q(v) for v in r) for r in rows)
+    return tuple(q(v) for v in row)
+
+
+def _rows_equal_positional(s_vals, d_vals, tol: float) -> bool:
+    return all(
+        ra == rb
+        or (
+            len(ra) == len(rb)
+            and all(_vals_equal(a, b, tol) for a, b in zip(ra, rb))
+        )
+        for ra, rb in zip(s_vals, d_vals)
+    )
 
 
 def tolerant_rows_equal(s_vals, d_vals, tol: float = LOG_ROUND_TOL) -> bool:
@@ -130,18 +148,16 @@ def tolerant_rows_equal(s_vals, d_vals, tol: float = LOG_ROUND_TOL) -> bool:
     forgiving float differences within ``tol``.  Strict equality first
     (the overwhelmingly common case costs one list compare); then the
     positional tolerant pass; then — because a sub-tolerance flip can
-    change a row's SORT POSITION and misalign the zip — a multiset
-    compare over 5-significant-digit requantized rows.  The fallback
-    only runs when the strict and positional passes both failed, so it
-    can loosen a false FAILURE but never replaces the strict path."""
+    change a row's sort position and misalign the zip — one retry with
+    both sides RE-SORTED by a requantized alignment key, still compared
+    value-by-value under the same strict tolerance.  The fallback only
+    re-pairs rows; it never widens what counts as equal."""
     if s_vals == d_vals:
         return True
     if len(s_vals) != len(d_vals):
         return False
-    if all(
-        ra == rb
-        or (len(ra) == len(rb) and all(_vals_equal(a, b, tol) for a, b in zip(ra, rb)))
-        for ra, rb in zip(s_vals, d_vals)
-    ):
+    if _rows_equal_positional(s_vals, d_vals, tol):
         return True
-    return _requantized(s_vals) == _requantized(d_vals)
+    s_re = sorted(s_vals, key=_requantize_key)
+    d_re = sorted(d_vals, key=_requantize_key)
+    return _rows_equal_positional(s_re, d_re, tol)

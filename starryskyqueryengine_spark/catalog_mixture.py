@@ -27,9 +27,13 @@ from .sources.fixtures import load_table
 
 
 def _md5int(col: Column) -> Column:
-    """First 8 hex chars of md5 as a non-negative bigint — matches the
-    DuckDB ``_sql_md5int`` expression bit-for-bit."""
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+    """First 8 hex chars of md5 as a non-negative bigint — THE shared
+    base hash (functions/dedup.py::md5int), re-exported under the local
+    name the mixture operators grew up with; one definition keeps the
+    mixture/dedup/curation hashes bit-identical forever."""
+    from .functions.dedup import md5int
+
+    return md5int(col)
 
 
 # 60-bit content hash (15 md5 hex chars) for the dedup group keys below:
@@ -185,8 +189,6 @@ def shuffle_shard_manifest(spark, sf_dir):
     the per-shard sort stays bounded because shard count grows with the
     data."""
     docs = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
-
     keyed = docs.select(
         "doc_id",
         _md5int(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))).alias(
@@ -254,9 +256,12 @@ def line_dedup_stats(spark, sf_dir):
     (the whole point of the operator) cost one combiner slot each, no
     skew salting needed."""
     docs = load_table(spark, sf_dir, "documents")
+    # NULL text: size(NULL ws) is -1, and sequence(0, -1) DESCENDS to
+    # [0, -1] — two phantom chunks the oracle's range(NULL) never emits.
+    # Filter NULL ws so both engines agree: zero chunks.
     w = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
-    )
+    ).filter(F.col("ws").isNotNull())
     n_chunks = F.ceil(F.size("ws") / F.lit(LINE_WORDS)).cast("int")
     ch = w.select(
         "doc_id",
@@ -376,8 +381,6 @@ def span_dedup_stats(spark, sf_dir):
     groups.  All arithmetic is integer, so every partitioning and the
     DuckDB oracle agree exactly."""
     docs = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
-
     w = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws"))
     n_spans = F.size("ws") - F.lit(SPAN_WORDS - 1)
     # sequence(0, -k) would DESCEND; short docs contribute no shingles
@@ -480,7 +483,11 @@ def chunk_documents(spark, sf_dir):
     the chunk table feeds the embedding pipeline (embeddings fixture /
     ann_* queries) one chunk per row."""
     docs = load_table(spark, sf_dir, "documents")
-    w = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws"))
+    # NULL text yields NO chunks (oracle: range over a NULL count emits
+    # zero rows; unguarded, size(NULL)=-1 fabricates a phantom chunk)
+    w = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+    ).filter(F.col("ws").isNotNull())
     n_chunks = (
         F.ceil(F.greatest(F.size("ws") - F.lit(CHUNK_TOKENS), F.lit(0)) / F.lit(CHUNK_STRIDE))
         + 1
@@ -553,9 +560,9 @@ def chunk_documents_udtf(spark, sf_dir):
 
     spark.udtf.register("ssqe_chunks", chunks)
     docs = load_table(spark, sf_dir, "documents")
-    docs.select(
+    docs.filter(F.col("text").isNotNull()).select(
         "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_words")
-    ).createOrReplaceTempView("_chunk_src")
+    ).createOrReplaceTempView("_chunk_src")  # NULL text: no chunks (see chunk_documents)
     return spark.sql(
         """
         SELECT s.doc_id, c.chunk_id, c.start_tok, c.n_tok
@@ -585,8 +592,6 @@ def pipeline_pretrain_prep(spark, sf_dir):
     dedup is one shuffle on the fingerprint, mixture rates are a tiny
     broadcast, and the packing cumsum is the sharded two-level form (no
     single-task global window)."""
-    from pyspark.sql import Window
-
     from .catalog_text import PACK_CAPACITY, PACK_SHARD
     from .functions import text as tx
 
@@ -761,8 +766,6 @@ def quality_bucket_sample(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     q = docs.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
     h = q.groupBy("quality").agg(F.count("*").alias("c"))
-    from pyspark.sql import Window
-
     w = Window.orderBy(F.col("quality").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -1024,8 +1027,6 @@ def winnow_fingerprints(spark, sf_dir):
     nothing quadratic. At 100 TB the selected-fingerprint table (~2/W+1
     of gram count) is what feeds a (fingerprint -> docs) inverted index
     via one more groupBy."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     w = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws"))
     n_grams = F.greatest(F.size("ws") - F.lit(WIN_K - 1), F.lit(0))
@@ -1148,8 +1149,6 @@ def unimax_allocation(spark, sf_dir):
     corpus scan — the whole solve is one linear plan).  Σ alloc ≤
     budget with integer slack < |sources|
     (tests/test_analytics.py::test_unimax_waterfilling_invariants)."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "source",

@@ -11,6 +11,7 @@ incoming batch is small, which AQE decides at runtime).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def new_rows_anti_join(
@@ -28,6 +29,29 @@ def new_rows_anti_join(
 
 
 def dedup_within_batch(df: DataFrame, keys: list[str] = ("uri", "key")) -> DataFrame:
-    """PK-dedup inside one batch (first occurrence wins, like ON CONFLICT
-    DO NOTHING applied row-by-row)."""
-    return df.dropDuplicates(list(keys))
+    """PK-dedup inside one batch, DETERMINISTICALLY: the winner is the
+    row with the smallest remaining-column tuple (nulls last), so two
+    payload variants of one PK resolve identically on every run and
+    every partitioning — dropDuplicates alone keeps an arbitrary row,
+    which diverges from the reference's stable first-arrival semantics
+    (a batch has no arrival order, so the total order stands in)."""
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    # map columns are not orderable in Spark — exclude them from the
+    # tie-break (arrays/structs order fine)
+    rest = [
+        c
+        for c, t in df.dtypes
+        if c not in keys and not t.startswith("map<")
+    ]
+    if not rest:
+        return df.dropDuplicates(keys)
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).asc_nulls_last() for c in rest]
+    )
+    return (
+        df.withColumn("_pk_rn", F.row_number().over(w))
+        .filter(F.col("_pk_rn") == 1)
+        .drop("_pk_rn")
+    )

@@ -102,6 +102,14 @@ class PostStore:
         (one row per configured feed), so this is a cheap driver-side
         collect that turns a full-store shuffle into a few-partition
         scan at any store size."""
+        # NULL-PK rows are rejected outright: a post without uri/key can
+        # never be served, and NULL never equals NULL in the anti-join,
+        # so such a row would be re-inserted on EVERY re-delivery —
+        # 'ON CONFLICT DO NOTHING' silently lost for exactly the hostile
+        # rows PERMISSIVE parsing lets through
+        incoming = incoming.filter(
+            F.col("uri").isNotNull() & F.col("key").isNotNull()
+        )
         deduped = dedup_within_batch(incoming, ["uri", "key"]).cache()
         batch = deduped
         try:
@@ -152,11 +160,17 @@ class PostStore:
         if not over_keys:
             return
         affected = stored.filter(F.col("key").isin(over_keys))
-        kept = retain_latest(affected, F.col("_cap"), "key").drop("_cap")
-        # expected_keys closes the dynamic-overwrite blind spot here
-        # too: a cap that keeps ZERO rows for a key (cap 0) must still
-        # rewrite (empty) that key's partition, not silently skip it
-        self._overwrite_keys(kept, expected_keys=over_keys)
+        # cache: overwrite_partitions consumes this plan twice (its
+        # written-keys collect + the write itself) — without the cache
+        # the affected partitions' join+window rescans per consumer
+        kept = retain_latest(affected, F.col("_cap"), "key").drop("_cap").cache()
+        try:
+            # expected_keys closes the dynamic-overwrite blind spot here
+            # too: a cap that keeps ZERO rows for a key (cap 0) must
+            # still rewrite (empty) that key's partition, not skip it
+            self._overwrite_keys(kept, expected_keys=over_keys)
+        finally:
+            kept.unpersist()
 
     def apply_refresh(self, key: str, refresh: int) -> None:
         """T4: drop the N newest rows for key (or all rows for -1)."""

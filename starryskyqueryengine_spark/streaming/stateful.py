@@ -46,6 +46,13 @@ RUNNING_STATS_SCHEMA = StructType(
 _STATE_SCHEMA = "n_total LONG, max_ts_us LONG"
 
 
+# idle-key state expiry horizon for the ProcessingTimeTimeout wiring:
+# a key silent for this long has its running counters dropped (the
+# next event simply restarts them at zero — the same contract as a
+# retention-evicted feed)
+IDLE_KEY_TIMEOUT_MS = 30 * 60 * 1000
+
+
 def running_key_stats(
     key: Tuple[Any, ...], batch_iter: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -59,6 +66,12 @@ def running_key_stats(
     (at-least-once) counts it again; O(1) state cannot dedup by uri.
     Where exactly-once accepted-counts matter, use the foreachBatch
     upsert path (PK anti-join) whose insert counts are replay-safe."""
+    if state.hasTimedOut:
+        # idle-key expiry (ProcessingTimeTimeout path): drop the state
+        # WITHOUT emitting — a timeout invocation carries no new rows,
+        # and updating state here would resurrect what we just expired
+        state.remove()
+        return
     if state.exists:
         (n_total, max_ts_us) = state.get
     else:
@@ -84,6 +97,12 @@ def running_key_stats(
 
     n_total += n_batch
     state.update((n_total, max_ts_us))
+    # arm the idle-key expiry when the stream was wired with
+    # ProcessingTimeTimeout: Spark only times out keys that REGISTERED
+    # a duration, so without this call the configured timeout is a
+    # silent no-op and churned keys accumulate state forever
+    if state._timeout_conf == GroupStateTimeout.ProcessingTimeTimeout:
+        state.setTimeoutDuration(IDLE_KEY_TIMEOUT_MS)
     yield pd.DataFrame(
         {
             "key": [key[0]],
@@ -161,6 +180,12 @@ def make_streaming_topk(k: int):
             if pdf.empty:
                 continue
             for u, v in zip(pdf["uri"].tolist(), pdf["indexedAt"]):
+                if pd.isna(v):
+                    # NULL indexedAt (PERMISSIVE-rescued row): NaT.value
+                    # is the int64 sentinel — adopting it would park a
+                    # garbage-timestamp survivor in a top-k slot (same
+                    # poison-pill guard as running_key_stats)
+                    continue
                 vus = int(v.value // 1_000)
                 if u in idx:
                     if vus > ts_us[idx[u]]:
@@ -277,7 +302,10 @@ def stream_heavy_hitters(term_stream, k: int = 64, shards: int = 8):
     )
 
 
-PATTERN_STATE_SCHEMA = "first_ts ARRAY<LONG>, max_ts LONG"
+PATTERN_STATE_SCHEMA = (
+    "first_ts ARRAY<LONG>, max_ts LONG,"
+    " matched_ids ARRAY<LONG>, matched_ts ARRAY<LONG>"
+)
 
 PATTERN_OUTPUT_SCHEMA = StructType(
     [
@@ -314,10 +342,11 @@ def make_pattern_matcher(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            first_ts, max_ts = state.get
+            first_ts, max_ts, matched_ids, matched_ts = state.get
             first_ts = list(first_ts)
+            matched = dict(zip(matched_ids, matched_ts))
         else:
-            first_ts, max_ts = [], -(1 << 62)
+            first_ts, max_ts, matched = [], -(1 << 62), {}
 
         rows = [
             pdf[["event_id", "ts_us", "event_type"]]
@@ -331,12 +360,24 @@ def make_pattern_matcher(
             for eid, ts, etype in batch.itertuples(index=False):
                 ts = int(ts)
                 if etype == first_type:
-                    first_ts.append(ts)
+                    # set semantics: a re-delivered first event (or two
+                    # firsts at one ts — any() can't tell them apart)
+                    # must not grow state
+                    if ts not in first_ts:
+                        first_ts.append(ts)
                 elif etype == then_type:
                     lo = ts - within_us
-                    if any(lo <= s < ts for s in first_ts):
+                    # matched_ids dedups at-least-once re-delivery: the
+                    # sink is append-mode, so re-emitting a match row
+                    # for a re-delivered then-event would duplicate an
+                    # immutable fact.  Bounded by the same pruning
+                    # horizon as first_ts (below).
+                    if int(eid) not in matched and any(
+                        lo <= s < ts for s in first_ts
+                    ):
                         out_ids.append(int(eid))
                         out_ts.append(ts)
+                        matched[int(eid)] = ts
                 max_ts = max(max_ts, ts)
             # keep s >= max_ts - within_us (INCLUSIVE, mirroring the
             # lo <= s match bound): a first at exactly max_ts-within_us
@@ -344,7 +385,16 @@ def make_pattern_matcher(
             # next batch (equal cross-batch timestamps are legal under
             # the non-strict per-key ordering contract)
             first_ts = [s for s in first_ts if s >= max_ts - within_us]
-        state.update((first_ts, max_ts))
+            # a then-event re-delivered past the horizon consults
+            # already-pruned first_ts and cannot re-match, so its id
+            # need not be remembered: prune matched to the same horizon
+            # — state stays O(window x per-key rate), like first_ts
+            matched = {
+                i: t for i, t in matched.items()
+                if t >= max_ts - within_us
+            }
+        mi = sorted(matched)
+        state.update((first_ts, max_ts, mi, [matched[i] for i in mi]))
         if out_ids:
             yield pd.DataFrame(
                 {

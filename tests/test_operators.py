@@ -518,3 +518,49 @@ def test_refresh_delete_keeps_null_key_rows(spark):
     assert full.filter(F.col("key").isNull()).count() == 1
     part = refresh_delete(df, 1, "a", ts_col="ts")
     assert part.filter(F.col("key").isNull()).count() == 1
+
+
+def test_dedup_within_batch_deterministic_winner(spark):
+    """Two payload variants of one PK must resolve to the SAME row on
+    every run: smallest remaining-column tuple wins."""
+    from starryskyqueryengine_spark.operators.dedup import dedup_within_batch
+
+    rows = [("u1", "k", "c2", "late"), ("u1", "k", "c1", "early")]
+    for _ in range(3):
+        df = spark.createDataFrame(rows, "uri string, key string, cid string, note string")
+        got = dedup_within_batch(df, ["uri", "key"]).collect()
+        assert len(got) == 1
+        assert (got[0]["cid"], got[0]["note"]) == ("c1", "early")
+
+
+def test_upsert_rejects_null_pk_rows(spark, tmp_path):
+    """NULL never equals NULL in the anti-join, so a NULL-PK row would
+    re-insert on every re-delivery; upsert must drop such rows."""
+    from starryskyqueryengine_spark.store import PostStore
+
+    store = PostStore(spark, str(tmp_path / "s"))
+    rows = [
+        ("at://u/p/1", "k", "c1", None, None, "2026-01-01 00:00:00"),
+        (None, "k", "c2", None, None, "2026-01-01 00:00:00"),
+    ]
+    schema = ("uri string, key string, cid string, replyParent string, "
+              "replyRoot string, indexedAt string")
+    batch = spark.createDataFrame(rows, schema).withColumn(
+        "indexedAt", F.col("indexedAt").cast("timestamp")
+    )
+    assert store.upsert(batch) == {"k": 1}
+    # re-delivery: nothing (especially not the NULL-uri row) re-inserts
+    assert store.upsert(batch) in ({}, {"k": 0})
+    assert store.read().count() == 1
+
+
+def test_author_profiles_dedups_duplicate_dids(spark):
+    from starryskyqueryengine_spark.operators.lookup import with_author_profiles
+
+    posts = spark.createDataFrame([("p1", "did:a")], "uri string, author_did string")
+    profiles = spark.createDataFrame(
+        [("did:a", "Alice", "v1"), ("did:a", "Alice", "v2")],
+        "did string, displayName string, description string",
+    )
+    out = with_author_profiles(posts, profiles)
+    assert out.count() == 1, "duplicate profile rows multiplied posts"

@@ -1006,6 +1006,8 @@ def test_running_stats_all_null_event_times():
 
     class _FakeState:
         exists = False
+        hasTimedOut = False
+        _timeout_conf = "NoTimeout"
 
         def __init__(self):
             self.updated = None
@@ -1032,3 +1034,110 @@ def test_running_stats_all_null_event_times():
     (out2,) = running_key_stats(("k",), iter([pdf2]), st2)
     assert out2["n_total"].iloc[0] == 2
     assert out2["max_ts"].iloc[0] == pd.Timestamp("2026-01-01T00:00:01")
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in for driver-side unit tests."""
+
+    def __init__(self, value=None, has_timed_out=False,
+                 timeout_conf="NoTimeout"):
+        self._v = value
+        self.exists = value is not None
+        self.hasTimedOut = has_timed_out
+        self._timeout_conf = timeout_conf
+        self.updated = None
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self.updated = v
+
+    def remove(self):
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def test_running_stats_timeout_removes_state_without_emitting():
+    """A timed-out invocation must DROP the idle key's state and emit
+    nothing — updating would resurrect what just expired."""
+    import pandas as pd
+
+    from starryskyqueryengine_spark.streaming.stateful import running_key_stats
+
+    st = _FakeGroupState(value=(5, 123), has_timed_out=True,
+                         timeout_conf="ProcessingTimeTimeout")
+    out = list(running_key_stats(("k",), iter([]), st))
+    assert out == []
+    assert st.removed and st.updated is None
+
+
+def test_running_stats_arms_processing_time_timeout():
+    """With ProcessingTimeTimeout wiring, every invocation must REGISTER
+    a timeout duration — Spark only expires keys that did."""
+    import pandas as pd
+
+    from starryskyqueryengine_spark.streaming.stateful import (
+        IDLE_KEY_TIMEOUT_MS,
+        running_key_stats,
+    )
+
+    st = _FakeGroupState(timeout_conf="ProcessingTimeTimeout")
+    pdf = pd.DataFrame(
+        {"key": ["k"], "indexedAt": pd.to_datetime(["2026-01-01"])}
+    )
+    list(running_key_stats(("k",), iter([pdf]), st))
+    assert st.timeout_ms == IDLE_KEY_TIMEOUT_MS
+    # NoTimeout wiring must NOT register (Spark raises on that call)
+    st2 = _FakeGroupState(timeout_conf="NoTimeout")
+    list(running_key_stats(("k",), iter([pdf]), st2))
+    assert st2.timeout_ms is None
+
+
+def test_streaming_topk_ignores_null_timestamps():
+    """A NULL indexedAt (PERMISSIVE-rescued row) must not park an int64
+    sentinel in a top-k slot."""
+    import pandas as pd
+
+    from starryskyqueryengine_spark.streaming.stateful import make_streaming_topk
+
+    fn = make_streaming_topk(2)
+    st = _FakeGroupState()
+    pdf = pd.DataFrame(
+        {
+            "uri": ["a", "b"],
+            "indexedAt": pd.to_datetime([None, "2026-01-01"]),
+        }
+    )
+    (out,) = fn(("k",), iter([pdf]), st)
+    assert out["uri"].tolist() == ["b"]
+    assert (out["ts_us"] > 0).all()
+
+
+def test_pattern_matcher_dedups_redelivered_matches():
+    """At-least-once re-delivery of a matched then-event must not emit
+    the match row twice into the append-mode sink."""
+    import pandas as pd
+
+    from starryskyqueryengine_spark.streaming.stateful import make_pattern_matcher
+
+    fn = make_pattern_matcher("view", "purchase", within_us=10_000_000)
+    st = _FakeGroupState()
+    batch = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts_us": [1_000_000, 2_000_000],
+            "event_type": ["view", "purchase"],
+        }
+    )
+    out1 = list(fn((7,), iter([batch]), st))
+    assert len(out1) == 1 and out1[0]["event_id"].tolist() == [2]
+    # re-deliver the SAME batch against the updated state
+    st2 = _FakeGroupState(value=st.updated)
+    out2 = list(fn((7,), iter([batch]), st2))
+    assert out2 == [], "re-delivered match emitted twice"

@@ -38,12 +38,13 @@ def dedup_within_batch(df: DataFrame, keys: list[str] = ("uri", "key")) -> DataF
     from pyspark.sql import Window
 
     keys = list(keys)
-    # map columns are not orderable in Spark — exclude them from the
-    # tie-break (arrays/structs order fine)
+    # map types are not orderable in Spark ANYWHERE in a sort key —
+    # exclude columns containing one at any nesting depth (top-level,
+    # array element, struct field); arrays/structs themselves order fine
     rest = [
         c
         for c, t in df.dtypes
-        if c not in keys and not t.startswith("map<")
+        if c not in keys and "map<" not in t
     ]
     if not rest:
         return df.dropDuplicates(keys)

@@ -25,11 +25,15 @@ def with_author_profiles(
     mirroring the reference's cached string
     (``src/subscription.ts:262-266``).
     """
-    # one row per did: a duplicate profile row (re-fetched/updated
-    # profile appended to the dim) would otherwise MULTIPLY every post
-    # by that author through the join — the reference's Map memoization
-    # structurally holds one entry per did
-    profiles = profiles.dropDuplicates([profile_did_col])
+    # one row per did, DETERMINISTICALLY: a duplicate profile row
+    # (re-fetched/updated profile appended to the dim) would otherwise
+    # MULTIPLY every post by that author through the join — and an
+    # arbitrary-winner dropDuplicates would make profileMatch decisions
+    # flip run-to-run; the reference's Map memoization structurally
+    # holds one entry per did
+    from .dedup import dedup_within_batch
+
+    profiles = dedup_within_batch(profiles, [profile_did_col])
     prof = profiles.select(
         F.col(profile_did_col).alias("__did"),
         F.concat_ws(

@@ -385,10 +385,14 @@ def make_pattern_matcher(
             # next batch (equal cross-batch timestamps are legal under
             # the non-strict per-key ordering contract)
             first_ts = [s for s in first_ts if s >= max_ts - within_us]
-            # a then-event re-delivered past the horizon consults
-            # already-pruned first_ts and cannot re-match, so its id
-            # need not be remembered: prune matched to the same horizon
-            # — state stays O(window x per-key rate), like first_ts
+            # prune matched to the same horizon so state stays
+            # O(window x per-key rate).  Dedup scope = the ordering
+            # contract above: re-delivery of rows at/near the stream
+            # head (the standard crashed-last-micro-batch replay) is
+            # fully deduped; a replay of a segment OLDER than the
+            # horizon already violates the per-key event-time-ordered
+            # contract (its first-events would re-enter pruned state
+            # too), so it is out of scope rather than silently handled
             matched = {
                 i: t for i, t in matched.items()
                 if t >= max_ts - within_us

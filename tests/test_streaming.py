@@ -1004,18 +1004,7 @@ def test_running_stats_all_null_event_times():
         running_key_stats,
     )
 
-    class _FakeState:
-        exists = False
-        hasTimedOut = False
-        _timeout_conf = "NoTimeout"
-
-        def __init__(self):
-            self.updated = None
-
-        def update(self, v):
-            self.updated = v
-
-    st = _FakeState()
+    st = _FakeGroupState()
     pdf = pd.DataFrame(
         {"key": ["k"] * 3, "indexedAt": pd.to_datetime([None, None, None])}
     )
@@ -1024,7 +1013,7 @@ def test_running_stats_all_null_event_times():
     assert pd.isna(out["max_ts"].iloc[0])
     assert st.updated == (3, None)
     # a later chunk WITH timestamps takes over the watermark cleanly
-    st2 = _FakeState()
+    st2 = _FakeGroupState()
     pdf2 = pd.DataFrame(
         {
             "key": ["k"] * 2,

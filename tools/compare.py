@@ -42,6 +42,10 @@ def normalize(rows, columns):
         if isinstance(v, float):
             if math.isnan(v):
                 return "nan"
+            if v == 0:
+                v = 0.0  # canonical signed zero: '-0' vs '0' would fail
+                # the strict compare, and neither is float-shaped enough
+                # for the tolerance gate
             return f"{v:.9g}"
         return str(v)
 

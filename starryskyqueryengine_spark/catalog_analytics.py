@@ -1004,12 +1004,17 @@ def q2_min_cost_supplier(spark, sf_dir):
     at 100 TB that is the difference between aggregating the whole fact
     table and aggregating a sliver (measured ~6x at sf0.1). Min-cost
     per part is unchanged: the semi-join keys on partkey only, so every
-    supplier of a surviving part still participates."""
+    supplier of a surviving part still participates.  The semi-join is
+    deliberately HINT-FREE: the filtered key set scales linearly with
+    SF (~2% of part — tens of millions of keys at 100 TB), so a forced
+    broadcast would ship GBs to every executor; AQE sees the actual
+    post-filter size at runtime and promotes to broadcast only while
+    the side genuinely fits (it does at every test SF)."""
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "PROMO")
     )
     l = load_table(spark, sf_dir, "lineitem").join(
-        F.broadcast(p.select(F.col("p_partkey").alias("l_partkey"))),
+        p.select(F.col("p_partkey").alias("l_partkey")),
         "l_partkey",
         "left_semi",
     )

@@ -509,6 +509,31 @@ def chunk_documents(spark, sf_dir):
     )
 
 
+_CHUNK_UDTF_REGISTERED: set = set()  # session ids with ssqe_chunks bound
+
+
+def _chunks_udtf():
+    """Build the sliding-window chunker UDTF (module-level so repeat
+    registrations pickle identically — see chunk_documents_udtf).
+
+    useArrow: the lateral rows cross the Python boundary as Arrow
+    batches (plan node ArrowEvalPythonUDTF), not pickled row-at-a-time
+    (BatchEvalPythonUDTF) — the same batch-transfer rule every other
+    Python hop in the repo follows (tools/plan_lint.py enforces it)."""
+    from pyspark.sql.functions import udtf
+
+    W, S = CHUNK_TOKENS, CHUNK_STRIDE
+
+    @udtf(returnType="chunk_id bigint, start_tok bigint, n_tok bigint", useArrow=True)
+    class chunks:
+        def eval(self, n_words: int):
+            n_chunks = max(0, -(-(max(n_words - W, 0)) // S)) + 1
+            for i in range(n_chunks):
+                yield i, i * S, min(W, n_words - i * S)
+
+    return chunks
+
+
 _CHUNK_UDTF_ORACLE = rf"""
     WITH w AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
@@ -543,25 +568,27 @@ def chunk_documents_udtf(spark, sf_dir):
     emit coordinates, let columnar ops slice). The declarative
     ``chunk_documents`` remains the hot-path form; this pins that the
     UDTF surface WORKS end to end and value-matches it."""
-    from pyspark.sql.functions import udtf
-
-    W, S = CHUNK_TOKENS, CHUNK_STRIDE
-
-    # useArrow: the lateral rows cross the Python boundary as Arrow
-    # batches (plan node ArrowEvalPythonUDTF), not pickled row-at-a-time
-    # (BatchEvalPythonUDTF) — the same batch-transfer rule every other
-    # Python hop in the repo follows (tools/plan_lint.py enforces it).
-    @udtf(returnType="chunk_id bigint, start_tok bigint, n_tok bigint", useArrow=True)
-    class chunks:
-        def eval(self, n_words: int):
-            n_chunks = max(0, -(-(max(n_words - W, 0)) // S)) + 1
-            for i in range(n_chunks):
-                yield i, i * S, min(W, n_words - i * S)
-
-    spark.udtf.register("ssqe_chunks", chunks)
+    # Register ONCE per session (keyed like the BPE/IVF caches): a
+    # fresh @udtf class per call pickles to fresh bytes, so every bench
+    # lap shipped a new function payload and repeat runs paid avoidable
+    # (re)serialization/registration — the module-level _ChunksUDTF
+    # makes repeat calls byte-identical and the register a no-op re-bind.
+    if id(spark) not in _CHUNK_UDTF_REGISTERED:
+        spark.udtf.register("ssqe_chunks", _chunks_udtf())
+        _CHUNK_UDTF_REGISTERED.add(id(spark))
     docs = load_table(spark, sf_dir, "documents")
+    # Repartition the narrow (doc_id, n_words) projection BEFORE the
+    # Python hop: the fixture is one parquet file -> one input split ->
+    # the whole lateral join ran through a SINGLE Python worker (the
+    # r8 bench's 3x "regression" was exactly this serial hop; the
+    # expression twin is JVM codegen, so one task costs it nothing).
+    # The shuffle moves two ints per doc — trivially cheap against a
+    # Python-boundary crossing per row; at 100 TB the scan arrives
+    # pre-split and the repartition is a no-op-sized rebalance.
     docs.filter(F.col("text").isNotNull()).select(
         "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_words")
+    ).repartition(
+        spark.sparkContext.defaultParallelism
     ).createOrReplaceTempView("_chunk_src")  # NULL text: no chunks (see chunk_documents)
     return spark.sql(
         """

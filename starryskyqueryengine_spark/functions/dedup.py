@@ -303,11 +303,33 @@ def prefix_candidates(
     )
 
 
+def _verify_jaccard(
+    cands: DataFrame, shingled: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    """Exact Jaccard over a candidate (id_a, id_b) pair stream: join the
+    full shingle arrays back and compute |A∩B| / |A∪B| directly.  The
+    filter uses the UNROUNDED ratio; only the output column is rounded —
+    the exact boundary semantics of the full-index path."""
+    sh = shingled.select(F.col(id_col), F.col("shingles"))
+    fa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    fb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    joined = cands.join(fa, "id_a").join(fb, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("bigint") - inter
+    jac_raw = inter / F.greatest(union, F.lit(1))
+    return (
+        joined.withColumn("jaccard", F.round(jac_raw, 6))
+        .filter(jac_raw >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def jaccard_pairs_blocked(
     shingled: DataFrame,
     threshold: float,
     id_col: str = "doc_id",
     prefix_filter: bool = False,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard via inverted-index blocking.
 
@@ -325,26 +347,27 @@ def jaccard_pairs_blocked(
     join rows). Provably the same output (see the completeness lemma in
     ``prefix_candidates``; equality is also pytest-pinned); candidates
     are re-verified against full shingle sets via ``jaccard_verify``.
-    The default stays False: on corpora without pathological shingles
-    the full index is one job cheaper, and it is the form the DuckDB
-    oracle mirrors directly. At 100 TB, with boilerplate-heavy web text,
-    turn it on."""
+    ``max_df`` is the lighter-weight stop-shingle guard (see
+    ``_blocked_intersection_counts``): shingles with document frequency
+    above it are dropped from candidate generation, and surviving
+    candidates are re-verified EXACTLY against the full shingle arrays
+    (``_verify_jaccard``) — reported jaccard values are identical to the
+    uncapped path; only pairs whose EVERY shared shingle is hot (pure
+    boilerplate co-occurrence) can drop out, the documented stop-shingle
+    recall trade.
+
+    The default stays False/None: on corpora without pathological
+    shingles the full index is one job cheaper, and it is the form the
+    DuckDB oracle mirrors directly. At 100 TB, with boilerplate-heavy
+    web text, turn one of them on."""
     if prefix_filter:
         cands = prefix_candidates(shingled, threshold, id_col)
-        sh = shingled.select(F.col(id_col), F.col("shingles"))
-        fa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-        fb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-        joined = cands.join(fa, "id_a").join(fb, "id_b")
-        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
-        union = (F.size("sh_a") + F.size("sh_b")).cast("bigint") - inter
-        # filter on the UNROUNDED ratio, round only the output — the
-        # exact boundary semantics of the full-index path below
-        jac_raw = inter / F.greatest(union, F.lit(1))
-        return (
-            joined.withColumn("jaccard", F.round(jac_raw, 6))
-            .filter(jac_raw >= threshold)
-            .select("id_a", "id_b", "jaccard")
-        )
+        return _verify_jaccard(cands, shingled, threshold, id_col)
+    if max_df is not None:
+        cands = _blocked_intersection_counts(
+            shingled, id_col, max_df=max_df
+        ).select("id_a", "id_b")
+        return _verify_jaccard(cands, shingled, threshold, id_col)
     common = _blocked_intersection_counts(shingled, id_col)
     jac = F.col("c") / F.greatest(F.col("na") + F.col("nb") - F.col("c"), F.lit(1))
     return (
@@ -355,7 +378,7 @@ def jaccard_pairs_blocked(
 
 
 def _blocked_intersection_counts(
-    shingled: DataFrame, id_col: str
+    shingled: DataFrame, id_col: str, max_df: int | None = None
 ) -> DataFrame:
     """Shared inverted-index blocking core: explode shingle sets, self-
     join on the shingle key, count shared shingles per (id_a < id_b)
@@ -369,12 +392,38 @@ def _blocked_intersection_counts(
     executor storage that nothing ever unpersisted).  At 100 TB a
     columnar re-scan is cheap next to the shingle shuffle — and caching
     a corpus×shingle-count explosion is not an option there anyway;
-    for boilerplate-heavy corpora use the prefix-filter path, which
-    bounds hot-shingle fan-out before the join."""
+    for boilerplate-heavy corpora use the prefix-filter path or
+    ``max_df``, both of which bound hot-shingle fan-out before the join.
+
+    ``max_df`` (verdict r8 #6) is the stop-shingle guard: shingles whose
+    document frequency exceeds it are dropped from the INDEX before the
+    self-join — a shingle shared by 10⁶ docs otherwise emits ~5·10¹¹
+    join rows all by itself.  Standard stop-word practice (the AllPairs
+    / PPJoin literature drops the head of the df distribution for the
+    same reason).  Two consequences callers must handle: ``c`` becomes a
+    LOWER bound on the true intersection (hot shingles no longer
+    counted), so measures needing exact values must re-verify candidate
+    pairs against full shingle sets; and a pair ALL of whose shared
+    shingles are hot generates no candidate at all — the deliberate,
+    documented recall trade of stop-shingles (two docs related only
+    through universal boilerplate are exactly the pairs curation wants
+    to ignore)."""
     sized = shingled.select(
         F.col(id_col), F.col("shingles"), F.size("shingles").alias("n_sh")
     )
     ex = sized.select(id_col, "n_sh", F.explode("shingles").alias("_s"))
+    if max_df is not None:
+        # hot set = shingles with df > max_df: by construction a SMALL
+        # head of the df distribution, so the anti-join broadcasts
+        # (AQE sees the post-filter size); the df aggregate shuffles on
+        # the same key as the self-join below, one exchange shape
+        hot = (
+            ex.groupBy("_s")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("_s")
+        )
+        ex = ex.join(hot, "_s", "left_anti")
     a = ex.select(
         F.col("_s"), F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")
     )
@@ -390,7 +439,10 @@ def _blocked_intersection_counts(
 
 
 def containment_pairs_blocked(
-    shingled: DataFrame, threshold: float, id_col: str = "doc_id"
+    shingled: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Directional shingle CONTAINMENT via the same inverted-index
     blocking as ``jaccard_pairs_blocked``: C(A,B) = |A∩B| / min(|A|,|B|).
@@ -409,10 +461,29 @@ def containment_pairs_blocked(
     implies at least one shared shingle, so every qualifying pair
     appears in the blocked pair space — identical output to all-pairs.
     Scale shape: one shuffle on the shingle key, one aggregation, pair
-    space bounded by shingle co-occurrence (turn on the prefix filter
-    upstream for boilerplate-heavy corpora, as with Jaccard).
+    space bounded by shingle co-occurrence.  ``max_df`` is the
+    stop-shingle guard (see ``_blocked_intersection_counts``): when set,
+    hot shingles are dropped from candidate generation and the capped
+    ``c`` — a lower bound — is replaced by the EXACT intersection from
+    the full shingle arrays before thresholding, so reported containment
+    values are identical to the uncapped path.
     """
-    common = _blocked_intersection_counts(shingled, id_col)
+    common = _blocked_intersection_counts(shingled, id_col, max_df=max_df)
+    if max_df is not None:
+        # re-verify: join the full arrays back and recompute c exactly
+        sh = shingled.select(F.col(id_col), F.col("shingles"))
+        fa = sh.select(F.col(id_col).alias("id_a"),
+                       F.col("shingles").alias("sh_a"))
+        fb = sh.select(F.col(id_col).alias("id_b"),
+                       F.col("shingles").alias("sh_b"))
+        common = (
+            common.select("id_a", "id_b", "na", "nb")
+            .join(fa, "id_a").join(fb, "id_b")
+            .withColumn(
+                "c", F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+            )
+            .select("id_a", "id_b", "na", "nb", "c")
+        )
     # caller guarantees |shingles| > 0, so min(na, nb) >= 1 — no guard
     cont = F.col("c") / F.least(F.col("na"), F.col("nb"))
     a_contained = F.col("na") <= F.col("nb")

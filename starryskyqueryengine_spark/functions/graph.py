@@ -372,17 +372,13 @@ def label_propagation(
         # node-keyed tables only — bounded by |V|
         return _gate_broadcast(df, n_nodes, broadcast_max_nodes)
 
-    labels = nodes.select("node", F.col("node").alias("label")).cache()
-    labels.count()
-    # backing = the CACHED frame labels is a view over (round results
-    # carry the _chg flag; labels is the trimmed 2-column view).
-    # unpersist() must target the backing — unpersisting a select-view
-    # would not free the underlying cache entry.
-    backing = labels
+    # seed labels are a projection of the CACHED nodes table — no cache
+    # of their own (each round's result is localCheckpoint-materialized
+    # below, so nothing ever replays round 0 through lineage)
+    labels = nodes.select("node", F.col("node").alias("label"))
     # changed = nodes whose label changed last round (round 1: all)
     changed: DataFrame | None = None  # None = first round, frontier is V
     n_changed = n_nodes  # round 1's frontier is every node
-    prev = None
     for i in range(iters):
         # Adaptive cutoff (round-7 verdict #6): while the changed set is
         # still a large fraction of V, the two frontier semi-joins cost
@@ -438,38 +434,32 @@ def label_propagation(
                 ).alias("_chg"),
             )
         )
-        # node-sized materialization per round truncates the lineage so
-        # the next round's joins do not re-run this one
-        new_labels = new_labels.cache()
-        new_labels.count()
+        # Node-sized materialization per round, via localCheckpoint —
+        # NOT cache+count.  cache() truncates EXECUTION but not the
+        # LOGICAL plan: each round references the previous round's plan
+        # up to four times (counts, join-back, changed semi-join,
+        # frontier), so plan trees grew ~4^rounds — at iters=10 the
+        # driver OOMed merely stringifying the tree for the cache name.
+        # localCheckpoint severs the plan to a LogicalRDD each round
+        # (same discipline as connected_components, functions/dedup.py);
+        # the eager job replaces the old count() job one-for-one, and
+        # the checkpoint blocks free at driver GC of the round's frame.
+        new_labels = new_labels.localCheckpoint(eager=True)
+        labels = new_labels.select("node", "label")
         if i == iters - 1 and frontier_sizes is None:
             # final round: n_changed only feeds early stop, the next
             # round's frontier, and the test hook — none exist now, so
-            # skip the changed-set join+count entirely
-            if prev is not None:
-                prev.unpersist()
-            backing.unpersist()
-            labels = new_labels.select("node", "label")
+            # skip the changed-set count entirely
             break
         # the flag was computed inside new_labels' projection: the
-        # changed set is a filter over the already-cached round result —
-        # no second node-sized join, no separate cache to manage
+        # changed set is a filter over the already-materialized round
+        # result — no second node-sized join
         changed = new_labels.filter(F.col("_chg")).select("node")
         n_changed = changed.count()
         if frontier_sizes is not None:
             frontier_sizes.append(n_changed)
-        # two-round retention: the backing consumed by THIS round's
-        # joins (and by `changed`, consumed next round) unpersists one
-        # round later, exactly as before
-        if prev is not None:
-            prev.unpersist()
-        prev, backing = backing, new_labels
-        labels = new_labels.select("node", "label")
         if n_changed == 0:
             # fixed point: round k+1's inputs equal round k's, so all
             # remaining rounds are the identity — exact early stop
             break
-    return _finalize(
-        labels, edges, nodes,
-        *[df for df in (prev, backing) if df is not None],
-    )
+    return _finalize(labels, edges, nodes)

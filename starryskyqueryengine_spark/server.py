@@ -50,6 +50,19 @@ _INT_RE = re.compile(r"^-?\d+$")  # databaseUtil.ts:44 (/^-?\d+$/)
 
 PASSKEY_HEADER = "x-starrtsky-webpasskey"  # databaseUtil.ts:11 (sic)
 
+# request-body caps, reference parity (src/server.ts:48-50): json/text
+# 100 KB.  (The reference's 5 MB blobLimit has no analog here — no route
+# of this shell accepts blobs.)
+JSON_BODY_LIMIT = 100 * 1024
+
+
+class _PayloadTooLarge(Exception):
+    """Content-Length exceeded JSON_BODY_LIMIT (mapped to HTTP 413)."""
+
+    def __init__(self, n: int):
+        super().__init__(f"payload of {n} bytes over limit")
+        self.n = n
+
 
 def app_version() -> str:
     """``appVersion()`` analog (src/subscription.ts export)."""
@@ -356,7 +369,14 @@ class FeedGeneratorServer:
                 self._send_json(status, body)
 
             def _read_body(self) -> dict:
+                # reference parity (src/server.ts:48-50): json/text
+                # bodies are capped at 100 KB — an unbounded read lets
+                # one request buffer arbitrary bytes driver-side.  The
+                # cap is checked BEFORE reading, so oversized bodies
+                # cost a header parse, not a 100 MB recv.
                 n = int(self.headers.get("Content-Length") or 0)
+                if n > JSON_BODY_LIMIT:
+                    raise _PayloadTooLarge(n)
                 raw = self.rfile.read(n) if n else b""
                 ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
                 if ctype == "application/x-www-form-urlencoded":
@@ -371,7 +391,19 @@ class FeedGeneratorServer:
             def do_POST(self):
                 url = urlparse(self.path)
                 try:
-                    body_in = self._read_body()
+                    try:
+                        body_in = self._read_body()
+                    except _PayloadTooLarge as e:
+                        # 413 without draining: close the connection so
+                        # the unread body never buffers server-side
+                        self.close_connection = True
+                        self._send_json(
+                            413,
+                            {"error": "PayloadTooLarge",
+                             "message": f"body of {e.n} bytes exceeds "
+                                        f"the {JSON_BODY_LIMIT}-byte limit"},
+                        )
+                        return
                     if url.path == "/setQuery":
                         status, body = outer.handle_set_query(body_in, self._headers())
                     elif url.path == "/getQuery":

@@ -54,7 +54,11 @@ IDLE_KEY_TIMEOUT_MS = 30 * 60 * 1000
 
 
 def running_key_stats(
-    key: Tuple[Any, ...], batch_iter: Iterator[pd.DataFrame], state: GroupState
+    key: Tuple[Any, ...],
+    batch_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+    *,
+    arm_idle_timeout: bool = False,
 ) -> Iterator[pd.DataFrame]:
     """A2/A5-style per-key running stats as true streaming state:
     cumulative row count and newest event time, maintained by the state
@@ -100,8 +104,12 @@ def running_key_stats(
     # arm the idle-key expiry when the stream was wired with
     # ProcessingTimeTimeout: Spark only times out keys that REGISTERED
     # a duration, so without this call the configured timeout is a
-    # silent no-op and churned keys accumulate state forever
-    if state._timeout_conf == GroupStateTimeout.ProcessingTimeTimeout:
+    # silent no-op and churned keys accumulate state forever.  The mode
+    # is threaded in EXPLICITLY by stream_running_stats (ADVICE r8):
+    # the earlier GroupState._timeout_conf introspection read an
+    # undocumented PySpark internal that a minor upgrade could rename,
+    # silently disabling expiry.
+    if arm_idle_timeout:
         state.setTimeoutDuration(IDLE_KEY_TIMEOUT_MS)
     yield pd.DataFrame(
         {
@@ -129,10 +137,20 @@ def stream_running_stats(posts_stream, timeout: str = "NoTimeout"):
             f"unknown GroupStateTimeout {timeout!r}; expected NoTimeout,"
             f" ProcessingTimeTimeout, or EventTimeTimeout"
         ) from None
+
+    # close over the configured mode instead of letting the worker
+    # introspect GroupState internals — the closure is what ships to
+    # executors, so the arming decision is pinned at wiring time
+    arm = timeout == "ProcessingTimeTimeout"
+
+    def stats_fn(key, batch_iter, state):
+        return running_key_stats(key, batch_iter, state,
+                                 arm_idle_timeout=arm)
+
     return (
         posts_stream.groupBy("key")
         .applyInPandasWithState(
-            running_key_stats,
+            stats_fn,
             outputStructType=RUNNING_STATS_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",

@@ -275,6 +275,9 @@ class TxnLogFormat(TableFormat):
         self.data_path = os.path.join(path, self.DATA_DIR)
         self.checkpoint_interval = checkpoint_interval
         self.max_commit_retries = max_commit_retries
+        # young-unreferenced files the LAST vacuum() left behind (grace
+        # window) — lets callers distinguish "clean" from "too young"
+        self.last_vacuum_skipped_young = 0
         os.makedirs(self.log_path, exist_ok=True)
         os.makedirs(self.data_path, exist_ok=True)
 
@@ -1077,9 +1080,17 @@ class TxnLogFormat(TableFormat):
         those files are in NO snapshot — deleting them would let the
         writer's commit land referencing paths that no longer exist,
         breaking every later read of the table.  Files younger than the
-        window are skipped; pass 0 only when no writer can be active."""
+        window are skipped; pass 0 only when no writer can be active.
+
+        A grace-window no-op is DISTINGUISHABLE from a clean table
+        (ADVICE r8): ``self.last_vacuum_skipped_young`` records how many
+        unreferenced-but-young files survived this call (also logged at
+        INFO when non-zero), so a bare ``vacuum()`` right after writes
+        returning ``[]`` is not mistaken for "nothing to reclaim"."""
+        import logging as _logging
         import time as _time
 
+        self.last_vacuum_skipped_young = 0
         versions = self._versions()
         if not versions:
             return []
@@ -1104,13 +1115,24 @@ class TxnLogFormat(TableFormat):
                     p = os.path.join(d, fn)
                     try:
                         if now - os.path.getmtime(p) < min_age_sec:
-                            continue  # possibly staged by a live writer
+                            # possibly staged by a live writer — count
+                            # it so callers can tell this apart from a
+                            # genuinely clean table
+                            self.last_vacuum_skipped_young += 1
+                            continue
                     except OSError:
                         continue
                     os.unlink(p)
                     deleted.append(rel)
             if not os.listdir(d):
                 os.rmdir(d)
+        if self.last_vacuum_skipped_young:
+            _logging.getLogger(__name__).info(
+                "vacuum: %d unreferenced file(s) younger than %.0fs "
+                "skipped (possible live writers); re-run after the "
+                "grace window to reclaim them",
+                self.last_vacuum_skipped_young, min_age_sec,
+            )
         return deleted
 
     # ------------------------------------------------------------- merge

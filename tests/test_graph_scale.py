@@ -248,3 +248,47 @@ def test_sssp_sources_absent_from_edges(spark):
         )
     )
     assert got_sh == got
+
+
+def test_label_prop_releases_caches_and_bounds_plan_growth(spark, monkeypatch):
+    """ADVICE r8 + the bug it uncovered.  (a) Every DataFrame
+    label_propagation caches must receive an unpersist before it
+    returns — the iters-exhausted exit used to leak the final round's
+    node-sized materialization.  (b) Per-round cache+count truncated
+    EXECUTION but not the LOGICAL plan: each round referenced the prior
+    round's plan ~4x, so plan trees grew 4^rounds and iters=10 OOMed
+    the driver just stringifying the tree.  Per-round localCheckpoint
+    severs the plan; a 10-round run on an oscillating (never-converging)
+    graph must now complete and stay correct."""
+    probe = spark.range(1)
+    df_cls = type(probe)
+    cached, released = [], []
+    real_cache, real_unpersist = df_cls.cache, df_cls.unpersist
+
+    def spy_cache(self):
+        cached.append(id(self))
+        return real_cache(self)
+
+    def spy_unpersist(self, blocking=False):
+        released.append(id(self))
+        return real_unpersist(self, blocking)
+
+    monkeypatch.setattr(df_cls, "cache", spy_cache)
+    monkeypatch.setattr(df_cls, "unpersist", spy_unpersist)
+
+    # iters=1 exercises the i == iters-1 fast exit (the leaky branch)
+    edges = _edges(spark, [(1, 2), (2, 1), (2, 3), (3, 2)])
+    one = dict(map(tuple, label_propagation(edges, iters=1).collect()))
+    leaked = set(cached) - set(released)
+    assert not leaked, f"{len(leaked)} cached frame(s) never unpersisted"
+    # round 1: 1 adopts 2's label; 2 adopts min(1,3)=1; 3 adopts 2
+    assert one == {1: 2, 2: 1, 3: 2}
+
+    # synchronous LPA on this path graph OSCILLATES (bipartite-style),
+    # so iters=10 runs all ten rounds — the plan-growth regression case
+    cached.clear(), released.clear()
+    ten = dict(map(tuple, label_propagation(edges, iters=10).collect()))
+    leaked = set(cached) - set(released)
+    assert not leaked, f"{len(leaked)} cached frame(s) never unpersisted"
+    # period-2 oscillation: even rounds sit on the round-2 state
+    assert ten == {1: 1, 2: 2, 3: 1}

@@ -390,6 +390,20 @@ def test_q2_cost_aggregates_before_join_and_dims_broadcast(spark, queries):
     assert first_join != -1 and agg1 != -1 and agg1 > first_join
 
 
+def test_q2_semi_join_side_is_hint_free(spark, queries):
+    """Q2 (VERDICT r8 #1): the pre-aggregation semi-join against the
+    filtered part keys must carry NO forced broadcast hint — that side
+    scales linearly with SF (GBs of keys at 100 TB), so the choice
+    belongs to AQE's runtime stats.  The only hinted broadcast in the
+    whole plan is the constant 25-row nation dim."""
+    df = queries["q2_min_cost_supplier"](spark, SF_DIR)
+    opt = optimized_of(df)
+    semi = [ln for ln in opt.splitlines() if "Join LeftSemi" in ln]
+    assert semi, "pre-agg semi-join disappeared from the plan"
+    assert all("broadcast" not in ln for ln in semi)
+    assert opt.count("strategy=broadcast") == 1  # nation only
+
+
 def test_q11_threshold_is_broadcast_scalar_not_collected(spark, queries):
     """Q11: the global-total threshold joins back as a 1-row broadcast —
     no driver collect, no cartesian of full tables."""

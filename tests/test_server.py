@@ -341,3 +341,25 @@ def test_config_falsy_int_defaults_and_negative_caps():
     ).initPost == 100
     with pytest.raises(ConditionValidationError, match=">= 0"):
         FeedCondition(key="k", recordName="ok", limitCount=-1).validate()
+
+
+def test_oversized_body_rejected_413(server):
+    """Reference parity (src/server.ts:48-50): json bodies are capped at
+    100 KB — an oversized setQuery gets 413 PayloadTooLarge, a normal
+    one still lands."""
+    from starryskyqueryengine_spark.server import JSON_BODY_LIMIT
+
+    hdr = {"x-starrtsky-webpasskey": "sesame"}
+    big = {"key": "bigfeed", "recordName": "bigfeed",
+           "inputRegex": "x" * (JSON_BODY_LIMIT + 1)}
+    status, resp = _req(server.port, "/setQuery", body=big, headers=hdr)
+    assert status == 413
+    assert resp["error"] == "PayloadTooLarge"
+    # the feed must NOT have been registered by the rejected request
+    status, resp = _req(server.port, "/getQuery", body={"key": "bigfeed"},
+                        headers=hdr)
+    assert resp.get("result") != "OK" or not resp.get("query")
+    # a normal-sized body on the same server still works
+    ok = {"key": "smallfeed", "recordName": "smallfeed", "inputRegex": "spark"}
+    status, resp = _req(server.port, "/setQuery", body=ok, headers=hdr)
+    assert status == 200 and resp["result"] == "OK"

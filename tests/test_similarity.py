@@ -520,3 +520,44 @@ def test_connected_components_driver_path_preserves_string_ids(spark):
     dist = {(r["id"], r["component"])
             for r in dd.connected_components(pairs, driver_threshold=0).collect()}
     assert dist == want
+
+
+def test_max_df_stop_shingle_bounds_fanout_exact_values(spark):
+    """Verdict r8 #6: the df cap must bound hot-shingle pair fan-out in
+    the blocked inverted-index core itself.  One shingle shared by all
+    62 docs would emit C(62,2)=1891 candidate pairs; with max_df the
+    candidate space collapses to the genuine near-dup pair, whose
+    jaccard/containment values must be EXACT (the verify step recomputes
+    them from full arrays — the capped index's c is only a lower bound)."""
+    from pyspark.sql import functions as F
+
+    from starryskyqueryengine_spark.functions import dedup as dd
+
+    rows = [(i, [f"u{i}_{j}" for j in range(12)] + ["HOT"]) for i in range(60)]
+    rows += [(100, [f"d_{j}" for j in range(12)] + ["HOT"]),
+             (101, [f"d_{j}" for j in range(12)] + ["HOT"])]
+    sh = spark.createDataFrame(rows, "doc_id long, shingles array<string>")
+
+    # candidate fan-out is bounded: only the genuine pair co-occurs
+    # under a sub-threshold-df shingle
+    cands = dd._blocked_intersection_counts(sh, "doc_id", max_df=10)
+    got = sorted((r["id_a"], r["id_b"]) for r in cands.collect())
+    assert got == [(100, 101)]
+    # the capped c is a LOWER bound (12 shared non-hot shingles; the
+    # 13th shared shingle HOT was dropped from the index)
+    assert cands.collect()[0]["c"] == 12
+
+    # jaccard: pair found, value EXACT (13/13 = 1.0, including HOT)
+    out = dd.jaccard_pairs_blocked(sh, 0.8, max_df=10).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in out] == [(100, 101, 1.0)]
+
+    # containment: same pair, exact directional value
+    out = dd.containment_pairs_blocked(sh, 0.8, max_df=10).collect()
+    assert [(r["contained_id"], r["container_id"], r["containment"])
+            for r in out] == [(100, 101, 1.0)]
+
+    # uncapped paths on a hot-free corpus agree with capped ones
+    clean = sh.select("doc_id", F.array_remove("shingles", "HOT").alias("shingles"))
+    base = sorted(map(tuple, dd.jaccard_pairs_blocked(clean, 0.8).collect()))
+    capped = sorted(map(tuple, dd.jaccard_pairs_blocked(clean, 0.8, max_df=10).collect()))
+    assert base == capped == [(100, 101, 1.0)]

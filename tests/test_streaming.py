@@ -1028,12 +1028,10 @@ def test_running_stats_all_null_event_times():
 class _FakeGroupState:
     """Minimal GroupState stand-in for driver-side unit tests."""
 
-    def __init__(self, value=None, has_timed_out=False,
-                 timeout_conf="NoTimeout"):
+    def __init__(self, value=None, has_timed_out=False):
         self._v = value
         self.exists = value is not None
         self.hasTimedOut = has_timed_out
-        self._timeout_conf = timeout_conf
         self.updated = None
         self.removed = False
         self.timeout_ms = None
@@ -1059,9 +1057,9 @@ def test_running_stats_timeout_removes_state_without_emitting():
 
     from starryskyqueryengine_spark.streaming.stateful import running_key_stats
 
-    st = _FakeGroupState(value=(5, 123), has_timed_out=True,
-                         timeout_conf="ProcessingTimeTimeout")
-    out = list(running_key_stats(("k",), iter([]), st))
+    st = _FakeGroupState(value=(5, 123), has_timed_out=True)
+    out = list(running_key_stats(("k",), iter([]), st,
+                                 arm_idle_timeout=True))
     assert out == []
     assert st.removed and st.updated is None
 
@@ -1076,16 +1074,20 @@ def test_running_stats_arms_processing_time_timeout():
         running_key_stats,
     )
 
-    st = _FakeGroupState(timeout_conf="ProcessingTimeTimeout")
+    st = _FakeGroupState()
     pdf = pd.DataFrame(
         {"key": ["k"], "indexedAt": pd.to_datetime(["2026-01-01"])}
     )
-    list(running_key_stats(("k",), iter([pdf]), st))
+    list(running_key_stats(("k",), iter([pdf]), st, arm_idle_timeout=True))
     assert st.timeout_ms == IDLE_KEY_TIMEOUT_MS
     # NoTimeout wiring must NOT register (Spark raises on that call)
-    st2 = _FakeGroupState(timeout_conf="NoTimeout")
+    st2 = _FakeGroupState()
     list(running_key_stats(("k",), iter([pdf]), st2))
     assert st2.timeout_ms is None
+    # and the wiring threads the mode in explicitly: the closure built
+    # by stream_running_stats must not read GroupState internals —
+    # _FakeGroupState deliberately carries NO _timeout_conf attribute
+    assert not hasattr(st, "_timeout_conf")
 
 
 def test_streaming_topk_ignores_null_timestamps():

@@ -1542,8 +1542,12 @@ def test_vacuum_grace_period_protects_staged_files(spark, tmp_path):
         f.write(b"PAR1fake")
     assert fmt.vacuum() == []          # young file survives the default window
     assert os.path.exists(staged)
+    # ADVICE r8: a grace-window no-op must be distinguishable from a
+    # genuinely clean table — the skipped-young count says why [] came back
+    assert fmt.last_vacuum_skipped_young == 1
     deleted = fmt.vacuum(min_age_sec=0)  # explicit no-writers vacuum reclaims
     assert "key=b/staged-uncommitted.parquet" in deleted
+    assert fmt.last_vacuum_skipped_young == 0  # resets per call
 
 
 def test_dynamic_overwrite_mode_is_scoped_not_global(spark, tmp_path):

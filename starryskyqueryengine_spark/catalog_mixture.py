@@ -379,8 +379,16 @@ def span_dedup_stats(spark, sf_dir):
     100 TB you front it with the MinHash candidate filter
     (functions/dedup.py) and run this exact pass only on candidate
     groups.  All arithmetic is integer, so every partitioning and the
-    DuckDB oracle agree exactly."""
-    docs = load_table(spark, sf_dir, "documents")
+    DuckDB oracle agree exactly.
+
+    ensure_parallelism: the per-token slice+hash explode is the
+    dominant compute, and a single-file fixture scan otherwise runs it
+    all in ONE task (no-op on a properly split big input)."""
+    from .session import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     w = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws"))
     n_spans = F.size("ws") - F.lit(SPAN_WORDS - 1)
     # sequence(0, -k) would DESCEND; short docs contribute no shingles
@@ -479,10 +487,15 @@ def chunk_documents(spark, sf_dir):
     context.  Chunk count = ceil(max(n-W,0)/S)+1 — every token lands in
     at least one chunk and the final chunk is never empty.
 
-    Scale shape: pure per-row explode+projection, no shuffle at all;
-    the chunk table feeds the embedding pipeline (embeddings fixture /
-    ann_* queries) one chunk per row."""
-    docs = load_table(spark, sf_dir, "documents")
+    Scale shape: pure per-row explode+projection, no shuffle on a
+    properly split input; ensure_parallelism spreads the single-file
+    fixture scan so the explode (and the tokenize stages downstream in
+    pipeline_rag_retrieval) doesn't serialize through one task."""
+    from .session import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     # NULL text yields NO chunks (oracle: range over a NULL count emits
     # zero rows; unguarded, size(NULL)=-1 fabricates a phantom chunk)
     w = docs.select(
@@ -1341,18 +1354,29 @@ def pipeline_rag_retrieval(spark, sf_dir):
 
     chunks = chunk_documents(spark, sf_dir).select("doc_id", "chunk_id", "chunk_text")
     qt = spark.createDataFrame([(t,) for t in BM25_QUERY_TERMS], "term string")
-    tok = chunks.select(
-        "doc_id", "chunk_id",
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col("chunk_text")), F.lit("[a-z0-9]+"), 0)
-        ).alias("term"),
+    toks = F.regexp_extract_all(
+        F.lower(F.col("chunk_text")), F.lit("[a-z0-9]+"), 0
     )
-    dl = tok.groupBy("doc_id", "chunk_id").agg(F.count("*").alias("dl"))
+    # Chunk length needs no explode at all — size() of the extracted
+    # array is the same count, computed inside the scan projection.
+    # The dl > 0 filter replicates the explode form's semantics exactly
+    # (a chunk with zero alphanumeric tokens emitted no rows, so it was
+    # absent from dl / avgdl / n_docs).
+    dl = chunks.select(
+        "doc_id", "chunk_id", F.size(toks).cast("bigint").alias("dl")
+    ).filter(F.col("dl") > 0)
     stats = dl.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs"))
+    # BM25 only ever scores the QUERY terms: filter the exploded token
+    # stream to them BEFORE any aggregation — the per-(chunk, term)
+    # count shuffle carries query-term hits instead of the whole corpus
+    # vocabulary (r7->r8 this tf aggregate was the pipeline's largest
+    # shuffle; scores are bit-identical since non-query terms only ever
+    # joined away).
+    tok = chunks.select(
+        "doc_id", "chunk_id", F.explode(toks).alias("term")
+    ).join(F.broadcast(qt), "term")
     tf = tok.groupBy("doc_id", "chunk_id", "term").agg(F.count("*").alias("tf"))
-    dfq = (
-        tf.join(F.broadcast(qt), "term").groupBy("term").agg(F.count("*").alias("df"))
-    )
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
     part = (
         tf.join(F.broadcast(dfq), "term")
         .join(dl, ["doc_id", "chunk_id"])
@@ -1400,9 +1424,29 @@ def pipeline_rag_retrieval(spark, sf_dir):
     dsim = sim.brute_force_topk(q0, cand, RAG_LEG_K).select(
         F.col("nn_id").alias("doc_id"), "sim"
     )
+    # The vector leg only needs (doc_id, chunk_id) for the K surviving
+    # docs — joining the corpus-wide chunk table here re-ran the whole
+    # chunk explode a second time (a join cannot push below Generate).
+    # Instead, re-derive chunk ids arithmetically for JUST those K docs:
+    # same n_chunks formula as chunk_documents, bit-identical ids, and
+    # the second corpus scan disappears (K docs instead of all).
+    kdocs = load_table(spark, sf_dir, "documents").join(
+        F.broadcast(dsim), "doc_id"
+    )
+    kws = F.split(F.trim(F.col("text")), r"\s+")
+    k_chunks = (
+        F.ceil(
+            F.greatest(F.size(kws) - F.lit(CHUNK_TOKENS), F.lit(0))
+            / F.lit(CHUNK_STRIDE)
+        ) + 1
+    ).cast("int")
     vec_top = (
-        chunks.select("doc_id", "chunk_id")
-        .join(F.broadcast(dsim), "doc_id")
+        kdocs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id", "sim",
+            F.explode(F.sequence(F.lit(0), k_chunks - 1)).alias("chunk_id"),
+        )
+        .select("doc_id", F.col("chunk_id").cast("bigint").alias("chunk_id"), "sim")
         .orderBy(F.col("sim").desc(), "doc_id", "chunk_id")
         .limit(RAG_LEG_K)
     )

@@ -248,10 +248,15 @@ def test_line_dedup_all_hash_aggregates(spark, queries):
 
 
 def test_chunk_documents_no_shuffle(spark, queries):
-    """chunk_documents: pure explode+projection — zero exchanges; the
-    chunker must ride the scan."""
+    """chunk_documents: pure explode+projection riding the scan.  The
+    only allowed exchange is ensure_parallelism's round-robin spread of
+    the under-partitioned single-file fixture (a no-op on a properly
+    split big input) — nothing KEYED may shuffle, and the explode plus
+    its projection must sit above at most that one exchange."""
     plan = plan_of(queries["chunk_documents"](spark, SF_DIR))
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") <= 1
+    assert "hashpartitioning" not in plan  # spread is round-robin only
+    assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
 
 
 def test_corpus_overview_single_expand(spark, queries):

@@ -36,9 +36,19 @@ def as_of_join(
     or before its timestamp (nulls when no prior right row exists).
 
     ``right`` must be deterministic per (key, ts) — pre-aggregate if the
-    source can hold duplicates, or pass ``tiebreak_col`` to make the
-    carry order total.
+    source can hold duplicates, or pass ``tiebreak_col`` (a RIGHT-side
+    column; the largest value wins among equal (key, ts) right rows,
+    NULLs lose) to make the carry order total.
     """
+    # the helper columns below would silently overwrite (or ambiguously
+    # collide with) identically named user columns — fail fast instead
+    reserved = {"_side", "_r", "_c"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"as_of_join: column name(s) {sorted(clash)} are reserved "
+            f"internally; rename them before joining"
+        )
     lcols = [c for c in left.columns]
     rtypes = dict(right.dtypes)
     # carry ONE struct of all payload columns, not each column
@@ -48,7 +58,17 @@ def as_of_join(
     # value). The struct is non-null exactly for right rows, so
     # last(struct, ignorenulls) always carries the latest right row
     # wholesale — NULL fields stay NULL.
-    struct_type = "struct<" + ",".join(f"{p}:{rtypes[p]}" for p in right_payload) + ">"
+    # the tiebreak rides INSIDE the carried struct (appended when not
+    # already a payload field): ordering by a bare right column would
+    # require unioning it into the left side too, and a left column of
+    # the same name would shadow it — as a struct field it is NULL on
+    # left rows by construction and needs no extra union column
+    struct_fields = list(right_payload)
+    if tiebreak_col is not None and tiebreak_col not in struct_fields:
+        struct_fields.append(tiebreak_col)
+    struct_type = (
+        "struct<" + ",".join(f"{p}:{rtypes[p]}" for p in struct_fields) + ">"
+    )
     l = left.withColumn("_side", F.lit(1)).withColumn(
         "_r", F.lit(None).cast(struct_type)
     )
@@ -62,7 +82,7 @@ def as_of_join(
         .select(
             key_col,
             ts_col,
-            F.struct(*[F.col(p) for p in right_payload]).alias("_r"),
+            F.struct(*[F.col(p) for p in struct_fields]).alias("_r"),
         )
         .withColumn("_side", F.lit(0))
     )
@@ -72,7 +92,13 @@ def as_of_join(
 
     order = [F.col(ts_col), F.col("_side")]
     if tiebreak_col is not None:
-        order.append(F.col(tiebreak_col).asc_nulls_first())
+        # struct-field reference: non-null only on right rows, so among
+        # equal (key, ts) right rows the LARGEST tiebreak sorts last and
+        # wins the carry; left rows (_r NULL) are unaffected.  (The old
+        # bare-column reference selected nothing from the right side —
+        # every right row carried NULL there, making the "tiebreak" a
+        # no-op or an unresolved-column error.)
+        order.append(F.col("_r").getField(tiebreak_col).asc_nulls_first())
     w = (
         Window.partitionBy(key_col)
         .orderBy(*order)

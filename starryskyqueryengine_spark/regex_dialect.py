@@ -26,19 +26,79 @@ import re
 # validation instead of being silently dropped.
 _FLAG_MAP = {"i": "(?iu)", "s": "(?s)", "m": "(?m)", "u": "", "g": ""}
 
+# ECMA-262 WhiteSpace ∪ LineTerminator — what JS ``\s`` matches.  Java's
+# ``\s`` is US-ASCII ([ \t\n\x0B\f\r]) unless UNICODE_CHARACTER_CLASS is
+# on, and (?U) is NOT an option here: it also widens \w/\b/\d, changing
+# semantics the reference never had.  So ``\s``/``\S`` are rewritten to
+# this explicit class instead (NBSP and friends are common in
+# copy-pasted web text — the exact rows a feed regex runs against).
+_JS_WS = (
+    "\\t\\n\\x0B\\f\\r \\u00a0\\u1680\\u2000-\\u200a"
+    "\\u2028\\u2029\\u202f\\u205f\\u3000\\ufeff"
+)
+
 
 class RegexValidationError(ValueError):
     """Raised at config-write time for unparseable patterns (P13)."""
 
 
+def _rewrite_tokens(pattern: str, multiline: bool) -> str:
+    """Token-level JS->Java rewrites that need escape/class awareness:
+
+    - ``\\s``/``\\S`` -> the explicit ECMA whitespace class (Java's are
+      ASCII-only; see _JS_WS).  Inside a character class the set splices
+      in bracket-free; ``\\S`` inside a class becomes a nested negated
+      class (a Java char-class union — Java-legal, and validation only
+      needs Python ``re`` to *compile* the translated form).
+    - unflagged ``$`` -> ``\\z``: JS ``$`` (no ``m``) matches ONLY at the
+      true end of input, Java's also matches before a trailing line
+      terminator — 'keyword$' must not match 'keyword\\n'.  Under ``m``
+      the anchors stay as-is (the terminator sets differ only in
+      Java's extra \\u0085 / \\r\\n-as-unit handling — documented,
+      not worth losing (?m)).
+
+    Escaped escapes (``\\\\s``) and class-literal ``$`` are left alone by
+    construction: the walker consumes backslash pairs atomically and
+    tracks in-class state.
+    """
+    out: list[str] = []
+    i, in_class = 0, False
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            nxt = pattern[i + 1]
+            if nxt == "s":
+                out.append(_JS_WS if in_class else "[" + _JS_WS + "]")
+            elif nxt == "S":
+                out.append("[^" + _JS_WS + "]")
+            else:
+                out.append(ch + nxt)
+            i += 2
+            continue
+        if ch == "[" and not in_class:
+            in_class = True
+            out.append(ch)
+        elif ch == "]" and in_class:
+            in_class = False
+            out.append(ch)
+        elif ch == "$" and not in_class and not multiline:
+            out.append(r"\z")
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def js_to_java(pattern: str, flags: str = "") -> str:
     """Translate a JS regex pattern + flags to a Java regex string.
 
-    Java and JS syntax largely overlap; the meaningful production delta is
-    flag placement. Unsupported JS constructs (e.g. ``\\cX`` control
-    escapes) are left as-is — they fail loudly at validation time instead.
-    Raises RegexValidationError for flags whose semantics the engine
-    cannot reproduce ('y' sticky, 'd', 'v', ...).
+    Java and JS syntax largely overlap; the production deltas handled
+    here are flag placement, the Unicode width of ``\\s``/``\\S``, and
+    the end-anchor semantics of ``$`` (see ``_rewrite_tokens``).
+    Unsupported JS constructs (e.g. ``\\cX`` control escapes) are left
+    as-is — they fail loudly at validation time instead. Raises
+    RegexValidationError for flags whose semantics the engine cannot
+    reproduce ('y' sticky, 'd', 'v', ...).
     """
     for f in flags:
         if f not in _FLAG_MAP:
@@ -47,7 +107,7 @@ def js_to_java(pattern: str, flags: str = "") -> str:
                 f"matching semantics have no Java/Spark equivalent"
             )
     prefix = "".join(_FLAG_MAP[f] for f in flags)
-    return prefix + pattern
+    return prefix + _rewrite_tokens(pattern, multiline="m" in flags)
 
 
 def _java_compile_check(translated: str) -> None:
@@ -86,7 +146,11 @@ def validate_pattern(pattern: str, flags: str = "") -> str:
     """
     translated = js_to_java(pattern, flags)
     try:
-        re.compile(translated)
+        # Python's dialect calls Java's \z anchor \Z — swap it for the
+        # PROXY compile only (the returned pattern keeps \z; execution
+        # is java.util.regex).  A literal '\\z' in the pattern maps to
+        # '\\Z' here, which still compiles — only compilability matters.
+        re.compile(translated.replace("\\z", "\\Z"))
     except re.error as e:
         raise RegexValidationError(f"invalid regex {pattern!r}: {e}") from e
     _java_compile_check(translated)

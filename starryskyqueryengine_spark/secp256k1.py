@@ -92,7 +92,11 @@ def ecdsa_verify(pubkey, msg_hash: bytes, r: int, s: int) -> bool:
     message (SHA-256 for ES256K: 256-bit, so no truncation step)."""
     try:
         Q = decode_point(pubkey)
-    except ValueError:
+    except (ValueError, TypeError):
+        # TypeError too: a malformed key (a str HMAC secret routed here
+        # by an attacker-chosen alg header, a None coordinate) raises
+        # TypeError from bytes()/int() inside decode_point — that must
+        # be "verification failed" (401), not an escaping 500
         return False
     if not (0 < r < N and 0 < s < N):
         return False
@@ -119,9 +123,13 @@ def es256k_verify(key, signing_input: bytes, signature: bytes) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _rfc6979_k(d: int, msg_hash: bytes) -> int:
-    """RFC 6979 §3.2 deterministic nonce with HMAC-SHA256 (qlen == hlen
-    == 256 bits, so bits2octets reduces mod N and no bit-shifts needed)."""
+def _rfc6979_k_stream(d: int, msg_hash: bytes):
+    """RFC 6979 §3.2 deterministic nonce CANDIDATES with HMAC-SHA256
+    (qlen == hlen == 256 bits, so bits2octets reduces mod N and no
+    bit-shifts needed).  A generator, not a single value: when the
+    caller rejects a candidate (r == 0 / s == 0, step h3), the next
+    draw must come from the UPDATED K/V chain — re-deriving from
+    scratch returns the identical k forever and the retry loop spins."""
     h1 = int.from_bytes(msg_hash, "big") % N
     x = d.to_bytes(32, "big")
     m = h1.to_bytes(32, "big")
@@ -135,27 +143,34 @@ def _rfc6979_k(d: int, msg_hash: bytes) -> int:
         v = hmac.new(k, v, hashlib.sha256).digest()
         cand = int.from_bytes(v, "big")
         if 0 < cand < N:
-            return cand
+            yield cand
+        # step h3: out-of-range candidate OR caller rejection both
+        # advance the chain before the next draw
         k = hmac.new(k, v + b"\x00", hashlib.sha256).digest()
         v = hmac.new(k, v, hashlib.sha256).digest()
+
+
+def _rfc6979_k(d: int, msg_hash: bytes) -> int:
+    """First RFC 6979 nonce for (d, msg_hash) — the common case."""
+    return next(_rfc6979_k_stream(d, msg_hash))
 
 
 def ecdsa_sign(d: int, msg_hash: bytes) -> tuple[int, int]:
     """Deterministic ECDSA (RFC 6979). Returns (r, s) with low-s
     normalization (the Bitcoin/atproto convention)."""
     e = int.from_bytes(msg_hash, "big") % N
-    while True:
-        k = _rfc6979_k(d, msg_hash)
+    for k in _rfc6979_k_stream(d, msg_hash):
         R = _mul(k, (GX, GY))
         r = R[0] % N
         if r == 0:
-            continue
+            continue  # next candidate from the advanced K/V chain
         s = (e + r * d) * pow(k, -1, N) % N
         if s == 0:
             continue
         if s > N // 2:
             s = N - s
         return r, s
+    raise AssertionError("unreachable: nonce stream is infinite")
 
 
 def pubkey(d: int) -> tuple[int, int]:

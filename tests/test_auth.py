@@ -271,3 +271,35 @@ def test_private_feed_via_authed_endpoint(spark, tmp_path):
     reg.upsert(FeedCondition(key="k2", recordName="pub", query="x"))
     page = server.get_feed_skeleton_authed("pub", {}, SERVICE_DID, lookup)
     assert page.feed == []
+
+
+def test_es256k_malformed_key_types_verify_false_not_crash():
+    """Review r9: decode_point raises TypeError (not ValueError) for a
+    str key or a None coordinate — e.g. an HS256 shared secret routed
+    into the ES256K path by an attacker-chosen alg header.  That must
+    read as 'verification failed' (the 401 path), never an escaping
+    TypeError that the HTTP shell converts into a 500."""
+    from starryskyqueryengine_spark.secp256k1 import ecdsa_verify, es256k_verify
+
+    for bad_key in ["shared-hmac-secret", (None, 5), [3, None], object()]:
+        assert es256k_verify(bad_key, b"header.payload", b"\x01" * 64) is False
+        assert ecdsa_verify(bad_key, b"\x02" * 32, 5, 7) is False
+
+
+def test_rfc6979_candidate_stream_advances():
+    """Review r9: the r==0/s==0 retry in ecdsa_sign re-derived the SAME
+    deterministic k forever.  The nonce source is now a generator whose
+    successive draws follow RFC 6979 step h3 (K/V chain update): the
+    candidates must be distinct and the first one unchanged."""
+    from starryskyqueryengine_spark.secp256k1 import (
+        N,
+        _rfc6979_k,
+        _rfc6979_k_stream,
+    )
+
+    d, h = 0x1234, b"\x42" * 32
+    stream = _rfc6979_k_stream(d, h)
+    k1, k2, k3 = next(stream), next(stream), next(stream)
+    assert len({k1, k2, k3}) == 3
+    assert all(0 < k < N for k in (k1, k2, k3))
+    assert _rfc6979_k(d, h) == k1  # first draw is the published derivation

@@ -564,3 +564,40 @@ def test_author_profiles_dedups_duplicate_dids(spark):
     )
     out = with_author_profiles(posts, profiles)
     assert out.count() == 1, "duplicate profile rows multiplied posts"
+
+
+def test_asof_join_tiebreak_orders_duplicate_right_rows(spark):
+    """Review r9: tiebreak_col was selected from NEITHER union side, so
+    every right row carried NULL there and duplicate (key, ts) right
+    rows resolved by input order (or, if the left happened to lack the
+    column, the query failed to analyze).  The tiebreak now rides inside
+    the carried struct: the LARGEST value wins, left columns with the
+    same name cannot shadow it."""
+    from starryskyqueryengine_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame([(1, 10)], "uid long, ts long")
+    right = spark.createDataFrame(
+        [(1, 5, 1, "low"), (1, 5, 2, "high")],
+        "uid long, ts long, seq long, v string",
+    )
+    out = as_of_join(left, right, "uid", "ts", ["v"], tiebreak_col="seq")
+    assert out.collect()[0]["asof_v"] == "high"
+    # same answer when the tiebreak is ALSO a payload column
+    out2 = as_of_join(left, right, "uid", "ts", ["v", "seq"],
+                      tiebreak_col="seq")
+    row = out2.collect()[0]
+    assert (row["asof_v"], row["asof_seq"]) == ("high", 2)
+
+
+def test_asof_join_rejects_reserved_column_names(spark):
+    """Review r9: a user column named _r/_side/_c silently collided with
+    the join's internal helpers (worst case: returned corrupted as
+    all-NULL).  Reserved names now fail fast."""
+    import pytest
+
+    from starryskyqueryengine_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame([(1, 10, "keep")], "uid long, ts long, _r string")
+    right = spark.createDataFrame([(1, 5, "x")], "uid long, ts long, v string")
+    with pytest.raises(ValueError, match="_r"):
+        as_of_join(left, right, "uid", "ts", ["v"])

@@ -275,3 +275,59 @@ def test_case_insensitive_flag_is_unicode(spark):
     df = spark.createDataFrame([("ÄRGER",), ("THE END",)], "text string")
     got = [r["text"] for r in df.filter(F.col("text").rlike(pat)).collect()]
     assert got == ["ÄRGER"]
+
+
+def test_js_whitespace_class_is_unicode(spark):
+    """Review r9: JS \\s matches Unicode whitespace (NBSP, BOM, em
+    space — routine in copy-pasted web text); Java's \\s is ASCII-only,
+    so translated feed regexes silently excluded posts the reference
+    includes.  \\s / \\S now rewrite to the explicit ECMA class,
+    inside and outside character classes; escaped backslashes are left
+    alone."""
+    from starryskyqueryengine_spark.regex_dialect import js_to_java
+
+    jvm = spark.sparkContext._jvm
+
+    def find(pat, text):
+        return jvm.java.util.regex.Pattern.compile(pat).matcher(text).find()
+
+    p = js_to_java(r"foo\sbar", "ig")
+    assert find(p, "foo\u00a0bar")      # NBSP
+    assert find(p, "foo\ufeffbar")      # BOM
+    assert find(p, "foo\u2003bar")      # em space
+    assert find(p, "foo bar") and not find(p, "fooXbar")
+    # \S is the complement
+    p2 = js_to_java(r"a\Sb", "")
+    assert not find(p2, "a\u00a0b") and find(p2, "axb")
+    # splices bracket-free inside an existing class
+    p3 = js_to_java(r"x[\s,]y", "")
+    assert find(p3, "x\u00a0y") and find(p3, "x,y") and not find(p3, "xzy")
+    # literal backslash-s (escaped escape) is untouched
+    p4 = js_to_java(r"a\\sb", "")
+    assert find(p4, "a\\sb") and not find(p4, "a b")
+
+
+def test_dollar_anchor_matches_js_end_of_input(spark):
+    """Review r9: Java's unflagged $ also matches before a trailing line
+    terminator; JS's matches only at the true end of input.  'keyword$'
+    must not match 'keyword\\n'; under the m flag multiline behavior is
+    preserved, and $ inside a class or escaped stays literal."""
+    from starryskyqueryengine_spark.regex_dialect import (
+        js_to_java,
+        validate_pattern,
+    )
+
+    jvm = spark.sparkContext._jvm
+
+    def find(pat, text):
+        return jvm.java.util.regex.Pattern.compile(pat).matcher(text).find()
+
+    p = js_to_java(r"keyword$", "")
+    assert not find(p, "keyword\n")
+    assert find(p, "see keyword")
+    pm = js_to_java(r"keyword$", "m")
+    assert find(pm, "keyword\nmore")
+    assert find(js_to_java(r"price[$]", ""), "price$x")
+    assert find(js_to_java(r"cost\$", ""), "cost$ extra")
+    # the Java-only \\z anchor still passes the Python proxy compile
+    assert validate_pattern(r"end$", "").endswith("\\z")

@@ -66,21 +66,34 @@ def test_from_raw_total_on_messy_dicts(raw):
 
 @given(flags=st.text(alphabet="igsmu", max_size=5), pat=st.text(max_size=20))
 def test_js_to_java_flag_translation_total(flags, pat):
-    """Flag translation is total and never duplicates the pattern."""
+    """Flag translation is total: prefix is exactly the mapped flags,
+    body is exactly the token rewrite (\\s/\\S/$ dialect fixes), and 'g'
+    never leaks into the Java pattern."""
+    from starryskyqueryengine_spark.regex_dialect import (
+        _FLAG_MAP,
+        _rewrite_tokens,
+    )
+
     out = js_to_java(pat, flags)
-    assert out.endswith(pat)
-    assert "g" not in out[: len(out) - len(pat)]  # 'g' never leaks into Java
+    prefix = "".join(_FLAG_MAP[f] for f in flags)
+    assert out == prefix + _rewrite_tokens(pat, "m" in flags)
+    assert "g" not in prefix
+    # patterns free of rewritten tokens pass through verbatim
+    if not any(t in pat for t in ("\\", "$")):
+        assert out.endswith(pat)
 
 
 @given(pat=st.text(max_size=20))
 @settings(max_examples=200)
 def test_validate_pattern_rejects_or_accepts_consistently(pat):
-    """validate_pattern either returns a Python-compilable translation
-    or raises RegexValidationError — matching the reference's fail-fast
+    """validate_pattern either returns a translation compilable under
+    the Python proxy (with the Java-only \\z anchor mapped to Python's
+    \\Z, as validate_pattern itself does) or raises
+    RegexValidationError — matching the reference's fail-fast
     new RegExp gate."""
     try:
         out = validate_pattern(pat, "ig")
-        re.compile(out)
+        re.compile(out.replace("\\z", "\\Z"))
     except RegexValidationError:
         pass
 

@@ -586,19 +586,16 @@ def _load_extensions() -> None:
 
 
 # The external correctness gate verifies roughly the FIRST 50
-# registered queries; _ordered() puts this window first.  ROUND-8
-# ROTATION, FINAL (VERDICT.md r7 ask #9 + the five r8 review sweeps):
-# the 10-query regression core, then re-verifies for every code path
-# touched in round 8 — first the graph/table-format rewrites from the
-# start of the round (size-gated pagerank, label-prop frontier cutoff,
-# two-star CC, restore/CDF concurrency closure), then every query whose
-# code or oracle the review sweeps changed late in the round, then the
-# four queries new or value-upgraded in r8 (incl. ann_ivf_topk and the
-# portable HLL, which erased the old "inherently rows-only" list —
-# only the built-in approx_count_distinct demo remains rows-only).
-# Changed code outranks stale green: the displaced r1-bucket freshness
-# sweep and four broadcast-sweep TPC-H queries are ever-green and
-# UNCHANGED since their last green driver row, and every query stays
+# registered queries; _ordered() puts this window first.  ROUND-9
+# ROTATION (VERDICT.md r8 ask #2): the 10-query regression core, then
+# every query whose code moved THIS round (the q2 hint removal, the
+# label-propagation localCheckpoint rewrite, the chunker/RAG/span
+# parallelism + shuffle cuts, the dedup-core max_df signature, the
+# as-of tiebreak fix, the regex-dialect \s/$ rewrites feeding p4/p5),
+# then the r8-touched-but-unrotated queries the verdict listed, then
+# the ENTIRE r1 freshness bucket (19 queries whose only driver row
+# still predates round 2) topped up with the two oldest r4 rows.
+# Changed code outranks stale green; everything else stays
 # value-checked per-round by tools/full_gate.py and
 # tests/test_oracle_parity.py locally.
 PRIORITY: list[str] = [
@@ -613,58 +610,53 @@ PRIORITY: list[str] = [
     "s1_datasource_scan",
     "p11_acl_filter",
     "dedup_exact",
-    # --- Re-verify: graph/table-format paths rewritten earlier in r8 ---
-    "pagerank_part_supplier",
-    "pagerank_dangling",
+    # --- Re-verify: code paths touched in round 9 ---
+    "q2_min_cost_supplier",
     "label_prop_communities",
-    "sssp_supplier_3hop",
-    "bfs_reach_3hop",
-    "phash_cluster_survivors",
-    "dedup_survivors",
-    "histogram_equidepth_prices",
-    "acid_restore_audit",
-    "table_changes_stream",
-    # --- Re-verify: every query whose code or oracle changed in the
-    # r8 review sweeps (prefix-filter exactness, pre-agg semi-joins,
-    # dropped SF-scaling broadcasts, null-safe SCD2/as-of/retention,
-    # empty-text token guards, decimal-exact KL, rounded-cosine
-    # threshold, shared phash/minhash oracle CTEs, cache-release
-    # restructure, stream drain checks, BM25/BPE cache keys).  The
-    # displaced r1-bucket freshness sweep and the four broadcast-sweep
-    # TPC-H queries are ever-green, UNCHANGED since their last green
-    # row, and stay value-checked per-round by tools/full_gate.py and
-    # tests/test_oracle_parity.py — changed code outranks stale green. ---
-    "q17_small_quantity_revenue",
-    "q20_excess_supply",
-    "pareto_front_parts",
-    "funnel_view_click_purchase",
-    "cohort_retention",
-    "corpus_overview",
-    "source_kl_divergence",
-    "text_nfc_normalize",
-    "embedding_near_dup",
-    "mixture_sample",
-    "unimax_allocation",
+    "chunk_documents",
+    "chunk_documents_udtf",
     "span_dedup_stats",
     "pipeline_rag_retrieval",
-    "bpe_tokenize_roundtrip",
-    "asof_purchase_attribution",
-    "t4_refresh_delete",
-    "scd2_priority_history",
-    "zorder_skipping_scan",
-    "w_stream_outer_join",
-    "acid_table_audit",
-    "mm_image_phash_neardup",
-    "mm_audio_fingerprint_neardup",
-    "mm_video_fingerprint_neardup",
-    "pipeline_multimodal_curation",
-    "dedup_minhash_lsh",
-    "cross_source_dup_matrix",
-    # --- First driver rows / first VALUE rows: new or upgraded in r8 ---
-    "quality_classifier_scores",
-    "ann_ivf_topk",
-    "sketch_distinct_users_portable",
+    "dedup_ngram_jaccard",
     "dedup_containment",
+    "cross_source_dup_matrix",
+    "asof_purchase_attribution",
+    "p4_regex_include",
+    "p5_regex_exclude",
+    # --- r8-touched but unrotated (VERDICT r8 "What's missing" #3) ---
+    "t2_keyset_page",
+    "u3_delete_insert_upsert",
+    "u4_cascading_delete",
+    "s10_feed_response",
+    "bloom_prefilter_upsert",
+    "skew_salted_join",
+    "bm25_indexed_search",
+    "w_stream_interval_join",
+    # --- Freshness: the full r1 bucket (last driver row = round 1) ---
+    "a1_salted_count_per_key",
+    "ann_cosine_topk",
+    "contrastive_negatives",
+    "dedup_simhash",
+    "knn_centroid_assign",
+    "pipeline_clean_corpus",
+    "pivot_segment_priority",
+    "rollup_revenue",
+    "sample_stratified",
+    "seq_length_histogram",
+    # (sketch_distinct_users, the r1 bucket's 19th member, stays out:
+    # it is the one inherently rows-only query — a gate slot would be
+    # wasted on it; its value-exact portable twin was r8-green)
+    "split_train_val",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_repetition_stats",
+    "text_token_count",
+    "tfidf_top_terms",
+    "vocab_top_terms",
+    # --- Oldest r4 rows, topping the window to 50 ---
+    "p12_lang_filter",
+    "j1_broadcast_lookup",
+    "j4_arrays_overlap",
 ]
 
 def _ordered(d: dict) -> dict:

@@ -1196,7 +1196,10 @@ def heavy_hitters_bigrams(spark, sf_dir):
     full distinct-bigram shuffle (the thing that doesn't scale to 100 TB
     of n-grams) never runs, yet the result equals the plain GROUP BY /
     HAVING oracle bit-for-bit.  Threshold in exact integer arithmetic
-    ((n + 999) div 1000) so both engines agree at every n."""
+    ((n + 999) div 1000) so both engines agree at every n.  Passing
+    phi=0.001 sizes the sketch n-free (k = 2/phi) so the total count
+    rides pass 1 — two corpus scans, not three (the old dedicated count
+    pass re-ran the whole tokenize+explode lineage once more)."""
     from .functions.sketches import heavy_hitters_exact
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1211,7 +1214,9 @@ def heavy_hitters_bigrams(spark, sf_dir):
             )
         ).alias("term")
     )
-    return heavy_hitters_exact(bigrams, "term", lambda n: (n + 999) // 1000)
+    return heavy_hitters_exact(
+        bigrams, "term", lambda n: (n + 999) // 1000, phi=0.001
+    )
 
 
 @register(

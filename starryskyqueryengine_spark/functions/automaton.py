@@ -61,7 +61,11 @@ def build_aho_corasick(patterns: list[str]):
             f = fail[r]
             while f and ch not in goto[f]:
                 f = fail[f]
-            fail[s] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != s else 0
+            # no self-loop hazard: every state in the failure chain of r
+            # is strictly shallower than r, so goto[f][ch] is strictly
+            # shallower than s and can never BE s — the textbook
+            # assignment needs no guard
+            fail[s] = goto[f].get(ch, 0)
             # output-link closure: matches ending at fail[s] also end here
             out[s] = out[s] + out[fail[s]]
     return goto, fail, out
@@ -92,6 +96,10 @@ def multi_pattern_counts(
 
     spark = df.sparkSession
     automaton = build_aho_corasick(patterns)
+    # broadcast lifetime: the returned frame's closure is the only
+    # holder, so the blocks free at driver GC of the frame (same
+    # discipline as localCheckpoint blocks) — no explicit destroy(),
+    # which would break re-execution of a still-live lazy plan
     bc = spark.sparkContext.broadcast(automaton)
     n = len(patterns)
 
@@ -107,6 +115,9 @@ def multi_pattern_counts(
                 {id_col: pdf[id_col], "n_hits": hits, "n_patterns": distinct}
             )
 
+    # the id column keeps its INPUT type — hardcoding bigint made any
+    # string/uuid id fail in the Arrow serializer on every batch
+    id_dt = dict(df.dtypes)[id_col]
     return df.select(id_col, text_col).mapInPandas(
-        scan, f"{id_col} long, n_hits long, n_patterns long"
+        scan, f"{id_col} {id_dt}, n_hits long, n_patterns long"
     )

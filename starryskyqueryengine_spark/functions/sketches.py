@@ -20,11 +20,15 @@ is sublinear candidate generation:
 
 The output is therefore EXACT (value-checkable against a plain SQL
 GROUP BY ... HAVING oracle) while the full-key shuffle never happens —
-sketch for candidates, count for truth.
+sketch for candidates, count for truth.  With ``phi`` given the total
+count rides along pass 1 (per-partition totals next to the summaries),
+so the whole operator is TWO corpus scans — sketch and verify — not
+three; without it a dedicated count pass sizes k first (legacy shape).
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -33,40 +37,59 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def misra_gries_candidates(df: DataFrame, term_col: str, k: int) -> DataFrame:
+def misra_gries_candidates(
+    df: DataFrame,
+    term_col: str,
+    k: int,
+    emit_partition_totals: bool = False,
+) -> DataFrame:
     """Per-partition k-counter Misra-Gries summaries as (term, est)
     rows.  Arrow-batched; counters persist across a partition's batches
-    and are emitted once at partition end."""
+    and are emitted once at partition end.
+
+    Each Arrow batch is itself a complete frequency summary (a
+    vectorized ``value_counts``), so batches fold in via the MERGE
+    operation of Agarwal et al.: add the two summaries, and when more
+    than k counters remain subtract the (k+1)-th largest value from all
+    and keep the positive ones.  Every subtraction of d is backed by at
+    least (k+1) counters holding >= d, so the cumulative underestimate
+    stays <= W/(k+1) and the superset guarantee (every item with weight
+    > W/k survives) holds — with O(u log u) work per batch (u = distinct
+    terms in play), not the O(u*k) of per-term eviction scans.
+
+    ``emit_partition_totals=True`` appends a ``w`` column: NULL on
+    summary rows, plus ONE (term=NULL, est=NULL, w=partition weight) row
+    per partition — how ``heavy_hitters_exact`` learns n without a
+    dedicated count scan.  The term column keeps the input column's
+    type (a bigint token-id corpus sketches as naturally as strings).
+    """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    term_dt = dict(df.dtypes)[term_col]
 
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # WEIGHTED Misra-Gries: each Arrow batch is pre-aggregated with a
-        # vectorized value_counts, then unique (term, weight) pairs feed
-        # the counters — dict work scales with distinct terms per batch,
-        # not rows.  A weight-d subtraction event removes d*(k+1) total
-        # weight, so the underestimate stays <= W/(k+1) and the superset
-        # guarantee (every item with weight > W/k survives) holds
-        # unchanged (Agarwal et al., Mergeable Summaries).
-        counters: dict[str, int] = {}
+        counters: dict = {}
+        total = 0
         for pdf in batches:
-            for t, w in pdf[term_col].value_counts(dropna=True).items():
-                w = int(w)
-                if t in counters:
-                    counters[t] += w
-                elif len(counters) < k:
-                    counters[t] = w
-                else:
-                    d = min(w, min(counters.values()))
-                    for key in list(counters):
-                        counters[key] -= d
-                        if counters[key] == 0:
-                            del counters[key]
-                    if w > d and len(counters) < k:
-                        counters[t] = w - d
-        yield pd.DataFrame(
+            vc = pdf[term_col].value_counts(dropna=True, sort=False)
+            total += int(vc.sum())
+            for t, w in vc.items():
+                counters[t] = counters.get(t, 0) + int(w)
+            if len(counters) > k:
+                # MERGE truncation: subtract the (k+1)-th largest count
+                d = sorted(counters.values(), reverse=True)[k]
+                counters = {t: w - d for t, w in counters.items() if w > d}
+        out = pd.DataFrame(
             {"term": list(counters.keys()), "est": list(counters.values())}
         )
+        if emit_partition_totals:
+            out["w"] = pd.array([None] * len(out), dtype="Int64")
+            out = pd.concat(
+                [out, pd.DataFrame({"term": [None], "est": pd.array([None], dtype="Int64"),
+                                    "w": pd.array([total], dtype="Int64")})],
+                ignore_index=True,
+            )
+        yield out
 
     src = df.select(F.col(term_col).alias(term_col))
     # a tiny local fixture often arrives as ONE input partition — spread
@@ -75,37 +98,83 @@ def misra_gries_candidates(df: DataFrame, term_col: str, k: int) -> DataFrame:
     par = df.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < max(2, par // 4):
         src = src.repartition(par)
-    return src.mapInPandas(mg, "term string, est long")
+    schema = f"term {term_dt}, est long"
+    if emit_partition_totals:
+        schema += ", w long"
+    return src.mapInPandas(mg, schema)
 
 
 def heavy_hitters_exact(
-    df: DataFrame, term_col: str, threshold_of_n, k_of_threshold=None
+    df: DataFrame,
+    term_col: str,
+    threshold_of_n,
+    k_of_threshold=None,
+    phi: float | None = None,
 ) -> DataFrame:
     """All items of ``term_col`` with exact count >= threshold, computed
     with the two-pass sketch-then-verify plan.
 
     ``threshold_of_n`` maps the total item count n to the integer
     support threshold (e.g. ``lambda n: (2 * n + 999) // 1000`` for
-    phi = 0.2%).  ``k_of_threshold`` maps (n, threshold) to the MG
-    capacity; the default 2n/threshold guarantees the superset property
-    with a 2x margin.  Returns (term, n) rows — exact, deterministic,
-    partition-independent."""
-    n = df.filter(F.col(term_col).isNotNull()).count()
-    if n == 0:
-        return df.sparkSession.createDataFrame([], "term string, n long")
-    threshold = int(threshold_of_n(n))
-    if threshold < 1:
-        raise ValueError(f"threshold must be >= 1, got {threshold}")
-    k = (
-        int(k_of_threshold(n, threshold))
-        if k_of_threshold is not None
-        else max(1, (2 * n + threshold - 1) // threshold)
-    )
-    cands = (
-        misra_gries_candidates(df, term_col, k)
-        .select(F.col("term").alias(term_col))
-        .distinct()
-    )
+    phi = 0.2%).  Returns (term, n) rows — exact, deterministic,
+    partition-independent.
+
+    With ``phi`` given (the support fraction the threshold mapping
+    implements), the sketch capacity is the n-free k = ceil(2/phi), so
+    pass 1 runs WITHOUT knowing n: the per-partition totals ride along
+    the summaries and the whole operator costs exactly two corpus scans
+    (at 100 TB the old dedicated count pass re-ran the full upstream
+    tokenize lineage a third time).  The mapping must satisfy
+    ``threshold_of_n(n) >= phi * n`` — checked, since the superset
+    guarantee depends on it.  Without ``phi`` the legacy three-scan
+    shape (count, sketch with k = 2n/threshold, verify) is kept.
+
+    ``k_of_threshold`` (n, threshold) -> capacity overrides k in the
+    legacy path only.
+    """
+    term_dt = dict(df.dtypes)[term_col]
+    empty = f"term {term_dt}, n long"
+    if phi is not None:
+        if not 0 < phi <= 1:
+            raise ValueError(f"phi must be in (0, 1], got {phi}")
+        k = max(1, math.ceil(2 / phi))
+        sk = misra_gries_candidates(
+            df, term_col, k, emit_partition_totals=True
+        ).localCheckpoint(eager=True)  # tiny (tasks*k rows); lineage severed
+        n = sk.agg(F.sum("w").alias("n")).collect()[0]["n"] or 0
+        if n == 0:
+            return df.sparkSession.createDataFrame([], empty)
+        threshold = int(threshold_of_n(n))
+        if threshold < 1:
+            raise ValueError(f"threshold must be >= 1, got {threshold}")
+        if threshold < phi * n:
+            raise ValueError(
+                f"threshold_of_n(n={n}) = {threshold} is below phi*n = "
+                f"{phi * n:.1f}: the k = 2/phi sketch only guarantees a "
+                f"candidate superset at or above that support"
+            )
+        cands = (
+            sk.filter(F.col("term").isNotNull())
+            .select(F.col("term").alias(term_col))
+            .distinct()
+        )
+    else:
+        n = df.filter(F.col(term_col).isNotNull()).count()
+        if n == 0:
+            return df.sparkSession.createDataFrame([], empty)
+        threshold = int(threshold_of_n(n))
+        if threshold < 1:
+            raise ValueError(f"threshold must be >= 1, got {threshold}")
+        k = (
+            int(k_of_threshold(n, threshold))
+            if k_of_threshold is not None
+            else max(1, (2 * n + threshold - 1) // threshold)
+        )
+        cands = (
+            misra_gries_candidates(df, term_col, k)
+            .select(F.col("term").alias(term_col))
+            .distinct()
+        )
     return (
         df.join(F.broadcast(cands), term_col, "left_semi")
         .groupBy(F.col(term_col).alias("term"))

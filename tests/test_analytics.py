@@ -375,3 +375,62 @@ def test_interval_count_join_preserves_duplicate_probe_rows(spark):
     out = interval_count_join(probe, build, "ts", "ts", width_us=1_000_000)
     rows = sorted((r["ts"], r["n_in_range"]) for r in out.collect())
     assert rows == [(1_000_000, 3), (1_000_000, 3)]
+
+
+def test_heavy_hitters_phi_path_two_scans_and_typed_terms(spark):
+    """Review r9: (a) with phi given, the sketch is sized n-free and the
+    total count rides pass 1 — results must equal both the legacy path
+    and a naive groupBy; (b) a BIGINT term column (token-id corpora)
+    must sketch as naturally as strings — the old hardcoded 'term
+    string' schema failed in the Arrow serializer; (c) a threshold
+    mapping below phi*n is rejected (the superset guarantee would not
+    cover it)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from starryskyqueryengine_spark.functions.sketches import (
+        heavy_hitters_exact,
+        misra_gries_candidates,
+    )
+
+    rows = [(f"h{i % 3}",) for i in range(900)] + [
+        (f"n{i}",) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "term string").repartition(7)
+    thr = lambda n: n // 100
+    legacy = sorted(map(tuple, heavy_hitters_exact(df, "term", thr).collect()))
+    fast = sorted(map(tuple,
+                      heavy_hitters_exact(df, "term", thr, phi=0.01).collect()))
+    assert fast == legacy and len(fast) == 3
+
+    # bigint term column end to end (both the sketch and the operator)
+    irows = [(i % 5,) for i in range(1000)] + [(1000 + i,) for i in range(500)]
+    idf = spark.createDataFrame(irows, "tok long").repartition(5)
+    sk = misra_gries_candidates(idf, "tok", 20)
+    assert dict(sk.dtypes)["term"] == "bigint"
+    got = sorted(map(tuple,
+                     heavy_hitters_exact(idf, "tok", lambda n: n // 50,
+                                         phi=0.02).collect()))
+    want = sorted(map(tuple,
+                      idf.groupBy(F.col("tok").alias("term"))
+                      .agg(F.count("*").cast("bigint").alias("n"))
+                      .filter(F.col("n") >= 1500 // 50).collect()))
+    assert got == want and len(got) == 5
+
+    with pytest.raises(ValueError, match="below phi"):
+        heavy_hitters_exact(df, "term", lambda n: max(1, n // 1000),
+                            phi=0.01).collect()
+
+
+def test_heavy_hitters_phi_empty_input_typed(spark):
+    """Empty input returns an empty frame whose term column keeps the
+    INPUT type on both paths (the old branch hardcoded string)."""
+    from starryskyqueryengine_spark.functions.sketches import (
+        heavy_hitters_exact,
+    )
+
+    empty = spark.createDataFrame([], "tok long")
+    for kwargs in ({}, {"phi": 0.01}):
+        out = heavy_hitters_exact(empty, "tok", lambda n: n // 10, **kwargs)
+        assert out.count() == 0
+        assert dict(out.dtypes)["term"] == "bigint"

@@ -152,3 +152,21 @@ def test_ip_zero_padded_octets_still_redacted(spark):
     r = _one(spark, "from 010.001.002.003 and 192.168.001.001 end")
     assert r["red"] == "from <IP> and <IP> end"
     assert r["n_ips"] == 2
+
+
+def test_multi_pattern_counts_string_id_column(spark):
+    """Review r9: the output schema hardcoded a bigint id; a string id
+    column (uuid-keyed corpora) must pass through the Arrow boundary
+    with its own type."""
+    from starryskyqueryengine_spark.functions.automaton import (
+        multi_pattern_counts,
+    )
+
+    df = spark.createDataFrame(
+        [("u-1", "the tab on the table"), ("u-2", "nothing here")],
+        "uid string, text string",
+    )
+    out = {r["uid"]: (r["n_hits"], r["n_patterns"])
+           for r in multi_pattern_counts(df, ["tab", "table"],
+                                         id_col="uid").collect()}
+    assert out == {"u-1": (3, 2), "u-2": (0, 0)}

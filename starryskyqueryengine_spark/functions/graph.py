@@ -462,4 +462,16 @@ def label_propagation(
             # fixed point: round k+1's inputs equal round k's, so all
             # remaining rounds are the identity — exact early stop
             break
-    return _finalize(labels, edges, nodes)
+    else:
+        if iters <= 0:
+            # no round ran: labels is still a lazy projection over the
+            # cached nodes table — sever it before the caches drop
+            # (_finalize's job; the loop's per-round checkpoints make it
+            # redundant in every other exit, where labels already sits
+            # on the last round's LogicalRDD and depends on NO cache —
+            # skipping the second node-sized copy is ~10% of the query
+            # at bench scale)
+            return _finalize(labels, edges, nodes)
+    edges.unpersist()
+    nodes.unpersist()
+    return labels

@@ -76,9 +76,11 @@ _S6_REC_SCHEMA = T.StructType(
     "s6_validation_filter",
     """
     SELECT event_id, event_type AS rec_type,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
     FROM events
     WHERE event_type <> 'error'
+      AND (json_extract_string(props, '$.k') IS NULL
+           OR regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$'))
     """,
 )
 def s6_validation_filter(spark, sf_dir):
@@ -87,18 +89,31 @@ def s6_validation_filter(spark, sf_dir):
     filter; reference src/util/subscription.ts:42-46,147-170). The
     producer stage serializes each event to a record JSON, emitting a
     truncated (poison-pill) payload for 'error' events; the validator
-    must drop exactly those and parse the rest."""
+    must drop exactly those and parse the rest.
+
+    Producer hardening (review r9): a NULL event_type and a non-integer
+    k both serialize as the poison pill (the raw interpolation would
+    otherwise emit the literal text 'null' / corrupt JSON, silently
+    diverging from the oracle's NULL-dropping WHERE); a quote or
+    backslash in event_type is JSON-escaped so an exotic type name
+    round-trips instead of corrupting the record.  The fixture contains
+    none of these — the guards keep the query honest off-fixture."""
     ev = load_table(spark, sf_dir, "events")
+    k_str = F.get_json_object("props", "$.k")
+    poison = (
+        F.col("event_type").isNull()
+        | (F.col("event_type") == "error")
+        | (k_str.isNotNull() & ~k_str.rlike("^-?[0-9]+$"))
+    )
+    t_esc = F.regexp_replace(
+        F.regexp_replace(F.col("event_type"), r"\\", r"\\\\"), '"', r'\\"'
+    )
     raw = ev.select(
         "event_id",
-        F.when(
-            F.col("event_type") == "error", F.lit('{"t":"error","k":')
-        )
+        F.when(poison, F.lit('{"t":"error","k":'))
         .otherwise(
             F.format_string(
-                '{"t":"%s","k":%s}',
-                F.col("event_type"),
-                F.get_json_object("props", "$.k"),
+                '{"t":"%s","k":%s}', t_esc, F.coalesce(k_str, F.lit("null"))
             )
         )
         .alias("raw"),
@@ -237,9 +252,17 @@ def s10_feed_response(spark, sf_dir):
     string aggregation on both sides (no JSON-library formatting
     divergence); one hash aggregate per feed."""
     page = _page_df(spark, sf_dir)
+    # collect only non-NULL uris: the oracle's string_agg silently skips
+    # a NULL element, while an unguarded collect_list kept the struct
+    # and format_string printed {"post":"null"} (review r9; latent —
+    # the fixture's user_id has no NULLs)
     items = F.array_join(
         F.transform(
-            F.array_sort(F.collect_list(F.struct("rn", "uri"))),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("uri").isNotNull(), F.struct("rn", "uri"))
+                )
+            ),
             lambda x: F.format_string('{"post":"%s"}', x["uri"]),
         ),
         ",",

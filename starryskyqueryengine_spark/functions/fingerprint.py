@@ -40,6 +40,11 @@ def banded_hamming_pairs(
             f"max_hamming={max_hamming} exceeds the pigeonhole bound "
             f"{n_bands - 1} for {n_bands} bands: banding would MISS pairs"
         )
+    # project to (id, bands) FIRST: callers may pass the hash table with
+    # extra columns still attached (e.g. the binary payload the hashes
+    # came from) — without this the verify joins dragged every column
+    # through the shuffle twice (review r9)
+    hashes = hashes.select(id_col, *band_cols)
     bands = hashes.select(
         id_col,
         F.explode(

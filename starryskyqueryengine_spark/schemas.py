@@ -34,12 +34,11 @@ POST_SCHEMA = T.StructType(
     ]
 )
 
-SUB_STATE_SCHEMA = T.StructType(
-    [
-        T.StructField("service", T.StringType(), False),
-        T.StructField("cursor", T.LongType(), True),
-    ]
-)
+# NOTE: the reference's sub_state cursor table (service, cursor) has no
+# schema here on purpose — its job (crash-safe consumer position) is
+# done by Structured Streaming checkpoints (W3) and the txnAppId/
+# txnVersion watermarks in table_format.py; a declared-but-unconsumed
+# StructType only drifts from the code that actually owns the contract.
 
 CONDITIONS_SCHEMA = T.StructType(
     [
@@ -109,30 +108,11 @@ INGEST_POST_SCHEMA = T.StructType(
     ]
 )
 
-# Firehose commit event (reference
-# src/lexicon/types/com/atproto/sync/subscribeRepos.ts:35-52): binary CAR
-# blocks ride along as an opaque BinaryType column (multimodal pattern).
-FIREHOSE_EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("seq", T.LongType(), False),
-        T.StructField("repo", T.StringType(), False),
-        T.StructField("time", T.TimestampType(), True),
-        T.StructField("blocks", T.BinaryType(), True),
-        T.StructField(
-            "ops",
-            T.ArrayType(
-                T.StructType(
-                    [
-                        T.StructField("action", T.StringType(), False),
-                        T.StructField("path", T.StringType(), False),
-                        T.StructField("cid", T.StringType(), True),
-                    ]
-                )
-            ),
-            True,
-        ),
-    ]
-)
+# NOTE: the firehose commit event (reference
+# src/lexicon/types/com/atproto/sync/subscribeRepos.ts:35-52) likewise
+# has no declared schema here — the live shape is owned by the code
+# that decodes it: catalog_sources._OP_STRUCT (CBOR op routing, S5) and
+# streaming/pipeline.py's validated record schema (S6/W5).
 
 PROFILE_SCHEMA = T.StructType(
     [

@@ -39,11 +39,23 @@ def paged_scan(
 
     Reference quirks preserved: the loop ends after ``max_pages`` calls,
     AND on a short page (the reference's ``cursor % 100 == 0`` guard also
-    exits when the final page is not full — SURVEY §2.5 T7)."""
+    exits when the final page is not full — SURVEY §2.5 T7).
+
+    ``page_size`` MUST be the fetcher's actual page size: the short-page
+    stop compares against it, so a fetcher serving smaller pages would
+    silently truncate the scan after one page (review r9).  An
+    over-full page — the unambiguous half of that mismatch — raises
+    instead of silently mis-classifying every page as "long"."""
     pages: list[list] = []
     cursor: str | None = None
     for _ in range(max_pages):
         rows, cursor = fetch_page(cursor)
+        if len(rows) > page_size:
+            raise ValueError(
+                f"fetch_page returned {len(rows)} rows > page_size="
+                f"{page_size}: the short-page stop would never fire — "
+                f"pass the fetcher's real page size"
+            )
         if rows:
             pages.append(list(rows))
         if cursor is None or (stop_on_short_page and len(rows) < page_size):

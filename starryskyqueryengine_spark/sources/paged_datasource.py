@@ -48,9 +48,9 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+from .paged import MAX_PAGES, PAGE_SIZE  # one canonical pair of caps
+
 DEFAULT_SCHEMA = "doc_id bigint, text string, lang string"
-PAGE_SIZE = 100  # reference page size, src/subscription.ts:231
-MAX_PAGES = 100  # reference page-count cap, src/subscription.ts:227
 
 
 def _resolve_factory(options):

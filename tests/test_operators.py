@@ -601,3 +601,67 @@ def test_asof_join_rejects_reserved_column_names(spark):
     right = spark.createDataFrame([(1, 5, "x")], "uid long, ts long, v string")
     with pytest.raises(ValueError, match="_r"):
         as_of_join(left, right, "uid", "ts", ["v"])
+
+
+def test_paged_scan_rejects_overfull_pages(spark):
+    """Review r9: page_size must be the fetcher's REAL page size — an
+    over-full page (the detectable half of a mismatch) raises instead
+    of silently disabling the short-page stop."""
+    import pytest
+
+    from pyspark.sql import types as T
+
+    from starryskyqueryengine_spark.sources.paged import (
+        fetcher_from_rows,
+        paged_scan,
+    )
+
+    schema = T.StructType([T.StructField("x", T.LongType())])
+    rows = [(i,) for i in range(30)]
+    with pytest.raises(ValueError, match="page_size"):
+        paged_scan(spark, fetcher_from_rows(rows, page_size=20), schema,
+                   page_size=10)
+    # matching sizes still work end to end
+    out = paged_scan(spark, fetcher_from_rows(rows, page_size=20), schema,
+                     page_size=20)
+    assert out.count() == 30
+
+
+def test_s6_validation_off_fixture_nulls_match_oracle(spark, tmp_path):
+    """Review r9: NULL event_type and non-integer k must agree with the
+    DuckDB oracle OFF-fixture too (the fixture has neither, which is the
+    only reason the old raw interpolation passed: it kept a NULL type as
+    rec_type='null' where the oracle's WHERE drops it, and corrupted the
+    JSON for k='abc' where the oracle errored)."""
+    import duckdb
+
+    from starryskyqueryengine_spark import catalog, catalog_surface  # noqa: F401
+
+    sf = str(tmp_path)
+    rows = [
+        (1, "click", '{"k": 5}', 1000),
+        (2, None, '{"k": 6}', 2000),          # NULL type: both drop
+        (3, "view", '{"k": "abc"}', 3000),    # non-integer k: both drop
+        (4, "error", '{"k": 7}', 4000),       # poison: both drop
+        (5, 'we"ird', '{"k": 8}', 5000),      # quote in type: both keep
+        (6, "signup", '{"x": 1}', 6000),      # no k: both keep k NULL
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, props string, ts_us long"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us"))).write.mode(
+        "overwrite"
+    ).parquet(f"{sf}/events.parquet")
+
+    got = {
+        (r["event_id"], r["rec_type"], r["k"])
+        for r in catalog.QUERIES["s6_validation_filter"](spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    want = set(map(tuple, con.execute(
+        catalog.ORACLE["s6_validation_filter"]).fetchall()))
+    assert got == want
+    assert {e for e, _, _ in got} == {1, 5, 6}

@@ -40,7 +40,15 @@ class CidLink:
         self.raw = raw
 
     def __eq__(self, other):
-        return isinstance(other, CidLink) and self.raw == other.raw
+        if not isinstance(other, CidLink):
+            return NotImplemented
+        return self.raw == other.raw
+
+    def __hash__(self):
+        # defining __eq__ alone nulls the inherited __hash__, making
+        # every CidLink unhashable — and deduplicating decoded links in
+        # a set/dict is the natural consumer operation
+        return hash(self.raw)
 
     def __repr__(self):
         return f"CidLink({self.raw!r})"
@@ -148,6 +156,12 @@ def _decode_at(buf: bytes, pos: int, depth: int = 0):
             k, pos = _decode_at(buf, pos, depth + 1)
             if not isinstance(k, str):
                 raise ValueError("map keys must be text in this profile")
+            if k in m:
+                # DAG-CBOR forbids duplicate keys; last-wins would let
+                # two byte-distinct payloads decode equal here but
+                # differently in a spec-compliant decoder — a parser
+                # differential on the op-routing seam
+                raise ValueError(f"duplicate map key {k!r}")
             v, pos = _decode_at(buf, pos, depth + 1)
             m[k] = v
         return m, pos

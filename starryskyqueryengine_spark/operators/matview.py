@@ -39,7 +39,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..table_format import TxnLogFormat
+from ..table_format import TxnLogFormat, VacuumedIntervalError
 
 META_NAME = "_mv_meta.json"
 
@@ -69,44 +69,59 @@ class CountByKeyView:
 
     def _write_state(self, df: DataFrame, version: int) -> None:
         state_dir = os.path.join(self.path, f"state_v{version}")
+        # capture which dir live readers are pinned to BEFORE the swap:
+        # after a crashed refresh the highest-versioned leftover dir is
+        # an ORPHAN meta never pointed at — retaining by version number
+        # would protect the orphan and delete the dir readers hold
+        prev_meta = self._meta()
         df.write.mode("overwrite").parquet(state_dir)
         fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".json")
-        with os.fdopen(fd, "w") as f:
-            json.dump({"synced_version": version, "state_dir": state_dir}, f)
-        os.replace(tmp, os.path.join(self.path, META_NAME))
-        # GC superseded state dirs, RETAINING the most recent previous
-        # one: a DataFrame handed out by read() before this refresh has
-        # its plan pinned to that dir and must stay collectable
-        # (deleting it mid-lifetime would fail the reader); older dirs
-        # than that are past any plausible reader and are reclaimed.
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(
+                    {"synced_version": version, "state_dir": state_dir}, f
+                )
+                # fsync before the rename (the table format's _commit
+                # discipline): without it a power loss can persist the
+                # rename but not the bytes, wedging every later _meta()
+                # on a truncated JSON file
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(self.path, META_NAME))
+        except BaseException:
+            # failed swap must not leave tmpXXXX.json accumulating in
+            # the view dir (it would also confuse directory globbers)
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+        # GC superseded state dirs, RETAINING the dir the PREVIOUS meta
+        # pointed to: a DataFrame handed out by read() before this
+        # refresh has its plan pinned there and must stay collectable
+        # (deleting it mid-lifetime would fail the reader).  Everything
+        # else — older states AND orphans from crashed refreshes — is
+        # reclaimed.
         survivors = {state_dir}
+        if prev_meta is not None:
+            survivors.add(prev_meta["state_dir"])
         # -?\d+ so the empty-base-table bootstrap dir (state_v-1,
         # written when the base has no commits yet) is listed too — a
-        # bare isdigit() would hide it from the keep-one-previous policy
-        # and leak it forever.  A strict regex (ONE optional dash), not
-        # lstrip("-"): a stray state_v--2 would pass an lstrip filter
-        # and then crash the int() parse, aborting the GC pass.
+        # bare isdigit() would hide it from the GC and leak it forever.
+        # A strict regex (ONE optional dash), not lstrip("-"): a stray
+        # state_v--2 would pass an lstrip filter and then crash the
+        # int() parse, aborting the GC pass.
         import re as _re
 
-        versions = sorted(
-            (
-                int(n[len("state_v"):])
-                for n in os.listdir(self.path)
-                if n.startswith("state_v")
+        for n in os.listdir(self.path):
+            if (
+                n.startswith("state_v")
                 and os.path.isdir(os.path.join(self.path, n))
                 and _re.fullmatch(r"-?\d+", n[len("state_v"):])
-            ),
-            reverse=True,
-        )
-        for v in versions:
-            d = os.path.join(self.path, f"state_v{v}")
-            if d != state_dir:
-                survivors.add(d)
-                break  # keep exactly one previous
-        for v in versions:
-            d = os.path.join(self.path, f"state_v{v}")
-            if d not in survivors:
-                shutil.rmtree(d, ignore_errors=True)
+            ):
+                d = os.path.join(self.path, n)
+                if d not in survivors:
+                    shutil.rmtree(d, ignore_errors=True)
 
     def read(self) -> DataFrame:
         meta = self._meta()
@@ -132,20 +147,6 @@ class CountByKeyView:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_posts"))
         )
 
-    def _interval_files_intact(self, v_from: int, v_to: int) -> bool:
-        """True iff every data file the CDF for (v_from, v_to] would
-        read still exists — vacuum() may have reclaimed files referenced
-        by old commits, and changes_between tolerates that silently,
-        which would corrupt an incremental delta.  Uses the format's OWN
-        interval_file_changes so the validated file set is by
-        construction the set changes_between will read (a private copy
-        of the netting algebra could silently drift)."""
-        added, removed = self.fmt.interval_file_changes(v_from, v_to)
-        for rel in list(added) + sorted(removed):
-            if not os.path.exists(os.path.join(self.fmt.data_path, rel)):
-                return False
-        return True
-
     def refresh(self) -> dict:
         """Sync to the base table's latest version. Returns
         {"mode": "full"|"incremental"|"noop", "synced_version": v}."""
@@ -153,22 +154,32 @@ class CountByKeyView:
         tip = versions[-1] if versions else -1
         meta = self._meta()
         if meta is None:
-            self._write_state(
-                self._full_state(tip if tip >= 0 else None), tip
-            )
+            # pin the bootstrap read to tip UNCONDITIONALLY: read(-1)
+            # resolves to the empty snapshot, while version=None (latest)
+            # would bake a commit landing mid-refresh into state with
+            # synced_version still -1 — the next refresh would then
+            # re-apply that commit's CDF and double-count every key
+            self._write_state(self._full_state(tip), tip)
             return {"mode": "full", "synced_version": tip}
         last = meta["synced_version"]
         if tip <= last:
             return {"mode": "noop", "synced_version": last}
 
-        if not self._interval_files_intact(last, tip):
-            # vacuum reclaimed part of the interval's change feed — the
-            # incremental delta would silently drop those rows; fall
+        try:
+            # strict: a vacuumed interval raises HERE (at plan build)
+            # instead of silently reading only the surviving files —
+            # the pre-check/TOCTOU pair this replaces left a window
+            # where a concurrent vacuum corrupted the delta between the
+            # intact-check and the CDF's own file listing.  A vacuum
+            # racing even later (after this call, before the executors
+            # read) fails the refresh with the meta unswapped — safe,
+            # and the retry falls back to full here.
+            cdf = self.fmt.changes_between(self.spark, last, tip, strict=True)
+        except VacuumedIntervalError:
+            # vacuum reclaimed part of the interval's change feed; fall
             # back to a pinned full recompute (the docstring's contract)
             self._write_state(self._full_state(tip), tip)
             return {"mode": "full", "synced_version": tip}
-
-        cdf = self.fmt.changes_between(self.spark, last, tip)
         delta = (
             cdf.groupBy("key")
             .agg(
@@ -182,7 +193,10 @@ class CountByKeyView:
             )
             .filter(F.col("d") != 0)
         )
-        old = self.read()
+        # read the state dir from the meta ALREADY HELD — re-reading the
+        # meta file here could observe another refresher's newer swap
+        # and fold the (last, tip] delta onto the wrong base
+        old = self.spark.read.parquet(meta["state_dir"])
         merged = (
             old.join(delta, "key", "full_outer")
             .select(

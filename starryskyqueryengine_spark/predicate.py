@@ -119,15 +119,24 @@ def compile_condition(cond: FeedCondition) -> Column:
     return pred
 
 
+def _uses_extended_legs(c: FeedCondition) -> bool:
+    """True when the condition needs any P6-P10 leg beyond
+    include/exclude/lang.  THE single enumeration both the plan
+    auto-selector and the data-driven evaluator's guard share — two
+    verbatim copies invited silent drift: a new leg added to only one
+    would route conditions through a path that neither evaluates nor
+    rejects it (posts the leg should filter would silently pass)."""
+    return bool(
+        c.imageOnly or c.labelDisable or c.replyDisable
+        or c.includeAltText or c.profileMatch
+    )
+
+
 def datadriven_supported(conditions: list[FeedCondition]) -> bool:
     """True when every condition uses only the include/exclude/lang legs
     — the subset ``evaluate_conditions_datadriven`` evaluates.  Used by
     the plan auto-selector (``ingest.IngestJob.accepted_pairs``)."""
-    return not any(
-        c.imageOnly or c.labelDisable or c.replyDisable
-        or c.includeAltText or c.profileMatch
-        for c in conditions
-    )
+    return not any(_uses_extended_legs(c) for c in conditions)
 
 
 def evaluate_conditions_datadriven(
@@ -151,12 +160,7 @@ def evaluate_conditions_datadriven(
     (post, key) row per accepting condition, like the compiled+explode
     form.
     """
-    unsupported = [
-        c.key
-        for c in conditions
-        if c.imageOnly or c.labelDisable or c.replyDisable
-        or c.includeAltText or c.profileMatch
-    ]
+    unsupported = [c.key for c in conditions if _uses_extended_legs(c)]
     if unsupported:
         raise ValueError(
             "evaluate_conditions_datadriven supports include/exclude/lang "

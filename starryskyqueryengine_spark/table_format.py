@@ -214,6 +214,11 @@ class ConcurrentWriteError(RuntimeError):
     partitions between snapshot and commit."""
 
 
+class VacuumedIntervalError(RuntimeError):
+    """changes_between(strict=True) found the interval references
+    vacuumed files: the change feed would be silently incomplete."""
+
+
 class TxnLogFormat(TableFormat):
     """Transaction-log table format ("Delta-lite"): ACID commits over
     immutable Parquet data files, closing both non-ACID edges the
@@ -1219,7 +1224,8 @@ class TxnLogFormat(TableFormat):
         return {"files_rewritten": len(affected), "files_added": len(adds)}
 
     def changes_between(
-        self, spark: SparkSession, v_from: int, v_to: int
+        self, spark: SparkSession, v_from: int, v_to: int,
+        strict: bool = False,
     ) -> DataFrame:
         """Change data feed (Delta CDF-lite): the row-level delta between
         two committed versions, derived purely from the log — rows in
@@ -1234,20 +1240,35 @@ class TxnLogFormat(TableFormat):
         100 TB shape: reads only the files the interval's commits name,
         never the whole table; downstream incremental consumers (a
         search indexer, an aggregate maintainer) process O(changed
-        files) per sync."""
+        files) per sync.
+
+        ``strict=True`` raises :class:`VacuumedIntervalError` when any
+        file the interval names has been vacuumed, instead of the
+        default silently-read-what-survives (documented Delta behavior
+        for CDF-from-files).  Incremental consumers whose correctness
+        depends on a COMPLETE delta (the materialized-view maintainer)
+        must pass it: a partial feed looks exactly like a quiet one."""
         added, removed = self.interval_file_changes(v_from, v_to)
 
         schema = self.table_schema(v_to)
         cols = [f.name for f in schema.fields]
 
         def _read_files(paths: dict[str, str]) -> DataFrame | None:
-            # tolerate vacuumed files: CDF over a vacuumed interval keeps
-            # whatever survives (documented Delta behavior for CDF-from-files)
             live = [
                 os.path.join(self.data_path, p)
                 for p in sorted(paths)
                 if os.path.exists(os.path.join(self.data_path, p))
             ]
+            if strict and len(live) != len(paths):
+                gone = sorted(
+                    p for p in paths
+                    if not os.path.exists(os.path.join(self.data_path, p))
+                )
+                raise VacuumedIntervalError(
+                    f"CDF ({v_from}, {v_to}] references {len(gone)} "
+                    f"vacuumed file(s), e.g. {gone[0]!r}: the delta "
+                    f"would be silently incomplete"
+                )
             if not live:
                 return None
             return (

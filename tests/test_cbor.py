@@ -123,3 +123,21 @@ def test_other_simple_values_still_raise():
 
     with pytest.raises(ValueError, match="simple"):
         cbor.decode(b"\xf5")  # true: bools stay outside the profile
+
+
+def test_cidlink_hashable_and_duplicate_keys_rejected():
+    """Review r9: CidLink defined __eq__ without __hash__ (unhashable —
+    deduplicating decoded links in a set crashed), and the decoder
+    accepted duplicate map keys last-wins, a parser differential vs
+    spec-compliant DAG-CBOR decoders on the op-routing seam."""
+    import pytest
+
+    from starryskyqueryengine_spark.functions import cbor
+
+    a, b = cbor.CidLink(b"x"), cbor.CidLink(b"x")
+    assert a == b and len({a, b}) == 1
+    assert a != "x" and {a: 1}[b] == 1
+
+    # a2 6161 01 6161 02 = {"a": 1, "a": 2}
+    with pytest.raises(ValueError, match="duplicate"):
+        cbor.decode(bytes.fromhex("a2616101616102"))

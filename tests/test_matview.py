@@ -239,3 +239,67 @@ def test_matview_bootstrap_before_any_commit_does_not_leak_state_dir(spark, tmp_
     dirs = {n for n in os.listdir(str(tmp_path / "mv")) if n.startswith("state_v")}
     assert "state_v-1" not in dirs, "bootstrap state dir leaked past GC"
     assert _state(view) == _recompute(spark, fmt)
+
+
+def test_matview_gc_protects_reader_dir_after_crashed_refresh(spark, tmp_path):
+    """Review r9: after a crashed refresh leaves an orphan state dir at
+    a HIGHER version than meta points to, the next successful refresh's
+    GC must retain the dir live readers hold (the one meta pointed to),
+    and reclaim the orphan — retaining by version number protected the
+    orphan and deleted the readers' dir."""
+    import os
+
+    import starryskyqueryengine_spark.operators.matview as mv_mod
+
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch(spark, 0, 5, key="a"))
+    view = CountByKeyView(spark, fmt, str(tmp_path / "mv"))
+    view.refresh()
+    reader = view.read()  # plan pinned to the current state dir
+    pinned_dir = view._meta()["state_dir"]
+
+    # crash a refresh after the state write, before the meta swap
+    fmt.append(_batch(spark, 100, 2, key="b"))
+    real_replace = mv_mod.os.replace
+    try:
+        mv_mod.os.replace = lambda *a: (_ for _ in ()).throw(OSError("crash"))
+        try:
+            view.refresh()
+        except OSError:
+            pass
+    finally:
+        mv_mod.os.replace = real_replace
+    orphan = [
+        d for d in os.listdir(str(tmp_path / "mv"))
+        if d.startswith("state_v")
+        and os.path.join(str(tmp_path / "mv"), d) != pinned_dir
+    ]
+    assert orphan, "crash should have left an orphan state dir"
+
+    fmt.append(_batch(spark, 200, 3, key="c"))
+    view.refresh()  # successful refresh; GC runs
+    # the reader's dir survived the GC, the orphan did not
+    assert os.path.isdir(pinned_dir)
+    assert reader.count() == 1  # still collectable
+    for d in orphan:
+        assert not os.path.isdir(os.path.join(str(tmp_path / "mv"), d))
+    assert _state(view) == _recompute(spark, fmt)
+
+
+def test_matview_strict_cdf_raises_on_vacuumed_interval(spark, tmp_path):
+    """Review r9: changes_between(strict=True) must raise (not silently
+    read survivors) when the interval references vacuumed files — the
+    guarantee the view's incremental path now rests on."""
+    import pytest
+
+    from starryskyqueryengine_spark.table_format import VacuumedIntervalError
+
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch(spark, 0, 4, key="a"))
+    fmt.append(_batch(spark, 100, 4, key="b"))
+    fmt.delete_partition("a")
+    fmt.vacuum(min_age_sec=0)  # reclaims key=a files named by the interval
+    with pytest.raises(VacuumedIntervalError, match="vacuumed"):
+        fmt.changes_between(spark, 0, 2, strict=True).collect()
+    # default stays read-what-survives (documented Delta CDF behavior)
+    fmt.changes_between(spark, 0, 2).count()

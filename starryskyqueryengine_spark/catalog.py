@@ -593,8 +593,10 @@ def _load_extensions() -> None:
 # parallelism + shuffle cuts, the dedup-core max_df signature, the
 # as-of tiebreak fix, the regex-dialect \s/$ rewrites feeding p4/p5),
 # then the r8-touched-but-unrotated queries the verdict listed, then
-# the ENTIRE r1 freshness bucket (19 queries whose only driver row
-# still predates round 2) topped up with the two oldest r4 rows.
+# the r1 freshness bucket (19 queries whose only driver row predates
+# round 2: 17 listed in the freshness section, dedup_ngram_jaccard
+# covered by the r9 section above, and sketch_distinct_users excluded
+# as the one rows-only query), topped up with the three oldest r4 rows.
 # Changed code outranks stale green; everything else stays
 # value-checked per-round by tools/full_gate.py and
 # tests/test_oracle_parity.py locally.
@@ -653,7 +655,7 @@ PRIORITY: list[str] = [
     "text_token_count",
     "tfidf_top_terms",
     "vocab_top_terms",
-    # --- Oldest r4 rows, topping the window to 50 ---
+    # --- Three oldest r4 rows, topping the window to 50 ---
     "p12_lang_filter",
     "j1_broadcast_lookup",
     "j4_arrays_overlap",

@@ -522,9 +522,6 @@ def chunk_documents(spark, sf_dir):
     )
 
 
-_CHUNK_UDTF_REGISTERED: set = set()  # session ids with ssqe_chunks bound
-
-
 def _chunks_udtf():
     """Build the sliding-window chunker UDTF (module-level so repeat
     registrations pickle identically — see chunk_documents_udtf).
@@ -581,14 +578,15 @@ def chunk_documents_udtf(spark, sf_dir):
     emit coordinates, let columnar ops slice). The declarative
     ``chunk_documents`` remains the hot-path form; this pins that the
     UDTF surface WORKS end to end and value-matches it."""
-    # Register ONCE per session (keyed like the BPE/IVF caches): a
-    # fresh @udtf class per call pickles to fresh bytes, so every bench
-    # lap shipped a new function payload and repeat runs paid avoidable
-    # (re)serialization/registration — the module-level _ChunksUDTF
-    # makes repeat calls byte-identical and the register a no-op re-bind.
-    if id(spark) not in _CHUNK_UDTF_REGISTERED:
+    # Register ONCE per session: a fresh @udtf class per call pickles to
+    # fresh bytes, so every bench lap shipped a new function payload and
+    # repeat runs paid avoidable (re)serialization/registration.  The
+    # session's OWN catalog is the registration record — an id(spark)
+    # cache would break when CPython reuses a stopped session's address
+    # (the new session would silently skip registration and the SQL
+    # below would fail to resolve ssqe_chunks).
+    if not spark.catalog.functionExists("ssqe_chunks"):
         spark.udtf.register("ssqe_chunks", _chunks_udtf())
-        _CHUNK_UDTF_REGISTERED.add(id(spark))
     docs = load_table(spark, sf_dir, "documents")
     # Repartition the narrow (doc_id, n_words) projection BEFORE the
     # Python hop: the fixture is one parquet file -> one input split ->

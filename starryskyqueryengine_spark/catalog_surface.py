@@ -71,16 +71,23 @@ _S6_REC_SCHEMA = T.StructType(
     [T.StructField("t", T.StringType()), T.StructField("k", T.LongType())]
 )
 
+# canonical JSON integer that also fits a BIGINT: optional sign, no
+# leading zeros, <= 18 digits — shared verbatim by the Spark producer
+# guard and the DuckDB oracle so keep/drop decisions cannot diverge
+_S6_INT_RE = "^-?(0|[1-9][0-9]{0,17})$"
+
 
 @register(
     "s6_validation_filter",
-    """
+    f"""
     SELECT event_id, event_type AS rec_type,
            TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
     FROM events
     WHERE event_type <> 'error'
+      AND NOT regexp_matches(event_type, '[\\x00-\\x1f]')
       AND (json_extract_string(props, '$.k') IS NULL
-           OR regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$'))
+           OR regexp_matches(json_extract_string(props, '$.k'),
+                             '{_S6_INT_RE}'))
     """,
 )
 def s6_validation_filter(spark, sf_dir):
@@ -91,19 +98,25 @@ def s6_validation_filter(spark, sf_dir):
     truncated (poison-pill) payload for 'error' events; the validator
     must drop exactly those and parse the rest.
 
-    Producer hardening (review r9): a NULL event_type and a non-integer
-    k both serialize as the poison pill (the raw interpolation would
-    otherwise emit the literal text 'null' / corrupt JSON, silently
-    diverging from the oracle's NULL-dropping WHERE); a quote or
-    backslash in event_type is JSON-escaped so an exotic type name
-    round-trips instead of corrupting the record.  The fixture contains
-    none of these — the guards keep the query honest off-fixture."""
+    Producer hardening (review r9): a NULL event_type and a
+    non-canonical k both serialize as the poison pill (the raw
+    interpolation would otherwise emit the literal text 'null' /
+    corrupt JSON, silently diverging from the oracle's NULL-dropping
+    WHERE), as does a control character in the type (it would corrupt
+    the JSON Spark-side only); a quote or backslash in event_type is
+    JSON-escaped so an exotic type name round-trips.  _S6_INT_RE is the
+    SINGLE canonical-integer gate both engines apply: no leading zeros
+    ('007' is invalid JSON when interpolated bare but TRY_CASTs to 7)
+    and at most 18 digits (a 20-digit k overflows from_json's LongType
+    Spark-side but TRY_CASTs to NULL).  The fixture contains none of
+    these — the guards keep the query honest off-fixture."""
     ev = load_table(spark, sf_dir, "events")
     k_str = F.get_json_object("props", "$.k")
     poison = (
         F.col("event_type").isNull()
         | (F.col("event_type") == "error")
-        | (k_str.isNotNull() & ~k_str.rlike("^-?[0-9]+$"))
+        | F.col("event_type").rlike("[\\x00-\\x1f]")
+        | (k_str.isNotNull() & ~k_str.rlike(_S6_INT_RE))
     )
     t_esc = F.regexp_replace(
         F.regexp_replace(F.col("event_type"), r"\\", r"\\\\"), '"', r'\\"'

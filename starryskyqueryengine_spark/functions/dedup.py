@@ -303,6 +303,18 @@ def prefix_candidates(
     )
 
 
+def _attach_full_arrays(
+    cands: DataFrame, shingled: DataFrame, id_col: str
+) -> DataFrame:
+    """Join the full shingle arrays back onto a candidate (id_a, id_b)
+    pair stream as ``sh_a`` / ``sh_b`` — the shared exact-verify setup
+    for every measure recomputed from capped/filtered candidates."""
+    sh = shingled.select(F.col(id_col), F.col("shingles"))
+    fa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    fb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return cands.join(fa, "id_a").join(fb, "id_b")
+
+
 def _verify_jaccard(
     cands: DataFrame, shingled: DataFrame, threshold: float, id_col: str
 ) -> DataFrame:
@@ -310,10 +322,7 @@ def _verify_jaccard(
     full shingle arrays back and compute |A∩B| / |A∪B| directly.  The
     filter uses the UNROUNDED ratio; only the output column is rounded —
     the exact boundary semantics of the full-index path."""
-    sh = shingled.select(F.col(id_col), F.col("shingles"))
-    fa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    fb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-    joined = cands.join(fa, "id_a").join(fb, "id_b")
+    joined = _attach_full_arrays(cands, shingled, id_col)
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
     union = (F.size("sh_a") + F.size("sh_b")).cast("bigint") - inter
     jac_raw = inter / F.greatest(union, F.lit(1))
@@ -471,14 +480,11 @@ def containment_pairs_blocked(
     common = _blocked_intersection_counts(shingled, id_col, max_df=max_df)
     if max_df is not None:
         # re-verify: join the full arrays back and recompute c exactly
-        sh = shingled.select(F.col(id_col), F.col("shingles"))
-        fa = sh.select(F.col(id_col).alias("id_a"),
-                       F.col("shingles").alias("sh_a"))
-        fb = sh.select(F.col(id_col).alias("id_b"),
-                       F.col("shingles").alias("sh_b"))
+        # (the capped index's c is only a lower bound)
         common = (
-            common.select("id_a", "id_b", "na", "nb")
-            .join(fa, "id_a").join(fb, "id_b")
+            _attach_full_arrays(
+                common.select("id_a", "id_b", "na", "nb"), shingled, id_col
+            )
             .withColumn(
                 "c", F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
             )

@@ -376,6 +376,13 @@ def label_propagation(
     # of their own (each round's result is localCheckpoint-materialized
     # below, so nothing ever replays round 0 through lineage)
     labels = nodes.select("node", F.col("node").alias("label"))
+    if iters <= 0:
+        # no round will run: labels is still a lazy projection over the
+        # cached nodes table — sever it before the caches drop.  Every
+        # looped exit below leaves labels on the last round's
+        # LogicalRDD, which depends on NO cache, so this is the only
+        # path that needs _finalize's checkpoint copy.
+        return _finalize(labels, edges, nodes)
     # changed = nodes whose label changed last round (round 1: all)
     changed: DataFrame | None = None  # None = first round, frontier is V
     n_changed = n_nodes  # round 1's frontier is every node
@@ -462,16 +469,6 @@ def label_propagation(
             # fixed point: round k+1's inputs equal round k's, so all
             # remaining rounds are the identity — exact early stop
             break
-    else:
-        if iters <= 0:
-            # no round ran: labels is still a lazy projection over the
-            # cached nodes table — sever it before the caches drop
-            # (_finalize's job; the loop's per-round checkpoints make it
-            # redundant in every other exit, where labels already sits
-            # on the last round's LogicalRDD and depends on NO cache —
-            # skipping the second node-sized copy is ~10% of the query
-            # at bench scale)
-            return _finalize(labels, edges, nodes)
     edges.unpersist()
     nodes.unpersist()
     return labels

@@ -645,6 +645,12 @@ def test_s6_validation_off_fixture_nulls_match_oracle(spark, tmp_path):
         (4, "error", '{"k": 7}', 4000),       # poison: both drop
         (5, 'we"ird', '{"k": 8}', 5000),      # quote in type: both keep
         (6, "signup", '{"x": 1}', 6000),      # no k: both keep k NULL
+        (7, "view", '{"k": "007"}', 7000),    # leading zeros: both drop
+        # 20 digits: overflows LongType Spark-side, TRY_CAST NULL in
+        # DuckDB — the shared regex drops it on BOTH sides instead
+        (8, "view", '{"k": "99999999999999999999"}', 8000),
+        (9, "ta\tb", '{"k": 9}', 9000),       # control char: both drop
+        (10, "view", '{"k": -3}', 10000),     # negative: both keep
     ]
     spark.createDataFrame(
         rows, "event_id long, event_type string, props string, ts_us long"
@@ -664,4 +670,4 @@ def test_s6_validation_off_fixture_nulls_match_oracle(spark, tmp_path):
     want = set(map(tuple, con.execute(
         catalog.ORACLE["s6_validation_filter"]).fetchall()))
     assert got == want
-    assert {e for e, _, _ in got} == {1, 5, 6}
+    assert {e for e, _, _ in got} == {1, 5, 6, 10}

@@ -70,7 +70,11 @@ def build_bloom(
     fpp: float = 0.01,
 ):
     """Build the bitset: returns (numpy bool array of size m, k)."""
-    n = expected_items if expected_items is not None else max(stored.count(), 1)
+    # clamp BOTH sizing paths: a first-ingest empty store's table stat
+    # is 0, and an unclamped n=0 divided by zero in the k computation
+    n = max(expected_items, 1) if expected_items is not None else max(
+        stored.count(), 1
+    )
     m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
     k = max(1, round(m / n * math.log(2)))
     # OR-pack the set bits into 64-bit words ON THE EXECUTORS and collect
@@ -87,11 +91,15 @@ def build_bloom(
                 F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))")
             ).alias("bits")
         )
-        .collect()
+        .toPandas()  # Arrow: two numpy columns, no per-row Row objects
     )
     arr = np.zeros(nwords, dtype=np.uint64)
-    for r in words:
-        arr[int(r["w"])] = np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
+    # vectorized scatter — at the 10^9-key ceiling ~150M words come
+    # back; a collect() + Python assignment loop materialized 150M Row
+    # objects (tens of GB of driver heap) where this is two arrays
+    arr[words["w"].to_numpy(dtype=np.int64)] = (
+        words["bits"].to_numpy(dtype=np.int64).view(np.uint64)
+    )
     bits = np.unpackbits(
         arr.view(np.uint8), bitorder="little", count=m
     ).astype(bool)
@@ -112,9 +120,22 @@ def bloom_split_new(
       ``stored`` (no false negatives), safe to append joinlessly.
     - ``maybe_dup``: filter accepts — true duplicates plus ~fpp false
       positives; run the exact anti-join on this remainder only.
+
+    The probed batch is materialized ONCE (localCheckpoint): the two
+    halves share the scan+probe subtree, and Spark has no cross-branch
+    CSE — a caller consuming both (the normal split shape, e.g.
+    definitely_new ∪ exact-joined remainder) would otherwise run the
+    incoming scan and the xxhash64+gather probe twice, doubling exactly
+    the cost this operator exists to cut.  Checkpoint blocks free at
+    driver GC of the returned frames.
     """
     from pyspark.sql.functions import pandas_udf
 
+    if "_maybe" in incoming.columns:
+        raise ValueError(
+            "bloom_split_new: column name '_maybe' is reserved internally;"
+            " rename it before splitting"
+        )
     bits, k = build_bloom(stored, key_col, expected_items, fpp)
     m = bits.shape[0]
     spark = incoming.sparkSession
@@ -136,7 +157,7 @@ def bloom_split_new(
 
     flagged = incoming.withColumn(
         "_maybe", _all_set(F.array(*_positions(key_col, m, k)))
-    )
+    ).localCheckpoint(eager=True)
     definitely_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
     maybe_dup = flagged.filter(F.col("_maybe")).drop("_maybe")
     return definitely_new, maybe_dup

@@ -18,7 +18,7 @@ interval join solve natively; Spark expresses it as a plan rewrite.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -38,6 +38,17 @@ def interval_count_join(
     most two buckets of size ``width_us``, so the explode fan-out is
     exactly 2 rows per probe row.
     """
+    # helper-column collisions corrupt silently (a probe column named
+    # _bkt would be overwritten by the explode and the groupBy would
+    # split each probe row across buckets with partial counts) — the
+    # same fail-fast contract as as_of_join
+    reserved = {"_bkt", "_bts", "_pid"}
+    clash = reserved & (set(probe.columns) | set(build.columns))
+    if clash:
+        raise ValueError(
+            f"interval_count_join: column name(s) {sorted(clash)} are "
+            f"reserved internally; rename them before joining"
+        )
     # bucket ids via exact integer `div`, never double `/` + cast: a
     # double division loses ULPs at large epoch-micros, and a build ts
     # exactly on a bucket boundary could round into the neighboring

@@ -20,6 +20,18 @@ from pyspark.sql import functions as F
 DEFAULT_SALT = 16
 
 
+def _check_reserved(*column_lists) -> None:
+    """Helper-column collisions overwrite user data silently (a _salt
+    column would be replaced by the computed salt and dropped from the
+    output) — fail fast, the as_of_join contract."""
+    clash = {"_salt", "_c"} & {c for cols in column_lists for c in cols}
+    if clash:
+        raise ValueError(
+            f"column name(s) {sorted(clash)} are reserved internally by "
+            f"the salting helpers; rename them first"
+        )
+
+
 def salted_count_by_key(
     df: DataFrame,
     key_col: str = "key",
@@ -30,6 +42,7 @@ def salted_count_by_key(
     partials — a hot key fans out over ``n_salt`` reducers; phase 2
     combines the tiny partial table. Identical result to
     ``groupBy(key).count()``."""
+    _check_reserved(df.columns, ())
     salted = df.withColumn("_salt", F.pmod(F.hash(F.col(salt_from)), F.lit(n_salt)))
     partial = salted.groupBy(key_col, "_salt").agg(F.count("*").alias("_c"))
     return partial.groupBy(key_col).agg(F.sum("_c").cast("bigint").alias("n"))
@@ -67,6 +80,7 @@ def salted_join_skewed_fact(
             f"unmatched replicated dim rows would appear n_salt times; "
             f"use AQE skew handling for right/full outer joins"
         )
+    _check_reserved(fact.columns, dim.columns)
     salted_fact = fact.withColumn(
         "_salt", F.pmod(F.hash(F.col(salt_from)), F.lit(n_salt))
     )

@@ -34,13 +34,64 @@ the sort makes those ranges narrow too.
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal as _decimal
 import json
+import math as _math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST = "_zorder_manifest.json"
+
+# dtypes write_zordered can scale to integer ranks (numeric casts to
+# double; temporal converts to epoch seconds / days)
+_NUMERIC_PREFIXES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal"
+)
+
+
+def _rank_source_expr(col_name: str, dtype: str):
+    """A double-valued expression for the rank scaling, or None when the
+    dtype has no meaningful linear order for z-clustering."""
+    if dtype.startswith(_NUMERIC_PREFIXES):
+        return F.col(col_name).cast("double")
+    if dtype.startswith("timestamp"):  # timestamp + timestamp_ntz
+        return F.col(col_name).cast("double")  # epoch seconds
+    if dtype == "date":
+        return F.unix_date(F.col(col_name)).cast("double")  # epoch days
+    return None
+
+
+def _stat_canon(v, side: str):
+    """Canonicalize a per-file min/max stat for the JSON manifest so the
+    read path's comparisons are sound:
+
+    - int/float pass through (numeric compare)
+    - Decimal converts to float OUTWARD-rounded (lo down, hi up): a
+      nearest-rounding that moved a lo up / hi down could shrink a
+      file's rectangle past a row it contains — silently pruning a file
+      with matching rows.  (json.dump(default=str) used to stringify
+      Decimals, and str(100) < '20.0' lexicographically pruned wrongly.)
+    - datetime/date stringify via str() — the exact form str(query
+      bound) produces on the read side, and lexicographically
+      order-correct for the fixed ISO-like layout
+    - anything else falls back to str(v) (the old default=str)
+    """
+    if v is None or isinstance(v, (bool, int, float)):
+        return v
+    if isinstance(v, _decimal.Decimal):
+        f = float(v)
+        exact = _decimal.Decimal(f)
+        if side == "lo" and exact > v:
+            f = _math.nextafter(f, -_math.inf)
+        elif side == "hi" and exact < v:
+            f = _math.nextafter(f, _math.inf)
+        return f
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return str(v)
+    return str(v)
 
 
 def zvalue_expr(scaled_cols, bits: int = 16):
@@ -102,20 +153,35 @@ def write_zordered(
     # auto-fit the per-column bit budget to the 63 bits a signed long
     # interleave can hold (4 default-bits columns would otherwise wrap)
     bits = min(bits, 63 // max(len(cols), 1))
+    # rank sources: numeric casts, temporal -> epoch seconds/days (the
+    # canonical time x key layout used to crash on float(datetime));
+    # unordered types (string/binary/...) are refused loudly — a NULL
+    # rank would silently degrade clustering to noise
+    dtypes = dict(df.dtypes)
+    srcs: dict[str, object] = {}
+    for c in cols:
+        src = _rank_source_expr(c, dtypes[c])
+        if src is None:
+            raise ValueError(
+                f"write_zordered cannot cluster on {c!r} of type "
+                f"{dtypes[c]!r}: numeric, decimal, timestamp, and date "
+                f"columns are supported"
+            )
+        srcs[c] = src
+    # bounds computed on the RANK SOURCE (already double) — no driver-
+    # side float() of whatever Python object the raw column collects to
     mm = df.agg(
-        *[F.min(c).alias(f"lo_{c}") for c in cols],
-        *[F.max(c).alias(f"hi_{c}") for c in cols],
+        *[F.min(srcs[c]).alias(f"lo_{c}") for c in cols],
+        *[F.max(srcs[c]).alias(f"hi_{c}") for c in cols],
     ).collect()[0]
     bounds = {c: (mm[f"lo_{c}"], mm[f"hi_{c}"]) for c in cols}
     scaled = [
         # an all-NULL column has None bounds — degrade to the constant-
         # column rank 0 (same as hi == lo) instead of a float(None)
         # TypeError on the driver
-        _scale_expr(F.col(c), 0.0, 0.0, bits)
+        _scale_expr(srcs[c], 0.0, 0.0, bits)
         if bounds[c][0] is None or bounds[c][1] is None
-        else _scale_expr(
-            F.col(c), float(bounds[c][0]), float(bounds[c][1]), bits
-        )
+        else _scale_expr(srcs[c], bounds[c][0], bounds[c][1], bits)
         for c in cols
     ]
     zcol = zvalue_expr(scaled, bits=bits)
@@ -148,12 +214,18 @@ def write_zordered(
         fn = os.path.basename(row["_file"].split("?", 1)[0])
         stats[fn] = {
             "rows": row["rows"],
-            **{c: [row[f"lo_{c}"], row[f"hi_{c}"]] for c in cols},
+            **{
+                c: [
+                    _stat_canon(row[f"lo_{c}"], "lo"),
+                    _stat_canon(row[f"hi_{c}"], "hi"),
+                ]
+                for c in cols
+            },
         }
     stats = dict(sorted(stats.items()))
     manifest = {"cols": cols, "bits": bits, "files": stats}
     with open(os.path.join(path, MANIFEST), "w") as f:
-        json.dump(manifest, f, default=str)
+        json.dump(manifest, f)
     return manifest
 
 

@@ -671,3 +671,53 @@ def test_s6_validation_off_fixture_nulls_match_oracle(spark, tmp_path):
         catalog.ORACLE["s6_validation_filter"]).fetchall()))
     assert got == want
     assert {e for e, _, _ in got} == {1, 5, 6, 10}
+
+
+def test_bloom_sizes_from_zero_stat_and_probes_once(spark):
+    """Review r9: expected_items=0 (a first-ingest empty store's table
+    stat) crashed with ZeroDivisionError in the k sizing; and the two
+    split halves used to share an unmaterialized probe subtree, running
+    the scan+probe twice when both are consumed — flagged is now
+    checkpointed, so the split invariant holds with one probe pass."""
+    from starryskyqueryengine_spark.operators.bloom import (
+        bloom_split_new,
+        build_bloom,
+    )
+
+    stored = spark.createDataFrame([], "uri string")
+    bits, k = build_bloom(stored, expected_items=0)
+    assert k >= 1 and bits.shape[0] >= 64
+
+    incoming = spark.createDataFrame([("u1", 1), ("u2", 2)], "uri string, v int")
+    new, maybe = bloom_split_new(incoming, stored, expected_items=0)
+    # empty filter: nothing can be "maybe seen"
+    assert new.count() == 2 and maybe.count() == 0
+    # reserved helper column fails fast
+    bad = incoming.withColumn("_maybe", F.lit(True))
+    with pytest.raises(ValueError, match="_maybe"):
+        bloom_split_new(bad, stored, expected_items=0)
+
+
+def test_rangejoin_and_skew_reject_reserved_columns(spark):
+    """Review r9: a probe/fact column named like an internal helper was
+    silently overwritten (rangejoin's _bkt worst: duplicate output rows
+    with partial counts) — all salting/bucketing operators fail fast."""
+    from starryskyqueryengine_spark.operators.rangejoin import (
+        interval_count_join,
+    )
+    from starryskyqueryengine_spark.operators.skew import (
+        salted_count_by_key,
+        salted_join_skewed_fact,
+    )
+
+    probe = spark.createDataFrame([(1, 10)], "_bkt long, ts long")
+    build = spark.createDataFrame([(5,)], "bts long")
+    with pytest.raises(ValueError, match="_bkt"):
+        interval_count_join(probe, build, "ts", "bts", 100)
+
+    fact = spark.createDataFrame([("k", "u", 1)], "key string, uri string, _salt int")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_count_by_key(fact)
+    dim = spark.createDataFrame([("k", 9)], "key string, d int")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join_skewed_fact(fact, dim, "key", "uri")

@@ -140,3 +140,49 @@ def test_zvalue_rejects_overflow_and_write_autofits(spark, tmp_path):
     assert got.filter("a >= 2 AND a <= 3").count() == df.filter(
         "a >= 2 AND a <= 3"
     ).count()
+
+
+def test_decimal_cluster_column_stats_prune_correctly(spark, tmp_path):
+    """Review r9: Decimal min/max used to be stringified into the
+    manifest (json default=str) and then compared LEXICOGRAPHICALLY —
+    str(100) < '20.0', so files containing matching rows were silently
+    pruned.  Stats now canonicalize to outward-rounded floats; the
+    pruned read must equal the full read on a DECIMAL cluster column."""
+    path = str(tmp_path / "zdec")
+    df = spark.range(0, 400).select(
+        (F.col("id") % 200).cast("decimal(10,2)").alias("p"),
+        F.col("id").alias("k"),
+    )
+    write_zordered(df, path, ["p", "k"], n_files=8)
+    got, n_read, n_total = read_with_skipping(spark, path, {"p": (None, 100)})
+    want = df.filter(F.col("p") <= 100)
+    assert got.filter(F.col("p") <= 100).count() == want.count()
+    assert n_read < n_total  # and it still actually prunes
+
+
+def test_timestamp_cluster_column_works_and_prunes(spark, tmp_path):
+    """Review r9: the canonical time x key layout crashed on
+    float(datetime) in the bounds pass; timestamps now scale via their
+    epoch-seconds cast and their manifest stats compare as strings
+    (order-correct for the fixed layout)."""
+    path = str(tmp_path / "zts")
+    df = spark.range(0, 400).select(
+        F.timestamp_seconds(1700000000 + F.col("id") * 60).alias("ts"),
+        (F.col("id") % 50).alias("k"),
+    )
+    write_zordered(df, path, ["ts", "k"], n_files=8)
+    import datetime as dt
+
+    cut = dt.datetime(2023, 11, 14, 23, 40)  # ~1/3 through the range
+    got, n_read, n_total = read_with_skipping(spark, path, {"ts": (None, cut)})
+    want = df.filter(F.col("ts") <= F.lit(cut)).count()
+    assert got.filter(F.col("ts") <= F.lit(cut)).count() == want
+    assert n_read < n_total
+
+
+def test_string_cluster_column_rejected_loudly(spark):
+    """A string cluster column has no rank scaling — NULL ranks would
+    silently degrade clustering to noise; refuse instead."""
+    df = spark.range(5).select(F.col("id").cast("string").alias("s"), "id")
+    with pytest.raises(ValueError, match="cannot cluster"):
+        write_zordered(df, "/tmp/never-written", ["s", "id"])

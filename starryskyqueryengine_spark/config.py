@@ -68,8 +68,27 @@ class FeedCondition:
                 setattr(self, name, [p for p in v.split(",") if p])
 
     def validate(self) -> "FeedCondition":
-        """Fail-fast validation (P13, src/databaseUtil.ts:17-75)."""
-        if not _RECORD_NAME_RE.match(self.recordName):
+        """Fail-fast validation + canonicalization (P13,
+        src/databaseUtil.ts:17-75).  Falsy initPost/limitCount
+        canonicalize to the reference's use-time defaults here (its
+        ``record.initPost || 100`` / ``limitCount || 2000``,
+        src/subscription.ts:84-86): an initPost=0 reaching ingest made
+        the init-rank filter drop every post for the key forever, and a
+        limitCount=0 meant "no cap" live but 2000 after a save/load
+        round trip — canonicalizing at the write gauntlet makes the
+        stored and live values identical."""
+        if not self.key or not isinstance(self.key, str):
+            # '' round-trips through partitioned parquet as
+            # __HIVE_DEFAULT_PARTITION__ -> NULL, so posts stored for an
+            # empty key could never be served; None crashes far away at
+            # to_df against the non-nullable schema field
+            raise ConditionValidationError(
+                f"key must be a non-empty string, got {self.key!r}"
+            )
+        # fullmatch, not match-with-$: Python's $ also matches before a
+        # trailing newline, so 'feed-a\n' passed and then broke both the
+        # emitted AT-URI and by_record_name lookups
+        if not _RECORD_NAME_RE.fullmatch(self.recordName):
             raise ConditionValidationError(
                 f"recordName {self.recordName!r} must match ^[a-z0-9-]{{1,15}}$"
             )
@@ -107,6 +126,13 @@ class FeedCondition:
             )
         if self.imageOnly not in ("", "imageOnly", "textOnly"):
             raise ConditionValidationError(f"bad imageOnly {self.imageOnly!r}")
+        # canonicalize the reference's use-time falsy coalescing (see
+        # docstring) — after this, the live object, the saved parquet,
+        # and a from_raw round trip all agree
+        if not self.initPost:
+            self.initPost = 100
+        if not self.limitCount:
+            self.limitCount = 2000
         return self
 
     @classmethod
@@ -135,7 +161,11 @@ class FeedCondition:
                 return d
             try:
                 n = int(float(v))
-            except (TypeError, ValueError):
+            except (TypeError, ValueError, OverflowError):
+                # OverflowError too: refresh='Infinity' is legal in the
+                # reference (Number('Infinity') || 0 keeps it) but
+                # int(float('inf')) raises — a single such row must not
+                # abort the whole S7 restore
                 return d
             return n if n else d
 
@@ -203,10 +233,27 @@ class ConditionsRegistry:
         self._by_key[cond.key] = cond.validate()
 
     def restore(self, raw_rows: list[dict]) -> None:
-        """S7 config-restore: insert-if-absent (src/subscription.ts:95-99)."""
+        """S7 config-restore: insert-if-absent (src/subscription.ts:95-99).
+
+        TOTAL over messy stored rows (the from_raw contract): a row that
+        fails validation — e.g. a historically-stored regex the stricter
+        Java-dialect check now rejects — is logged and SKIPPED, never
+        allowed to abort the remaining rows; and a row whose key is
+        already present skips validation entirely (it would be ignored
+        anyway — eager setdefault used to let such a row kill the whole
+        restore)."""
+        import logging
+
         for raw in raw_rows:
             c = FeedCondition.from_raw(raw)
-            self._by_key.setdefault(c.key, c.validate())
+            if c.key in self._by_key:
+                continue
+            try:
+                self._by_key[c.key] = c.validate()
+            except ValueError as e:  # Condition- or RegexValidationError
+                logging.getLogger(__name__).warning(
+                    "restore: skipping condition %r: %s", c.key, e
+                )
 
     def delete(self, key: str) -> FeedCondition | None:
         return self._by_key.pop(key, None)
@@ -231,13 +278,37 @@ class ConditionsRegistry:
 
     def save(self, spark: SparkSession, path: str) -> None:
         """Persist the registry; small dim table, one file (coalesce(1))
-        so restores never pay a multi-file listing."""
-        self.to_df(spark).coalesce(1).write.mode("overwrite").parquet(path)
+        so restores never pay a multi-file listing.
+
+        ATOMIC via write-new-then-swap: a bare mode('overwrite') deletes
+        the target before writing, so a crash mid-save destroyed the
+        only copy of the conditions registry (the reference's SQLite
+        table never had that window).  Here the new copy lands in a temp
+        dir, the old one steps aside, and the swap is two renames — a
+        crash leaves either the old or the new registry readable
+        (load() falls back to the stepped-aside copy)."""
+        import os
+        import shutil
+
+        tmp, old = path + "._tmp", path + "._old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        self.to_df(spark).coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "ConditionsRegistry":
         """Restore a saved registry (arrays come back as Spark arrays;
-        row -> FeedCondition via the permissive from_raw path)."""
+        row -> FeedCondition via the permissive from_raw path).  When the
+        primary dir is missing but the save-swap's stepped-aside copy
+        exists (crash between the two renames), load that."""
+        import os
+
+        if not os.path.exists(path) and os.path.exists(path + "._old"):
+            path = path + "._old"
         reg = cls()
         for row in spark.read.parquet(path).collect():
             reg.upsert(FeedCondition.from_raw(row.asDict()))

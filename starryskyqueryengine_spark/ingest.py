@@ -46,6 +46,19 @@ class IngestJob:
         self.spark = spark
         self.registry = registry
         self.store = store
+        # dedup the STATIC profiles dim ONCE at construction, not per
+        # tick: with_author_profiles dedups defensively, so every
+        # run_once used to re-shuffle+sort the whole dim even though it
+        # never changes between ticks (review r9).  The lazy
+        # localCheckpoint materializes the deduped dim on first use and
+        # every later tick re-broadcasts from the checkpoint blocks
+        # (freed at driver GC of the job).
+        if profiles is not None:
+            from .operators.dedup import dedup_within_batch
+
+            profiles = dedup_within_batch(profiles, ["did"]).localCheckpoint(
+                eager=False
+            )
         self.profiles = profiles
 
     def accepted_pairs(self, incoming: DataFrame) -> DataFrame:
@@ -80,10 +93,15 @@ class IngestJob:
         """One micro-batch / cron tick (W1). Returns inserted-per-key."""
         t0 = time.time()
 
-        # T4 refresh handling first (src/subscription.ts:143-169)
+        # T4 refresh handling first (src/subscription.ts:143-169): the
+        # reference deletes ONLY for refresh == -1 (all) or > 0 (newest
+        # N); any other negative falls through both branches and just
+        # resets the flag — acting on it here rewrote the whole key
+        # partition with identical contents (wasted I/O, no deletions)
         for cond in self.registry.all():
             if cond.refresh:
-                self.store.apply_refresh(cond.key, cond.refresh)
+                if cond.refresh == -1 or cond.refresh > 0:
+                    self.store.apply_refresh(cond.key, cond.refresh)
                 cond.refresh = 0  # reset flag (src/subscription.ts:161-168)
 
         pairs = self.accepted_pairs(incoming)

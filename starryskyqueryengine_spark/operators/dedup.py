@@ -38,6 +38,13 @@ def dedup_within_batch(df: DataFrame, keys: list[str] = ("uri", "key")) -> DataF
     from pyspark.sql import Window
 
     keys = list(keys)
+    if "_pk_rn" in df.columns:
+        # same fail-fast reserved-name contract as asof/rangejoin/skew:
+        # withColumn would overwrite the user's column and drop it
+        raise ValueError(
+            "column name '_pk_rn' is reserved internally by "
+            "dedup_within_batch; rename it first"
+        )
     # map types are not orderable in Spark ANYWHERE in a sort key —
     # exclude columns containing one at any nesting depth (top-level,
     # array element, struct field); arrays/structs themselves order fine

@@ -17,6 +17,14 @@ from pyspark.sql import functions as F
 
 
 def _ranked(df: DataFrame, key_col: str, ts_col: str, cid_col: str) -> DataFrame:
+    if "_rn" in df.columns:
+        # withColumn would silently overwrite (and drop("_rn") then
+        # remove) a user column of the same name — the fail-fast
+        # contract shared with asof/rangejoin/skew
+        raise ValueError(
+            "column name '_rn' is reserved internally by retention "
+            "operators; rename it first"
+        )
     w = (
         Window.partitionBy(key_col)
         .orderBy(F.col(ts_col).desc(), F.col(cid_col).desc())

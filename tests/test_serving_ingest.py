@@ -221,3 +221,102 @@ def test_init_watermark_survives_registry_persistence(spark, tmp_path):
     # replay through the RESTORED registry still inserts nothing
     job2 = IngestJob(spark, reg2, store)
     assert job2.run_once(incoming(spark, 0, 8)) == {"k": 0}
+
+
+def test_validate_canonicalizes_falsy_caps_and_rejects_bad_keys():
+    """Review r9: the write gauntlet mirrors the reference's use-time
+    falsy coalescing (record.initPost || 100, limitCount || 2000,
+    src/subscription.ts:84-86) — an upserted initPost=0 used to make
+    ingest's init-rank filter drop every post for the key forever, and
+    limitCount=0 meant no-cap live but a 2000-row eviction after a
+    save/load round trip.  Empty/None keys and newline-bearing
+    recordNames fail fast instead of breaking downstream."""
+    import pytest
+
+    from starryskyqueryengine_spark.config import (
+        ConditionValidationError,
+        FeedCondition,
+    )
+
+    c = FeedCondition(key="k", recordName="f", initPost=0, limitCount=0)
+    c.validate()
+    assert (c.initPost, c.limitCount) == (100, 2000)
+
+    with pytest.raises(ConditionValidationError, match="key"):
+        FeedCondition(key="", recordName="f").validate()
+    with pytest.raises(ConditionValidationError, match="key"):
+        FeedCondition(key=None, recordName="f").validate()
+    with pytest.raises(ConditionValidationError, match="recordName"):
+        FeedCondition(key="k", recordName="feed-a\n").validate()
+
+
+def test_restore_is_total_over_invalid_rows():
+    """Review r9: one bad stored row (a regex the stricter Java-dialect
+    gate rejects, or an Infinity numeric the reference's Number() keeps)
+    must be skipped, not abort the rest of the S7 restore; a bad row
+    whose key already exists is ignored without even validating."""
+    from starryskyqueryengine_spark.config import ConditionsRegistry, FeedCondition
+
+    reg = ConditionsRegistry()
+    reg.upsert(FeedCondition(key="k1", recordName="existing"))
+    reg.restore([
+        {"key": "k1", "recordName": "BAD NAME"},       # present: ignored
+        {"key": "k2", "recordName": "ok-feed", "refresh": "Infinity"},
+        {"key": "k3", "recordName": "BAD NAME"},        # invalid: skipped
+        {"key": "k4", "recordName": "also-ok"},         # still restored
+    ])
+    keys = {c.key for c in reg.all()}
+    assert keys == {"k1", "k2", "k4"}
+    assert reg.get("k1").recordName == "existing"
+    assert reg.get("k2").refresh == 0  # Infinity coalesced to default
+
+
+def test_registry_save_survives_crash_between_renames(spark, tmp_path):
+    """Review r9: save() is write-new-then-swap; a crash window that
+    leaves only the stepped-aside old copy must still load()."""
+    import os
+    import shutil
+
+    from starryskyqueryengine_spark.config import ConditionsRegistry, FeedCondition
+
+    path = str(tmp_path / "conds")
+    reg = ConditionsRegistry()
+    reg.upsert(FeedCondition(key="k", recordName="f", inputRegex="x"))
+    reg.save(spark, path)
+    # normal save: primary readable, no temp/old leftovers
+    assert os.path.exists(path)
+    assert not os.path.exists(path + "._tmp") and not os.path.exists(path + "._old")
+    assert {c.key for c in ConditionsRegistry.load(spark, path).all()} == {"k"}
+
+    # simulate the crash window: primary gone, old copy present
+    os.rename(path, path + "._old")
+    assert {c.key for c in ConditionsRegistry.load(spark, path).all()} == {"k"}
+
+    shutil.rmtree(path + "._old")
+
+
+def test_refresh_below_minus_one_is_flag_reset_only(spark, tmp_path):
+    """Review r9 / reference parity (src/subscription.ts:146-158): only
+    refresh == -1 (wipe) and refresh > 0 (drop newest N) delete; any
+    other negative just resets the flag — no partition rewrite."""
+    from starryskyqueryengine_spark.ingest import IngestJob
+    from starryskyqueryengine_spark.store import PostStore
+    from tests.conftest import make_posts
+
+    reg = ConditionsRegistry()
+    reg.upsert(FeedCondition(key="k", recordName="f", inputRegex="spark"))
+    store = PostStore(spark, str(tmp_path / "posts"))
+    job = IngestJob(spark, reg, store)
+    rows = [{"uri": f"at://u/{i}", "cid": f"c{i}", "text": "spark",
+             "createdAt": dt.datetime(2024, 1, 1, 0, 0, i)} for i in range(4)]
+    job.run_once(make_posts(spark, rows))
+    assert store.read_key("k").count() == 4
+
+    calls = []
+    real = store.apply_refresh
+    store.apply_refresh = lambda *a: calls.append(a) or real(*a)
+    reg.get("k").refresh = -5
+    job.run_once(make_posts(spark, []))
+    assert calls == []                       # no rewrite issued
+    assert reg.get("k").refresh == 0         # flag still reset
+    assert store.read_key("k").count() == 4  # nothing deleted

@@ -68,17 +68,11 @@ def _events_stream(spark, sf_dir, schema=None):
     os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
     if schema is None:
         schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = parquet_stream(spark, stage, schema=schema)
-    ts_type = dict(stream.dtypes).get("ts")
-    if ts_type == "bigint":  # legacy fixture: nanoseconds since epoch
-        stream = stream.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
-            "ts", F.timestamp_micros(F.col("ts_us"))
-        )
-    elif ts_type in ("timestamp_ntz", "timestamp"):
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
-            "ts_us", F.unix_micros(F.col("ts"))
-        )
-    return stream, schema
+    from .sources.fixtures import normalize_events_ts
+
+    # the SHARED ts recipe (sources/fixtures.py) — batch oracles and
+    # this stream must read event time identically
+    return normalize_events_ts(parquet_stream(spark, stage, schema=schema)), schema
 
 
 @register(
@@ -327,10 +321,9 @@ def w_stream_pattern_match(spark, sf_dir):
     from .streaming.stateful import stream_pattern_matches
 
     stream, _ = _events_stream(spark, sf_dir)
-    matched = stream_pattern_matches(
-        stream.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp"))),
-        within_us=PATTERN_WIDTH_US,
-    )
+    # _events_stream already derives ts_us (both fixture generations);
+    # re-deriving here risked silently following a different recipe
+    matched = stream_pattern_matches(stream, within_us=PATTERN_WIDTH_US)
     table = f"patmatch_{uuid.uuid4().hex[:8]}"
     tmp = tempfile.mkdtemp(prefix="wpat_")
     with _stream_shuffle(spark):
@@ -609,13 +602,16 @@ def w_stream_static_enrich(spark, sf_dir):
     at bench scale) and shuffle-joins each micro-batch against the
     partitioned dim beyond that; no stream-side state either way."""
     from .sources.fixtures import load_table as _lt
+    from .streaming.pipeline import stream_static_enrich
 
     stream, _ = _events_stream(spark, sf_dir)
     cust = _lt(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment"
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
-    enriched = stream.join(
-        cust, stream["user_id"] == cust["c_custkey"], "inner"
+    # broadcast_dim=False: customer scales with SF; the library helper
+    # now carries the hint-free option, so the hand-rolled join is gone
+    enriched = stream_static_enrich(
+        stream, cust, "user_id", how="inner", broadcast_dim=False
     )
     tmp = tempfile.mkdtemp(prefix="wenrich_")
     out_dir = f"{tmp}/partials"
@@ -745,11 +741,14 @@ def w_stream_outer_join(spark, sf_dir):
         os.utime(tgt, (_time.time() + 100 + 10 * i,) * 2)
     shutil.rmtree(sent_dir, ignore_errors=True)
 
-    s = parquet_stream(spark, stage, schema=schema, max_files_per_trigger=1)
-    if legacy_ns:
-        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+    from .sources.fixtures import normalize_events_ts
+
+    # shared recipe (sources/fixtures.py); the legacy_ns branch above
+    # still exists because SENTINELS must be built in the fixture's
+    # NATIVE representation before normalization
+    s = normalize_events_ts(
+        parquet_stream(spark, stage, schema=schema, max_files_per_trigger=1)
+    )
     purchases = s.filter(F.col("event_type") == "purchase").select(
         "event_id", F.col("ts").alias("p_ts")
     )

@@ -131,17 +131,12 @@ def s6_validation_filter(spark, sf_dir):
         )
         .alias("raw"),
     )
-    # EXCHANGE BARRIER before the validator, deliberately: the parse
-    # plan references the json column ~6 times (permissive from_json in
-    # the filter AND the projection), and CollapseProject would inline
-    # this producer's regex+JSON expression into every one of them —
-    # measured 2x the whole query at bench scale.  Below an exchange the
-    # six references read an already-computed string attribute; one
-    # narrow shuffle of the raw strings is far cheaper than six
-    # recomputes of the producer (and it spreads the parse across cores
-    # on a single-split input as a bonus).
-    raw = raw.repartition(raw.sparkSession.sparkContext.defaultParallelism)
-    valid = validated_json(raw, "raw", _S6_REC_SCHEMA)
+    # barrier=True: this producer is a regex+JSON expression, and
+    # without the exchange the validator's ~6 references to the json
+    # column would each recompute it (measured 2x the whole query at
+    # bench scale); the shuffle also spreads the parse across cores on
+    # a single-split input.
+    valid = validated_json(raw, "raw", _S6_REC_SCHEMA, barrier=True)
     return valid.select(
         "event_id",
         F.col("_rec.t").alias("rec_type"),

@@ -31,23 +31,32 @@ TABLES = [
 ]
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events fixture's ``ts`` across fixture generations
+    to (``ts`` TimestampType, ``ts_us`` bigint micros): early rounds
+    stored nanosecond BIGINTs (read via nanosAsLong), round 3+ stores
+    native parquet timestamps (timestamp_ntz).  THE single copy of this
+    recipe — batch loads, the streaming source, and the stream-stream
+    join staging all call it, so a fixture representation change can
+    never leave one reader interpreting the column at a 1000x different
+    scale than the others (review r9: this lived in three places)."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":  # legacy fixture: nanoseconds since epoch
+        return df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+            "ts", F.timestamp_micros(F.col("ts_us"))
+        )
+    if ts_type in ("timestamp_ntz", "timestamp"):
+        return df.withColumn(
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":  # legacy fixture: nanoseconds since epoch
-            df = (
-                df.withColumn("ts_us", F.expr("ts div 1000"))
-                .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
-            )
-        elif ts_type in ("timestamp_ntz", "timestamp"):
-            df = (
-                df.withColumn(
-                    "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
-                )
-                .withColumn("ts", F.col("ts").cast("timestamp"))
-            )
+        df = normalize_events_ts(df)
     return df
 
 

@@ -45,11 +45,26 @@ def parquet_stream(
     return reader.parquet(path)
 
 
-def validated_json(df: DataFrame, json_col: str, schema: StructType) -> DataFrame:
+def validated_json(
+    df: DataFrame, json_col: str, schema: StructType, barrier: bool = False
+) -> DataFrame:
     """S6/W5: lexicon-style record validation. PERMISSIVE parse + null
     filter = per-event try/catch-continue (poison pills dropped, stream
-    survives), reference ``src/util/subscription.ts:42-46,147-170``."""
+    survives), reference ``src/util/subscription.ts:42-46,147-170``.
+
+    FOOTGUN when ``json_col`` is a COMPUTED expression (not a plain
+    scanned/sourced column): the parse plan references the column ~6
+    times (from_json duplicated across the corrupt filter and the
+    projection by pushdown), and CollapseProject inlines the producer
+    expression into every reference — measured 2x a whole query at
+    bench scale for a regex-heavy producer.  Pass ``barrier=True`` to
+    insert one narrow exchange so the references read an
+    already-computed attribute; leave it False (default) for plain
+    source columns, where the extra shuffle buys nothing."""
     from pyspark.sql.types import StringType, StructField
+
+    if barrier:
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
     with_corrupt = StructType(
         list(schema.fields) + [StructField("_corrupt_record", StringType())]
@@ -72,6 +87,7 @@ def stream_static_enrich(
     static_df: DataFrame,
     on: list[str] | str,
     how: str = "left",
+    broadcast_dim: bool = True,
 ) -> DataFrame:
     """Stream-static join: the streaming leg of S3's profile enrichment
     (reference builds a DID->profile Map and probes it per post,
@@ -87,11 +103,16 @@ def stream_static_enrich(
     path fresh inside every micro-batch (the Spark-idiomatic SCD join for
     non-transactional file dims; table formats with snapshot isolation
     make the inline join safe, plain parquet does not).
-    State: none (this is not a stream-stream join); the static side must
-    stay broadcast-sized or be a pruned scan.
+    State: none (this is not a stream-stream join); pass
+    ``broadcast_dim=False`` when the static side is NOT known to be
+    broadcast-sized — the forced hint overrides AQE's sizing, so on a
+    large dim it is a broadcast OOM where a hint-free join would fall
+    back to shuffle (review r9; the same rule the batch catalog applies
+    to SF-scaling sides).
     """
     keys = [on] if isinstance(on, str) else list(on)
-    return stream_df.join(F.broadcast(static_df), keys, how)
+    dim = F.broadcast(static_df) if broadcast_dim else static_df
+    return stream_df.join(dim, keys, how)
 
 
 def foreach_batch_enrich(
@@ -343,17 +364,45 @@ def cdc_apply_batch(store: PostStore):
     """W6: CDC routing — batch rows carry an ``_op`` column
     ('create'|'delete'); creates upsert, deletes remove their PK rows
     (reference routes ops by action in ``getOpsByType``,
-    ``src/util/subscription.ts:91-118``)."""
+    ``src/util/subscription.ts:91-118``).
+
+    Intra-batch op ORDER is honored per PK (review r9): a micro-batch
+    folds a sequence of ops into one frame, and the old
+    creates-then-deletes application destroyed any same-batch
+    delete->recreate (the standard update encoding) — the recreate's
+    upsert hit ON CONFLICT DO NOTHING against the old row and the
+    trailing delete then removed it.  Now deletes apply FIRST for every
+    PK the batch deletes at all (so a recreate lands on a clean slot
+    with its NEW content), and only each PK's FINAL op (by indexedAt;
+    create outranks delete on a timestamp tie) decides whether a create
+    is upserted — a create superseded by a later delete never
+    resurrects."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
         batch_df = batch_df.cache()
         try:
-            creates = batch_df.filter(F.col("_op") == "create").drop("_op")
-            deletes = batch_df.filter(F.col("_op") == "delete").select("uri", "key")
-            if not creates.isEmpty():
-                store.upsert(creates)
+            deletes = (
+                batch_df.filter(F.col("_op") == "delete")
+                .select("uri", "key")
+                .distinct()
+            )
+            w = Window.partitionBy("uri", "key").orderBy(
+                F.col("indexedAt").desc_nulls_last(),
+                # tie on event time: the create wins (delete->recreate
+                # encodings often stamp both ops with one commit time)
+                F.when(F.col("_op") == "create", 1).otherwise(0).desc(),
+            )
+            final_creates = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter((F.col("_rn") == 1) & (F.col("_op") == "create"))
+                .drop("_rn", "_op")
+            )
             if not deletes.isEmpty():
                 store.delete_rows(deletes)
+            if not final_creates.isEmpty():
+                store.upsert(final_creates)
         finally:
             batch_df.unpersist()
 

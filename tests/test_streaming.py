@@ -1132,3 +1132,52 @@ def test_pattern_matcher_dedups_redelivered_matches():
     st2 = _FakeGroupState(value=st.updated)
     out2 = list(fn((7,), iter([batch]), st2))
     assert out2 == [], "re-delivered match emitted twice"
+
+
+def test_w6_cdc_same_batch_delete_recreate_survives(spark, tmp_path):
+    """Review r9: a delete->recreate of one PK inside a single
+    micro-batch (the standard CDC update encoding) must leave the
+    RECREATED row — creates-then-deletes application used to discard the
+    new content (ON CONFLICT DO NOTHING) and then delete the row.  The
+    inverse order (create superseded by a later delete) must stay
+    deleted, and the recreate must carry its NEW content."""
+    import datetime as dt
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from starryskyqueryengine_spark.schemas import POST_SCHEMA
+    from starryskyqueryengine_spark.store import PostStore
+    from starryskyqueryengine_spark.streaming import (
+        cdc_apply_batch,
+        parquet_stream,
+        run_available_now,
+    )
+
+    src = str(tmp_path / "src")
+    store = PostStore(spark, str(tmp_path / "store"))
+    cdc_schema = StructType(
+        list(POST_SCHEMA.fields) + [StructField("_op", StringType())]
+    )
+
+    def row(uri, cid, sec, op):
+        return (uri, "k1", cid, None, None,
+                dt.datetime(2024, 1, 1, 0, 0, sec), op)
+
+    # seed: pX exists with cid=old
+    spark.createDataFrame([row("pX", "old", 1, "create"),
+                           row("pY", "y1", 1, "create")],
+                          cdc_schema).write.mode("append").parquet(src)
+    run_available_now(parquet_stream(spark, src, schema=cdc_schema),
+                      cdc_apply_batch(store), str(tmp_path / "c"))
+    # one batch: delete pX then recreate with NEW cid; create pZ then
+    # delete it (later ts)
+    spark.createDataFrame(
+        [row("pX", "old", 2, "delete"), row("pX", "new", 3, "create"),
+         row("pZ", "z1", 2, "create"), row("pZ", "z1", 3, "delete")],
+        cdc_schema,
+    ).write.mode("append").parquet(src)
+    run_available_now(parquet_stream(spark, src, schema=cdc_schema),
+                      cdc_apply_batch(store), str(tmp_path / "c"))
+
+    got = {r["uri"]: r["cid"] for r in store.read().collect()}
+    assert got == {"pX": "new", "pY": "y1"}  # recreated content, no pZ

@@ -73,8 +73,13 @@ _S6_REC_SCHEMA = T.StructType(
 
 # canonical JSON integer that also fits a BIGINT: optional sign, no
 # leading zeros, <= 18 digits — shared verbatim by the Spark producer
-# guard and the DuckDB oracle so keep/drop decisions cannot diverge
-_S6_INT_RE = "^-?(0|[1-9][0-9]{0,17})$"
+# guard and the DuckDB oracle so keep/drop decisions cannot diverge.
+# Anchored with \z, not $: java.util.regex's $ matches BEFORE a trailing
+# newline while RE2's $ is true end-of-text, so a props value like
+# "123\n" would be kept by Spark and dropped by the oracle; \z means
+# end-of-input in BOTH dialects (same $-vs-\z divergence config.py's
+# recordName gate fixed in r9).
+_S6_INT_RE = "^-?(0|[1-9][0-9]{0,17})\\z"
 
 
 @register(

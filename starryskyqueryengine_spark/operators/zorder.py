@@ -46,20 +46,25 @@ from pyspark.sql import functions as F
 MANIFEST = "_zorder_manifest.json"
 
 # dtypes write_zordered can scale to integer ranks (numeric casts to
-# double; temporal converts to epoch seconds / days)
-_NUMERIC_PREFIXES = (
-    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal"
+# double; temporal converts to epoch seconds / days).  Matched on the
+# BASE token (text before any '(' parameter list), never by prefix:
+# startswith('int') also matched 'interval day to second' etc., routing
+# an interval cluster column to cast('double') instead of the loud
+# cannot-cluster error below (r10, ADVICE).
+_NUMERIC_BASES = frozenset(
+    {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"}
 )
 
 
 def _rank_source_expr(col_name: str, dtype: str):
     """A double-valued expression for the rank scaling, or None when the
     dtype has no meaningful linear order for z-clustering."""
-    if dtype.startswith(_NUMERIC_PREFIXES):
+    base = dtype.split("(", 1)[0]
+    if base in _NUMERIC_BASES:
         return F.col(col_name).cast("double")
-    if dtype.startswith("timestamp"):  # timestamp + timestamp_ntz
+    if base in ("timestamp", "timestamp_ntz"):
         return F.col(col_name).cast("double")  # epoch seconds
-    if dtype == "date":
+    if base == "date":
         return F.unix_date(F.col(col_name)).cast("double")  # epoch days
     return None
 

@@ -56,6 +56,17 @@ def _rewrite_tokens(pattern: str, multiline: bool) -> str:
       the anchors stay as-is (the terminator sets differ only in
       Java's extra \\u0085 / \\r\\n-as-unit handling — documented,
       not worth losing (?m)).
+    - JS empty-class idioms (r10): ``[^]`` (any char INCLUDING line
+      terminators — the JS idiom for dot-with-newlines, JS ``.`` never
+      matching them) -> ``(?s:.)``; ``[]`` (matches nothing) ->
+      ``(?!)``.  Both are Java SYNTAX ERRORS, so a migrating feed
+      author's pattern was rejected at validation instead of matching
+      like the reference.  JS closes a class at a ``]`` in first
+      position (ECMA-262 ClassRanges can be empty — unlike POSIX's
+      literal-] rule), so consuming exactly ``[]``/``[^]`` is the JS
+      parse.  Quantified forms keep JS semantics in Java (verified
+      against live java.util.regex): ``(?!)*`` matches empty exactly
+      like ``[]*``, ``(?!)+`` always fails like ``[]+``.
 
     Escaped escapes (``\\\\s``) and class-literal ``$`` are left alone by
     construction: the walker consumes backslash pairs atomically and
@@ -76,6 +87,14 @@ def _rewrite_tokens(pattern: str, multiline: bool) -> str:
             i += 2
             continue
         if ch == "[" and not in_class:
+            if pattern.startswith("[^]", i):
+                out.append("(?s:.)")  # JS any-char (incl. terminators)
+                i += 3
+                continue
+            if pattern.startswith("[]", i):
+                out.append("(?!)")  # JS empty class: matches nothing
+                i += 2
+                continue
             in_class = True
             out.append(ch)
         elif ch == "]" and in_class:

@@ -376,7 +376,20 @@ def cdc_apply_batch(store: PostStore):
     with its NEW content), and only each PK's FINAL op (by indexedAt;
     create outranks delete on a timestamp tie) decides whether a create
     is upserted — a create superseded by a later delete never
-    resurrects."""
+    resurrects.
+
+    W6 contract: the batch MUST carry an ``indexedAt`` column (the op
+    ordering key — the reference's ops arrive already ordered inside a
+    commit, a DataFrame loses row order at the shuffle).  A delete with
+    NULL ``indexedAt`` is treated as FINAL for its PK (r10, ADVICE):
+    CDC deletes typically carry no record to stamp, so an unstamped
+    delete must beat any stamped create in the batch — otherwise every
+    create-then-delete sequence whose delete is unstamped would
+    resurrect the row.  Producers that stamp every op get pure
+    timestamp ordering; producers that never stamp deletes get
+    delete-wins, matching the reference's deletes-are-terminal
+    behavior (``src/util/subscription.ts:91-118`` emits a delete only
+    for a record that existed)."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
@@ -389,6 +402,11 @@ def cdc_apply_batch(store: PostStore):
                 .distinct()
             )
             w = Window.partitionBy("uri", "key").orderBy(
+                # an UNSTAMPED delete is final (see contract above):
+                # rank it ahead of every stamped op for the PK
+                F.when(
+                    (F.col("_op") == "delete") & F.col("indexedAt").isNull(), 1
+                ).otherwise(0).desc(),
                 F.col("indexedAt").desc_nulls_last(),
                 # tie on event time: the create wins (delete->recreate
                 # encodings often stamp both ops with one commit time)

@@ -651,6 +651,10 @@ def test_s6_validation_off_fixture_nulls_match_oracle(spark, tmp_path):
         (8, "view", '{"k": "99999999999999999999"}', 8000),
         (9, "ta\tb", '{"k": 9}', 9000),       # control char: both drop
         (10, "view", '{"k": -3}', 10000),     # negative: both keep
+        # trailing newline (r10, ADVICE): java's $ matches BEFORE a
+        # trailing \n while RE2's is end-of-text — the shared \z
+        # anchor drops it on BOTH sides
+        (11, "view", '{"k": "123\\n"}', 11000),
     ]
     spark.createDataFrame(
         rows, "event_id long, event_type string, props string, ts_us long"

@@ -331,3 +331,43 @@ def test_dollar_anchor_matches_js_end_of_input(spark):
     assert find(js_to_java(r"cost\$", ""), "cost$ extra")
     # the Java-only \\z anchor still passes the Python proxy compile
     assert validate_pattern(r"end$", "").endswith("\\z")
+
+
+def test_js_empty_class_idioms(spark):
+    """Review r10: JS ``[^]`` (any char including line terminators) and
+    ``[]`` (matches nothing) are Java syntax errors — a feed author
+    migrating a JS regex got a validation rejection instead of the
+    reference's match behavior.  They now rewrite to ``(?s:.)`` and
+    ``(?!)``; quantified forms keep JS semantics, class-internal and
+    escaped brackets are untouched."""
+    from starryskyqueryengine_spark.regex_dialect import (
+        js_to_java,
+        validate_pattern,
+    )
+
+    jvm = spark.sparkContext._jvm
+
+    def find(pat, text):
+        return jvm.java.util.regex.Pattern.compile(pat).matcher(text).find()
+
+    # [^]: the JS dot-with-newlines idiom
+    p = js_to_java(r"x[^]y", "")
+    assert find(p, "x\ny") and find(p, "xay") and not find(p, "xy")
+    pq = js_to_java(r"x[^]*y", "")
+    assert find(pq, "x\nabc\ny") and find(pq, "xy")
+    # []: matches nothing; []* matches empty (0 reps), []+ never matches
+    assert not find(js_to_java(r"a[]b", ""), "ab")
+    assert find(js_to_java(r"a[]*b", ""), "ab")
+    assert not find(js_to_java(r"a[]+b", ""), "ab")
+    # validation now ACCEPTS both idioms (was: loud rejection)
+    assert validate_pattern(r"x[^]y", "i") == "(?iu)x(?s:.)y"
+    assert validate_pattern(r"a[]?b", "") == "a(?!)?b"
+    # a REAL class containing ^ is untouched (no idiom rewrite fires):
+    # [a^] is the class {a,^}, the trailing ] a literal in both dialects
+    preal = js_to_java(r"[a^]]", "")
+    assert preal == r"[a^]]"
+    assert find(preal, "a]") and find(preal, "^]") and not find(preal, "z]")
+    # an escaped bracket is consumed as a pair — the walker must not
+    # see '[^]' starting at the escaped '[' (here ^ is a mid-pattern
+    # anchor in BOTH dialects, so the translation is pure passthrough)
+    assert js_to_java(r"\[^]", "") == r"\[^]"

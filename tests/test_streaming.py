@@ -1181,3 +1181,50 @@ def test_w6_cdc_same_batch_delete_recreate_survives(spark, tmp_path):
 
     got = {r["uri"]: r["cid"] for r in store.read().collect()}
     assert got == {"pX": "new", "pY": "y1"}  # recreated content, no pZ
+
+
+def test_w6_cdc_unstamped_delete_is_final(spark, tmp_path):
+    """Review r10 (ADVICE): CDC deletes typically carry no record to
+    stamp, so a delete with NULL indexedAt must be FINAL for its PK —
+    under the r9 desc_nulls_last ordering it lost to ANY stamped create
+    in the batch, resurrecting every create-then-delete sequence whose
+    delete was unstamped.  A stamped delete->recreate in the same batch
+    still recreates (pure timestamp ordering for stamping producers)."""
+    import datetime as dt
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from starryskyqueryengine_spark.schemas import POST_SCHEMA
+    from starryskyqueryengine_spark.store import PostStore
+    from starryskyqueryengine_spark.streaming import (
+        cdc_apply_batch,
+        parquet_stream,
+        run_available_now,
+    )
+
+    src = str(tmp_path / "src")
+    store = PostStore(spark, str(tmp_path / "store"))
+    # indexedAt must admit NULL here: the unstamped delete IS the case
+    cdc_schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in POST_SCHEMA.fields]
+        + [StructField("_op", StringType())]
+    )
+
+    def row(uri, cid, sec, op):
+        ts = dt.datetime(2024, 1, 1, 0, 0, sec) if sec is not None else None
+        return (uri, "k1", cid, None, None, ts, op)
+
+    # one batch: pA created (stamped) then deleted by an UNSTAMPED
+    # delete -> must be gone; pB stamped delete->recreate -> recreated;
+    # pC only an unstamped delete (no prior row) -> no-op
+    spark.createDataFrame(
+        [row("pA", "a1", 5, "create"), row("pA", "a1", None, "delete"),
+         row("pB", "b-old", 1, "delete"), row("pB", "b-new", 2, "create"),
+         row("pC", "c1", None, "delete")],
+        cdc_schema,
+    ).write.mode("append").parquet(src)
+    run_available_now(parquet_stream(spark, src, schema=cdc_schema),
+                      cdc_apply_batch(store), str(tmp_path / "c"))
+
+    got = {r["uri"]: r["cid"] for r in store.read().collect()}
+    assert got == {"pB": "b-new"}, got

@@ -186,3 +186,18 @@ def test_string_cluster_column_rejected_loudly(spark):
     df = spark.range(5).select(F.col("id").cast("string").alias("s"), "id")
     with pytest.raises(ValueError, match="cannot cluster"):
         write_zordered(df, "/tmp/never-written", ["s", "id"])
+
+
+def test_interval_cluster_column_rejected_loudly(spark):
+    """Review r10 (ADVICE): startswith('int') also matched interval
+    dtypes, routing an interval cluster column to cast('double') and a
+    confusing downstream analysis error instead of the explicit
+    cannot-cluster refusal; dtype base tokens now match exactly."""
+    df = spark.range(5).select(
+        (F.col("id").cast("timestamp") - F.lit("2024-01-01").cast("timestamp")
+         ).alias("iv"),
+        "id",
+    )
+    assert df.schema["iv"].dataType.simpleString().startswith("interval")
+    with pytest.raises(ValueError, match="cannot cluster"):
+        write_zordered(df, "/tmp/never-written", ["iv", "id"])

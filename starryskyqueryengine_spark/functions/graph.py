@@ -50,6 +50,14 @@ PR_SCALE = 10**12
 # size is KNOWN to be small.
 BROADCAST_MAX_NODES = 4_000_000
 
+# label_propagation plan-sever cadence: intermediate rounds persist with
+# plain cache() (no RDD-boundary job) and every k-th round
+# localCheckpoints to cut the ~4^rounds logical-plan growth.  4 bounds
+# the inter-sever plan tree at 4^3 = 64 references of the last
+# LogicalRDD — constant in iters — while amortizing the checkpoint tax
+# over four rounds (r10; per-round checkpointing cost ~15% at sf0.1).
+_LP_SEVER_EVERY = 4
+
 
 def _gate_broadcast(df: DataFrame, n_rows: int, max_rows: int) -> DataFrame:
     """Broadcast-hint ``df`` only when its known row bound fits.
@@ -386,6 +394,7 @@ def label_propagation(
     # changed = nodes whose label changed last round (round 1: all)
     changed: DataFrame | None = None  # None = first round, frontier is V
     n_changed = n_nodes  # round 1's frontier is every node
+    _pinned: list[DataFrame] = []  # cache-backed rounds since last sever
     for i in range(iters):
         # Adaptive cutoff (round-7 verdict #6): while the changed set is
         # still a large fraction of V, the two frontier semi-joins cost
@@ -441,33 +450,54 @@ def label_propagation(
                 ).alias("_chg"),
             )
         )
-        # Node-sized materialization per round, via localCheckpoint —
-        # NOT cache+count.  cache() truncates EXECUTION but not the
-        # LOGICAL plan: each round references the previous round's plan
-        # up to four times (counts, join-back, changed semi-join,
-        # frontier), so plan trees grew ~4^rounds — at iters=10 the
-        # driver OOMed merely stringifying the tree for the cache name.
-        # localCheckpoint severs the plan to a LogicalRDD each round
-        # (same discipline as connected_components, functions/dedup.py);
-        # the eager job replaces the old count() job one-for-one, and
-        # the checkpoint blocks free at driver GC of the round's frame.
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # Node-sized materialization per round; plan-sever every k-th
+        # round (r10, was every round).  cache() truncates EXECUTION
+        # but not the LOGICAL plan: each round references the previous
+        # round's plan up to four times (counts, join-back, changed
+        # semi-join, frontier), so unsevered plan trees grow ~4^rounds
+        # — at iters=10 the driver OOMed merely stringifying the tree
+        # for the cache name.  Per-round localCheckpoint fixed that but
+        # taxed every round with an RDD-boundary job (r9 bench: 6.84 ->
+        # 7.91 s); now intermediate rounds use plain cache (the
+        # n_changed count below is the materializing action) and only
+        # every _LP_SEVER_EVERY-th round — plus every EXIT path, so the
+        # returned frame never leans on a soon-unpersisted cache —
+        # localCheckpoints to a LogicalRDD.  Plan depth between severs
+        # is bounded by 4^(_LP_SEVER_EVERY-1) references of the last
+        # LogicalRDD: constant in iters, trivial to stringify.
+        last_round = i == iters - 1
+        if last_round or (i + 1) % _LP_SEVER_EVERY == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+            for c in _pinned:
+                c.unpersist()
+            _pinned.clear()
+        else:
+            new_labels = new_labels.cache()
+            _pinned.append(new_labels)
         labels = new_labels.select("node", "label")
-        if i == iters - 1 and frontier_sizes is None:
+        if last_round and frontier_sizes is None:
             # final round: n_changed only feeds early stop, the next
             # round's frontier, and the test hook — none exist now, so
             # skip the changed-set count entirely
             break
         # the flag was computed inside new_labels' projection: the
         # changed set is a filter over the already-materialized round
-        # result — no second node-sized join
+        # result — no second node-sized join (counting it also populates
+        # a cache-backed round's blocks — the materializing action)
         changed = new_labels.filter(F.col("_chg")).select("node")
         n_changed = changed.count()
         if frontier_sizes is not None:
             frontier_sizes.append(n_changed)
         if n_changed == 0:
             # fixed point: round k+1's inputs equal round k's, so all
-            # remaining rounds are the identity — exact early stop
+            # remaining rounds are the identity — exact early stop.
+            # This exit can land between severs: checkpoint before the
+            # pinned caches (and edges/nodes below) are released.
+            if _pinned:
+                labels = labels.localCheckpoint(eager=True)
+                for c in _pinned:
+                    c.unpersist()
+                _pinned.clear()
             break
     edges.unpersist()
     nodes.unpersist()

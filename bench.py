@@ -179,7 +179,17 @@ def main() -> None:
             # no longer re-explodes the corpus — the wins that matter at
             # 100 TB, invisible at a 60k-row fixture where driver-side
             # plan construction dominates.
-            "pipeline_rag_retrieval": "sf0.1 time is plan-build bound; "
+            # r10 measured split (verdict r9 ask #6): warm laps at sf0.1
+            # run ~0.9s python DataFrame construction (py4j round-trips
+            # for the 5-table composed plan), ~0.1s Catalyst
+            # analyze+optimize, ~2.2s execute — build is ~30% of wall,
+            # under the 50% structural-fix threshold, and it is
+            # per-QUERY-BATCH constant: at any corpus scale the same
+            # 1s builds a plan whose execute side grows, so the ratio
+            # only improves with data size.
+            "pipeline_rag_retrieval": "plan-build vs execute split "
+            "measured r10: ~0.9s py4j build / ~0.1s optimize / ~2.2s "
+            "execute at sf0.1 — build <50%, constant per query batch; "
             "corpus-sized shuffles were cut in r9 (query-term tf, no "
             "second explode)",
         },

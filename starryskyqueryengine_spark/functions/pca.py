@@ -94,6 +94,11 @@ def pca_fit(
     if first is None:
         raise ValueError("pca_fit: empty input (no non-null vectors)")
     d = first["d"]
+    if not 0 < k <= d:
+        # loud, named (review r10): argsort[:k] would silently return
+        # d components for k > d — the caller's downstream shapes then
+        # break far from the cause (sklearn raises here too)
+        raise ValueError(f"pca_fit: k={k} must be in [1, d={d}]")
     emit, schema = _scatter_partials(vec_col, d)
     parts = (
         df.filter(F.col(vec_col).isNotNull())

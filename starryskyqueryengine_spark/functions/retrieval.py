@@ -149,7 +149,16 @@ class Bm25IncrementalIndex:
         """Apply one change batch: rows ``(_change: insert|delete,
         doc_id, text)``.  An update is its delete+insert pair in the
         SAME batch (the CDF encoding TxnLogFormat.changes_between
-        emits).  Cost is O(batch)."""
+        emits).  Cost is O(batch).
+
+        Contract note (review r10): a batch's delete+insert pair for one
+        doc_id always means UPDATE — same-gen tombstones spare same-gen
+        rows, so encoding "created then deleted between syncs" as an
+        insert+delete pair would leave the doc live.  That encoding
+        cannot arise from the CDF source (changes_between emits NET
+        changes — a create+delete inside the interval nets to nothing);
+        producers hand-crafting batches must net such pairs out
+        themselves."""
         st = self._stats()
         gen = st["gen"] + 1
 

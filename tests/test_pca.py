@@ -76,3 +76,20 @@ def test_empty_input_raises(spark):
     emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 0)
     with pytest.raises(ValueError, match="empty"):
         pca_fit(emb, k=2)
+
+
+def test_pca_fit_rejects_out_of_range_k(spark):
+    """Review r10: k > d used to silently return d components (argsort
+    slice), breaking caller shapes far from the cause; k <= 0 returned
+    an empty model.  Both now raise a named error."""
+    import pytest
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i % 3), 1.0]) for i in range(10)],
+        "id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match=r"k=4 must be in \[1, d=3\]"):
+        pca_fit(emb, k=4)
+    with pytest.raises(ValueError, match="must be in"):
+        pca_fit(emb, k=0)
+    assert pca_fit(emb, k=3)["components"].shape == (3, 3)

@@ -105,9 +105,10 @@ def logreg_train(
             ).otherwise(
                 F.raise_error(
                     F.lit(
-                        "logreg_train: |gradient term| overflows BIGINT — "
-                        "rescale the feature (e.g. log it) or lower "
-                        "GRAD_SCALE"
+                        "logreg_train: gradient term overflows BIGINT or "
+                        "is NaN/Inf (a NaN feature lands here too: "
+                        "abs(NaN) < bound is false) — clean or rescale "
+                        "the feature (e.g. log it) or lower GRAD_SCALE"
                     )
                 ).cast("bigint")
             )

@@ -214,9 +214,14 @@ class IngestJob:
 
         # J2 + S8: PK anti-join upsert; the store counts the actually
         # appended batch per key — no before/after full-store rescans.
-        appended = self.store.upsert(posts)
-        if fresh_keys:
-            _cached_batch.unpersist()
+        # try/finally: a failed upsert (e.g. a concurrent-writer conflict
+        # from TxnLogFormat) must not leave the tick's batch cache pinned
+        # for the life of the session
+        try:
+            appended = self.store.upsert(posts)
+        finally:
+            if fresh_keys:
+                _cached_batch.unpersist()
         inserted = {c.key: appended.get(c.key, 0) for c in self.registry.all()}
 
         # T3/W7 retention caps per key (src/subscription.ts:379-393)

@@ -59,7 +59,8 @@ class _FileMsg(WriterCommitMessage):
 
 
 def _json_default(v):
-    # datetime / date / Decimal / bytes -> JSON-safe, deterministic
+    # datetime / date / Decimal / bytes / nested Row -> JSON-safe,
+    # deterministic
     import datetime as dt
     import decimal
 
@@ -72,6 +73,22 @@ def _json_default(v):
 
         return base64.b64encode(bytes(v)).decode("ascii")
     raise TypeError(f"not JSON serializable: {type(v)}")
+
+
+def _normalize(v):
+    """STRUCT columns arrive as pyspark Rows — a tuple SUBCLASS, so
+    json.dumps serializes them as JSON arrays and the field names
+    vanish silently (the ``default`` hook only fires for types json
+    can't already encode; review r10).  Recurse structs to dicts (and
+    their children, so a struct inside an array keeps its names too);
+    scalars fall through to ``_json_default`` at dump time."""
+    if hasattr(v, "asDict"):
+        return {k: _normalize(x) for k, x in v.asDict().items()}
+    if isinstance(v, (list, tuple)):
+        return [_normalize(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _normalize(x) for k, x in v.items()}
+    return v
 
 
 def _write_task_file(staging_root: str, fields, iterator) -> _FileMsg:
@@ -87,7 +104,7 @@ def _write_task_file(staging_root: str, fields, iterator) -> _FileMsg:
     try:
         with open(full, "w") as f:
             for row in iterator:
-                obj = dict(zip(fields, row))
+                obj = {k: _normalize(v) for k, v in zip(fields, row)}
                 f.write(
                     json.dumps(
                         obj, default=_json_default, ensure_ascii=False,

@@ -195,3 +195,37 @@ def test_failed_job_staging_fully_reclaimed(spark, tmp_path):
             for n in ns
         ]
         assert leftovers == []
+
+
+def test_struct_and_array_columns_serialize(spark, tmp_path):
+    """Review r10: a STRUCT column reaches the task serializer as a
+    pyspark Row — a tuple SUBCLASS, so json.dumps silently encoded it
+    as a JSON ARRAY and the field names vanished (the `default` hook
+    never fires for types json already handles).  Structs (and structs
+    nested in arrays) must keep their field names."""
+    path = str(tmp_path / "nested")
+    df = spark.range(3).select(
+        F.col("id"),
+        F.struct(
+            F.concat(F.lit("u"), F.col("id")).alias("name"),
+            (F.col("id") + 10).alias("score"),
+        ).alias("meta"),
+        F.array(F.col("id"), F.col("id") * 2).alias("pair"),
+    )
+    df.write.format("starrysky_jsonl").option("path", path).mode(
+        "append"
+    ).save()
+    man = read_manifest(path)
+    assert man["n_rows"] == 3
+    rows = []
+    for f in man["files"]:
+        if not f["n_rows"]:
+            continue
+        with open(os.path.join(path, f["name"])) as fh:
+            rows += [json.loads(line) for line in fh]
+    got = sorted(
+        (r["id"], r["meta"]["name"], r["meta"]["score"], tuple(r["pair"]))
+        for r in rows
+    )
+    assert got == [(0, "u0", 10, (0, 0)), (1, "u1", 11, (1, 2)),
+                   (2, "u2", 12, (2, 4))]

@@ -364,10 +364,26 @@ def label_propagation(
     strategy), one (dst, label) count aggregate, one deterministic
     arg-max via max_by over a (count, -label) struct — shuffles are
     node-sized, edge data never reshuffles (cached scan)."""
-    edges = edges.select(
-        F.col("src").cast("bigint").alias("src"),
-        F.col("dst").cast("bigint").alias("dst"),
-    ).cache()
+    # Edge-cache ownership (review r10): callers routinely cache the
+    # edge list themselves (the catalog queries count it to materialize
+    # the build).  Re-casting + re-caching here DUPLICATED the edge
+    # list in executor storage — the single biggest cached artifact of
+    # the whole query, doubled for no reason — and paid one extra full
+    # materialization pass.  When the input is already exactly
+    # (src,dst) bigint AND cached, reuse the caller's cache and leave
+    # its lifetime to the caller; otherwise build (and own) the recast
+    # cache as before.
+    _reusable = (
+        [f.name for f in edges.schema.fields] == ["src", "dst"]
+        and all(f.dataType.simpleString() == "bigint"
+                for f in edges.schema.fields)
+    )
+    owns_edges = not (_reusable and edges.is_cached)
+    if owns_edges:
+        edges = edges.select(
+            F.col("src").cast("bigint").alias("src"),
+            F.col("dst").cast("bigint").alias("dst"),
+        ).cache()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -390,7 +406,7 @@ def label_propagation(
         # looped exit below leaves labels on the last round's
         # LogicalRDD, which depends on NO cache, so this is the only
         # path that needs _finalize's checkpoint copy.
-        return _finalize(labels, edges, nodes)
+        return _finalize(labels, *([edges] if owns_edges else []), nodes)
     # changed = nodes whose label changed last round (round 1: all)
     changed: DataFrame | None = None  # None = first round, frontier is V
     n_changed = n_nodes  # round 1's frontier is every node
@@ -499,6 +515,7 @@ def label_propagation(
                     c.unpersist()
                 _pinned.clear()
             break
-    edges.unpersist()
+    if owns_edges:
+        edges.unpersist()
     nodes.unpersist()
     return labels

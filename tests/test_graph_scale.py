@@ -292,3 +292,55 @@ def test_label_prop_releases_caches_and_bounds_plan_growth(spark, monkeypatch):
     assert not leaked, f"{len(leaked)} cached frame(s) never unpersisted"
     # period-2 oscillation: even rounds sit on the round-2 state
     assert ten == {1: 1, 2: 2, 3: 1}
+
+
+def test_label_prop_reuses_caller_edge_cache(spark, monkeypatch):
+    """Review r10: callers that pre-cache an exactly-(src,dst)-bigint
+    edge list (the catalog query does, to materialize the edge build)
+    used to have it re-cast and RE-CACHED inside label_propagation —
+    the query's biggest cached artifact duplicated in executor storage
+    plus one wasted materialization pass.  Reused caches must (a) not
+    be cached again edge-sized, (b) stay alive for the caller — the
+    function must not unpersist what it does not own."""
+    import pyspark.sql.functions as F
+    probe = spark.range(1)
+    df_cls = type(probe)
+    cached, released = [], []
+    real_cache, real_unpersist = df_cls.cache, df_cls.unpersist
+
+    def spy_cache(self):
+        cached.append(self)
+        return real_cache(self)
+
+    def spy_unpersist(self, blocking=False):
+        released.append(self)
+        return real_unpersist(self, blocking)
+
+    monkeypatch.setattr(df_cls, "cache", spy_cache)
+    monkeypatch.setattr(df_cls, "unpersist", spy_unpersist)
+
+    edges = _edges(spark, [(1, 2), (2, 1), (2, 3), (3, 2)]).select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+    ).cache()
+    edges.count()
+    got = dict(map(tuple, label_propagation(edges, iters=1).collect()))
+    assert got == {1: 2, 2: 1, 3: 2}
+    # the caller's cache must still be alive (not unpersisted by the
+    # function) and no second edge-shaped cache may have been created:
+    # every cache the function made is node-sized (nodes / rounds), and
+    # each of those was released
+    assert edges.is_cached, "function unpersisted a cache it did not own"
+    inner = [d for d in cached[1:] if d is not edges]
+    leaked = [d for d in inner if d not in released]
+    assert not leaked, f"{len(leaked)} function-made cache(s) leaked"
+    # identity check: the function never called .cache() on a frame
+    # whose schema is the raw (src,dst) edge shape — the reuse branch
+    # skipped the recast cache entirely
+    edge_shaped = [
+        d for d in inner
+        if [f.name for f in d.schema.fields] == ["src", "dst"]
+        and "label" not in d.columns
+    ]
+    assert not edge_shaped, "edge list was re-cached despite reuse"
+    edges.unpersist()

@@ -32,6 +32,7 @@ import base64
 import hashlib
 import hmac
 import json
+import math
 import time
 from typing import Callable, Mapping, Optional
 
@@ -124,13 +125,18 @@ def verify_jwt(
     exp = payload.get("exp")
     if exp is not None:
         now = time.time() if now_s is None else now_s
-        try:
-            expired = float(exp) < now
-        except (TypeError, ValueError) as exc:
-            # a crafted non-numeric exp must read as a bad token (401),
-            # not crash the handler into a 500
-            raise AuthRequiredError(f"jwt exp not numeric: {exp!r}") from exc
-        if expired:
+        # exp must be a REAL number (RFC 7519 NumericDate), checked by
+        # type, not by float() coercion (review r10): json.loads accepts
+        # the non-standard NaN/Infinity literals, and float("nan") < now
+        # is False — a crafted {"exp": NaN} (or the string "NaN") was a
+        # NEVER-EXPIRING token.  bool is an int subclass; exclude it too.
+        if (
+            isinstance(exp, bool)
+            or not isinstance(exp, (int, float))
+            or not math.isfinite(exp)
+        ):
+            raise AuthRequiredError(f"jwt exp not a finite number: {exp!r}")
+        if exp < now:
             raise AuthRequiredError("jwt expired")
 
     key = key_lookup(iss)

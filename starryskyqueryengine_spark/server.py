@@ -374,7 +374,12 @@ class FeedGeneratorServer:
                 # one request buffer arbitrary bytes driver-side.  The
                 # cap is checked BEFORE reading, so oversized bodies
                 # cost a header parse, not a 100 MB recv.
-                n = int(self.headers.get("Content-Length") or 0)
+                # clamp negatives (review r10): a crafted negative
+                # Content-Length passed the cap check and reached
+                # rfile.read(n < 0), which reads until EOF — the request
+                # thread hung for as long as a keep-alive client cared
+                # to stay silent
+                n = max(0, int(self.headers.get("Content-Length") or 0))
                 if n > JSON_BODY_LIMIT:
                     raise _PayloadTooLarge(n)
                 raw = self.rfile.read(n) if n else b""

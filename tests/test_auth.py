@@ -225,6 +225,25 @@ def test_non_numeric_exp_is_auth_error_not_crash():
         verify_jwt(tok2, SERVICE_DID, lambda d: KEY)
 
 
+def test_nonfinite_exp_rejected_not_eternal():
+    """Review r10: exp was validated by float() coercion, and json.loads
+    accepts the non-standard NaN/Infinity literals — float("nan") < now
+    is False, so a crafted {"exp": NaN} (or the STRING "NaN"/"inf") was
+    a never-expiring token.  Non-finite and non-numeric exp must 401."""
+    for bad in (float("nan"), float("inf"), "NaN", "inf", "1e9999", True):
+        tok = sign_jwt_hs256(
+            {"iss": "did:plc:alice", "aud": SERVICE_DID, "exp": bad}, KEY
+        )
+        with pytest.raises(AuthRequiredError, match="exp"):
+            verify_jwt(tok, SERVICE_DID, lambda d: KEY)
+    # a plain numeric exp in the future still verifies
+    ok = sign_jwt_hs256(
+        {"iss": "did:plc:alice", "aud": SERVICE_DID,
+         "exp": time.time() + 60}, KEY
+    )
+    assert verify_jwt(ok, SERVICE_DID, lambda d: KEY) == "did:plc:alice"
+
+
 def test_es256k_via_validate_auth_header():
     from starryskyqueryengine_spark.auth import sign_jwt_es256k
     from starryskyqueryengine_spark.secp256k1 import pubkey_sec1

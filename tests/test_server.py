@@ -363,3 +363,28 @@ def test_oversized_body_rejected_413(server):
     ok = {"key": "smallfeed", "recordName": "smallfeed", "inputRegex": "spark"}
     status, resp = _req(server.port, "/setQuery", body=ok, headers=hdr)
     assert status == 200 and resp["result"] == "OK"
+
+
+def test_negative_content_length_does_not_hang(server):
+    """Review r10: a crafted negative Content-Length passed the body cap
+    (not > limit) and reached rfile.read(n < 0), which reads until EOF —
+    the request thread hung for as long as the client stayed silent.
+    The server must answer promptly without the client closing first."""
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=5)
+    try:
+        conn.putrequest("POST", "/getQuery")
+        conn.putheader("Content-Type", "application/json")
+        conn.putheader("x-starrtsky-webpasskey", "sesame")
+        conn.putheader("Content-Length", "-7")
+        conn.endheaders()
+        # no body sent, connection held open: a hang would raise
+        # socket.timeout here instead of returning a response
+        resp = conn.getresponse()
+        assert resp.status == 200  # empty body -> NOT_FOUND envelope
+        import json as _json
+
+        assert _json.loads(resp.read())["result"] == "NOT_FOUND"
+    finally:
+        conn.close()

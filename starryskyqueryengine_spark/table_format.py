@@ -47,6 +47,39 @@ from .schemas import POST_SCHEMA
 
 _COLS = [f.name for f in POST_SCHEMA.fields]
 
+# Spark/Hive partition-value escaping (ExternalCatalogUtils
+# .escapePathName, verified empirically against this Spark's writer):
+# control chars U+0001-U+001F, U+007F, and  " # % ' * / : = ? \ [ ] ^ {
+# become %XX (uppercase hex); everything else — including space, } | < >
+# — is literal.  Data-side DataFrames always carry the RAW key (Spark
+# unescapes partition values on read); the LOG and the on-disk dir
+# names carry the ESCAPED form.  Every raw->escaped boundary must cross
+# through these two helpers (review r10: delete_partition /
+# expected_keys / file_counts compared raw against escaped, so a key
+# containing ':' or '/' silently no-opped the U4 cascade delete, left
+# emptied partitions alive, and hid fragmentation from compaction).
+_ESCAPE_CHARS = (
+    set('"#%\'*/:=?\\[]^{')
+    | {chr(c) for c in range(1, 0x20)}
+    | {"\x7f"}
+)
+
+
+def escape_partition_value(v: str) -> str:
+    """Raw partition value -> on-disk/log form (Spark's escapePathName)."""
+    return "".join(
+        f"%{ord(c):02X}" if c in _ESCAPE_CHARS else c for c in v
+    )
+
+
+def unescape_partition_value(v: str) -> str:
+    """On-disk/log form -> raw.  urllib unquote is an exact inverse:
+    '%' itself is always escaped, so every literal '%XX' on disk denotes
+    an escape, never raw text."""
+    from urllib.parse import unquote
+
+    return unquote(v)
+
 
 class TableFormat:
     """Abstract physical table adapter (see module docstring)."""
@@ -144,7 +177,10 @@ class ParquetPartitionedFormat(TableFormat):
                 self.delete_partition(k)
 
     def delete_partition(self, key: str) -> None:
-        part_dir = os.path.join(self.path, f"key={key}")
+        # the on-disk dir carries the ESCAPED key (see module helpers)
+        part_dir = os.path.join(
+            self.path, f"key={escape_partition_value(key)}"
+        )
         if os.path.isdir(part_dir):
             import shutil
 
@@ -162,7 +198,8 @@ class ParquetPartitionedFormat(TableFormat):
                     for f in os.listdir(part)
                     if f.endswith(".parquet") and not f.startswith((".", "_"))
                 )
-                out[entry[len("key=") :]] = n
+                # callers compare these against DataFrame keys — raw form
+                out[unescape_partition_value(entry[len("key=") :])] = n
         return out
 
 
@@ -1030,7 +1067,11 @@ class TxnLogFormat(TableFormat):
         aligned, new_schema = self._reconcile(df)
         self._enforce_constraints(aligned)
         adds = self._stage(aligned)
-        touched = {a["key"] for a in adds} | set(expected_keys or [])
+        # adds carry the staged (escaped) key form; expected_keys arrive
+        # raw from the caller — escape before mixing the two
+        touched = {a["key"] for a in adds} | {
+            escape_partition_value(k) for k in (expected_keys or [])
+        }
         if not touched:
             return
         # one atomic commit: new files in, every prior file of the
@@ -1045,12 +1086,16 @@ class TxnLogFormat(TableFormat):
 
     def delete_partition(self, key: str) -> None:
         if self._snapshot():
-            self._commit("delete", [], remove_keys={key})
+            # the log's key fields are in the ESCAPED (on-disk) form
+            self._commit(
+                "delete", [], remove_keys={escape_partition_value(key)}
+            )
 
     def file_counts(self) -> dict[str, int]:
         out: dict[str, int] = {}
         for _p, k in self._snapshot().items():
-            out[k] = out.get(k, 0) + 1
+            raw = unescape_partition_value(k)  # callers speak raw keys
+            out[raw] = out.get(raw, 0) + 1
         return out
 
     # ------------------------------------------------------- management

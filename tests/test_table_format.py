@@ -1568,3 +1568,54 @@ def test_dynamic_overwrite_mode_is_scoped_not_global(spark, tmp_path):
     fmt.overwrite_partitions(_batch(spark, 10, 2, key="b"))
     keys = {r["key"] for r in fmt.read(spark).select("key").distinct().collect()}
     assert keys == {"a", "b"}
+
+
+def test_escaped_partition_key_boundaries_both_formats(spark, tmp_path):
+    """Review r10: data-side DataFrames carry RAW keys while the on-disk
+    dir names and the txn log carry Spark's ESCAPED form ('a:b' ->
+    'a%3Ab').  delete_partition / expected_keys / file_counts compared
+    raw against escaped, so for any key containing " # % ' * / : = ? \\
+    [ ] ^ { (or a control char) the U4 cascade delete silently no-opped,
+    an emptied partition's old files survived an overwrite, and
+    compaction never saw the fragmentation.  Exercise every boundary
+    with an escapable key on BOTH formats."""
+    from starryskyqueryengine_spark.table_format import (
+        escape_partition_value,
+        unescape_partition_value,
+    )
+
+    # helper round-trip incl. a literal '%' (only correct if '%' always
+    # escapes) and the full punctuation set
+    for raw in ("a:b", "a/b", "100%", 'q"x', "a[b]c", "plain", "w s",
+                "t\tab", "a=b#c"):
+        esc = escape_partition_value(raw)
+        assert unescape_partition_value(esc) == raw
+        assert "/" not in esc.replace("%2F", "") or raw == "plain"
+
+    for name, mk in (
+        ("parquet", lambda p: ParquetPartitionedFormat(spark, p)),
+        ("txnlog", lambda p: TxnLogFormat(spark, p)),
+    ):
+        path = str(tmp_path / f"esc_{name}")
+        fmt = mk(path)
+        store = PostStore(spark, path, fmt=fmt)
+        store.upsert(_batch(spark, 0, 4, key="a:b"))
+        store.upsert(_batch(spark, 0, 3, key="plain"))
+
+        # file_counts speaks RAW keys
+        fc = fmt.file_counts()
+        assert "a:b" in fc and "plain" in fc, (name, fc)
+
+        # retention that empties the escapable key's partition
+        # (expected_keys boundary): cap 2 keeps 2 of 4
+        store.apply_retention({"a:b": 2})
+        got = sorted(
+            r["uri"] for r in store.read_key("a:b").collect()
+        )
+        assert len(got) == 2, (name, got)
+
+        # U4 cascade delete (delete_partition boundary)
+        store.delete_key("a:b")
+        assert store.read_key("a:b").count() == 0, name
+        assert store.read_key("plain").count() == 3, name
+        assert "a:b" not in fmt.file_counts(), name

@@ -42,6 +42,27 @@ import zlib
 import numpy as np
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+#: Decompression-bomb guard for the COMPRESSED formats (PNG/GIF/JPEG):
+#: a few-KB payload whose header declares huge dimensions forces the
+#: decoder to allocate h*w-sized arrays (PNG inflates ~1000x, GIF LZW
+#: ~2700x, and JPEG allocated its coefficient planes from the SOF dims
+#: before reading any entropy data) — an OOM no per-record quarantine
+#: can catch because the task dies before raising.  PIL draws the same
+#: line (MAX_IMAGE_PIXELS + DecompressionBombError).  Raw formats
+#: (WAV/Y4M/PPM) need no cap: their memory is bounded by the payload
+#: size itself.  128M pixels = 512 MB of RGBA — far above any fixture,
+#: far below an executor heap.
+MAX_DECODE_PIXELS = 1 << 27
+
+
+def _check_pixel_budget(w: int, h: int, fmt: str) -> None:
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"{fmt}: declared {w}x{h} = {w * h} pixels exceeds the "
+            f"{MAX_DECODE_PIXELS}-pixel decode budget (decompression-"
+            f"bomb guard)"
+        )
 WAV_MAGIC = b"RIFF"
 
 # color type -> samples per pixel (8-bit depth only)
@@ -174,6 +195,7 @@ def png_decode(payload: bytes, verify_crc: bool = True):
     ch = _PNG_CHANNELS.get(color_type)
     if ch is None:
         raise ValueError(f"unsupported color type {color_type}")
+    _check_pixel_budget(w, h, "PNG")
 
     stride = w * ch
     expected = h * (stride + 1)
@@ -539,6 +561,7 @@ def gif_decode(payload: bytes):
             raise ValueError(f"unexpected block 0x{b:02X}")
         left, top, iw, ih, iflags = struct.unpack("<HHHHB", payload[pos : pos + 9])
         pos += 9
+        _check_pixel_budget(iw, ih, "GIF")
         if iflags & 0x40:
             raise ValueError("interlaced GIF not supported")
         if iflags & 0x80:

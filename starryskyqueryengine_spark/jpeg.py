@@ -544,6 +544,14 @@ def jpeg_decode(payload: bytes):
 
 def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
     h, w = frame["h"], frame["w"]
+    # decompression-bomb guard (shared with PNG/GIF): the coefficient
+    # planes below are allocated from the SOF dims BEFORE any entropy
+    # data is read — a few-hundred-byte payload declaring 65535x65535
+    # would attempt a ~34 GB float64 allocation and kill the task
+    # before the quarantine's except could run
+    from .codecs import _check_pixel_budget
+
+    _check_pixel_budget(w, h, "JPEG")
     comps = [s[0] for s in scan]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)

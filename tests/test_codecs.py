@@ -445,3 +445,65 @@ def test_y4m_zero_frames_decodes_empty():
     w, h, rate, frames = y4m_decode(b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C444\n")
     assert (w, h) == (4, 4)
     assert frames.shape == (0, 4, 4, 3)
+
+
+def test_decompression_bomb_guard_all_compressed_formats():
+    """Review r10: a few-KB payload whose header declares huge dims made
+    the decoder allocate h*w-sized arrays BEFORE any data validation —
+    PNG inflates ~1000x, GIF LZW ~2700x, and JPEG allocated its
+    float64 coefficient planes straight from the SOF dims (a crafted
+    300-byte JPEG attempted ~34 GB).  An OOM kills the task before the
+    per-record quarantine's except can run, so the guard must raise
+    ValueError (PIL's MAX_IMAGE_PIXELS discipline) — and FAST."""
+    import struct
+    import time
+    import zlib as _zlib
+
+    import pytest
+
+    from starryskyqueryengine_spark.codecs import (
+        GIF_MAGIC,
+        PNG_MAGIC,
+        _chunk,
+        gif_decode,
+        png_decode,
+    )
+    from starryskyqueryengine_spark.jpeg import jpeg_decode
+
+    t0 = time.perf_counter()
+    # PNG: IHDR claims 65535x65535 RGB
+    ihdr = struct.pack(">IIBBBBB", 65535, 65535, 8, 2, 0, 0, 0)
+    png = PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(
+        b"IDAT", _zlib.compress(b"\x00" * 64)
+    ) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="decode budget"):
+        png_decode(png)
+
+    # GIF: image descriptor claims 65535x65535
+    gif = (
+        GIF_MAGIC + b"9a" + struct.pack("<HHBBB", 65535, 65535, 0x80, 0, 0)
+        + b"\x00" * 6  # 2-entry palette
+        + b"\x2C" + struct.pack("<HHHHB", 0, 0, 65535, 65535, 0)
+        + b"\x02\x01\x00\x00\x3B"
+    )
+    with pytest.raises(ValueError, match="decode budget"):
+        gif_decode(gif)
+
+    # JPEG: SOF0 claims 65504x65504 (multiple of 8), one component,
+    # minimal DQT/DHT/SOS so parsing reaches the scan decoder
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    sof = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(
+        ">HH", 65504, 65504
+    ) + b"\x01" + b"\x01\x11\x00"
+    # DC table 0: one code of length 1, symbol 0
+    dht = b"\xff\xc4" + struct.pack(">H", 19 + 1) + b"\x00" + bytes(
+        [1] + [0] * 15
+    ) + b"\x00"
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01" + b"\x01\x00" + b"\x00\x3f\x00"
+    jpg = b"\xff\xd8" + dqt + sof + dht + sos + b"\x00\x00" + b"\xff\xd9"
+    with pytest.raises(ValueError, match="decode budget"):
+        jpeg_decode(jpg)
+
+    # the guard must fire from header metadata alone — well under a
+    # second, no giant allocation
+    assert time.perf_counter() - t0 < 5.0

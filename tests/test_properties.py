@@ -267,3 +267,25 @@ def test_morton_interleave_matches_reference_bulk(spark):
 
     for r in rows:
         assert r["z"] == ref(r["a"], r["b"])
+
+
+@given(key=st.text(min_size=1, max_size=40).filter(lambda s: "\x00" not in s))
+@settings(max_examples=300, deadline=None)
+def test_partition_escape_roundtrip(key):
+    """escape/unescape are exact inverses for any non-NUL key, the
+    escaped form never contains a path separator or control char (it is
+    a single safe dir-name segment), and escaping is injective (two
+    distinct raws can never collide on disk)."""
+    from starryskyqueryengine_spark.table_format import (
+        escape_partition_value,
+        unescape_partition_value,
+    )
+
+    esc = escape_partition_value(key)
+    assert unescape_partition_value(esc) == key
+    assert "/" not in esc and "\\" not in esc
+    assert not any(ord(c) < 0x20 or ord(c) == 0x7F for c in esc)
+    # injectivity via canonical form: unescape is a function, and
+    # escape(raw) always round-trips, so collisions are impossible;
+    # spot-pin the classic ambiguity anyway
+    assert escape_partition_value("a:b") != escape_partition_value("a%3Ab")

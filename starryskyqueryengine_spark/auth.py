@@ -130,10 +130,16 @@ def verify_jwt(
         # the non-standard NaN/Infinity literals, and float("nan") < now
         # is False — a crafted {"exp": NaN} (or the string "NaN") was a
         # NEVER-EXPIRING token.  bool is an int subclass; exclude it too.
+        # Finiteness only applies to floats: Python ints are always
+        # finite, and math.isfinite(10**400) raises OverflowError ("int
+        # too large to convert to float") — which would escape the
+        # AuthRequiredError contract and surface as a 500 instead of the
+        # 401 this check exists to guarantee (review r11).  The int/float
+        # comparison below is exact in Python, no overflow.
         if (
             isinstance(exp, bool)
             or not isinstance(exp, (int, float))
-            or not math.isfinite(exp)
+            or (isinstance(exp, float) and not math.isfinite(exp))
         ):
             raise AuthRequiredError(f"jwt exp not a finite number: {exp!r}")
         if exp < now:

@@ -51,17 +51,27 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 #: can catch because the task dies before raising.  PIL draws the same
 #: line (MAX_IMAGE_PIXELS + DecompressionBombError).  Raw formats
 #: (WAV/Y4M/PPM) need no cap: their memory is bounded by the payload
-#: size itself.  128M pixels = 512 MB of RGBA — far above any fixture,
-#: far below an executor heap.
+#: size itself.
+#:
+#: The budget is on the decoder's WORKING SET, not on output pixels
+#: (review r11): the output is uint8, but PNG unfiltering runs through
+#: int64 scan+recon buffers (~18 B/sample) and JPEG through float64
+#: coefficient planes plus full-res upsampled copies (~17 B/pixel per
+#: component), so a pixel-only cap understates peak memory by an order
+#: of magnitude.  Each call site passes its format's true transient
+#: bytes/pixel; the pixel ceiling stays as a coarse backstop.
 MAX_DECODE_PIXELS = 1 << 27
+MAX_DECODE_BYTES = 512 << 20
 
 
-def _check_pixel_budget(w: int, h: int, fmt: str) -> None:
-    if w * h > MAX_DECODE_PIXELS:
+def _check_pixel_budget(w: int, h: int, fmt: str, bytes_per_pixel: int = 4) -> None:
+    px = w * h
+    if px > MAX_DECODE_PIXELS or px * bytes_per_pixel > MAX_DECODE_BYTES:
         raise ValueError(
-            f"{fmt}: declared {w}x{h} = {w * h} pixels exceeds the "
-            f"{MAX_DECODE_PIXELS}-pixel decode budget (decompression-"
-            f"bomb guard)"
+            f"{fmt}: declared {w}x{h} = {px} pixels (~{px * bytes_per_pixel} "
+            f"working bytes at {bytes_per_pixel} B/px) exceeds the decode "
+            f"budget of {MAX_DECODE_PIXELS} pixels / {MAX_DECODE_BYTES} "
+            f"bytes (decompression-bomb guard)"
         )
 WAV_MAGIC = b"RIFF"
 
@@ -195,7 +205,9 @@ def png_decode(payload: bytes, verify_crc: bool = True):
     ch = _PNG_CHANNELS.get(color_type)
     if ch is None:
         raise ValueError(f"unsupported color type {color_type}")
-    _check_pixel_budget(w, h, "PNG")
+    # ~18 B/sample transient: 1 B raw inflate + 8 B int64 scan + 8 B
+    # int64 recon + 1 B uint8 output, all live at once during unfilter
+    _check_pixel_budget(w, h, "PNG", bytes_per_pixel=18 * ch)
 
     stride = w * ch
     expected = h * (stride + 1)
@@ -561,7 +573,9 @@ def gif_decode(payload: bytes):
             raise ValueError(f"unexpected block 0x{b:02X}")
         left, top, iw, ih, iflags = struct.unpack("<HHHHB", payload[pos : pos + 9])
         pos += 9
-        _check_pixel_budget(iw, ih, "GIF")
+        # ~6 B/pixel transient: LZW out bytearray + idx copy + RGB(A)
+        # palette expansion
+        _check_pixel_budget(iw, ih, "GIF", bytes_per_pixel=6)
         if iflags & 0x40:
             raise ValueError("interlaced GIF not supported")
         if iflags & 0x80:

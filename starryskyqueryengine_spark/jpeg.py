@@ -551,8 +551,11 @@ def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
     # before the quarantine's except could run
     from .codecs import _check_pixel_budget
 
-    _check_pixel_budget(w, h, "JPEG")
     comps = [s[0] for s in scan]
+    # ~17 B/pixel per component transient (upper bound, treating every
+    # component as full resolution): 8 B float64 coefficient plane +
+    # 8 B float64 full-res upsampled copy + 1 B uint8 output
+    _check_pixel_budget(w, h, "JPEG", bytes_per_pixel=17 * len(comps))
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax

@@ -394,6 +394,17 @@ def cdc_apply_batch(store: PostStore):
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
 
+        # Enforce the W6 contract LOUDLY (review r11): without this, a
+        # producer whose batch lacks the column gets a raw
+        # AnalysisException from the Window orderBy below, not the
+        # contract error the docstring promises.
+        if "indexedAt" not in batch_df.columns:
+            raise ValueError(
+                "cdc_apply_batch: W6 contract violation — the batch must "
+                "carry an 'indexedAt' column (the per-PK op ordering "
+                "key); a DataFrame loses row order at the shuffle, so op "
+                "order cannot be inferred"
+            )
         batch_df = batch_df.cache()
         try:
             deletes = (

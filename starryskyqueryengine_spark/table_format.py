@@ -1381,6 +1381,13 @@ class TxnLogFormat(TableFormat):
         vs = self._versions()
         validated_at = vs[-1] if vs else -1
         live = self._snapshot()
+        # Callers speak RAW keys; the snapshot speaks ESCAPED keys (the
+        # on-disk directory form).  Escape at entry or a targeted
+        # compaction of a key containing ':' '/' '#' silently no-ops —
+        # the same raw/escaped boundary class fixed in delete_partition/
+        # upsert/file_counts in r10 (review r11).
+        if keys is not None:
+            keys = {escape_partition_value(k) for k in keys}
         per_key: dict[str, list[tuple[str, int]]] = defaultdict(list)
         for rel, key in live.items():
             if keys is not None and key not in keys:

@@ -244,6 +244,24 @@ def test_nonfinite_exp_rejected_not_eternal():
     assert verify_jwt(ok, SERVICE_DID, lambda d: KEY) == "did:plc:alice"
 
 
+def test_huge_int_exp_stays_in_the_401_contract():
+    """ADVICE r10: math.isfinite(10**400) raises OverflowError ('int too
+    large to convert to float'), escaping the AuthRequiredError contract
+    — the server's generic handler turned the crafted token into a 500
+    instead of the 401 the finiteness check exists to guarantee.  A huge
+    int exp is a VALID far-future NumericDate: it must verify, not crash;
+    a huge NEGATIVE int must read as expired."""
+    far_future = sign_jwt_hs256(
+        {"iss": "did:plc:alice", "aud": SERVICE_DID, "exp": 10 ** 400}, KEY
+    )
+    assert verify_jwt(far_future, SERVICE_DID, lambda d: KEY) == "did:plc:alice"
+    long_expired = sign_jwt_hs256(
+        {"iss": "did:plc:alice", "aud": SERVICE_DID, "exp": -(10 ** 400)}, KEY
+    )
+    with pytest.raises(AuthRequiredError, match="expired"):
+        verify_jwt(long_expired, SERVICE_DID, lambda d: KEY)
+
+
 def test_es256k_via_validate_auth_header():
     from starryskyqueryengine_spark.auth import sign_jwt_es256k
     from starryskyqueryengine_spark.secp256k1 import pubkey_sec1

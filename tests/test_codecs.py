@@ -507,3 +507,44 @@ def test_decompression_bomb_guard_all_compressed_formats():
     # the guard must fire from header metadata alone — well under a
     # second, no giant allocation
     assert time.perf_counter() - t0 < 5.0
+
+
+def test_decode_budget_counts_working_bytes_not_output_pixels():
+    """ADVICE r10: the 128M-pixel cap understated transient memory —
+    PNG unfiltering runs int64 scan+recon buffers (~18 B/sample) and
+    JPEG float64 coefficient planes (~17 B/px/component), so a payload
+    just under the pixel cap could still demand gigabytes.  The budget
+    now charges each format's true working bytes/pixel: a 4000x4000
+    RGBA PNG (16M px — fine under the old pixel-only cap) declares
+    ~1.15 GB of unfilter working set and must be refused up front."""
+    import struct
+
+    import pytest
+
+    from starryskyqueryengine_spark.codecs import (
+        MAX_DECODE_BYTES,
+        MAX_DECODE_PIXELS,
+        PNG_MAGIC,
+        _check_pixel_budget,
+        _chunk,
+        png_decode,
+    )
+
+    assert 4000 * 4000 < MAX_DECODE_PIXELS  # the old cap would have passed
+    assert 4000 * 4000 * 18 * 4 > MAX_DECODE_BYTES
+    ihdr = struct.pack(">IIBBBBB", 4000, 4000, 8, 6, 0, 0, 0)  # RGBA
+    png = (
+        PNG_MAGIC + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", b"\x00" * 16) + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="decode budget"):
+        png_decode(png)
+
+    # the helper itself: JPEG's 3-component working set trips the byte
+    # budget at dims the pixel cap alone would admit
+    with pytest.raises(ValueError, match="decode budget"):
+        _check_pixel_budget(5000, 5000, "JPEG", bytes_per_pixel=17 * 3)
+    # and realistic sizes still pass at every format's rate
+    _check_pixel_budget(1920, 1080, "PNG", bytes_per_pixel=18 * 4)
+    _check_pixel_budget(1920, 1080, "JPEG", bytes_per_pixel=17 * 3)
+    _check_pixel_budget(1920, 1080, "GIF", bytes_per_pixel=6)

@@ -1228,3 +1228,21 @@ def test_w6_cdc_unstamped_delete_is_final(spark, tmp_path):
 
     got = {r["uri"]: r["cid"] for r in store.read().collect()}
     assert got == {"pB": "b-new"}, got
+
+
+def test_w6_cdc_missing_indexed_at_raises_contract_error(spark, tmp_path):
+    """Review r11 (verdict #3): a producer whose batch lacks the
+    ``indexedAt`` ordering column must get the documented W6 contract
+    error, not a raw AnalysisException leaking from the Window orderBy."""
+    import pytest as _pytest
+
+    from starryskyqueryengine_spark.store import PostStore
+    from starryskyqueryengine_spark.streaming import cdc_apply_batch
+
+    store = PostStore(spark, str(tmp_path / "store"))
+    apply_fn = cdc_apply_batch(store)
+    bad = spark.createDataFrame(
+        [("pA", "k1", "a1", "create")], "uri string, key string, cid string, _op string"
+    )
+    with _pytest.raises(ValueError, match="W6 contract"):
+        apply_fn(bad, 0)

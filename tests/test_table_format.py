@@ -991,6 +991,30 @@ def test_merge_and_optimize_with_escaped_partition_values(spark, tmp_path):
     assert after == got
 
 
+def test_optimize_targeted_keys_speak_raw_not_escaped(spark, tmp_path):
+    """ADVICE r10: optimize(keys=...) compared raw caller keys against
+    ESCAPED snapshot keys, so a targeted compaction of a key containing
+    ':' '/' '#' silently no-opped — the same raw/escaped boundary class
+    fixed in delete_partition/upsert/file_counts in r10.  Callers speak
+    raw keys everywhere else; optimize must too."""
+    from starryskyqueryengine_spark.table_format import TxnLogFormat
+
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    raw_key = "feed:a/b#1"
+    for i in range(3):
+        fmt.append(_batch(spark, i * 10, 2, key=raw_key))
+        fmt.append(_batch(spark, i * 10, 2, key="plain"))
+    before = fmt.file_counts()
+    assert before[raw_key] >= 3 and before["plain"] >= 3
+    stats = fmt.optimize(target_bytes=1 << 30, keys=[raw_key])
+    assert stats["files_compacted"] >= 3  # the escaped key DID compact
+    after = fmt.file_counts()
+    assert after[raw_key] < before[raw_key]
+    assert after["plain"] == before["plain"]  # untargeted key untouched
+    # rows unchanged
+    assert fmt.read(spark).filter(F.col("key") == raw_key).count() == 6
+
+
 def test_restore_to_version(spark, tmp_path):
     """RESTORE: one metadata-only commit makes the current snapshot
     equal an earlier version — removed files re-added, newer files

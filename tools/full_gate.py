@@ -32,6 +32,43 @@ import __spark_entry__ as entrymod  # noqa: E402
 from starryskyqueryengine_spark.session import get_spark  # noqa: E402
 from starryskyqueryengine_spark.sources.fixtures import TABLES  # noqa: E402
 
+# Tolerance-band value checks for inherently estimate-valued queries
+# (review r11, verdict #4): engine sketches differ bit-for-bit, so no
+# hash oracle can exist — but the ESTIMATE still has a published error
+# bound, and |estimate - exact| <= rel_tol * exact is a real value
+# assertion where "rows-only" was none.  rel_tol is 3x the configured
+# relative standard deviation (rsd=0.02 in the query), the standard
+# 3-sigma band for HLL++'s near-Gaussian error (Heule et al. 2013).
+TOLERANCE_CHECKS: dict[str, dict] = {
+    "sketch_distinct_users": {
+        "exact_sql": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users "
+            "FROM events GROUP BY event_type"
+        ),
+        "key_cols": ["event_type"],
+        "est_col": "approx_users",
+        "rel_tol": 0.06,
+    },
+}
+
+
+def tolerance_check(spark_rows, spark_cols, exact_rows, exact_cols, spec):
+    """Per-key |estimate - exact| <= rel_tol * exact.  Returns (ok, err)."""
+    kc, ec, tol = spec["key_cols"], spec["est_col"], spec["rel_tol"]
+    s_key = [spark_cols.index(c) for c in kc]
+    s_est = spark_cols.index(ec)
+    exact = {tuple(r[exact_cols.index(c)] for c in kc): r[-1] for r in exact_rows}
+    got = {tuple(r[i] for i in s_key): r[s_est] for r in spark_rows}
+    if set(exact) != set(got):
+        return False, f"key sets differ: {sorted(set(exact) ^ set(got))[:5]}"
+    for k, true_n in exact.items():
+        if abs(got[k] - true_n) > tol * true_n:
+            return False, (
+                f"estimate {got[k]} for key {k} outside "
+                f"{tol:.0%} of exact {true_n}"
+            )
+    return True, None
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -61,7 +98,20 @@ def main() -> None:
             spark_rows = [tuple(r) for r in sdf.collect()]
             rec["spark_rows"] = len(spark_rows)
             if name not in oracles:
-                rec["err"] = "no-oracle (rows-only)"
+                spec = TOLERANCE_CHECKS.get(name)
+                if spec is not None:
+                    res = con.execute(spec["exact_sql"])
+                    exact_cols = [d[0] for d in res.description]
+                    ok, terr = tolerance_check(
+                        spark_rows, sdf.columns, res.fetchall(), exact_cols, spec
+                    )
+                    rec["values_match"] = ok
+                    rec["rows_match"] = ok
+                    rec["schema_match"] = True
+                    rec["err"] = None if ok else f"tolerance-band: {terr}"[:400]
+                    rec["check"] = f"tolerance-band (rel_tol={spec['rel_tol']})"
+                else:
+                    rec["err"] = "no-oracle (rows-only)"
                 results[name] = rec
                 spark.catalog.clearCache()
                 continue

@@ -589,20 +589,22 @@ def _load_extensions() -> None:
 # registered queries; _ordered() puts this window first, and
 # tests/test_oracle_parity.py pins len(PRIORITY) == 50 (ADVICE r9
 # flagged a 51-entry window; the committed list counts 50 — the pin
-# keeps it that way).  ROUND-10 ROTATION (VERDICT.md r9 ask #2): the
-# 10-query regression core, then the verdict's explicit ask list (the
-# post-refresh-touched streaming/ACID family plus the rewritten
-# sketches core), then every query whose code moved THIS round (the
-# s6 \z anchor, the zorder dtype gate, the regex-dialect empty-class
-# rewrites feeding p4/p5, the label-propagation plan-sever
-# amortization), then 23 of the 27 remaining r4-stale rows (the
-# longest-unchecked ever-greens).  Deferred to r11 with rationale:
-# f5/f7/f9 (their scalar layer is exercised by f_scalar_family, in
-# the window) and a1_count_per_key (same code path as its salted
-# twin, r9-green); sketch_distinct_users stays out as the one
-# inherently rows-only query.  Changed code outranks stale green;
-# everything else stays value-checked per-round by
-# tools/full_gate.py and tests/test_oracle_parity.py locally.
+# keeps it that way).  ROUND-11 ROTATION (VERDICT.md r10 ask #1): the
+# 10-query regression core, then the regex-dialect consumers p4/p5
+# (the translator changed this round: unflagged '.' now rewrites to
+# the JS terminator class, m-flag anchors to lookarounds — flagship,
+# in the core, carries the one catalog pattern with a dot), then the
+# ENTIRE stale tail: all 4 queries last driver-checked in r4 and all
+# 33 last checked in r5, plus mm_gif_roundtrip (r6-stale AND on the
+# GIF decode-budget path this round touched).  After this window no
+# query's last driver row predates r6 except sketch_distinct_users
+# (inherently no-oracle; its value assertion lives in the local
+# gate's tolerance band as of r11).  Rotated OUT with rationale: the
+# r10 streaming/ACID/sketch block (all r10-green, r11 changes to
+# their files are raise-only guards that cannot alter green-path
+# results); label_prop/zorder (r10-green, untouched).  Changed code
+# outranks stale green; everything else stays value-checked
+# per-round by tools/full_gate.py and tests/test_oracle_parity.py.
 PRIORITY: list[str] = [
     # --- Regression core (multi-round driver-green, highest risk) ---
     "flagship_multifeed",
@@ -615,50 +617,50 @@ PRIORITY: list[str] = [
     "s1_datasource_scan",
     "p11_acl_filter",
     "dedup_exact",
-    # --- VERDICT r9 ask #2: post-refresh-touched + r9-changed-but-
-    # unrotated (streaming family, ACID trio, rewritten sketches) ---
-    "s6_validation_filter",
-    "w_stream_dedup",
-    "w_stream_outer_join",
-    "w_stream_pattern_match",
-    "w_stream_session_counts",
-    "w_stream_sliding_counts",
-    "w_stream_static_enrich",
-    "w8_stream_tumbling_counts",
-    "table_changes_stream",
-    "acid_table_audit",
-    "acid_schema_evolution",
-    "acid_restore_audit",
-    "heavy_hitters_bigrams",
-    # --- Code paths touched in round 10 ---
-    "label_prop_communities",
-    "zorder_skipping_scan",
+    # --- Regex-dialect consumers (translator changed in r11) ---
     "p4_regex_include",
     "p5_regex_exclude",
-    # --- Freshness: 23 of the r4 bucket (last driver row = round 4) ---
-    "f_scalar_family",
-    "mm_decode_features",
-    "mm_frame_sample",
-    "mm_metadata_project",
-    "multifeed_datadriven",
-    "p10_profile_match",
-    "pack_sequences",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_delta",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "range_join_click_attribution",
-    "s1_paged_scan",
-    "s5_op_routing",
-    "s11_feed_catalog",
-    "sessionize_native",
-    "t3_retention_window",
-    "t6_init_limit",
-    "text_quality_score",
-    "u1_union_pinned",
-    "window_user_activity",
+    # --- Freshness: the complete r4 bucket (last driver row = r4) ---
+    "a1_count_per_key",
+    "f5_time_roundtrip",
+    "f7_coalesce_defaults",
+    "f9_json_extract",
+    # --- Freshness: the complete r5 bucket (last driver row = r5) ---
+    "ann_ivf_fixed_topk",
+    "bm25_search",
+    "decontaminate_overlap",
+    "distinct_users_daily",
+    "domain_stats",
+    "dsir_importance_weights",
+    "dsir_resample",
+    "leakage_safe_split",
+    "line_dedup_stats",
+    "mm_jpeg_roundtrip",
+    "mm_png_decode",
+    "mm_ppm_resize",
+    "mm_wav_features",
+    "pipeline_pretrain_prep",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q11_important_stock",
+    "q12_priority_lateness",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q18_large_orders",
+    "q19_disjunctive_pred",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    "quality_bucket_sample",
+    "quality_filter_funnel",
+    "semantic_dedup",
+    "sessionize_events",
+    "shuffle_shard_manifest",
+    "text_pii_redact",
+    "winnow_fingerprints",
+    # --- r6-stale AND on this round's GIF decode-budget path ---
+    "mm_gif_roundtrip",
 ]
 
 def _ordered(d: dict) -> dict:

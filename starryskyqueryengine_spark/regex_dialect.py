@@ -21,10 +21,15 @@ import re
 #   not match semantics; the engine models it by using regexp_count
 #   (match count) rather than boolean rlike.
 # - 'u' (unicode) is a deliberate no-op: Java regex is UTF-16-native.
+# - 'm' emits NO Java flag (r11): Java MULTILINE terminators include
+#   U+0085 (NEL) and treat \r\n as one unit, while JS LineTerminator
+#   is exactly [\n \r U+2028 U+2029] with \r\n as two — so (?m) anchors
+#   diverged on both.  The anchors are now rewritten token-level to
+#   lookarounds over the exact JS terminator set (see _rewrite_tokens).
 # Flags OUTSIDE this map (e.g. 'y' sticky, 'd' indices, 'v') change
 # matching semantics in ways the engine cannot reproduce — they raise at
 # validation instead of being silently dropped.
-_FLAG_MAP = {"i": "(?iu)", "s": "(?s)", "m": "(?m)", "u": "", "g": ""}
+_FLAG_MAP = {"i": "(?iu)", "s": "(?s)", "m": "", "u": "", "g": ""}
 
 # ECMA-262 WhiteSpace ∪ LineTerminator — what JS ``\s`` matches.  Java's
 # ``\s`` is US-ASCII ([ \t\n\x0B\f\r]) unless UNICODE_CHARACTER_CLASS is
@@ -42,7 +47,13 @@ class RegexValidationError(ValueError):
     """Raised at config-write time for unparseable patterns (P13)."""
 
 
-def _rewrite_tokens(pattern: str, multiline: bool) -> str:
+# ECMA-262 LineTerminator, exactly: LF CR LS PS.  Java's line-terminator
+# set adds U+0085 (NEL) and treats \r\n as a unit — the set behind the
+# ``.``/``^``/``$`` rewrites below.
+_JS_TERM = "\\n\\r\\u2028\\u2029"
+
+
+def _rewrite_tokens(pattern: str, multiline: bool, dotall: bool = False) -> str:
     """Token-level JS->Java rewrites that need escape/class awareness:
 
     - ``\\s``/``\\S`` -> the explicit ECMA whitespace class (Java's are
@@ -52,25 +63,36 @@ def _rewrite_tokens(pattern: str, multiline: bool) -> str:
       needs Python ``re`` to *compile* the translated form).
     - unflagged ``$`` -> ``\\z``: JS ``$`` (no ``m``) matches ONLY at the
       true end of input, Java's also matches before a trailing line
-      terminator — 'keyword$' must not match 'keyword\\n'.  Under ``m``
-      the anchors stay as-is (the terminator sets differ only in
-      Java's extra \\u0085 / \\r\\n-as-unit handling — documented,
-      not worth losing (?m)).
+      terminator — 'keyword$' must not match 'keyword\\n'.
+    - ``m``-flag anchors -> lookarounds over the exact JS terminator set
+      (r11, found by the Hypothesis dialect suite): Java MULTILINE
+      terminators include U+0085 (NEL) and treat \\r\\n as one unit, JS
+      LineTerminator is exactly [\\n\\r LS PS] with \\r\\n as two — so
+      ``(?m)^a`` missed the match after '\\r' in '\\r\\n' and ``(?m)a$``
+      spuriously matched before NEL.  ``^`` -> ``(?:\\A|(?<=[term]))``,
+      ``$`` -> ``(?:\\z|(?=[term]))`` reproduce JS exactly; no (?m) flag
+      is emitted at all.
+    - unflagged ``.`` -> ``[^\\n\\r LS PS]`` (r11, same suite): JS ``.``
+      excludes ONLY LineTerminator — it MATCHES NEL — while Java ``.``
+      excludes NEL too, so ``a.b`` silently missed 'a\\u0085b' (NEL is
+      real in copy-pasted web text).  Under ``s`` (dotAll) both dialects'
+      dots match everything, so ``.`` passes through and the (?s) prefix
+      applies.
     - JS empty-class idioms (r10): ``[^]`` (any char INCLUDING line
-      terminators — the JS idiom for dot-with-newlines, JS ``.`` never
-      matching them) -> ``(?s:.)``; ``[]`` (matches nothing) ->
-      ``(?!)``.  Both are Java SYNTAX ERRORS, so a migrating feed
-      author's pattern was rejected at validation instead of matching
-      like the reference.  JS closes a class at a ``]`` in first
-      position (ECMA-262 ClassRanges can be empty — unlike POSIX's
-      literal-] rule), so consuming exactly ``[]``/``[^]`` is the JS
-      parse.  Quantified forms keep JS semantics in Java (verified
-      against live java.util.regex): ``(?!)*`` matches empty exactly
-      like ``[]*``, ``(?!)+`` always fails like ``[]+``.
+      terminators — the JS idiom for dot-with-newlines) -> ``(?s:.)``;
+      ``[]`` (matches nothing) -> ``(?!)``.  Both are Java SYNTAX
+      ERRORS, so a migrating feed author's pattern was rejected at
+      validation instead of matching like the reference.  JS closes a
+      class at a ``]`` in first position (ECMA-262 ClassRanges can be
+      empty — unlike POSIX's literal-] rule), so consuming exactly
+      ``[]``/``[^]`` is the JS parse.  Quantified forms keep JS
+      semantics in Java (verified against live java.util.regex):
+      ``(?!)*`` matches empty exactly like ``[]*``, ``(?!)+`` always
+      fails like ``[]+``.
 
-    Escaped escapes (``\\\\s``) and class-literal ``$`` are left alone by
-    construction: the walker consumes backslash pairs atomically and
-    tracks in-class state.
+    Escaped escapes (``\\\\s``) and class-literal ``$``/``.``/``^`` are
+    left alone by construction: the walker consumes backslash pairs
+    atomically and tracks in-class state.
     """
     out: list[str] = []
     i, in_class = 0, False
@@ -100,8 +122,12 @@ def _rewrite_tokens(pattern: str, multiline: bool) -> str:
         elif ch == "]" and in_class:
             in_class = False
             out.append(ch)
-        elif ch == "$" and not in_class and not multiline:
-            out.append(r"\z")
+        elif ch == "$" and not in_class:
+            out.append("(?:\\z|(?=[" + _JS_TERM + "]))" if multiline else r"\z")
+        elif ch == "^" and not in_class and multiline:
+            out.append("(?:\\A|(?<=[" + _JS_TERM + "]))")
+        elif ch == "." and not in_class and not dotall:
+            out.append("[^" + _JS_TERM + "]")
         else:
             out.append(ch)
         i += 1
@@ -126,7 +152,9 @@ def js_to_java(pattern: str, flags: str = "") -> str:
                 f"matching semantics have no Java/Spark equivalent"
             )
     prefix = "".join(_FLAG_MAP[f] for f in flags)
-    return prefix + _rewrite_tokens(pattern, multiline="m" in flags)
+    return prefix + _rewrite_tokens(
+        pattern, multiline="m" in flags, dotall="s" in flags
+    )
 
 
 def _java_compile_check(translated: str) -> None:

@@ -76,10 +76,13 @@ def test_js_to_java_flag_translation_total(flags, pat):
 
     out = js_to_java(pat, flags)
     prefix = "".join(_FLAG_MAP[f] for f in flags)
-    assert out == prefix + _rewrite_tokens(pat, "m" in flags)
+    assert out == prefix + _rewrite_tokens(pat, "m" in flags, "s" in flags)
     assert "g" not in prefix
     # patterns free of rewritten tokens pass through verbatim
-    if not any(t in pat for t in ("\\", "$")):
+    # (r11: '.' and the [] idioms are rewritten too; '^' only under m)
+    if not any(t in pat for t in ("\\", "$", "[", ".")) and not (
+        "m" in flags and "^" in pat
+    ):
         assert out.endswith(pat)
 
 

@@ -9,9 +9,14 @@ engine one entry point for each direction with schema discipline:
   carry no types — silent inference drift is how timestamp and decimal
   bugs enter a pipeline; pass the authoritative StructType instead).
   Columnar formats read their embedded schema.
-- Text reads run PERMISSIVE with a ``_corrupt_record`` rescue column the
-  caller can route to a quarantine sink (same stance as the streaming
-  validator, ``streaming/pipeline.py::validated_json`` — W5).
+- Text reads drop malformed rows natively (DROPMALFORMED); with
+  ``keep_corrupt=True`` they run PERMISSIVE instead, exposing a
+  ``_corrupt_record`` rescue column the caller can route to a
+  quarantine sink (same stance as the streaming validator,
+  ``streaming/pipeline.py::validated_json`` — W5).  The split matters:
+  referencing the rescue column in a filter makes Spark refuse any
+  downstream query that prunes to it alone (count() does), so the
+  drop path must never touch it.
 
 Scale notes: all four formats split by file; parquet/ORC additionally
 split by row group/stripe and support predicate pushdown + column
@@ -84,13 +89,36 @@ def read_any(
             f"{fmt} carries no types: pass the authoritative schema "
             "(inference drift is a correctness bug, not a convenience)"
         )
-    full = StructType(list(schema.fields) + [StructField(CORRUPT_COL, StringType())])
-    reader = (
-        spark.read.format(fmt)
-        .schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-    )
+    reader = spark.read.format(fmt)
+    if keep_corrupt:
+        full = StructType(
+            list(schema.fields) + [StructField(CORRUPT_COL, StringType())]
+        )
+        reader = (
+            reader.schema(full)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        )
+    else:
+        # DROPMALFORMED, NOT permissive-then-filter (review r11): a
+        # filter on the rescue column poisons the whole frame — any
+        # downstream query whose pruned columns collapse to the corrupt
+        # column alone (count() being the canonical case) raises
+        # UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN, so
+        # read_any(...).count() crashed on BOTH text formats.  Letting
+        # the reader drop malformed rows natively keeps the corrupt
+        # column out of the plan entirely.
+        reader = reader.schema(schema).option("mode", "DROPMALFORMED")
+        if fmt == "csv":
+            # second CSV-only quirk: under parser column pruning a
+            # query that parses no columns (count()) skips row parsing,
+            # so DROPMALFORMED drops NOTHING there — count() would
+            # disagree with collect() on the same frame.  Consistent
+            # drop semantics cost the pruning optimization; this is an
+            # interchange path (the 100 TB story lands CSV into parquet
+            # once), so correctness wins.  Session-wide by necessity:
+            # the conf is read at execution, not load.
+            spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", "false")
     if fmt == "csv":
         reader = reader.option("header", "true")
     if fmt == "json" and multiline:
@@ -98,20 +126,18 @@ def read_any(
     df = reader.load(path)
     if keep_corrupt:
         return df
-    parsed = df.filter(df[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
     if fmt == "json" and not multiline:
         # all-corrupt guard: one bounded probe, only on the read path
-        # that can misfire wholesale (array JSON fed to the line reader).
-        # take(1) (not count): Spark refuses queries over raw JSON whose
-        # referenced columns collapse to only the corrupt-record column,
-        # which is exactly what count()'s column pruning produces.
-        if len(df.take(1)) > 0 and len(parsed.take(1)) == 0:
+        # that can misfire wholesale (array JSON fed to the line
+        # reader).  spark.read.text sidesteps the corrupt-column
+        # restriction for the any-input-at-all probe.
+        if len(df.take(1)) == 0 and len(spark.read.text(path).take(1)) > 0:
             raise ValueError(
                 f"{path}: no line parsed as JSON-Lines — if this is an "
                 "array / pretty-printed JSON document, pass "
                 "multiline=True (refusing to silently return 0 rows)"
             )
-    return parsed
+    return df
 
 
 def write_any(df: DataFrame, path: str, fmt: Optional[str] = None, mode: str = "overwrite") -> None:

@@ -61,6 +61,27 @@ def test_corrupt_json_rows_isolated(spark, tmp_path):
     assert len(corrupt) == 1 and "not json" in corrupt[0][CORRUPT_COL]
 
 
+def test_read_any_drop_path_supports_count(spark, tmp_path):
+    """Review r11: the drop-corrupt path used PERMISSIVE + a filter on
+    the rescue column, and count()'s column pruning then collapsed the
+    referenced columns to the corrupt column alone — Spark refuses that
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN), so read_any(...).count() crashed
+    on BOTH text formats.  The drop path now uses DROPMALFORMED and must
+    support count()/collect() on JSON and CSV alike."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([StructField("a", LongType()), StructField("b", StringType())])
+    pj = tmp_path / "rows.jsonl"
+    pj.write_text('{"a": 1, "b": "x"}\nnope\n{"a": 2, "b": "y"}\n')
+    dj = read_any(spark, str(pj), schema=schema, fmt="json")
+    assert dj.count() == 2
+    pc = tmp_path / "rows.csv"
+    pc.write_text("a,b\n1,x\nnot,valid,width,at,all\n2,y\n")
+    dc = read_any(spark, str(pc), schema=schema, fmt="csv")
+    assert dc.count() == 2
+    assert sorted((r["a"], r["b"]) for r in dc.collect()) == [(1, "x"), (2, "y")]
+
+
 def test_convert_to_parquet(spark, tmp_path):
     src = load_table(spark, SF_DIR, "region")
     csv_path = str(tmp_path / "region.csv")

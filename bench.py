@@ -227,11 +227,18 @@ def main() -> None:
             # 9.37s, 47-query median ratio 1.31, single-thread python
             # codec queries flat at ~1.0x) — a host-level slowdown
             # after a VM reboot, not a code regression.
+            # r11 quiet-lap confirmation (verdict r10 ask #2): with the
+            # machine otherwise idle and the untouched control flat
+            # (pagerank 8.74 -> 9.04s, 1.03x), label_prop read
+            # 9.77 -> 8.36s — BELOW the control for the first time
+            # (ratio to control 0.92 vs 1.33 in r9).  The r10 reclaim
+            # is real on the shared catalog lap, not just standalone.
             "label_prop_communities": "plan-sever amortized (every 4th "
             "round + exits) and caller's edge cache reused — warm "
-            "standalone A/B at sf0.1: 7.45 -> 5.96s; control query for "
-            "machine drift: pagerank_part_supplier (untouched, r9 "
-            "median 5.95s)",
+            "standalone A/B at sf0.1: 7.45 -> 5.96s; r11 quiet catalog "
+            "lap confirms: 8.36s vs control 9.04s (ratio 0.92, was "
+            "1.33x control in r9); control query for machine drift: "
+            "pagerank_part_supplier (untouched, r9 median 5.95s)",
             # verdict r9 ask #4: the r9 cold-lap spike (317 -> 389s)
             # does NOT reproduce — r10 clean-machine colds: 345s and
             # 316s on a window whose MEDIANS ran 1.2-1.3x r9 (see
@@ -243,10 +250,26 @@ def main() -> None:
             # excess is 0.05s.  Attribution: r9's cold spike was
             # ambient co-running noise, the known failure mode — not a
             # structural first-lap cost introduced by r9's barriers.
-            "cold_lap": "r9's 389s cold does not reproduce (r10: 345 / "
-            "316s, on a uniformly slower window); excess vs median is "
-            "concentrated in 10 first-touch-heavy queries (python "
-            "worker spawn), median per-query excess 0.05s",
+            # r11 (verdict r10 ask #7): the worker pool is now spawned
+            # by a one-task-per-core no-op mapInPandas in warmup, so
+            # worker spawn is out of the cold lap by construction.  The
+            # quiet-lap cold ratio is 1.165 (314.1 / 269.5s) vs r10's
+            # 1.155 — unchanged within noise, because the remaining
+            # excess was never mostly worker spawn: the top carriers
+            # are ann_ivf_topk (+3.8s, first IVF train), w1_stream_upsert
+            # (+3.7s, checkpoint + stream init), s1_datasource_scan
+            # (+2.9s, Python DataSource process startup — a separate
+            # worker class the mapInPandas pool does not pre-fork) and
+            # per-query whole-stage-codegen compilation spread across
+            # ~190 queries.  All are first-execution costs a 100 TB run
+            # amortizes to nothing; shaving them further would mean
+            # warming codegen per query, i.e. running the catalog
+            # twice.  Why-not recorded; item closed.
+            "cold_lap": "r9's 389s cold does not reproduce; r11 quiet "
+            "cold ratio 1.165 with worker-pool warmup in place — "
+            "residual excess is codegen compile + stream-checkpoint + "
+            "DataSource startup (first-execution costs, amortized at "
+            "scale), not worker spawn",
         },
     }
     # Round-1 driver capture truncated the wide per-query line

@@ -101,6 +101,24 @@ def main() -> None:
         )
     )
 
+    # the Python DataSource machinery runs in its OWN worker classes
+    # (driver-side plan worker + executor read workers) that the
+    # mapInPandas pool does not pre-fork — s1_datasource_scan carried
+    # +2.9s of that startup in the r11 quiet cold lap.  One single-page
+    # read warms both.
+    from starryskyqueryengine_spark.sources.paged_datasource import (
+        register_paged_sources,
+    )
+
+    register_paged_sources(spark)
+    run_df(
+        spark.read.format("starrysky_paged")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .option("max_pages", "1")
+        .option("num_partitions", "1")
+        .load()
+    )
+
     # ONE cold lap + THREE steady laps (round-7 verdict #7, refined in
     # round 8): the cold lap carries one-time whole-stage-codegen
     # compilation and Python-worker spin-up, costs that a 100 TB run

@@ -292,3 +292,72 @@ def test_partition_escape_roundtrip(key):
     # escape(raw) always round-trips, so collisions are impossible;
     # spot-pin the classic ambiguity anyway
     assert escape_partition_value("a:b") != escape_partition_value("a%3Ab")
+
+
+# -- CBOR codec (pure driver-side python, RFC 8949 DAG-CBOR subset) ---------
+
+def _cbor_values():
+    from starryskyqueryengine_spark.functions import cbor
+
+    scalars = st.one_of(
+        st.none(),
+        st.integers(min_value=-(2**63), max_value=2**64 - 1),
+        st.text(max_size=24),
+        st.binary(max_size=24),
+        st.builds(cbor.CidLink, st.binary(min_size=1, max_size=16)),
+    )
+    return st.recursive(
+        scalars,
+        lambda kids: st.one_of(
+            st.lists(kids, max_size=4),
+            st.dictionaries(st.text(max_size=8), kids, max_size=4),
+        ),
+        max_leaves=12,
+    )
+
+
+@given(v=_cbor_values())
+@settings(max_examples=250, deadline=None)
+def test_cbor_roundtrip_any_profile_value(v):
+    """decode(encode(v)) == v for every value in the DAG-CBOR profile
+    (ints across all width breakpoints, text/bytes, nested arrays/maps,
+    CID links, null) — the generator walks the width boundaries the
+    parametrized cases pin by hand."""
+    from starryskyqueryengine_spark.functions import cbor
+
+    assert cbor.decode(cbor.encode(v)) == v
+
+
+@given(
+    d=st.dictionaries(
+        st.text(max_size=8), st.integers(-100, 100), min_size=2, max_size=6
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_cbor_map_encoding_is_insertion_order_invariant(d):
+    """Canonical (len, bytes) key ordering: equal maps encode to
+    byte-identical CBOR regardless of dict insertion order — the
+    property that makes encoded blocks comparable/hashable."""
+    from starryskyqueryengine_spark.functions import cbor
+
+    shuffled = dict(reversed(list(d.items())))
+    assert cbor.encode(d) == cbor.encode(shuffled)
+
+
+@given(v=_cbor_values(), cut=st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=150, deadline=None)
+def test_cbor_truncation_always_raises_never_misdecodes(v, cut):
+    """CBOR is self-delimiting, so any STRICT prefix of one encoded item
+    is incomplete: decode must raise ValueError (truncated), never
+    return a value silently — the per-event error-isolation contract
+    (W5) depends on corrupt blocks failing loudly."""
+    import pytest as _pytest
+
+    from starryskyqueryengine_spark.functions import cbor
+
+    full = cbor.encode(v)
+    if len(full) < 2:
+        return
+    prefix = full[: cut % (len(full) - 1) + 1]  # 1 .. len-1
+    with _pytest.raises(ValueError):
+        cbor.decode(prefix)

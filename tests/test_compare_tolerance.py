@@ -35,3 +35,16 @@ def test_boundary_straddling_synthetic_value():
     a = [(f"{round(lo, 6):.9g}",)]
     b = [(f"{round(x, 6):.9g}",)]
     assert tolerant_rows_equal(a, b)
+
+
+def test_binary_values_normalize_to_common_hex():
+    """Review r11: Spark collect() yields bytearray for BinaryType while
+    DuckDB yields bytes for BLOB — their str() forms differ
+    ("bytearray(b'x')" vs "b'x'"), so a binary output column would fail
+    the gate spuriously. Both normalize to the same hex form."""
+    from tools.compare import normalize
+
+    s_vals, s_cols = normalize([(bytearray(b"\x01ab"),)], ["payload"])
+    d_vals, d_cols = normalize([(b"\x01ab",)], ["payload"])
+    assert s_cols == d_cols == ["payload"]
+    assert s_vals == d_vals == [("0x016162",)]

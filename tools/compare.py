@@ -47,6 +47,12 @@ def normalize(rows, columns):
                 # the strict compare, and neither is float-shaped enough
                 # for the tolerance gate
             return f"{v:.9g}"
+        if isinstance(v, (bytes, bytearray)):
+            # Spark collect() yields bytearray for BinaryType, DuckDB
+            # yields bytes for BLOB — their str() forms differ
+            # ("bytearray(b'x')" vs "b'x'"), so a binary output column
+            # would fail spuriously.  Canonical hex for both.
+            return "0x" + bytes(v).hex()
         return str(v)
 
     out = [tuple(norm_val(r[i]) for i in order) for r in rows]

@@ -68,21 +68,34 @@ def _ddl_field_names(ddl: str) -> list[str]:
     """Top-level field names from a DDL struct string, splitting on
     commas only at bracket depth 0 — commas inside ``decimal(10,2)``,
     ``map<string,int>``, or ``struct<a:int,b:string>`` stay within
-    their field."""
+    their field.  Backtick-quoted names are opaque (review r11): a
+    legal parquet column like ``` `my,col` ``` or ``` `my col` ```
+    previously split at its embedded comma / lost everything after its
+    embedded space, yielding phantom names that KeyError the read."""
     names: list[str] = []
     depth = 0
+    in_bt = False
     field_start = 0
     for i, ch in enumerate(ddl + ","):
-        if ch in "(<":
+        if ch == "`":
+            in_bt = not in_bt
+        elif in_bt:
+            continue
+        elif ch in "(<":
             depth += 1
         elif ch in ")>":
             depth -= 1
         elif ch == "," and depth == 0:
             fld = ddl[field_start:i].strip()
             if fld:
-                # "name type..." or "name: type" — name is the first
-                # token, with any trailing colon stripped
-                names.append(fld.split()[0].rstrip(":").strip("`"))
+                if fld.startswith("`"):
+                    # quoted name runs to the closing backtick, whatever
+                    # it contains
+                    names.append(fld[1 : fld.index("`", 1)])
+                else:
+                    # "name type..." or "name: type" — name is the first
+                    # token, with any trailing colon stripped
+                    names.append(fld.split()[0].rstrip(":"))
             field_start = i + 1
     return names
 

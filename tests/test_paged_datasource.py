@@ -272,3 +272,17 @@ def test_ddl_field_names_bracket_aware():
     ) == ["a", "b", "c"]
     assert _ddl_field_names("d: string, e: int") == ["d", "e"]
     assert _ddl_field_names("x int") == ["x"]
+
+
+def test_ddl_field_names_backtick_aware():
+    """Review r11: a backtick-quoted column may legally contain a comma
+    or space — the scanner must treat quoted spans as opaque instead of
+    splitting at an embedded comma or truncating at an embedded space."""
+    from starryskyqueryengine_spark.sources.paged_datasource import (
+        _ddl_field_names,
+    )
+
+    assert _ddl_field_names("`my col` string, plain int") == ["my col", "plain"]
+    assert _ddl_field_names("`a,b` bigint, c string") == ["a,b", "c"]
+    assert _ddl_field_names("`weird<ty,pe>` map<string,int>") == ["weird<ty,pe>"]
+    assert _ddl_field_names("`x` int") == ["x"]

@@ -48,3 +48,34 @@ def test_binary_values_normalize_to_common_hex():
     d_vals, d_cols = normalize([(b"\x01ab",)], ["payload"])
     assert s_cols == d_cols == ["payload"]
     assert s_vals == d_vals == [("0x016162",)]
+
+
+def test_full_gate_tolerance_band_check():
+    """The gate's estimate-band check (r11): per-key
+    |estimate - exact| <= rel_tol * exact; key-set mismatch or an
+    out-of-band estimate fails with a specific reason."""
+    from tools.full_gate import TOLERANCE_CHECKS, tolerance_check
+
+    spec = {"key_cols": ["k"], "est_col": "est", "rel_tol": 0.06}
+    exact = [("a", 100), ("b", 1000)]
+    ok, err = tolerance_check(
+        [("a", 104), ("b", 951)], ["k", "est"], exact, ["k", "exact"], spec
+    )
+    assert ok and err is None
+    # estimate outside the band -> specific failure
+    ok, err = tolerance_check(
+        [("a", 107), ("b", 1000)], ["k", "est"], exact, ["k", "exact"], spec
+    )
+    assert not ok and "outside" in err
+    # key sets must agree exactly
+    ok, err = tolerance_check(
+        [("a", 100), ("c", 5)], ["k", "est"], exact, ["k", "exact"], spec
+    )
+    assert not ok and "key sets differ" in err
+    # column order independence: est col located by name
+    ok, err = tolerance_check(
+        [(104, "a"), (951, "b")], ["est", "k"], exact, ["k", "exact"], spec
+    )
+    assert ok
+    # the registered spec stays wired to the one no-hash-oracle query
+    assert set(TOLERANCE_CHECKS) == {"sketch_distinct_users"}

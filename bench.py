@@ -268,26 +268,25 @@ def main() -> None:
             # excess is 0.05s.  Attribution: r9's cold spike was
             # ambient co-running noise, the known failure mode — not a
             # structural first-lap cost introduced by r9's barriers.
-            # r11 (verdict r10 ask #7): the worker pool is now spawned
-            # by a one-task-per-core no-op mapInPandas in warmup, so
-            # worker spawn is out of the cold lap by construction.  The
-            # quiet-lap cold ratio is 1.165 (314.1 / 269.5s) vs r10's
-            # 1.155 — unchanged within noise, because the remaining
-            # excess was never mostly worker spawn: the top carriers
-            # are ann_ivf_topk (+3.8s, first IVF train), w1_stream_upsert
-            # (+3.7s, checkpoint + stream init), s1_datasource_scan
-            # (+2.9s, Python DataSource process startup — a separate
-            # worker class the mapInPandas pool does not pre-fork) and
-            # per-query whole-stage-codegen compilation spread across
-            # ~190 queries.  All are first-execution costs a 100 TB run
-            # amortizes to nothing; shaving them further would mean
-            # warming codegen per query, i.e. running the catalog
-            # twice.  Why-not recorded; item closed.
-            "cold_lap": "r9's 389s cold does not reproduce; r11 quiet "
-            "cold ratio 1.165 with worker-pool warmup in place — "
-            "residual excess is codegen compile + stream-checkpoint + "
-            "DataSource startup (first-execution costs, amortized at "
-            "scale), not worker spawn",
+            # r11 (verdict r10 ask #7), measured in two quiet same-boot
+            # laps (control flat at 9.04/9.06s): with only the
+            # mapInPandas worker-pool warmup the cold ratio read 1.165
+            # and s1_datasource_scan still carried +2.9s — Python
+            # DataSources run in their OWN worker classes the pool does
+            # not pre-fork.  Adding the one-page starrysky_paged warmup
+            # removed that entirely (s1 cold excess -0.05s) and brought
+            # the cold ratio to 1.10 (304.2 / 276.7s) — inside the
+            # ~1.15 target.  The remaining excess is per-query
+            # whole-stage-codegen compilation plus first IVF train
+            # (ann_ivf_topk +3.3s) and stream-checkpoint creation
+            # (w1_stream_upsert +3.6s) — first-execution costs a 100 TB
+            # run amortizes to nothing; shaving them would mean warming
+            # codegen per query, i.e. running the catalog twice.
+            "cold_lap": "r11 quiet A/B: worker-pool warmup alone -> "
+            "cold ratio 1.165; + DataSource warmup -> 1.10 "
+            "(s1_datasource_scan cold excess +2.9s -> -0.05s, control "
+            "flat); residual is codegen + first-IVF-train + "
+            "stream-checkpoint, amortized at scale",
         },
     }
     # Round-1 driver capture truncated the wide per-query line

@@ -80,7 +80,13 @@ def resolve_service_did(
 
 def avatar_encoding(path: str) -> str:
     """Encoding from the file extension — png/jpeg only, anything else
-    refuses (publishFeedGen.ts:52-60)."""
+    refuses (publishFeedGen.ts:52-60).
+
+    Deliberately matches the reference's bare ``endsWith('png')`` — no
+    dot required, so ``'foopng'`` maps to image/png (r12 advice:
+    documented, kept for byte-for-byte parity).  Safe because the
+    publish flow verifies the blob's MAGIC BYTES against the claimed
+    encoding before upload; a mislabeled suffix fails there, loudly."""
     low = path.lower()
     if low.endswith("png"):
         return "image/png"

@@ -23,6 +23,17 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # CSV parser column pruning OFF, session-wide (review r12, was a
+    # hidden read_any side effect): under pruning, a CSV query that
+    # parses no columns (count() is the canonical case) skips row
+    # parsing entirely, so DROPMALFORMED drops NOTHING there and
+    # count() disagrees with collect() on the same frame.  Consistent
+    # malformed-row semantics cost the pruning optimization; CSV is an
+    # interchange path here (the 100 TB story lands CSV into parquet
+    # once), so correctness wins.  Declared at session construction —
+    # not mutated inside a reader — because the conf is read at
+    # EXECUTION time and lazy frames outlive any read call.
+    "spark.sql.csv.parser.columnPruning.enabled": "false",
 }
 
 

@@ -80,6 +80,14 @@ def read_any(
     otherwise corrupt EVERY line and the drop-corrupt filter would
     swallow the whole file, the exact silent drift this module exists
     to prevent.
+
+    Session requirement (CSV drop path): the session must run with
+    ``spark.sql.csv.parser.columnPruning.enabled=false`` — declared in
+    :data:`session.RUNTIME_CONFS` so ``get_spark()`` sessions always
+    qualify — because under pruning a zero-column CSV query (count())
+    skips row parsing and DROPMALFORMED drops nothing there.  This
+    function verifies the conf and raises rather than mutating the
+    session behind the embedder's back.
     """
     fmt = fmt or sniff_format(path)
     if fmt in ("parquet", "orc"):
@@ -113,12 +121,23 @@ def read_any(
             # second CSV-only quirk: under parser column pruning a
             # query that parses no columns (count()) skips row parsing,
             # so DROPMALFORMED drops NOTHING there — count() would
-            # disagree with collect() on the same frame.  Consistent
-            # drop semantics cost the pruning optimization; this is an
-            # interchange path (the 100 TB story lands CSV into parquet
-            # once), so correctness wins.  Session-wide by necessity:
-            # the conf is read at execution, not load.
-            spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", "false")
+            # disagree with collect() on the same frame.  The conf
+            # lives in session.RUNTIME_CONFS (r12: a reader silently
+            # reconfiguring the session was a footgun for embedders);
+            # here we only VERIFY, loudly, because the conf is read at
+            # execution time and a lazy frame from this call would
+            # silently change semantics under a pruning session.
+            pruning = spark.conf.get(
+                "spark.sql.csv.parser.columnPruning.enabled", "true"
+            )
+            if pruning.lower() != "false":
+                raise RuntimeError(
+                    "read_any(csv, keep_corrupt=False) requires "
+                    "spark.sql.csv.parser.columnPruning.enabled=false "
+                    "(else count() and collect() disagree on malformed "
+                    "rows); build the session via get_spark() or "
+                    "apply_runtime_confs()"
+                )
     if fmt == "csv":
         reader = reader.option("header", "true")
     if fmt == "json" and multiline:

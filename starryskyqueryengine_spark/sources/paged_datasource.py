@@ -64,6 +64,24 @@ def _resolve_factory(options):
     return getattr(importlib.import_module(mod), fn)(options)
 
 
+def _quoted_name(fld: str) -> str:
+    """Extract the identifier from a backtick-quoted field prefix,
+    unescaping Spark's doubled-backtick escape (``` `a``b` ``` is the
+    column literally named ``a`b``)."""
+    out: list[str] = []
+    j = 1
+    while j < len(fld):
+        if fld[j] == "`":
+            if j + 1 < len(fld) and fld[j + 1] == "`":
+                out.append("`")
+                j += 2
+                continue
+            break  # the real closing backtick
+        out.append(fld[j])
+        j += 1
+    return "".join(out)
+
+
 def _ddl_field_names(ddl: str) -> list[str]:
     """Top-level field names from a DDL struct string, splitting on
     commas only at bracket depth 0 — commas inside ``decimal(10,2)``,
@@ -71,32 +89,40 @@ def _ddl_field_names(ddl: str) -> list[str]:
     their field.  Backtick-quoted names are opaque (review r11): a
     legal parquet column like ``` `my,col` ``` or ``` `my col` ```
     previously split at its embedded comma / lost everything after its
-    embedded space, yielding phantom names that KeyError the read."""
+    embedded space, yielding phantom names that KeyError the read.
+    A doubled backtick inside a quoted span is Spark's escape for a
+    literal backtick (r12): it keeps the scanner in-quote and
+    unescapes to one backtick in the extracted name."""
     names: list[str] = []
     depth = 0
     in_bt = False
     field_start = 0
-    for i, ch in enumerate(ddl + ","):
+    s = ddl + ","
+    i = 0
+    while i < len(s):
+        ch = s[i]
         if ch == "`":
+            if in_bt and i + 1 < len(s) and s[i + 1] == "`":
+                i += 2  # escaped literal backtick: consume, stay quoted
+                continue
             in_bt = not in_bt
         elif in_bt:
-            continue
+            pass
         elif ch in "(<":
             depth += 1
         elif ch in ")>":
             depth -= 1
         elif ch == "," and depth == 0:
-            fld = ddl[field_start:i].strip()
+            fld = s[field_start:i].strip()
             if fld:
                 if fld.startswith("`"):
-                    # quoted name runs to the closing backtick, whatever
-                    # it contains
-                    names.append(fld[1 : fld.index("`", 1)])
+                    names.append(_quoted_name(fld))
                 else:
                     # "name type..." or "name: type" — name is the first
                     # token, with any trailing colon stripped
                     names.append(fld.split()[0].rstrip(":"))
             field_start = i + 1
+        i += 1
     return names
 
 

@@ -56,7 +56,12 @@ def test_full_gate_tolerance_band_check():
     out-of-band estimate fails with a specific reason."""
     from tools.full_gate import TOLERANCE_CHECKS, tolerance_check
 
-    spec = {"key_cols": ["k"], "est_col": "est", "rel_tol": 0.06}
+    spec = {
+        "key_cols": ["k"],
+        "est_col": "est",
+        "exact_col": "exact",
+        "rel_tol": 0.06,
+    }
     exact = [("a", 100), ("b", 1000)]
     ok, err = tolerance_check(
         [("a", 104), ("b", 951)], ["k", "est"], exact, ["k", "exact"], spec
@@ -77,5 +82,18 @@ def test_full_gate_tolerance_band_check():
         [(104, "a"), (951, "b")], ["est", "k"], exact, ["k", "exact"], spec
     )
     assert ok
+    # exact col located by NAME too (r12 advice: was positional r[-1],
+    # which would silently compare the wrong column if exact_sql ever
+    # reordered its projection)
+    exact_reordered = [(100, "a"), (1000, "b")]
+    ok, err = tolerance_check(
+        [("a", 104), ("b", 951)],
+        ["k", "est"],
+        exact_reordered,
+        ["exact", "k"],
+        spec,
+    )
+    assert ok and err is None
     # the registered spec stays wired to the one no-hash-oracle query
     assert set(TOLERANCE_CHECKS) == {"sketch_distinct_users"}
+    assert all("exact_col" in s for s in TOLERANCE_CHECKS.values())

@@ -82,6 +82,38 @@ def test_read_any_drop_path_supports_count(spark, tmp_path):
     assert sorted((r["a"], r["b"]) for r in dc.collect()) == [(1, "x"), (2, "y")]
 
 
+def test_csv_pruning_conf_declared_at_session_not_mutated(spark, tmp_path):
+    """r12 (advice): the CSV count-vs-collect consistency conf now lives
+    in session.RUNTIME_CONFS; read_any VERIFIES it instead of silently
+    reconfiguring the caller's session — under a pruning session the CSV
+    drop path refuses loudly."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from starryskyqueryengine_spark.session import RUNTIME_CONFS
+
+    assert RUNTIME_CONFS["spark.sql.csv.parser.columnPruning.enabled"] == "false"
+    assert spark.conf.get("spark.sql.csv.parser.columnPruning.enabled") == "false"
+
+    schema = StructType([StructField("a", LongType()), StructField("b", StringType())])
+    pc = tmp_path / "rows.csv"
+    pc.write_text("a,b\n1,x\nnot,valid,width,at,all\n2,y\n")
+    spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", "true")
+    try:
+        with pytest.raises(RuntimeError, match="columnPruning"):
+            read_any(spark, str(pc), schema=schema, fmt="csv")
+        # the reader must NOT have flipped the session conf behind us
+        assert (
+            spark.conf.get("spark.sql.csv.parser.columnPruning.enabled") == "true"
+        )
+        # keep_corrupt path does not depend on the conf: still readable
+        kept = read_any(
+            spark, str(pc), schema=schema, fmt="csv", keep_corrupt=True
+        )
+        assert kept.count() == 3
+    finally:
+        spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", "false")
+
+
 def test_convert_to_parquet(spark, tmp_path):
     src = load_table(spark, SF_DIR, "region")
     csv_path = str(tmp_path / "region.csv")

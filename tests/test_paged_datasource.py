@@ -286,3 +286,51 @@ def test_ddl_field_names_backtick_aware():
     assert _ddl_field_names("`a,b` bigint, c string") == ["a,b", "c"]
     assert _ddl_field_names("`weird<ty,pe>` map<string,int>") == ["weird<ty,pe>"]
     assert _ddl_field_names("`x` int") == ["x"]
+
+
+def test_ddl_field_names_doubled_backtick_escape():
+    """r12 (advice): Spark escapes a literal backtick in a quoted
+    identifier by doubling it — ``` `a``b` ``` is the column named
+    ``a`b``.  The r11 scanner closed the quote at the first backtick
+    (extracting 'a') and re-opened mid-name; the escape must keep the
+    scanner in-quote and unescape in the extracted name."""
+    from starryskyqueryengine_spark.sources.paged_datasource import (
+        _ddl_field_names,
+    )
+
+    assert _ddl_field_names("`a``b` int") == ["a`b"]
+    assert _ddl_field_names("`a``b` int, c string") == ["a`b", "c"]
+    # escape adjacent to the closing quote, and a comma AFTER the escape
+    assert _ddl_field_names("`trailing``` string") == ["trailing`"]
+    assert _ddl_field_names("`a``,b` int, c string") == ["a`,b", "c"]
+    # multiple escapes in one name
+    assert _ddl_field_names("`x````y` int") == ["x``y"]
+
+
+def _spark_quote(name: str) -> str:
+    """Quote an identifier the way Spark's DDL printer does."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def test_ddl_field_names_property_roundtrip():
+    """Property (r12): any identifier — including commas, spaces,
+    angle brackets, and literal backticks — survives a
+    quote-then-extract roundtrip, in multi-field DDL strings."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from starryskyqueryengine_spark.sources.paged_datasource import (
+        _ddl_field_names,
+    )
+
+    name = st.text(
+        alphabet=st.sampled_from(list("ab `,<>():é")), min_size=1, max_size=12
+    ).filter(lambda s: s.strip() == s and s != "")
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(name, min_size=1, max_size=4))
+    def check(names):
+        ddl = ", ".join(f"{_spark_quote(n)} decimal(10,2)" for n in names)
+        assert _ddl_field_names(ddl) == names
+
+    check()

@@ -47,6 +47,7 @@ TOLERANCE_CHECKS: dict[str, dict] = {
         ),
         "key_cols": ["event_type"],
         "est_col": "approx_users",
+        "exact_col": "exact_users",
         "rel_tol": 0.06,
     },
 }
@@ -57,7 +58,11 @@ def tolerance_check(spark_rows, spark_cols, exact_rows, exact_cols, spec):
     kc, ec, tol = spec["key_cols"], spec["est_col"], spec["rel_tol"]
     s_key = [spark_cols.index(c) for c in kc]
     s_est = spark_cols.index(ec)
-    exact = {tuple(r[exact_cols.index(c)] for c in kc): r[-1] for r in exact_rows}
+    # exact value located by NAME like every other column (r12 advice):
+    # positional r[-1] silently compared the wrong column if a future
+    # spec's exact_sql ordered its projection differently.
+    x_val = exact_cols.index(spec["exact_col"])
+    exact = {tuple(r[exact_cols.index(c)] for c in kc): r[x_val] for r in exact_rows}
     got = {tuple(r[i] for i in s_key): r[s_est] for r in spark_rows}
     if set(exact) != set(got):
         return False, f"key sets differ: {sorted(set(exact) ^ set(got))[:5]}"

@@ -589,22 +589,23 @@ def _load_extensions() -> None:
 # registered queries; _ordered() puts this window first, and
 # tests/test_oracle_parity.py pins len(PRIORITY) == 50 (ADVICE r9
 # flagged a 51-entry window; the committed list counts 50 — the pin
-# keeps it that way).  ROUND-11 ROTATION (VERDICT.md r10 ask #1): the
-# 10-query regression core, then the regex-dialect consumers p4/p5
-# (the translator changed this round: unflagged '.' now rewrites to
-# the JS terminator class, m-flag anchors to lookarounds — flagship,
-# in the core, carries the one catalog pattern with a dot), then the
-# ENTIRE stale tail: all 4 queries last driver-checked in r4 and all
-# 33 last checked in r5, plus mm_gif_roundtrip (r6-stale AND on the
-# GIF decode-budget path this round touched).  After this window no
-# query's last driver row predates r6 except sketch_distinct_users
-# (inherently no-oracle; its value assertion lives in the local
-# gate's tolerance band as of r11).  Rotated OUT with rationale: the
-# r10 streaming/ACID/sketch block (all r10-green, r11 changes to
-# their files are raise-only guards that cannot alter green-path
-# results); label_prop/zorder (r10-green, untouched).  Changed code
-# outranks stale green; everything else stays value-checked
-# per-round by tools/full_gate.py and tests/test_oracle_parity.py.
+# keeps it that way).  ROUND-12 ROTATION (VERDICT.md r11 ask #2): the
+# 10-query regression core (which already covers this round's touched
+# paths — s1_datasource_scan exercises the doubled-backtick DDL
+# scanner fix, p11 the auth file under self-review), then the ENTIRE
+# r6 bucket (all 23 queries whose last driver row is r6), then 17 of
+# the 18-query r7 bucket.  Deferred to r13 with rationale:
+# profile_documents (r7-stale, but its sibling expectations_documents
+# — same file, same full-scan aggregate shape — stays in-window, and
+# it remains value-exact in every round's local full gate).  After
+# this window no query's last driver row predates r7 except that one
+# deferral and sketch_distinct_users (inherently no-oracle; its value
+# assertion lives in the local gate's tolerance band).  Rotated OUT
+# with rationale: the r11 freshness block (r4/r5 buckets — all went
+# green in r11, untouched this round); p4/p5 regex-dialect consumers
+# (r11-green, translator untouched).  Changed code outranks stale
+# green; everything else stays value-checked per-round by
+# tools/full_gate.py and tests/test_oracle_parity.py.
 PRIORITY: list[str] = [
     # --- Regression core (multi-round driver-green, highest risk) ---
     "flagship_multifeed",
@@ -617,50 +618,48 @@ PRIORITY: list[str] = [
     "s1_datasource_scan",
     "p11_acl_filter",
     "dedup_exact",
-    # --- Regex-dialect consumers (translator changed in r11) ---
-    "p4_regex_include",
-    "p5_regex_exclude",
-    # --- Freshness: the complete r4 bucket (last driver row = r4) ---
-    "a1_count_per_key",
-    "f5_time_roundtrip",
-    "f7_coalesce_defaults",
-    "f9_json_extract",
-    # --- Freshness: the complete r5 bucket (last driver row = r5) ---
-    "ann_ivf_fixed_topk",
-    "bm25_search",
-    "decontaminate_overlap",
-    "distinct_users_daily",
-    "domain_stats",
-    "dsir_importance_weights",
-    "dsir_resample",
-    "leakage_safe_split",
-    "line_dedup_stats",
-    "mm_jpeg_roundtrip",
-    "mm_png_decode",
-    "mm_ppm_resize",
-    "mm_wav_features",
-    "pipeline_pretrain_prep",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q11_important_stock",
-    "q12_priority_lateness",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q18_large_orders",
-    "q19_disjunctive_pred",
-    "q21_waiting_supplier",
-    "q22_dormant_customers",
-    "quality_bucket_sample",
-    "quality_filter_funnel",
-    "semantic_dedup",
-    "sessionize_events",
-    "shuffle_shard_manifest",
-    "text_pii_redact",
-    "winnow_fingerprints",
-    # --- r6-stale AND on this round's GIF decode-budget path ---
-    "mm_gif_roundtrip",
+    # --- Freshness: the complete r6 bucket (last driver row = r6) ---
+    "ann_ivf_indexed_topk",
+    "ann_pq_adc_topk",
+    "countmin_frequency",
+    "cube_nation_year",
+    "dedup_fuzzy_levenshtein",
+    "domain_blocklist_filter",
+    "embedding_quantize",
+    "grouping_sets_returns",
+    "html_extract_text",
+    "hybrid_rrf_search",
+    "kmeans_update_step",
+    "lm_perplexity_scores",
+    "mm_ppm_decode",
+    "mm_scene_detect",
+    "mm_transcode_png_jpeg",
+    "mm_wav_spectral",
+    "mm_y4m_frames",
+    "moving_revenue_window",
+    "pq_encode",
+    "topk_per_group_orders",
+    "triangle_count_cosupplier",
+    "unpivot_lineitem_measures",
+    "url_canonical_dedup",
+    # --- Freshness: the r7 bucket (17 of 18; see deferral note) ---
+    "ann_lsh_topk",
+    "anomaly_daily_zscore",
+    "bigram_pmi_topk",
+    "chisq_lang_source",
+    "dedup_rate_by_source",
+    "embedding_dim_stats",
+    "embedding_random_projection",
+    "expectations_documents",
+    "gapfill_user_daily",
+    "outlier_orders_mad",
+    "percentile_prices",
+    "rolling_7d_active_users",
+    "soft_dedup_weights",
+    "source_token_entropy",
+    "text_multi_pattern_scan",
+    "trend_segment_spend",
+    "window_rank_family",
 ]
 
 def _ordered(d: dict) -> dict:

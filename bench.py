@@ -176,6 +176,35 @@ def main() -> None:
     median = {k: sorted([lap2[k], lap3[k], lap4[k]])[1] for k in cold}
     best = {k: min(cold[k], lap2[k], lap3[k], lap4[k]) for k in cold}
     total = round(sum(median.values()), 4)
+
+    # Drift-control BASKET (r12, verdict r11 ask #1): one untouched
+    # control per EXECUTION SHAPE, because machine drift is not uniform
+    # across shapes — the r11 boot ran Python-worker-heavy queries
+    # 1.5-1.7x while the JVM-shuffle control read only 1.17x, so a
+    # single control under-normalizes half the catalog.  To attribute a
+    # regression: divide the suspect query's round-over-round ratio by
+    # its SHAPE's control ratio, not by the global one.  Controls must
+    # stay code-untouched to stay valid; if a round touches one, swap
+    # in another untouched query of the same shape and note it here.
+    DRIFT_CONTROLS = {
+        # JVM shuffle + iterative agg, zero Python rows (untouched
+        # since r8; the original single control)
+        "jvm_shuffle": "pagerank_part_supplier",
+        # Arrow-batched Python codec work (real PNG decode per row) —
+        # tracks Python-worker throughput, the shape that drifted
+        # hardest in r11
+        "python_codec": "mm_png_decode",
+        # sub-second scalar projection — tracks fixed per-query
+        # overhead (py4j round-trips, planning), not compute
+        "overhead_scalar": "f7_coalesce_defaults",
+        # availableNow stream drain — tracks state-store/checkpoint
+        # filesystem I/O
+        "stream_checkpoint": "w8_stream_tumbling_counts",
+    }
+    drift_controls = {
+        shape: {"query": q, "median_sec": median.get(q)}
+        for shape, q in DRIFT_CONTROLS.items()
+    }
     payload = {
         "metric": "catalog_total_runtime",
         "value": total,
@@ -198,6 +227,7 @@ def main() -> None:
         "queries_lap3": lap3,
         "queries_lap4": lap4,
         "queries_best": best,
+        "drift_controls": drift_controls,
         # r8->r9 root cause, chunk_documents_udtf (verdict r8 #3): the
         # 0.33->1.05 jump was NOT noise — r7's best-of caught a lucky
         # lap; per-lap sidecars showed ~1.0s in EVERY steady lap.  Two
@@ -301,7 +331,7 @@ def main() -> None:
     compact = {k: payload[k] for k in
                ("metric", "value", "unit", "sf", "cold_total_sec",
                 "lap2_total_sec", "lap3_total_sec", "lap4_total_sec",
-                "best_total_sec")}
+                "best_total_sec", "drift_controls")}
     compact["queries"] = {
         k: median[k] for k in sorted(median, key=median.get, reverse=True)[:5]
     }

@@ -73,10 +73,24 @@ def banded_hamming_pairs(
     )
     ha = hashes.select(*[F.col(c).alias(f"a_{c}") for c in hashes.columns])
     hb = hashes.select(*[F.col(c).alias(f"b_{c}") for c in hashes.columns])
-    hamming = sum(
-        F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}")))
-        for c in band_cols
-    )
+    # popcount at the band's STORAGE width (review r12): bit_count
+    # sign-extends narrow integral types to 64 bits, so two signed
+    # smallint bands whose sign bits differ would read hamming + 48
+    # phantom bits and a true near-dup pair would be silently EXCLUDED
+    # — breaking the exactness guarantee.  Masking the XOR to the
+    # type's width restores the real bit distance; 64-bit bands (all
+    # in-repo callers) pass through untouched.
+    masks = {"tinyint": 0xFF, "smallint": 0xFFFF, "int": 0xFFFFFFFF}
+    dtypes = dict(hashes.dtypes)
+
+    def _band_distance(c: str):
+        x = F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}"))
+        m = masks.get(dtypes[c])
+        if m is not None:
+            x = x.cast("long").bitwiseAND(F.lit(m))
+        return F.bit_count(x)
+
+    hamming = sum(_band_distance(c) for c in band_cols)
     return (
         cand.join(ha, cand.media_a == F.col(f"a_{id_col}"))
         .join(hb, cand.media_b == F.col(f"b_{id_col}"))

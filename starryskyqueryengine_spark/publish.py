@@ -154,6 +154,13 @@ def publish_feed_generator(
         raise PublishError("transport.login returned no session DID")
 
     avatar_ref = None
+    if avatar_bytes is not None and not avatar_path:
+        # review r12: silently dropping a supplied payload would publish
+        # WITHOUT the avatar the caller clearly intended to attach
+        raise PublishError(
+            "avatar_bytes given without avatar_path (the path carries "
+            "the encoding; pass both or neither)"
+        )
     if avatar_path:
         if avatar_bytes is None:
             raise PublishError("avatar_path given without avatar_bytes")

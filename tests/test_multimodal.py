@@ -313,3 +313,32 @@ def test_banded_hamming_pairs_guard_and_equivalence(spark):
 
     with _pytest.raises(ValueError, match="pigeonhole"):
         banded_hamming_pairs(df, max_hamming=4)
+
+
+def test_banded_hamming_pairs_signed_narrow_bands(spark):
+    """Review r12: bit_count sign-extends narrow integral types, so two
+    SIGNED smallint bands differing only in the sign bit read 49 bits
+    apart instead of 1 — and a true near-dup pair was silently excluded.
+    The XOR must popcount at the band's storage width."""
+    from starryskyqueryengine_spark.functions.fingerprint import (
+        banded_hamming_pairs,
+    )
+
+    # ids 1/2: identical except b0's sign bit (true hamming 1, and
+    # b1-b3 identical so banding surfaces the candidate);
+    # ids 3/4: differ in 5 bits across bands -> beyond the bound, out.
+    df = spark.createDataFrame(
+        [
+            (1, -32768, 7, 9, 11),   # b0 = 0x8000 as signed smallint
+            (2, 0, 7, 9, 11),
+            (3, 31, 7, 9, 11),
+            (4, 0, 7, 9, 11),
+        ],
+        "media_id long, b0 smallint, b1 smallint, b2 smallint, b3 smallint",
+    ).cache()
+    got = {
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in banded_hamming_pairs(df).collect()
+    }
+    assert (1, 2, 1) in got, got  # was excluded under sign extension
+    assert not any(a == 3 or b == 3 for a, b, _ in got)

@@ -160,3 +160,17 @@ def test_record_builder_is_deterministic():
     a = build_feed_generator_record("did:web:x", "D", "d", None, "T")
     b = build_feed_generator_record("did:web:x", "D", "d", None, "T")
     assert a == b and "avatar" not in a
+
+
+def test_avatar_bytes_without_path_refuses():
+    """Review r12: a supplied payload with no path (no encoding source)
+    must not be silently dropped — that would publish WITHOUT the
+    avatar the caller intended to attach."""
+    t = FakeTransport()
+    with pytest.raises(PublishError, match="without avatar_path"):
+        publish_feed_generator(
+            t, "u", "p", "feed", "Feed", avatar_bytes=JPEG_STUB,
+            hostname="h.example",
+        )
+    # fails fast: nothing was uploaded or put
+    assert all(c[0] == "login" for c in t.calls)

@@ -37,6 +37,20 @@ def test_boundary_straddling_synthetic_value():
     assert tolerant_rows_equal(a, b)
 
 
+def test_numeric_alignment_across_sign_and_exponent_renderings():
+    """r12: the property suite's shrunk counterexample, pinned.  String
+    sort puts '-1.40129846e-45' before '-1.402' (numeric order is the
+    reverse) and pairs '0' with neither, so the realignment fallback
+    misaligned a within-tolerance pair; the numeric-aware key fixes the
+    pairing without widening equality."""
+    a = [("-1.402",), ("0",)]
+    b = [("-1.40129846e-45",), ("-1.402",)]
+    assert tolerant_rows_equal(a, b)
+    # and the aligned pairs still obey the strict band
+    assert not tolerant_rows_equal([("-1.402",), ("0",)],
+                                   [("-1.402",), ("1e-05",)])
+
+
 def test_binary_values_normalize_to_common_hex():
     """Review r11: Spark collect() yields bytearray for BinaryType while
     DuckDB yields bytes for BLOB — their str() forms differ

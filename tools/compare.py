@@ -125,19 +125,28 @@ def _vals_equal(a: str, b: str, tol: float = LOG_ROUND_TOL) -> bool:
 
 
 def _requantize_key(row):
-    """Sort key with float-shaped values re-rounded to 5 significant
-    digits: two engines' 6-dp values that differ by one rounding step
-    collapse onto the same key, so rows whose sub-tolerance flip changed
-    their SORT POSITION realign.  The key is for ALIGNMENT only — the
-    comparison still runs on the original values under the strict
-    tolerance, so a genuine 2-step difference keeps failing."""
-    def q(v: str) -> str:
-        if _FLOATISH.fullmatch(v):
-            try:
-                return f"{float(v):.5g}"
-            except ValueError:
-                return v
-        return v
+    """Sort key with numeric values re-rounded to 5 significant digits:
+    two engines' 6-dp values that differ by one rounding step collapse
+    onto the same key, so rows whose sub-tolerance flip changed their
+    SORT POSITION realign.  The key is NUMERIC-aware (r12 — the
+    property suite's first run found the gap): lexicographic order of
+    float renderings disagrees with numeric order across signs and
+    exponents ('-1.4e-45' sorts before '-1.402' as a string, after it
+    as a number; '0' pairs with a float-shaped near-zero), so numeric
+    strings key as (0, rounded value, original) and everything else as
+    (1, original) — finite floats sort numerically, the rest
+    lexicographically, and the buckets never interleave.  The key is
+    for ALIGNMENT only — the comparison still runs on the original
+    values under the strict tolerance, so a genuine 2-step difference
+    keeps failing."""
+    def q(v: str):
+        try:
+            f = float(v)
+        except (TypeError, ValueError):
+            return (1, v)
+        if not math.isfinite(f):
+            return (1, v)  # nan/inf: identical renderings on both sides
+        return (0, float(f"{f:.5g}"), v)
 
     return tuple(q(v) for v in row)
 

@@ -138,6 +138,15 @@ def pca_project(
     mean = np.asarray(model["mean"], dtype=np.float64)
     comps = np.asarray(model["components"], dtype=np.float64)
 
+    if out_col in df.columns:
+        # fail fast (review r12): appending a duplicate field name
+        # builds a two-`pca`-column schema that errors in the Arrow
+        # serializer far from the cause — same contract as the
+        # retention/asof reserved-name guards
+        raise ValueError(
+            f"pca_project: output column {out_col!r} already exists; "
+            "pass a different out_col"
+        )
     out_fields = df.schema.fields + [
         T.StructField(out_col, T.ArrayType(T.DoubleType()))
     ]

@@ -284,6 +284,8 @@ def kmeans_fit(
             cnt = np.zeros(kk, dtype=np.int64)
             acc = np.zeros((kk, dd_), dtype=np.float64)
             for pdf in batches:
+                if not len(pdf):
+                    continue  # np.stack([]) raises (same guard as pca)
                 V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
                 Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
                 cells = np.argmax(Vn @ Cn.T, axis=1)
@@ -406,6 +408,8 @@ def kmeans_fit_exact(
             cnt = np.zeros(kk, dtype=np.int64)
             acc = np.zeros((kk, dd_), dtype=np.int64)
             for pdf in batches:
+                if not len(pdf):
+                    continue  # np.stack([]) raises (same guard as pca)
                 Q = np.stack(
                     [np.asarray(x, dtype=np.int64) for x in pdf["qv"]]
                 )
@@ -480,6 +484,8 @@ def _cell_assigner(bc, id_col: str, vec_col: str, n_cells: int):
 
         Cn = bc.value
         for pdf in batches:
+            if not len(pdf):
+                continue  # np.stack([]) raises (same guard as pca)
             V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
             S = Vn @ Cn.T

@@ -93,3 +93,21 @@ def test_pca_fit_rejects_out_of_range_k(spark):
     with pytest.raises(ValueError, match="must be in"):
         pca_fit(emb, k=0)
     assert pca_fit(emb, k=3)["components"].shape == (3, 3)
+
+
+def test_project_refuses_existing_output_column(spark):
+    """Review r12: a duplicate out_col built a two-field schema that
+    errored in the Arrow serializer far from the cause; refuse at entry."""
+    import pytest
+
+    from starryskyqueryengine_spark.functions.pca import pca_fit, pca_project
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i % 3)]) for i in range(12)],
+        "id long, embedding array<double>",
+    )
+    model = pca_fit(df, "embedding", k=1)
+    out = pca_project(df, model, "embedding", out_col="pca")
+    assert out.columns == ["id", "embedding", "pca"]
+    with pytest.raises(ValueError, match="already exists"):
+        pca_project(out, model, "embedding", out_col="pca")

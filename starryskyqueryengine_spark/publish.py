@@ -149,11 +149,10 @@ def publish_feed_generator(
         raise PublishError("display_name must be non-empty")
     feed_gen_did = resolve_service_did(service_did, hostname)
 
-    repo_did = transport.login(identifier, password)
-    if not repo_did:
-        raise PublishError("transport.login returned no session DID")
-
-    avatar_ref = None
+    # Avatar input-consistency checks are pure input validation, so they
+    # run BEFORE transport.login: PublishError's contract is "fail fast,
+    # before any transport call" (ADVICE r13 — the r12 placement still
+    # performed a live login on malformed avatar input).
     if avatar_bytes is not None and not avatar_path:
         # review r12: silently dropping a supplied payload would publish
         # WITHOUT the avatar the caller clearly intended to attach
@@ -161,6 +160,7 @@ def publish_feed_generator(
             "avatar_bytes given without avatar_path (the path carries "
             "the encoding; pass both or neither)"
         )
+    encoding = None
     if avatar_path:
         if avatar_bytes is None:
             raise PublishError("avatar_path given without avatar_bytes")
@@ -170,6 +170,13 @@ def publish_feed_generator(
                 f"avatar payload does not look like {encoding} (magic "
                 "bytes mismatch) — wrong file or wrong extension"
             )
+
+    repo_did = transport.login(identifier, password)
+    if not repo_did:
+        raise PublishError("transport.login returned no session DID")
+
+    avatar_ref = None
+    if avatar_path:
         avatar_ref = transport.upload_blob(bytes(avatar_bytes), encoding)
 
     record = build_feed_generator_record(

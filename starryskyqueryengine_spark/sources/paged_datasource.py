@@ -123,6 +123,13 @@ def _ddl_field_names(ddl: str) -> list[str]:
                     names.append(fld.split()[0].rstrip(":"))
             field_start = i + 1
         i += 1
+    if in_bt:
+        # ADVICE r13: an unterminated quoted identifier left the scanner
+        # in-quote through the appended sentinel comma, silently DROPPING
+        # the final field.  Malformed DDL must fail loudly, not truncate.
+        raise ValueError(
+            f"unterminated backtick-quoted identifier in DDL: {ddl!r}"
+        )
     return names
 
 

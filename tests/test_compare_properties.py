@@ -123,3 +123,24 @@ def test_two_rounding_steps_still_fail(data):
     )
     assert not tolerant_rows_equal(a, b)
     assert LOG_ROUND_TOL < 2.1e-6
+
+
+def test_requantize_key_numeric_bucket_is_engine_shaped_only():
+    """ADVICE r13: Python's float() accepts forms no engine emits —
+    '1_0' (→10.0), '  2  ', 'Infinity' — and keying those numerically
+    would move text values into the numeric sort bucket.  The
+    _NUMERICISH pre-filter keeps them lexicographic while genuine
+    integer- and float-shaped renderings still key numerically."""
+    from tools.compare import _requantize_key
+
+    # exotic-but-parseable forms stay in the lexicographic bucket
+    for exotic in ("1_0", "  2  ", "Infinity", "-inf", "nan", "0x1f",
+                   "1.", ".5", "+3"):
+        assert _requantize_key((exotic,))[0][0] == 1, exotic
+    # engine-shaped renderings key numerically (integer-shaped included)
+    for numeric in ("10", "-3", "2.5", "-1.4e-45", "1E6", "0"):
+        tag, val, orig = _requantize_key((numeric,))[0]
+        assert tag == 0 and val == float(f"{float(numeric):.5g}")
+    # integer-shaped and float-shaped renderings of the same value
+    # land on the same numeric key (the alignment property)
+    assert _requantize_key(("2",))[0][:2] == _requantize_key(("2.0",))[0][:2]

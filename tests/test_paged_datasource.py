@@ -307,6 +307,25 @@ def test_ddl_field_names_doubled_backtick_escape():
     assert _ddl_field_names("`x````y` int") == ["x``y"]
 
 
+def test_ddl_field_names_unterminated_quote_raises():
+    """ADVICE r13: an unterminated quoted identifier used to leave the
+    scanner in-quote through the sentinel comma and silently DROP the
+    final field (a truncated name list reads as a narrower schema).
+    Malformed DDL must raise instead."""
+    import pytest
+
+    from starryskyqueryengine_spark.sources.paged_datasource import (
+        _ddl_field_names,
+    )
+
+    for bad in ("`oops int", "a int, `no_close string", "x int, `"):
+        with pytest.raises(ValueError, match="unterminated"):
+            _ddl_field_names(bad)
+    # a properly ESCAPED trailing backtick still parses (not confused
+    # with an unterminated quote)
+    assert _ddl_field_names("`trailing``` string") == ["trailing`"]
+
+
 def _spark_quote(name: str) -> str:
     """Quote an identifier the way Spark's DDL printer does."""
     return "`" + name.replace("`", "``") + "`"

@@ -106,7 +106,9 @@ def test_avatar_magic_mismatch_fails_before_upload():
             t, "u", "p", "r", "R", avatar_path="icon.png",
             avatar_bytes=JPEG_STUB, hostname="h.example",
         )
-    assert [c[0] for c in t.calls] == ["login"]  # no blob, no record
+    # ADVICE r13: input validation precedes EVERY transport call — a
+    # malformed avatar must not perform a live login
+    assert t.calls == []
 
 
 def test_did_defaulting_and_missing_hostname_error():
@@ -172,5 +174,17 @@ def test_avatar_bytes_without_path_refuses():
             t, "u", "p", "feed", "Feed", avatar_bytes=JPEG_STUB,
             hostname="h.example",
         )
-    # fails fast: nothing was uploaded or put
-    assert all(c[0] == "login" for c in t.calls)
+    # ADVICE r13: fails fast BEFORE any transport call, login included
+    assert t.calls == []
+
+
+def test_avatar_path_without_bytes_refuses_before_login():
+    """ADVICE r13: the sibling consistency check (path supplied, payload
+    missing) shares the fail-fast contract — no transport call."""
+    t = FakeTransport()
+    with pytest.raises(PublishError, match="without avatar_bytes"):
+        publish_feed_generator(
+            t, "u", "p", "feed", "Feed", avatar_path="icon.png",
+            hostname="h.example",
+        )
+    assert t.calls == []

@@ -29,6 +29,12 @@ LOG_ROUND_TOL = 1.5e-6
 # VARCHAR column carrying numeric text) stays strict, matching the
 # driver's exact string hash as closely as type-erased values allow
 _FLOATISH = re.compile(r"-?\d+\.\d+([eE][+-]?\d+)?|-?\d+[eE][+-]?\d+")
+# engine-emittable numeric renderings: _FLOATISH plus integer-shaped.
+# Gate for the sort key only — Python's float() accepts forms no engine
+# emits ('1_0' → 10.0, '  2  ', 'Infinity'), and keying those
+# numerically would silently move text values into the numeric bucket
+# (ADVICE r13).
+_NUMERICISH = re.compile(r"-?\d+(\.\d+)?([eE][+-]?\d+)?")
 
 
 def normalize(rows, columns):
@@ -140,13 +146,14 @@ def _requantize_key(row):
     values under the strict tolerance, so a genuine 2-step difference
     keeps failing."""
     def q(v: str):
-        try:
-            f = float(v)
-        except (TypeError, ValueError):
+        # _NUMERICISH pre-filter: only engine-shaped numeric strings
+        # enter the numeric bucket; exotic float()-parseable forms
+        # ('1_0', '  2  ', 'Infinity') stay lexicographic.  nan/inf
+        # renderings fail the regex, so the isfinite concern is covered
+        # by the same gate.
+        if not isinstance(v, str) or not _NUMERICISH.fullmatch(v):
             return (1, v)
-        if not math.isfinite(f):
-            return (1, v)  # nan/inf: identical renderings on both sides
-        return (0, float(f"{f:.5g}"), v)
+        return (0, float(f"{float(v):.5g}"), v)
 
     return tuple(q(v) for v in row)
 

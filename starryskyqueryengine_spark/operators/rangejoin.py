@@ -42,6 +42,14 @@ def interval_count_join(
     # _bkt would be overwritten by the explode and the groupBy would
     # split each probe row across buckets with partial counts) — the
     # same fail-fast contract as as_of_join
+    # review r13: SQL `div 0` is null, so width_us == 0 used to yield a
+    # null bucket on every row → the equi-join matched nothing → every
+    # count silently 0.  A non-positive width is a caller bug and must
+    # fail loudly, same contract as the reserved-name clash below.
+    if width_us <= 0:
+        raise ValueError(
+            f"interval_count_join: width_us must be positive, got {width_us}"
+        )
     reserved = {"_bkt", "_bts", "_pid"}
     clash = reserved & (set(probe.columns) | set(build.columns))
     if clash:

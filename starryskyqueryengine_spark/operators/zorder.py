@@ -39,11 +39,28 @@ import decimal as _decimal
 import json
 import math as _math
 import os
+import re as _re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST = "_zorder_manifest.json"
+
+# a bare ISO date, as produced by str(datetime.date)
+_DATE_LAYOUT = _re.compile(r"\d{4}-\d{2}-\d{2}")
+
+
+def _pad_date(s: str) -> str:
+    """Normalize a bare-date rendering to its midnight timestamp so
+    date-vs-timestamp comparisons are layout-consistent (review r13):
+    '2024-01-01' sorts strictly BEFORE '2024-01-01 00:00:00'
+    lexicographically, so a date bound against stringified timestamp
+    stats (or a timestamp bound against date stats) pruned a file whose
+    min is exactly midnight — a row Spark's own date->timestamp cast
+    semantics says matches.  Padding to midnight matches that cast on
+    both sides; sub-second suffixes stay order-correct because they
+    only append to an equal 19-char prefix."""
+    return s + " 00:00:00" if _DATE_LAYOUT.fullmatch(s) else s
 
 # dtypes write_zordered can scale to integer ranks (numeric casts to
 # double; temporal converts to epoch seconds / days).  Matched on the
@@ -259,10 +276,9 @@ def read_with_skipping(
                 hi_c = None if hi is None else float(hi)
                 fmin_c, fmax_c = float(fmin), float(fmax)
             else:
-                lo_c, hi_c = (None if lo is None else str(lo)), (
-                    None if hi is None else str(hi)
-                )
-                fmin_c, fmax_c = str(fmin), str(fmax)
+                lo_c = None if lo is None else _pad_date(str(lo))
+                hi_c = None if hi is None else _pad_date(str(hi))
+                fmin_c, fmax_c = _pad_date(str(fmin)), _pad_date(str(fmax))
             if (hi_c is not None and hi_c < fmin_c) or (
                 lo_c is not None and lo_c > fmax_c
             ):

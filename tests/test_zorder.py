@@ -201,3 +201,51 @@ def test_interval_cluster_column_rejected_loudly(spark):
     assert df.schema["iv"].dataType.simpleString().startswith("interval")
     with pytest.raises(ValueError, match="cannot cluster"):
         write_zordered(df, "/tmp/never-written", ["iv", "id"])
+
+
+def test_date_bound_against_timestamp_stats_never_prunes_midnight(
+    spark, tmp_path
+):
+    """Review r13: a bare DATE bound against stringified TIMESTAMP stats
+    compared '2024-01-01' < '2024-01-01 00:00:00' lexicographically, so
+    a file whose min is exactly midnight was pruned even though Spark's
+    date->timestamp cast makes that row match.  _pad_date normalizes the
+    layouts, so skipping stays a pure optimization."""
+    import datetime as dt
+
+    path = str(tmp_path / "zdt")
+    # one day per 24 rows, values exactly ON midnight included
+    df = spark.range(0, 240).select(
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("id") * 3600  # 2024-01-01T00:00Z +1h
+        ).alias("ts"),
+        (F.col("id") % 10).alias("k"),
+    )
+    write_zordered(df, path, ["ts", "k"], n_files=8)
+
+    # hi bound = a date: Spark casts it to midnight; a file whose min is
+    # EXACTLY that midnight was pruned by the unpadded compare
+    # ('2024-01-06' < '2024-01-06 00:00:00'), silently dropping the
+    # midnight row from the pruned read
+    cut = dt.date(2024, 1, 6)
+    got, n_read, n_total = read_with_skipping(spark, path, {"ts": (None, cut)})
+    want = df.filter(F.col("ts") <= F.lit(cut)).count()
+    assert got.filter(F.col("ts") <= F.lit(cut)).count() == want
+    # the midnight row itself is present in the surviving files
+    midnight = dt.datetime(2024, 1, 6, 0, 0)
+    assert got.filter(F.col("ts") == F.lit(midnight)).count() == 1
+    assert n_read < n_total  # still prunes
+
+
+def test_interval_count_join_rejects_nonpositive_width(spark):
+    """Review r13: SQL `div 0` is null — width_us == 0 used to bucket
+    every row to null and silently return all-zero counts."""
+    from starryskyqueryengine_spark.operators.rangejoin import (
+        interval_count_join,
+    )
+
+    probe = spark.range(3).select(F.col("id").alias("ts"))
+    build = spark.range(3).select(F.col("id").alias("bts"))
+    for w in (0, -5):
+        with pytest.raises(ValueError, match="positive"):
+            interval_count_join(probe, build, "ts", "bts", w)

@@ -24,6 +24,13 @@ deletes files, public knowledge), expressed in Spark primitives:
   else in this repo).
 - **compact()** folds live rows into gen-0 files and clears tombstones
   — results unchanged, probe-side tombstone work back to zero.
+- **Recovery contract.**  The stats sidecar write is a batch's commit
+  point: ``apply_changes(txn=...)`` skips batches the sidecar already
+  recorded (committed-replay exactly-once), while a crash BEFORE the
+  sidecar write leaves appended segment rows with no recorded batch —
+  re-applying that batch would double them, so an interrupted
+  apply_changes means re-sync the index from source (rebuild, or
+  replay the CDF from the last committed gen into a fresh index).
 
 100 TB shape: a change batch costs tokenize(changed docs) + one append
 per table — O(batch), never O(corpus); probes stay O(buckets(terms));
@@ -145,11 +152,26 @@ class Bm25IncrementalIndex:
             {"gen": 0, "n_docs": row["n"] or 0, "total_dl": int(row["t"] or 0)}
         )
 
-    def apply_changes(self, changes: DataFrame) -> dict:
+    def apply_changes(self, changes: DataFrame, txn=None) -> dict:
         """Apply one change batch: rows ``(_change: insert|delete,
         doc_id, text)``.  An update is its delete+insert pair in the
         SAME batch (the CDF encoding TxnLogFormat.changes_between
         emits).  Cost is O(batch).
+
+        ``txn=(app_id, version)`` makes COMMITTED replays exactly-once
+        (review r13, mirroring ``TxnLogFormat.append(txn=...)`` and the
+        S8 upsert): a restarted CDC feed whose checkpoint predates its
+        sink commit re-fires its last batch, and without the marker the
+        replay re-appended every posting — duplicate live rows at a
+        newer gen, silently inflating tf and df and corrupting scores
+        for every doc in the batch.  Versions must be monotonically
+        increasing per app_id; a batch whose version is <= the recorded
+        one returns ``{"replayed": True}`` and touches nothing.  The
+        marker commits WITH the stats write (one atomic os.replace), so
+        a crash mid-batch replays as an uncommitted batch — see the
+        class docstring's recovery note: an interrupted apply_changes
+        must be re-applied from source or the index rebuilt; the stats
+        sidecar never records a batch whose appends it cannot vouch for.
 
         Contract note (review r10): a batch's delete+insert pair for one
         doc_id always means UPDATE — same-gen tombstones spare same-gen
@@ -160,6 +182,11 @@ class Bm25IncrementalIndex:
         producers hand-crafting batches must net such pairs out
         themselves."""
         st = self._stats()
+        if txn is not None:
+            app, ver = str(txn[0]), int(txn[1])
+            if st.get("txns", {}).get(app, -1) >= ver:
+                return {"gen": st["gen"], "inserted": 0, "deleted": 0,
+                        "replayed": True}
         gen = st["gen"] + 1
 
         dels = changes.filter(F.col("_change") == "delete").select("doc_id")
@@ -195,13 +222,16 @@ class Bm25IncrementalIndex:
             tf.unpersist()
             n_ins, t_ins = row["n"] or 0, int(row["t"] or 0)
 
-        self._write_stats(
-            {
-                "gen": gen,
-                "n_docs": st["n_docs"] + n_ins - n_del,
-                "total_dl": st["total_dl"] + t_ins - t_del,
-            }
-        )
+        new_st = {
+            "gen": gen,
+            "n_docs": st["n_docs"] + n_ins - n_del,
+            "total_dl": st["total_dl"] + t_ins - t_del,
+        }
+        if "txns" in st or txn is not None:
+            new_st["txns"] = dict(st.get("txns", {}))
+            if txn is not None:
+                new_st["txns"][str(txn[0])] = int(txn[1])
+        self._write_stats(new_st)
         return {"gen": gen, "inserted": n_ins, "deleted": n_del}
 
     def compact(self) -> None:

@@ -246,8 +246,14 @@ def write_zordered(
         }
     stats = dict(sorted(stats.items()))
     manifest = {"cols": cols, "bits": bits, "files": stats}
-    with open(os.path.join(path, MANIFEST), "w") as f:
+    # atomic manifest swap (review r13): a plain open(w) let a concurrent
+    # reader (two processes sharing the per-uid layout cache) see a torn
+    # manifest; os.replace makes manifest existence imply completeness —
+    # the same single-visibility-point rule as the JSONL sink
+    tmp = os.path.join(path, f".{MANIFEST}.tmp")
+    with open(tmp, "w") as f:
         json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, MANIFEST))
     return manifest
 
 

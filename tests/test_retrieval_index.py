@@ -165,3 +165,43 @@ def test_compact_crash_window_with_stale_tombstones_is_harmless(spark, tmp_path)
         .select("gen").distinct().collect()
     )
     assert {r["gen"] for r in gens} == {2}
+
+
+def test_committed_replay_is_exactly_once(spark, tmp_path):
+    """Review r13: a restarted CDC feed whose checkpoint predates its
+    sink commit re-fires its last batch; without the txn marker the
+    replay re-appended every posting (duplicate live rows at a newer
+    gen -> inflated tf/df -> wrong scores).  txn=(app, ver) mirrors
+    TxnLogFormat.append(txn=...): a committed version replays as a
+    no-op, data and stats untouched."""
+    idx = Bm25IncrementalIndex(spark, str(tmp_path / "idx"))
+    idx.build(_docs(spark, CORPUS[:3]))
+
+    batch = _changes(spark, [("insert", 4, CORPUS[3][1]),
+                             ("delete", 2, None)])
+    out1 = idx.apply_changes(batch, txn=("cdc", 7))
+    assert out1 == {"gen": 1, "inserted": 1, "deleted": 1}
+    want = _probe(idx)
+    st1 = idx._stats()
+
+    # exact replay: same app, same version -> no-op
+    out2 = idx.apply_changes(batch, txn=("cdc", 7))
+    assert out2["replayed"] and out2["inserted"] == 0
+    assert _probe(idx) == want
+    assert idx._stats() == st1
+
+    # stale version (lower than recorded) also replays as a no-op
+    out3 = idx.apply_changes(batch, txn=("cdc", 3))
+    assert out3["replayed"]
+    assert _probe(idx) == want
+
+    # a NEWER version applies; an unrelated app has its own sequence
+    out4 = idx.apply_changes(
+        _changes(spark, [("insert", 6, "fresh spark doc")]), txn=("cdc", 8)
+    )
+    assert out4 == {"gen": 2, "inserted": 1, "deleted": 0}
+    out5 = idx.apply_changes(
+        _changes(spark, [("insert", 7, "other feed doc")]), txn=("other", 1)
+    )
+    assert out5 == {"gen": 3, "inserted": 1, "deleted": 0}
+    assert idx._stats()["txns"] == {"cdc": 8, "other": 1}

@@ -589,24 +589,28 @@ def _load_extensions() -> None:
 # registered queries; _ordered() puts this window first, and
 # tests/test_oracle_parity.py pins len(PRIORITY) == 50 (ADVICE r9
 # flagged a 51-entry window; the committed list counts 50 — the pin
-# keeps it that way).  ROUND-12 ROTATION (VERDICT.md r11 ask #2): the
-# 10-query regression core (which already covers this round's touched
-# paths — s1_datasource_scan exercises the doubled-backtick DDL
-# scanner fix, p11 the auth file under self-review), then the ENTIRE
-# r6 bucket (all 23 queries whose last driver row is r6), then 17 of
-# the 18-query r7 bucket.  Deferred to r13 with rationale:
-# profile_documents (r7-stale, but its sibling expectations_documents
-# — same file, same full-scan aggregate shape — stays in-window, and
-# it remains value-exact in every round's local full gate).  After
-# this window no query's last driver row predates r7 except that one
-# deferral and sketch_distinct_users (inherently no-oracle; its value
-# assertion lives in the local gate's tolerance band).  Rotated OUT
-# with rationale: the r11 freshness block (r4/r5 buckets — all went
-# green in r11, untouched this round); p4/p5 regex-dialect consumers
-# (r11-green, translator untouched).  Changed code outranks stale
-# green; everything else stays value-checked per-round by
-# tools/full_gate.py and tests/test_oracle_parity.py.
+# keeps it that way).  ROUND-13 ROTATION (VERDICT.md r12 ask #1):
+# profile_documents LEADS — it is the one query whose last driver row
+# predates r8 (deferred from r12 with rationale; value-exact in every
+# round's local gate) — followed by the 10-query regression core, the
+# COMPLETE 29-query r8 bucket (every query whose last driver row is
+# r8), and a 10-query top-up: the queries r13's code changes touch
+# (range_join_click_attribution — rangejoin width guard;
+# zorder_skipping_scan — date-layout pruning fix + atomic manifest;
+# bm25_indexed_search / pipeline_rag_retrieval — retrieval.py txn
+# markers; s10_feed_response — jsonl_sink clean-pass) plus the oldest
+# r9 rows (asof_purchase_attribution, skew_salted_join,
+# q2_min_cost_supplier, cross_source_dup_matrix, span_dedup_stats).
+# After this window no query's last driver row predates r9 except
+# sketch_distinct_users (inherently no-oracle; tolerance-band-asserted
+# in the local gate).  Rotated OUT with rationale: the r12 window
+# (r6/r7 buckets — all 50 went green in r12; none of their code
+# changed this round).  Changed code outranks stale green; everything
+# else stays value-checked per-round by tools/full_gate.py and
+# tests/test_oracle_parity.py.
 PRIORITY: list[str] = [
+    # --- The r7-stale deferral leads (verdict r12 ask #1) ---
+    "profile_documents",
     # --- Regression core (multi-round driver-green, highest risk) ---
     "flagship_multifeed",
     "w1_stream_upsert",
@@ -618,48 +622,48 @@ PRIORITY: list[str] = [
     "s1_datasource_scan",
     "p11_acl_filter",
     "dedup_exact",
-    # --- Freshness: the complete r6 bucket (last driver row = r6) ---
-    "ann_ivf_indexed_topk",
-    "ann_pq_adc_topk",
-    "countmin_frequency",
-    "cube_nation_year",
-    "dedup_fuzzy_levenshtein",
-    "domain_blocklist_filter",
-    "embedding_quantize",
-    "grouping_sets_returns",
-    "html_extract_text",
-    "hybrid_rrf_search",
-    "kmeans_update_step",
-    "lm_perplexity_scores",
-    "mm_ppm_decode",
-    "mm_scene_detect",
-    "mm_transcode_png_jpeg",
-    "mm_wav_spectral",
-    "mm_y4m_frames",
-    "moving_revenue_window",
-    "pq_encode",
-    "topk_per_group_orders",
-    "triangle_count_cosupplier",
-    "unpivot_lineitem_measures",
-    "url_canonical_dedup",
-    # --- Freshness: the r7 bucket (17 of 18; see deferral note) ---
-    "ann_lsh_topk",
-    "anomaly_daily_zscore",
-    "bigram_pmi_topk",
-    "chisq_lang_source",
-    "dedup_rate_by_source",
-    "embedding_dim_stats",
-    "embedding_random_projection",
-    "expectations_documents",
-    "gapfill_user_daily",
-    "outlier_orders_mad",
-    "percentile_prices",
-    "rolling_7d_active_users",
-    "soft_dedup_weights",
-    "source_token_entropy",
-    "text_multi_pattern_scan",
-    "trend_segment_spend",
-    "window_rank_family",
+    # --- Freshness: the complete r8 bucket (last driver row = r8) ---
+    "ann_ivf_topk",
+    "bfs_reach_3hop",
+    "bpe_tokenize_roundtrip",
+    "cohort_retention",
+    "corpus_overview",
+    "dedup_minhash_lsh",
+    "dedup_survivors",
+    "embedding_near_dup",
+    "funnel_view_click_purchase",
+    "histogram_equidepth_prices",
+    "mixture_sample",
+    "mm_audio_fingerprint_neardup",
+    "mm_image_phash_neardup",
+    "mm_video_fingerprint_neardup",
+    "pagerank_dangling",
+    "pagerank_part_supplier",
+    "pareto_front_parts",
+    "phash_cluster_survivors",
+    "pipeline_multimodal_curation",
+    "q17_small_quantity_revenue",
+    "q20_excess_supply",
+    "quality_classifier_scores",
+    "scd2_priority_history",
+    "sketch_distinct_users_portable",
+    "source_kl_divergence",
+    "sssp_supplier_3hop",
+    "t4_refresh_delete",
+    "text_nfc_normalize",
+    "unimax_allocation",
+    # --- r13-touched code paths ---
+    "range_join_click_attribution",
+    "zorder_skipping_scan",
+    "bm25_indexed_search",
+    "pipeline_rag_retrieval",
+    "s10_feed_response",
+    # --- Oldest r9 rows (freshness top-up) ---
+    "asof_purchase_attribution",
+    "skew_salted_join",
+    "q2_min_cost_supplier",
+    "cross_source_dup_matrix",
+    "span_dedup_stats",
 ]
 
 def _ordered(d: dict) -> dict:

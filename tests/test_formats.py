@@ -99,7 +99,14 @@ def test_csv_pruning_conf_declared_at_session_not_mutated(spark, tmp_path):
     pc.write_text("a,b\n1,x\nnot,valid,width,at,all\n2,y\n")
     spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", "true")
     try:
-        with pytest.raises(RuntimeError, match="columnPruning"):
+        # r13 (verdict #6): the refusal must NAME BOTH REMEDIES — the
+        # embedder's first CSV read is where the contract surfaces, so
+        # the message is the documentation (README "runtime-conf
+        # contract" section)
+        with pytest.raises(
+            RuntimeError,
+            match=r"(?s)columnPruning.*get_spark\(\).*apply_runtime_confs\(\)",
+        ):
             read_any(spark, str(pc), schema=schema, fmt="csv")
         # the reader must NOT have flipped the session conf behind us
         assert (

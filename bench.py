@@ -205,6 +205,117 @@ def main() -> None:
         shape: {"query": q, "median_sec": median.get(q)}
         for shape, q in DRIFT_CONTROLS.items()
     }
+
+    # --- Round-keyed archive + shape-normalized ratios (r13, verdict
+    # asks #2/#7).  The driver writes BENCH_r{N}.json after each round,
+    # so the round being benched is max(existing)+1; bench_full_r{N}.json
+    # archives the FULL per-query medians per round so round-over-round
+    # deltas stop relying on top-5 + notes reconstruction.  Each query's
+    # raw ratio vs the previous archive is divided by its execution
+    # SHAPE's control ratio — the gate then reads drift-corrected
+    # numbers (memory: this VM drifts 1.2-1.7x per boot, shape-dependent).
+    here = os.path.dirname(os.path.abspath(__file__))
+    import glob as _glob
+    import re as _re
+
+    rounds = sorted(
+        int(m.group(1))
+        for f in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := _re.search(r"BENCH_r(\d+)\.json$", f))
+    )
+    cur_round = (rounds[-1] + 1) if rounds else 0
+    prev_round = rounds[-1] if rounds else None
+    full_path = os.path.join(here, "bench_full.json")
+    prev_arch = (
+        os.path.join(here, f"bench_full_r{prev_round:02d}.json")
+        if prev_round is not None
+        else None
+    )
+    # one-time backfill: the pre-archive bench_full.json was written by
+    # the previous round's gate run — attribute it to that round
+    if prev_arch and not os.path.exists(prev_arch) and os.path.exists(full_path):
+        import shutil as _shutil
+
+        _shutil.copyfile(full_path, prev_arch)
+
+    def _shape_of(name: str, med: float, python_queries: set) -> str:
+        if "stream" in name or name.startswith(("w1_", "w2_", "w8_", "w_")):
+            return "stream_checkpoint"
+        if name in python_queries:
+            return "python_codec"
+        if med < 0.3:
+            return "overhead_scalar"
+        return "jvm_shuffle"
+
+    python_queries: set = set()
+    try:
+        with open(os.path.join(here, "PLANLINT.json")) as fh:
+            _pl = json.load(fh)
+        python_queries = {
+            q for q, info in _pl.get("queries", {}).items()
+            if info.get("python_nodes")
+        }
+    except (OSError, ValueError):
+        pass  # no plan lint yet: python-shaped queries fall to jvm_shuffle
+
+    normalized_ratios: dict[str, dict] = {}
+    norm_summary: dict = {}
+    if prev_arch and os.path.exists(prev_arch):
+        try:
+            with open(prev_arch) as fh:
+                _prev_payload = json.load(fh)
+            prev_med = _prev_payload.get("queries", {})
+            # cross-SF ratios are meaningless (an sf0.001 smoke against
+            # an sf0.1 archive read as a uniform 3-5x "regression") —
+            # only same-SF rounds compare
+            if _prev_payload.get("sf") != sf:
+                prev_med = {}
+                norm_summary = {
+                    "vs_round": prev_round,
+                    "skipped": f"sf mismatch: prev {_prev_payload.get('sf')}"
+                               f" vs current {sf}",
+                }
+        except (OSError, ValueError):
+            prev_med = {}
+        control_ratio = {
+            shape: median[q] / prev_med[q]
+            for shape, q in DRIFT_CONTROLS.items()
+            if prev_med.get(q) and q in median
+        }
+        for k, v in median.items():
+            p = prev_med.get(k)
+            if not p:
+                continue
+            raw = v / p
+            shape = _shape_of(k, v, python_queries)
+            c = control_ratio.get(shape)
+            normalized_ratios[k] = {
+                "raw": round(raw, 3),
+                "shape": shape,
+                "normalized": round(raw / c, 3) if c else None,
+            }
+        norms = sorted(
+            r["normalized"] for r in normalized_ratios.values()
+            if r["normalized"] is not None
+        )
+        if norms:
+            worst = sorted(
+                (
+                    (k, r["normalized"])
+                    for k, r in normalized_ratios.items()
+                    if r["normalized"] is not None
+                ),
+                key=lambda kv: kv[1],
+                reverse=True,
+            )[:5]
+            norm_summary = {
+                "vs_round": prev_round,
+                "control_ratios": {s: round(c, 3)
+                                   for s, c in control_ratio.items()},
+                "median_normalized": norms[len(norms) // 2],
+                "n_over_1p5": sum(1 for x in norms if x > 1.5),
+                "worst5": {k: v for k, v in worst},
+            }
     payload = {
         "metric": "catalog_total_runtime",
         "value": total,
@@ -228,6 +339,9 @@ def main() -> None:
         "queries_lap4": lap4,
         "queries_best": best,
         "drift_controls": drift_controls,
+        "round": cur_round,
+        "normalized_ratios": normalized_ratios,
+        "normalized_summary": norm_summary,
         # r8->r9 root cause, chunk_documents_udtf (verdict r8 #3): the
         # 0.33->1.05 jump was NOT noise — r7's best-of caught a lucky
         # lap; per-lap sidecars showed ~1.0s in EVERY steady lap.  Two
@@ -344,14 +458,20 @@ def main() -> None:
     # stdout carries exactly ONE compact JSON line, emitted last, after
     # spark.stop() so no logging can trail it.
     print(json.dumps(payload), file=sys.stderr)
-    here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "bench_full.json"), "w") as fh:
+    with open(full_path, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    # round-keyed archive (r13): the same full payload, kept per round so
+    # any later round can diff the complete catalog against this one
+    with open(
+        os.path.join(here, f"bench_full_r{cur_round:02d}.json"), "w"
+    ) as fh:
         json.dump(payload, fh, indent=1)
     spark.stop()
     compact = {k: payload[k] for k in
                ("metric", "value", "unit", "sf", "cold_total_sec",
                 "lap2_total_sec", "lap3_total_sec", "lap4_total_sec",
-                "best_total_sec", "drift_controls")}
+                "best_total_sec", "drift_controls", "round",
+                "normalized_summary")}
     compact["queries"] = {
         k: median[k] for k in sorted(median, key=median.get, reverse=True)[:5]
     }

@@ -102,7 +102,11 @@ def test_validate_pattern_rejects_or_accepts_consistently(pat):
 
 
 @given(
-    pts=st.integers(min_value=0, max_value=2**62),
+    # negative probes included (r13): the operator docstring claims
+    # trunc-toward-zero coverage holds for ANY sign — pin it, since
+    # bucket 0 is double-width under trunc-div ((-w, w)) and the
+    # zero-straddling windows are where a floor/trunc mixup would bite
+    pts=st.integers(min_value=-(2**62), max_value=2**62),
     w=st.integers(min_value=1, max_value=10**12),
     delta=st.integers(min_value=0, max_value=10**12),
 )

@@ -176,3 +176,24 @@ def test_decode_budget_is_monotone(w, h, bpp, dw, dh):
     elif not passes(w2, h2):
         # smaller fails -> larger must fail as well
         assert not passes(w, h)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.data())
+def test_ppm_resize_nn_identity_and_pixel_provenance(data):
+    """Same-size resize is the identity, and every output pixel of any
+    resize is an exact copy of some input pixel (nearest-neighbor never
+    interpolates) with the pixel-center index map."""
+    from starryskyqueryengine_spark.multimodal import ppm_resize_nn
+
+    h = data.draw(st.integers(1, 10))
+    w = data.draw(st.integers(1, 10))
+    arr = _rand_bytes(data, h * w * 3).reshape(h, w, 3)
+    assert np.array_equal(ppm_resize_nn(arr, w, h), arr)
+    th = data.draw(st.integers(1, 12))
+    tw = data.draw(st.integers(1, 12))
+    out = ppm_resize_nn(arr, tw, th)
+    assert out.shape == (th, tw, 3)
+    ys = np.minimum(((np.arange(th) + 0.5) * h / th).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(tw) + 0.5) * w / tw).astype(np.int64), w - 1)
+    assert np.array_equal(out, arr[ys][:, xs])

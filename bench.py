@@ -451,6 +451,18 @@ def main() -> None:
             "outliers were machine drift, not code; phash and udtf "
             "recovered untouched (1.55x/1.73x -> 1.07x/1.18x "
             "control-normalized)",
+            # r13: headline flat (284.4 vs 285.9s, 0.99x); the quiet
+            # lap's worst normalized ratios (t4/q10/q14/t1/f5, all
+            # sub-second) trace to ONE contended lap — lap3 totaled
+            # 384s vs 278/301 with flagship at 13.09s vs ~1.5 in every
+            # other lap — and the overhead_scalar control itself read
+            # 1.67x that run, confirming per-query-overhead noise.
+            # Every r13-TOUCHED query is flat or faster: zorder 0.63x,
+            # bm25_indexed 0.83x, s10 0.82x, range_join 1.03x raw.
+            "r13_noise": "worst normalized ratios are one contended "
+            "lap (lap3 384s; flagship 13.09s there, ~1.5s elsewhere; "
+            "overhead control 1.67x) — r13-touched queries all flat "
+            "or faster",
         },
     }
     # Round-1 driver capture truncated the wide per-query line

@@ -37,6 +37,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def mg_fold(counters: dict, weights, k: int) -> dict:
+    """Fold one batch frequency summary into a Misra-Gries summary of
+    capacity ``k`` (the MERGE of Agarwal et al.): add, then if more than
+    k counters remain subtract the (k+1)-th largest value from all and
+    keep the strictly positive ones.  Module-level (r13) so the superset
+    guarantee — every item with total weight > W/k survives the fold
+    sequence — is property-testable without a SparkSession; the Spark
+    kernel below delegates here."""
+    for t, w in weights.items():
+        counters[t] = counters.get(t, 0) + int(w)
+    if len(counters) > k:
+        d = sorted(counters.values(), reverse=True)[k]
+        counters = {t: w - d for t, w in counters.items() if w > d}
+    return counters
+
+
 def misra_gries_candidates(
     df: DataFrame,
     term_col: str,
@@ -73,12 +89,7 @@ def misra_gries_candidates(
         for pdf in batches:
             vc = pdf[term_col].value_counts(dropna=True, sort=False)
             total += int(vc.sum())
-            for t, w in vc.items():
-                counters[t] = counters.get(t, 0) + int(w)
-            if len(counters) > k:
-                # MERGE truncation: subtract the (k+1)-th largest count
-                d = sorted(counters.values(), reverse=True)[k]
-                counters = {t: w - d for t, w in counters.items() if w > d}
+            counters = mg_fold(counters, vc, k)
         out = pd.DataFrame(
             {"term": list(counters.keys()), "est": list(counters.values())}
         )

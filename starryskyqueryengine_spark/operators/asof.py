@@ -79,6 +79,14 @@ def as_of_join(
         # carry window hands its payload to every left row that has no
         # genuine prior right row — it must simply not participate
         .filter(F.col(ts_col).isNotNull())
+        # JOIN semantics on the key (review r13): Window.partitionBy
+        # groups NULL keys into one partition (GROUP BY semantics), so a
+        # NULL-key right row's payload was carried onto NULL-key LEFT
+        # rows — but this operator is an as-of JOIN, where NULL never
+        # equals NULL (DuckDB's native ASOF JOIN, the oracle, matches
+        # nothing on NULL keys).  A NULL-key right row can match no left
+        # row; NULL-key left rows then fall through with NULL payload.
+        .filter(F.col(key_col).isNotNull())
         .select(
             key_col,
             ts_col,

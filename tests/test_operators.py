@@ -504,6 +504,28 @@ def test_asof_join_ignores_null_right_timestamps(spark):
     assert out == {"p1": None, "p2": "c1"}
 
 
+def test_asof_join_null_keys_never_match(spark):
+    """Review r13: the carry window partitions by key, and
+    Window.partitionBy groups NULL keys together (GROUP BY semantics) —
+    so a NULL-key right row's payload used to be carried onto NULL-key
+    left rows.  This operator is an as-of JOIN: NULL never equals NULL
+    (DuckDB's native ASOF JOIN, the oracle, matches nothing on NULL
+    keys), so NULL-key left rows get NULL payload and NULL-key right
+    rows match no one — while non-null keys are unaffected."""
+    from starryskyqueryengine_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [(None, 10, "p_null"), (2, 10, "p2")], "uid long, ts long, pid string"
+    )
+    right = spark.createDataFrame(
+        [(None, 5, "ghost"), (2, 5, "c1")], "uid long, ts long, cid string"
+    )
+    out = {r["pid"]: r["asof_cid"] for r in as_of_join(
+        left, right, key_col="uid", ts_col="ts", right_payload=["cid"]
+    ).collect()}
+    assert out == {"p_null": None, "p2": "c1"}
+
+
 def test_refresh_delete_keeps_null_key_rows(spark):
     """Refreshing one feed must not delete rows whose key is NULL
     (three-valued `!=` would silently drop them in both branches)."""

@@ -987,7 +987,24 @@ def _bm25_index_path(sf_dir) -> str:
     except OSError:
         fp = "nofp"
     tag = hashlib.md5(f"{sf_dir}|{fp}".encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"starrysky_bm25idx_{tag}")
+    # per-UID path + ownership gate (review r13, closing the gap with
+    # the zorder layout cache which got this in r8): the temp dir is
+    # shared and world-writable, so a predictable path trusted on mere
+    # stats.json existence would let any local process pre-plant a
+    # crafted index and have its postings served as query results (and
+    # two users benching the same fixture would collide on ownership).
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    path = os.path.join(
+        tempfile.gettempdir(), f"starrysky_bm25idx_u{uid}_{tag}"
+    )
+    if os.path.exists(path):
+        st_dir = os.stat(path)
+        if getattr(st_dir, "st_uid", uid) != uid:
+            raise PermissionError(
+                f"bm25 index cache dir {path} is owned by uid "
+                f"{st_dir.st_uid}, not {uid} — refusing to use it"
+            )
+    return path
 
 
 def build_bm25_index(spark, sf_dir) -> str:

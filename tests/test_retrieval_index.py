@@ -205,3 +205,36 @@ def test_committed_replay_is_exactly_once(spark, tmp_path):
     )
     assert out5 == {"gen": 3, "inserted": 1, "deleted": 0}
     assert idx._stats()["txns"] == {"cdc": 8, "other": 1}
+
+
+def test_bm25_index_cache_refuses_foreign_ownership(monkeypatch, tmp_path):
+    """Review r13: the persisted BM25 index cache gets the same per-UID
+    ownership gate as the zorder layout cache (r8) — a pre-planted dir
+    at the predictable path, owned by another uid, must be refused, not
+    trusted as an index."""
+    import os
+
+    import pytest as _pytest
+
+    from starryskyqueryengine_spark.catalog_text import _bm25_index_path
+
+    real_uid = os.getuid()
+    fake_uid = real_uid + 1
+    monkeypatch.setattr(os, "getuid", lambda: fake_uid)
+    # compute the fake uid's path, then pre-plant it owned by OUR uid
+    try:
+        planted = _bm25_index_path("/nonexistent-sf")
+    except PermissionError:
+        planted = None
+    if planted is None or os.path.exists(planted):
+        _pytest.skip("cannot stage a clean planted path on this host")
+    os.makedirs(planted)
+    try:
+        with _pytest.raises(PermissionError, match="refusing"):
+            _bm25_index_path("/nonexistent-sf")
+    finally:
+        os.rmdir(planted)
+    # and the happy path: our own uid's dir is accepted
+    monkeypatch.setattr(os, "getuid", lambda: real_uid)
+    p = _bm25_index_path("/nonexistent-sf")
+    assert f"u{real_uid}_" in os.path.basename(p)

@@ -1573,8 +1573,11 @@ def bigram_pmi_topk(spark, sf_dir):
     with BM25/KL/entropy).
 
     100 TB shape: one bigram hash aggregate (map-side combinable) and
-    one unigram aggregate; the unigram table broadcasts into the scored
-    join (vocab-sized), totals are 1-row broadcasts, and the final cut
+    one unigram aggregate; the unigram table joins HINT-FREE (review
+    r13 — it is vocab-sized, which Heaps' law keeps growing past any
+    broadcast limit; the same rule tfidf_top_terms documents — AQE
+    broadcasts it while it fits, shuffle-joins beyond), totals are
+    1-row broadcast aggregates (no driver collect), and the final cut
     is TakeOrderedAndProject — never a global sort of all bigrams."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -1589,15 +1592,16 @@ def bigram_pmi_topk(spark, sf_dir):
     ).select("p.x", "p.y")
     bc = bg.groupBy("x", "y").agg(F.count("*").alias("c")).filter(F.col("c") >= 5)
     n1 = uc.agg(F.sum("c").alias("n1"))
-    n2row = bg.count()  # total bigrams; 1 driver int (bounded)
+    n2 = bg.agg(F.count("*").alias("n2"))  # 1-row broadcast, no collect
     scored = (
-        bc.join(F.broadcast(uc.withColumnRenamed("w", "x").withColumnRenamed("c", "cx")), "x")
-        .join(F.broadcast(uc.withColumnRenamed("w", "y").withColumnRenamed("c", "cy")), "y")
+        bc.join(uc.withColumnRenamed("w", "x").withColumnRenamed("c", "cx"), "x")
+        .join(uc.withColumnRenamed("w", "y").withColumnRenamed("c", "cy"), "y")
         .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
         .withColumn(
             "score",
             (F.col("c").cast("double") * F.col("n1") * F.col("n1"))
-            / (F.col("cx").cast("double") * F.col("cy") * F.lit(n2row)),
+            / (F.col("cx").cast("double") * F.col("cy") * F.col("n2")),
         )
     )
     return (

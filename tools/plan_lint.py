@@ -55,7 +55,7 @@ from starryskyqueryengine_spark.session import get_spark  # noqa: E402
 #   range:   a non-equi interval condition against a bounded side
 WHITELIST: dict[str, str] = {
     "ann_cosine_topk": "grid: K query vectors (id<5) broadcast cross the base scan",
-    "bigram_pmi_topk": "scalar: 1-row total-bigram count broadcast into the PMI expr",
+    "bigram_pmi_topk": "scalars: 1-row unigram-total and bigram-total aggregates broadcast into the PMI expr",
     "bm25_search": "scalar: 1-row (N, avgdl) corpus stats broadcast into the score",
     "contrastive_negatives": "scalar: 1-row n_docs count for the negative-offset arithmetic",
     "countmin_frequency": "grid: probe terms x Range(0, depth=4) sketch-row grid",

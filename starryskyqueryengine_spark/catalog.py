@@ -598,9 +598,11 @@ def _load_extensions() -> None:
 # (range_join_click_attribution — rangejoin width guard;
 # zorder_skipping_scan — date-layout pruning fix + atomic manifest;
 # bm25_indexed_search / pipeline_rag_retrieval — retrieval.py txn
-# markers; s10_feed_response — jsonl_sink clean-pass) plus the oldest
-# r9 rows (asof_purchase_attribution, skew_salted_join,
-# q2_min_cost_supplier, cross_source_dup_matrix, span_dedup_stats).
+# markers + the per-UID index-cache ownership gate; bigram_pmi_topk —
+# hint-free unigram joins + broadcast-scalar bigram total) plus the
+# oldest r9 rows (asof_purchase_attribution — NULL-key join-semantics
+# fix, skew_salted_join, q2_min_cost_supplier, cross_source_dup_matrix,
+# span_dedup_stats).
 # After this window no query's last driver row predates r9 except
 # sketch_distinct_users (inherently no-oracle; tolerance-band-asserted
 # in the local gate).  Rotated OUT with rationale: the r12 window
@@ -657,7 +659,7 @@ PRIORITY: list[str] = [
     "zorder_skipping_scan",
     "bm25_indexed_search",
     "pipeline_rag_retrieval",
-    "s10_feed_response",
+    "bigram_pmi_topk",
     # --- Oldest r9 rows (freshness top-up) ---
     "asof_purchase_attribution",
     "skew_salted_join",

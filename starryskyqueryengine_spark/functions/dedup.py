@@ -794,9 +794,24 @@ class NearDupGate:
         self.id_col = id_col
 
     def _stored_bands(self) -> DataFrame | None:
+        import glob
         import os
 
         if not os.path.isdir(self.path):
+            # review r13: compact() renames path -> __old_ then tmp ->
+            # path; a crash between the two leaves the store MISSING
+            # while every admitted signature sits in the __old_ dir.
+            # Treating that as "empty store" silently re-admits every
+            # duplicate — fail loudly with the recovery step instead.
+            leftovers = glob.glob(f"{self.path}__old_*")
+            if leftovers:
+                raise RuntimeError(
+                    f"NearDupGate store {self.path} is missing but a "
+                    f"compaction rename-aside dir exists "
+                    f"({leftovers[0]}): compact() crashed mid-swap — "
+                    f"restore by renaming that dir back to the store "
+                    f"path (no signatures were lost)"
+                )
             return None
         return self.spark.read.parquet(self.path)
 

@@ -304,6 +304,40 @@ def test_neardup_gate_compaction_preserves_state(spark, tmp_path):
     assert v == {100: True, 101: False}
 
 
+def test_neardup_gate_crashed_compaction_fails_loudly(spark, tmp_path):
+    """Review r13: a compact() that crashed between its two renames
+    leaves the store dir missing with every signature in the __old_
+    rename-aside dir; treating that as an empty store would silently
+    re-admit every duplicate. The next probe must raise with the
+    recovery step instead."""
+    import os
+
+    from starryskyqueryengine_spark.functions.dedup import NearDupGate
+
+    store = str(tmp_path / "store")
+    gate = NearDupGate(spark, store)
+    gate.admit(spark.createDataFrame(
+        [(1, "some content words enough to shingle into grams here ok")],
+        "doc_id long, text string",
+    ))
+    # simulate the mid-swap crash: path -> __old_, tmp never moved in
+    os.rename(store, store + "__old_deadbeef")
+    with pytest.raises(RuntimeError, match="crashed mid-swap"):
+        gate.admit(spark.createDataFrame(
+            [(2, "another doc with plenty of words to shingle here too")],
+            "doc_id long, text string",
+        ))
+    # recovery: rename back -> the gate works again and remembers doc 1
+    os.rename(store + "__old_deadbeef", store)
+    v = {r["doc_id"]: r["is_dup"] for r in gate.admit(
+        spark.createDataFrame(
+            [(3, "some content words enough to shingle into grams here ok")],
+            "doc_id long, text string",
+        )
+    ).collect()}
+    assert v == {3: True}
+
+
 def test_winnowing_guarantee_shared_substring_shares_fingerprint(spark, tmp_path):
     """The winnowing theorem: two documents sharing a substring of at
     least W + K - 1 words must share at least one selected fingerprint;

@@ -997,14 +997,31 @@ def _bm25_index_path(sf_dir) -> str:
     path = os.path.join(
         tempfile.gettempdir(), f"starrysky_bm25idx_u{uid}_{tag}"
     )
-    if os.path.exists(path):
-        st_dir = os.stat(path)
-        if getattr(st_dir, "st_uid", uid) != uid:
-            raise PermissionError(
-                f"bm25 index cache dir {path} is owned by uid "
-                f"{st_dir.st_uid}, not {uid} — refusing to use it"
-            )
+    _assert_owned(path)
     return path
+
+
+def _assert_owned(path: str) -> None:
+    """Refuse a cache dir owned by another uid.  stat() directly and
+    treat FileNotFoundError as fine (ADVICE r13: the exists()+stat()
+    pair had a TOCTOU window where the dir vanishing between the two
+    raised an unhandled FileNotFoundError; a not-yet-created dir is the
+    normal build-fresh case, not an error).  Callers re-invoke this at
+    each TRUST point (just before believing stats.json means a complete
+    index), not only at path computation, so a dir planted after the
+    path gate is still caught."""
+    import os
+
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    try:
+        st_dir = os.stat(path)
+    except FileNotFoundError:
+        return
+    if getattr(st_dir, "st_uid", uid) != uid:
+        raise PermissionError(
+            f"bm25 index cache dir {path} is owned by uid "
+            f"{st_dir.st_uid}, not {uid} — refusing to use it"
+        )
 
 
 def build_bm25_index(spark, sf_dir) -> str:
@@ -1020,6 +1037,11 @@ def build_bm25_index(spark, sf_dir) -> str:
     import os
 
     path = _bm25_index_path(sf_dir)
+    # re-verify ownership at the trust point (ADVICE r13): stats.json
+    # existence is what makes us SERVE the index, so the gate must run
+    # here too — a dir planted between path computation and this check
+    # would otherwise have its postings served as query results
+    _assert_owned(path)
     if os.path.exists(os.path.join(path, "stats.json")):
         return path
     docs = load_table(spark, sf_dir, "documents")

@@ -803,7 +803,12 @@ class NearDupGate:
             # while every admitted signature sits in the __old_ dir.
             # Treating that as "empty store" silently re-admits every
             # duplicate — fail loudly with the recovery step instead.
-            leftovers = glob.glob(f"{self.path}__old_*")
+            # glob.escape (ADVICE r13): metacharacters ([, ?, *) in the
+            # store path itself must match literally — an unescaped
+            # pattern silently missed the rename-aside dir and fell
+            # back to the empty-store behavior this check exists to
+            # prevent
+            leftovers = glob.glob(glob.escape(self.path) + "__old_*")
             if leftovers:
                 raise RuntimeError(
                     f"NearDupGate store {self.path} is missing but a "

@@ -28,9 +28,10 @@ deletes files, public knowledge), expressed in Spark primitives:
   point: ``apply_changes(txn=...)`` skips batches the sidecar already
   recorded (committed-replay exactly-once), while a crash BEFORE the
   sidecar write leaves appended segment rows with no recorded batch —
-  re-applying that batch would double them, so an interrupted
-  apply_changes means re-sync the index from source (rebuild, or
-  replay the CDF from the last committed gen into a fresh index).
+  re-applying that batch would double them.  ``repair(source_batch)``
+  executes the recovery in one call: drop the uncommitted generation
+  (gen > stats gen) from postings/dl/tombstones, then re-apply the
+  batch through the normal committed path.
 
 100 TB shape: a change batch costs tokenize(changed docs) + one append
 per table — O(batch), never O(corpus); probes stay O(buckets(terms));
@@ -233,6 +234,64 @@ class Bm25IncrementalIndex:
                 new_st["txns"][str(txn[0])] = int(txn[1])
         self._write_stats(new_st)
         return {"gen": gen, "inserted": n_ins, "deleted": n_del}
+
+    def repair(self, changes: DataFrame | None = None, txn=None) -> dict:
+        """One-call recovery from a crash mid-``apply_changes`` (r14,
+        verdict ask #7 — the documented manual "re-sync from source"
+        step made executable).  The stats sidecar is the commit point:
+        a crash between the segment appends and the sidecar write
+        leaves posting/dl/tombstone rows tagged with gen > the recorded
+        stats gen, and naively re-applying the batch would double them.
+        ``repair`` drops every row from the uncommitted generation
+        (gen > stats gen) from all three tables, restoring exactly the
+        last committed state, then — if the caller hands back the
+        source batch — re-applies it through the normal
+        ``apply_changes`` path (with its ``txn`` marker, so the repair
+        itself is safely re-runnable).
+
+        Each affected table is rewritten via the same rename-aside swap
+        ``compact`` uses: a crash mid-repair leaves either the old or
+        the new tree live (or a loud missing-dir, never a silent
+        partial).  Tables with no uncommitted rows are not touched, so
+        a repair on a healthy index is a cheap no-op scan.  Cost is
+        O(live index) for affected tables — it is a recovery operation
+        on the compaction cadence, not a hot-path one."""
+        import shutil
+        import uuid
+
+        st = self._stats()
+        tip = int(st["gen"])
+        dropped: dict[str, int] = {}
+        for name in ("postings", "dl", "tombstones"):
+            p = os.path.join(self.path, name)
+            if not os.path.isdir(p) or not any(
+                True for _r, _d, fs in os.walk(p)
+                for n in fs if n.endswith(".parquet")
+            ):
+                dropped[name] = 0
+                continue
+            df = self.spark.read.parquet(p)
+            n_bad = df.filter(F.col("gen") > tip).count()
+            dropped[name] = n_bad
+            if not n_bad:
+                continue
+            kept = df.filter(F.col("gen") <= tip)
+            tmp = os.path.join(self.path, f"_repair-{uuid.uuid4().hex}")
+            w = kept.repartition("term_bucket") if name == "postings" else kept
+            w = w.write.mode("overwrite")
+            if name == "postings":
+                w = w.partitionBy("term_bucket")
+            w.parquet(tmp)
+            aside = os.path.join(
+                self.path, f"_aside-{name}-{uuid.uuid4().hex}"
+            )
+            os.rename(p, aside)
+            os.rename(tmp, p)
+            shutil.rmtree(aside)
+        out = {"stats_gen": tip, "dropped": dropped, "reapplied": None}
+        if changes is not None:
+            out["reapplied"] = self.apply_changes(changes, txn=txn)
+        return out
 
     def compact(self) -> None:
         """Fold live rows into fresh single-generation segments and

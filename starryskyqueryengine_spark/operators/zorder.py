@@ -86,6 +86,24 @@ def _rank_source_expr(col_name: str, dtype: str):
     return None
 
 
+def _col_kind(dtype: str) -> str:
+    """'numeric' | 'temporal' — the manifest records this per cluster
+    column (ADVICE r13) so the read path knows whether string-rendered
+    stats carry date/timestamp LAYOUT semantics.  _pad_date normalizes
+    '2024-01-01' to its midnight timestamp, which is correct for
+    temporal columns but would be WRONG for a genuine string column
+    whose values merely look like bare dates (padding flips the
+    lexicographic order against strings with control characters after a
+    date prefix — an incorrect prune).  write_zordered itself refuses
+    string cluster columns, so every manifest it writes is covered by
+    these two kinds; the flag exists so the read side never has to
+    guess from the rendered value."""
+    base = dtype.split("(", 1)[0]
+    if base in ("timestamp", "timestamp_ntz", "date"):
+        return "temporal"
+    return "numeric"
+
+
 def _stat_canon(v, side: str):
     """Canonicalize a per-file min/max stat for the JSON manifest so the
     read path's comparisons are sound:
@@ -245,7 +263,15 @@ def write_zordered(
             },
         }
     stats = dict(sorted(stats.items()))
-    manifest = {"cols": cols, "bits": bits, "files": stats}
+    manifest = {
+        "cols": cols,
+        "bits": bits,
+        # per-column kind (ADVICE r13): lets read_with_skipping apply
+        # the date->midnight layout normalization ONLY to temporal
+        # columns instead of to any stat that stringified
+        "kinds": {c: _col_kind(dtypes[c]) for c in cols},
+        "files": stats,
+    }
     # atomic manifest swap (review r13): a plain open(w) let a concurrent
     # reader (two processes sharing the per-uid layout cache) see a torn
     # manifest; os.replace makes manifest existence imply completeness —
@@ -255,6 +281,50 @@ def write_zordered(
         json.dump(manifest, f)
     os.replace(tmp, os.path.join(path, MANIFEST))
     return manifest
+
+
+def select_files(manifest: dict, ranges: dict[str, tuple]) -> list[str]:
+    """The pure pruning decision: file names whose per-file [min, max]
+    rectangle intersects every ``col: (lo, hi)`` range.  Factored out of
+    read_with_skipping so the Hypothesis suite can drive thousands of
+    bound combinations against a Python oracle without a Spark job per
+    example (r14, verdict ask #5)."""
+    # kind gate for the date-layout normalization (ADVICE r13): pad only
+    # temporal columns.  Manifests predating the "kinds" key were still
+    # written by write_zordered, which REFUSES string cluster columns —
+    # so any string-rendered stat in a legacy manifest is temporal and
+    # the pad-always fallback is safe for exactly that population.
+    kinds = manifest.get("kinds", {})
+    keep = []
+    for fn, st in manifest["files"].items():
+        ok = True
+        for c, (lo, hi) in ranges.items():
+            fmin, fmax = st[c]
+            if fmin is None or fmax is None:
+                continue  # all-null stats: cannot prune
+            pad = (
+                _pad_date if kinds.get(c, "temporal") == "temporal"
+                else (lambda s: s)
+            )
+            # numeric stats compare numerically; anything else (e.g.
+            # timestamps stringified into the manifest) lexicographically,
+            # which is order-correct for ISO-8601
+            if isinstance(fmin, (int, float)) and not isinstance(fmin, bool):
+                lo_c = None if lo is None else float(lo)
+                hi_c = None if hi is None else float(hi)
+                fmin_c, fmax_c = float(fmin), float(fmax)
+            else:
+                lo_c = None if lo is None else pad(str(lo))
+                hi_c = None if hi is None else pad(str(hi))
+                fmin_c, fmax_c = pad(str(fmin)), pad(str(fmax))
+            if (hi_c is not None and hi_c < fmin_c) or (
+                lo_c is not None and lo_c > fmax_c
+            ):
+                ok = False
+                break
+        if ok:
+            keep.append(fn)
+    return keep
 
 
 def read_with_skipping(
@@ -267,31 +337,7 @@ def read_with_skipping(
     are identical to an unpruned scan by construction."""
     with open(os.path.join(path, MANIFEST)) as f:
         manifest = json.load(f)
-    keep = []
-    for fn, st in manifest["files"].items():
-        ok = True
-        for c, (lo, hi) in ranges.items():
-            fmin, fmax = st[c]
-            if fmin is None or fmax is None:
-                continue  # all-null stats: cannot prune
-            # numeric stats compare numerically; anything else (e.g.
-            # timestamps stringified into the manifest) lexicographically,
-            # which is order-correct for ISO-8601
-            if isinstance(fmin, (int, float)) and not isinstance(fmin, bool):
-                lo_c = None if lo is None else float(lo)
-                hi_c = None if hi is None else float(hi)
-                fmin_c, fmax_c = float(fmin), float(fmax)
-            else:
-                lo_c = None if lo is None else _pad_date(str(lo))
-                hi_c = None if hi is None else _pad_date(str(hi))
-                fmin_c, fmax_c = _pad_date(str(fmin)), _pad_date(str(fmax))
-            if (hi_c is not None and hi_c < fmin_c) or (
-                lo_c is not None and lo_c > fmax_c
-            ):
-                ok = False
-                break
-        if ok:
-            keep.append(fn)
+    keep = select_files(manifest, ranges)
     total = len(manifest["files"])
     if not keep:
         empty = spark.read.parquet(path).limit(0)

@@ -546,3 +546,27 @@ def test_neardup_gate_verdict_is_materialized(spark, tmp_path):
     # explicit unpersist — GC never reclaims them)
     cm = spark._jsparkSession.sharedState().cacheManager()
     assert cm.isEmpty(), "admit() leaked DataFrame cache entries"
+
+
+def test_neardup_gate_crash_check_survives_glob_metachars(spark, tmp_path):
+    """ADVICE r13: the rename-aside probe used the store path as a raw
+    glob pattern, so metacharacters in the path ([, ?, *) silently
+    missed the leftover dir and fell back to the exact empty-store
+    behavior the check exists to prevent.  glob.escape makes the path
+    match literally."""
+    import os
+
+    from starryskyqueryengine_spark.functions.dedup import NearDupGate
+
+    store = str(tmp_path / "st[0]re")  # '[0]' is a glob character class
+    gate = NearDupGate(spark, store)
+    gate.admit(spark.createDataFrame(
+        [(1, "some content words enough to shingle into grams here ok")],
+        "doc_id long, text string",
+    ))
+    os.rename(store, store + "__old_cafe01")
+    with pytest.raises(RuntimeError, match="crashed mid-swap"):
+        gate.admit(spark.createDataFrame(
+            [(2, "another doc with plenty of words to shingle here too")],
+            "doc_id long, text string",
+        ))

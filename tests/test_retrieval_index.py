@@ -238,3 +238,120 @@ def test_bm25_index_cache_refuses_foreign_ownership(monkeypatch, tmp_path):
     monkeypatch.setattr(os, "getuid", lambda: real_uid)
     p = _bm25_index_path("/nonexistent-sf")
     assert f"u{real_uid}_" in os.path.basename(p)
+
+
+def test_bm25_ownership_gate_has_no_toctou_window(monkeypatch, tmp_path):
+    """ADVICE r13: the exists()+stat() pair raised an unhandled
+    FileNotFoundError if the dir vanished between the two calls, and a
+    dir planted after path computation was never re-checked.  The gate
+    now stats directly (missing dir = fine, that's the build-fresh
+    case) and build_bm25_index re-runs it at the trust point."""
+    import os
+
+    import pytest as _pytest
+
+    from starryskyqueryengine_spark.catalog_text import _assert_owned
+
+    # missing path: plain return, no exception (the old code's window)
+    _assert_owned(str(tmp_path / "never-created"))
+
+    # a dir that appears foreign-owned is refused wherever the gate runs
+    d = tmp_path / "planted"
+    d.mkdir()
+    real_stat = os.stat
+
+    class _ForeignStat:
+        def __init__(self, st):
+            self._st = st
+            self.st_uid = (os.getuid() + 1) if hasattr(os, "getuid") else 1
+
+        def __getattr__(self, k):
+            return getattr(self._st, k)
+
+    monkeypatch.setattr(
+        os, "stat",
+        lambda p, *a, **k: _ForeignStat(real_stat(p, *a, **k))
+        if str(p) == str(d) else real_stat(p, *a, **k),
+    )
+    with _pytest.raises(PermissionError, match="refusing"):
+        _assert_owned(str(d))
+
+
+def test_build_bm25_index_regates_at_trust_point(monkeypatch, tmp_path):
+    """The ownership check must run where stats.json existence is
+    TRUSTED (build_bm25_index), not only at path computation — a dir
+    planted between the two would otherwise have its postings served."""
+    import starryskyqueryengine_spark.catalog_text as ct
+
+    calls = []
+    monkeypatch.setattr(
+        ct, "_assert_owned", lambda p: calls.append(p)
+    )
+    monkeypatch.setattr(
+        ct, "_bm25_index_path", lambda sf: str(tmp_path / "idx")
+    )
+    # plant a "complete" index so build returns at the trust point
+    (tmp_path / "idx").mkdir()
+    (tmp_path / "idx" / "stats.json").write_text("{}")
+    out = ct.build_bm25_index(None, "/nonexistent-sf")
+    assert out == str(tmp_path / "idx")
+    assert calls == [str(tmp_path / "idx")]
+
+
+def test_repair_restores_exact_scores_after_mid_apply_crash(
+    spark, tmp_path, monkeypatch
+):
+    """r14 (verdict ask #7): the documented recovery for a crash between
+    the segment appends and the stats-sidecar commit becomes one call.
+    Kill apply_changes right before the sidecar write — postings, dl
+    AND a tombstone from the uncommitted gen are all on disk — then
+    repair(source_batch) must drop the orphaned generation and re-apply
+    it, yielding scores bit-identical to a from-scratch rebuild."""
+    idx = Bm25IncrementalIndex(spark, str(tmp_path / "idx"))
+    idx.build(_docs(spark, CORPUS[:4]))
+
+    new2 = "an updated spark document about vector streams"
+    batch = [("delete", 2, None), ("insert", 2, new2),
+             ("insert", 5, CORPUS[4][1])]
+
+    real_write = idx._write_stats
+
+    def _boom(st):
+        raise RuntimeError("injected crash before sidecar commit")
+
+    monkeypatch.setattr(idx, "_write_stats", _boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        idx.apply_changes(_changes(spark, batch), txn=("cdc", 7))
+    monkeypatch.setattr(idx, "_write_stats", real_write)
+
+    # uncommitted gen-1 rows are on disk in all three tables; naively
+    # re-applying would double them (the r13-documented failure)
+    assert idx._stats()["gen"] == 0
+    for name in ("postings", "dl", "tombstones"):
+        df = spark.read.parquet(str(tmp_path / "idx" / name))
+        assert df.filter(F.col("gen") > 0).count() > 0, name
+
+    out = idx.repair(_changes(spark, batch), txn=("cdc", 7))
+    assert out["stats_gen"] == 0
+    assert all(n > 0 for n in out["dropped"].values()), out
+    assert out["reapplied"] == {"gen": 1, "inserted": 2, "deleted": 1}
+
+    corpus = [CORPUS[0], (2, new2), CORPUS[2], CORPUS[3], CORPUS[4]]
+    assert _probe(idx) == _rebuilt(spark, tmp_path, _docs(spark, corpus), "r")
+
+    # the reapply carried the txn marker, so repairing again (e.g. a
+    # retried recovery job) is a committed-replay no-op
+    out2 = idx.repair(_changes(spark, batch), txn=("cdc", 7))
+    assert out2["dropped"] == {"postings": 0, "dl": 0, "tombstones": 0}
+    assert out2["reapplied"]["replayed"] is True
+    assert _probe(idx) == _rebuilt(spark, tmp_path, _docs(spark, corpus), "r2")
+
+
+def test_repair_on_healthy_index_is_a_noop(spark, tmp_path):
+    idx = Bm25IncrementalIndex(spark, str(tmp_path / "idx2"))
+    idx.build(_docs(spark, CORPUS))
+    before = _probe(idx)
+    out = idx.repair()
+    assert out["dropped"] == {"postings": 0, "dl": 0, "tombstones": 0}
+    assert out["reapplied"] is None
+    assert _probe(idx) == before

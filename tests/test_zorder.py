@@ -249,3 +249,169 @@ def test_interval_count_join_rejects_nonpositive_width(spark):
     for w in (0, -5):
         with pytest.raises(ValueError, match="positive"):
             interval_count_join(probe, build, "ts", "bts", w)
+
+
+def test_manifest_records_column_kinds(spark, tmp_path, zlayout):
+    """ADVICE r13: the manifest records each cluster column's kind so
+    the read path applies the date-layout normalization only to
+    temporal columns."""
+    _path, manifest, _l = zlayout
+    assert manifest["kinds"] == {
+        "l_partkey": "numeric", "l_orderkey": "numeric"
+    }
+    df = spark.range(0, 48).select(
+        F.timestamp_seconds(1704067200 + F.col("id") * 3600).alias("ts"),
+        (F.col("id") % 7).alias("k"),
+    )
+    m2 = write_zordered(df, str(tmp_path / "zk"), ["ts", "k"], n_files=2)
+    assert m2["kinds"] == {"ts": "temporal", "k": "numeric"}
+
+
+def test_string_kind_stats_are_not_date_padded():
+    """ADVICE r13 failure scenario: a genuine STRING column whose values
+    merely look like bare dates must not get the midnight padding — a
+    value with a control character (< 0x20) after the date prefix sorts
+    BETWEEN the bare date and its padded form, so padding the file min
+    would prune a file that contains the queried row."""
+    from starryskyqueryengine_spark.operators.zorder import select_files
+
+    probe = "2024-01-01\x01"  # sorts after '2024-01-01', before '2024-01-01 …'
+    manifest = {
+        "cols": ["s"],
+        "bits": 16,
+        "kinds": {"s": "string"},
+        "files": {"f1.parquet": {"rows": 2, "s": ["2024-01-01", probe]}},
+    }
+    # exact-match probe for the control-char value: the file contains it
+    assert select_files(manifest, {"s": (probe, probe)}) == ["f1.parquet"]
+    # the same stats under a temporal kind WOULD prune (documents why
+    # the kind gate exists: padding is only sound for temporal layouts)
+    manifest["kinds"]["s"] = "temporal"
+    assert select_files(manifest, {"s": (probe, probe)}) == []
+
+
+def test_legacy_manifest_without_kinds_still_pads_dates():
+    """Manifests written before the 'kinds' key could only contain
+    numeric or temporal cluster columns (write_zordered refuses
+    strings), so the pad-always fallback stays correct for them: a
+    bare-date file min against a midnight-timestamp bound must NOT
+    prune."""
+    from starryskyqueryengine_spark.operators.zorder import select_files
+
+    manifest = {
+        "cols": ["d"],
+        "bits": 16,
+        "files": {"f1.parquet": {"rows": 1, "d": ["2024-01-06", "2024-01-09"]}},
+    }
+    # hi bound rendered as a midnight timestamp: without padding,
+    # '2024-01-06 00:00:00' < '2024-01-06' lexicographically would prune
+    assert select_files(
+        manifest, {"d": (None, "2024-01-06 00:00:00")}
+    ) == ["f1.parquet"]
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis property suite #9 (r14, verdict ask #5): skipping must be a
+# PURE optimization for any mix of date / timestamp / decimal bounds —
+# a file containing a matching row is never pruned.  The layout is
+# written once with Spark; each Hypothesis example then exercises the
+# pure pruning decision (select_files) against a Python oracle over the
+# per-file rows collected once, so hundreds of bound combinations cost
+# no Spark jobs.
+# ---------------------------------------------------------------------------
+
+import datetime as _dt  # noqa: E402
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def zprop_layout(spark, tmp_path_factory):
+    from starryskyqueryengine_spark.operators.zorder import MANIFEST as _M
+
+    path = str(tmp_path_factory.mktemp("zprop") / "mixed_z")
+    df = spark.range(0, 500).select(
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("id") * 1800  # 2024-01-01T00Z + 30min
+        ).alias("ts"),
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   (F.col("id") % 60).cast("int")).alias("d"),
+        ((F.col("id") % 97).cast("decimal(10, 2)") / 4).alias("p"),
+    )
+    manifest = write_zordered(df, path, ["ts", "d", "p"], n_files=8)
+    rows = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("f"), "ts", "d", "p")
+        .collect()
+    )
+    per_file = {}
+    for r in rows:
+        fn = os.path.basename(r["f"].split("?", 1)[0])
+        per_file.setdefault(fn, []).append((r["ts"], r["d"], float(r["p"])))
+    assert set(per_file) == set(manifest["files"])
+    return manifest, per_file
+
+
+def _as_dt(v):
+    """Mirror Spark's date->timestamp cast: a bare date means midnight."""
+    if isinstance(v, _dt.datetime):
+        return v
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day)
+    return v
+
+
+_temporal_bound = st.one_of(
+    st.none(),
+    st.dates(_dt.date(2023, 12, 20), _dt.date(2024, 3, 15)),
+    st.datetimes(
+        _dt.datetime(2023, 12, 20), _dt.datetime(2024, 3, 15)
+    ).map(lambda t: t.replace(microsecond=0)),
+)
+_numeric_bound = st.one_of(
+    st.none(),
+    st.integers(-5, 30),
+    st.floats(min_value=-5, max_value=30,
+              allow_nan=False, allow_infinity=False),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    ts_lo=_temporal_bound, ts_hi=_temporal_bound,
+    d_lo=_temporal_bound, d_hi=_temporal_bound,
+    p_lo=_numeric_bound, p_hi=_numeric_bound,
+    use=st.sets(st.sampled_from(["ts", "d", "p"]), min_size=1),
+)
+def test_skipping_never_prunes_a_matching_row(
+    zprop_layout, ts_lo, ts_hi, d_lo, d_hi, p_lo, p_hi, use
+):
+    from starryskyqueryengine_spark.operators.zorder import select_files
+
+    manifest, per_file = zprop_layout
+    all_ranges = {"ts": (ts_lo, ts_hi), "d": (d_lo, d_hi), "p": (p_lo, p_hi)}
+    ranges = {c: all_ranges[c] for c in sorted(use)}
+    kept = set(select_files(manifest, ranges))
+
+    def _match(ts, d, p):
+        vals = {"ts": _as_dt(ts), "d": _as_dt(d), "p": p}
+        for c, (lo, hi) in ranges.items():
+            v = vals[c]
+            if c in ("ts", "d"):
+                lo_c, hi_c = _as_dt(lo), _as_dt(hi)
+            else:
+                lo_c = None if lo is None else float(lo)
+                hi_c = None if hi is None else float(hi)
+            if lo_c is not None and v < lo_c:
+                return False
+            if hi_c is not None and v > hi_c:
+                return False
+        return True
+
+    for fn, rows in per_file.items():
+        if any(_match(*r) for r in rows):
+            assert fn in kept, (
+                f"file {fn} contains a matching row but was pruned; "
+                f"ranges={ranges}"
+            )

@@ -485,6 +485,28 @@ def main() -> None:
             "outliers were machine drift, not code; phash and udtf "
             "recovered untouched (1.55x/1.73x -> 1.07x/1.18x "
             "control-normalized)",
+            # r14 (verdict r13 ask #2): pagerank_dangling's all-lap r13
+            # elevation (3.96 -> 5.62s) adjudicated by an INTERLEAVED
+            # same-boot standalone A/B, r12 tree (0cfda4f worktree) vs
+            # HEAD, 2 process-runs x 2 laps each per tree, with
+            # pagerank_part_supplier riding as the untouched control.
+            # dangling: r12 tree {5.09, 3.83, 4.76, 3.75} vs HEAD
+            # {5.66, 3.98, 4.58, 7.15} — overlapping ranges (medians
+            # 4.3 vs 5.1, driven by one 7.15 outlier); the CONTROL
+            # itself read {18.80, 8.26, 8.15, 10.76} on the old tree vs
+            # {9.61, 9.49, 10.55, 10.04} on HEAD — +-30% intra-boot
+            # swings on an untouched query, larger than the effect
+            # under test.  topk_per_group_orders: {1.35, 0.57, 0.82,
+            # 0.89} vs {0.60, 0.70, 0.99, 1.07} — identical.
+            # functions/graph.py is byte-identical between the trees,
+            # so no code path differs; attribution: boot-level drift,
+            # consistent with the r11/r12 precedents.
+            "r14_ab": "interleaved same-boot A/B r12-tree vs HEAD: "
+            "pagerank_dangling {5.09,3.83,4.76,3.75} vs "
+            "{5.66,3.98,4.58,7.15}, topk_per_group {1.35,0.57,0.82,"
+            "0.89} vs {0.60,0.70,0.99,1.07}, control swung 8.15-18.80 "
+            "on the OLD tree — overlapping distributions, graph.py "
+            "byte-identical between trees: machine drift, not code",
         },
     }
     # Per-run noise note COMPUTED from the laps shipped in this very

@@ -589,30 +589,26 @@ def _load_extensions() -> None:
 # registered queries; _ordered() puts this window first, and
 # tests/test_oracle_parity.py pins len(PRIORITY) == 50 (ADVICE r9
 # flagged a 51-entry window; the committed list counts 50 — the pin
-# keeps it that way).  ROUND-13 ROTATION (VERDICT.md r12 ask #1):
-# profile_documents LEADS — it is the one query whose last driver row
-# predates r8 (deferred from r12 with rationale; value-exact in every
-# round's local gate) — followed by the 10-query regression core, the
-# COMPLETE 29-query r8 bucket (every query whose last driver row is
-# r8), and a 10-query top-up: the queries r13's code changes touch
-# (range_join_click_attribution — rangejoin width guard;
-# zorder_skipping_scan — date-layout pruning fix + atomic manifest;
-# bm25_indexed_search / pipeline_rag_retrieval — retrieval.py txn
-# markers + the per-UID index-cache ownership gate; bigram_pmi_topk —
-# hint-free unigram joins + broadcast-scalar bigram total) plus the
-# oldest r9 rows (asof_purchase_attribution — NULL-key join-semantics
-# fix, skew_salted_join, q2_min_cost_supplier, cross_source_dup_matrix,
-# span_dedup_stats).
-# After this window no query's last driver row predates r9 except
-# sketch_distinct_users (inherently no-oracle; tolerance-band-asserted
-# in the local gate).  Rotated OUT with rationale: the r12 window
-# (r6/r7 buckets — all 50 went green in r12; none of their code
-# changed this round).  Changed code outranks stale green; everything
+# keeps it that way).  ROUND-14 ROTATION (VERDICT.md r13 ask #1): the
+# 10-query regression core, then the COMPLETE 30-query r9 bucket
+# (every query whose last driver row is r9 — after this window goes
+# green, no query's last driver row predates r10, sketch_distinct_users
+# excepted, inherently no-oracle), then a 10-query top-up from code r14
+# touches plus the oldest r10 rows: the ACID trio + table_changes_stream
+# (table_format.py review fixes — vacuum now reclaims crashed-staging /
+# tmp-log debris, _stage link retries the vacuum-rmdir race),
+# zorder_skipping_scan (manifest column kinds gate the date-layout
+# padding), bm25_indexed_search (ownership gate re-checked at the
+# stats.json trust point), and the r10-stale multimodal/serving rows
+# (mm_decode_features, mm_frame_sample, mm_metadata_project,
+# s11_feed_catalog — multimodal.py/codecs.py/server.py each got a
+# clean-pass adversarial review this round).
+# Rotated OUT with rationale: the full r13 window (all 50 green in
+# r13; profile_documents driver-green r13 and value-exact in every
+# local gate since).  Changed code outranks stale green; everything
 # else stays value-checked per-round by tools/full_gate.py and
 # tests/test_oracle_parity.py.
 PRIORITY: list[str] = [
-    # --- The r7-stale deferral leads (verdict r12 ask #1) ---
-    "profile_documents",
     # --- Regression core (multi-round driver-green, highest risk) ---
     "flagship_multifeed",
     "w1_stream_upsert",
@@ -624,48 +620,49 @@ PRIORITY: list[str] = [
     "s1_datasource_scan",
     "p11_acl_filter",
     "dedup_exact",
-    # --- Freshness: the complete r8 bucket (last driver row = r8) ---
-    "ann_ivf_topk",
-    "bfs_reach_3hop",
-    "bpe_tokenize_roundtrip",
-    "cohort_retention",
-    "corpus_overview",
-    "dedup_minhash_lsh",
-    "dedup_survivors",
-    "embedding_near_dup",
-    "funnel_view_click_purchase",
-    "histogram_equidepth_prices",
-    "mixture_sample",
-    "mm_audio_fingerprint_neardup",
-    "mm_image_phash_neardup",
-    "mm_video_fingerprint_neardup",
-    "pagerank_dangling",
-    "pagerank_part_supplier",
-    "pareto_front_parts",
-    "phash_cluster_survivors",
-    "pipeline_multimodal_curation",
-    "q17_small_quantity_revenue",
-    "q20_excess_supply",
-    "quality_classifier_scores",
-    "scd2_priority_history",
-    "sketch_distinct_users_portable",
-    "source_kl_divergence",
-    "sssp_supplier_3hop",
-    "t4_refresh_delete",
-    "text_nfc_normalize",
-    "unimax_allocation",
-    # --- r13-touched code paths ---
-    "range_join_click_attribution",
+    # --- Freshness: the complete r9 bucket (last driver row = r9) ---
+    "a1_salted_count_per_key",
+    "ann_cosine_topk",
+    "bloom_prefilter_upsert",
+    "chunk_documents",
+    "chunk_documents_udtf",
+    "contrastive_negatives",
+    "dedup_containment",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "j1_broadcast_lookup",
+    "j4_arrays_overlap",
+    "knn_centroid_assign",
+    "p12_lang_filter",
+    "pipeline_clean_corpus",
+    "pivot_segment_priority",
+    "rollup_revenue",
+    "s10_feed_response",
+    "sample_stratified",
+    "seq_length_histogram",
+    "split_train_val",
+    "t2_keyset_page",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_repetition_stats",
+    "text_token_count",
+    "tfidf_top_terms",
+    "u3_delete_insert_upsert",
+    "u4_cascading_delete",
+    "vocab_top_terms",
+    "w_stream_interval_join",
+    # --- r14-touched code paths (table_format/zorder/BM25 fixes) ---
+    "acid_table_audit",
+    "acid_restore_audit",
+    "acid_schema_evolution",
+    "table_changes_stream",
     "zorder_skipping_scan",
     "bm25_indexed_search",
-    "pipeline_rag_retrieval",
-    "bigram_pmi_topk",
-    # --- Oldest r9 rows (freshness top-up) ---
-    "asof_purchase_attribution",
-    "skew_salted_join",
-    "q2_min_cost_supplier",
-    "cross_source_dup_matrix",
-    "span_dedup_stats",
+    # --- Oldest r10 rows (freshness top-up; r14 reviewed their files) ---
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_metadata_project",
+    "s11_feed_catalog",
 ]
 
 def _ordered(d: dict) -> dict:

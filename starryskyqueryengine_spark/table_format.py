@@ -985,10 +985,24 @@ class TxnLogFormat(TableFormat):
                     if not fn.endswith(".parquet") or fn.startswith((".", "_")):
                         continue
                     new_name = f"{_uuid.uuid4().hex}.parquet"
-                    os.link(
-                        os.path.join(staging, entry, fn),
-                        os.path.join(tgt_dir, new_name),
-                    )
+                    try:
+                        os.link(
+                            os.path.join(staging, entry, fn),
+                            os.path.join(tgt_dir, new_name),
+                        )
+                    except FileNotFoundError:
+                        # review r14: a concurrent vacuum() rmdir's a key
+                        # dir it just emptied — if that lands between our
+                        # makedirs and this link, the link raises ENOENT
+                        # and the whole write crashes.  Recreate and
+                        # retry once; the dir cannot vanish again with
+                        # our link present (vacuum only removes EMPTY
+                        # dirs).
+                        os.makedirs(tgt_dir, exist_ok=True)
+                        os.link(
+                            os.path.join(staging, entry, fn),
+                            os.path.join(tgt_dir, new_name),
+                        )
                     add = {"path": f"{entry}/{new_name}", "key": key}
                     st = _footer_stats(os.path.join(staging, entry, fn))
                     if st is not None:
@@ -1183,6 +1197,38 @@ class TxnLogFormat(TableFormat):
                 "grace window to reclaim them",
                 self.last_vacuum_skipped_young, min_age_sec,
             )
+        # Crash debris (review r14): a writer that died mid-_stage leaves
+        # a full `_staging-<uuid>` copy of its batch under the table root
+        # — OUTSIDE data/, so the key= walk above never reclaims it and a
+        # long-running pipeline leaks a batch of disk per crash.  A
+        # committer that died between writing `.tmp-*.json` and os.link
+        # leaves the tmp entry in the log dir the same way.  Both are
+        # invisible to every snapshot by construction, so age is the only
+        # liveness signal — reuse the same grace window as data files.
+        import shutil as _shutil
+
+        for name in sorted(os.listdir(self.path)):
+            if not name.startswith("_staging-"):
+                continue
+            p = os.path.join(self.path, name)
+            try:
+                if now - os.path.getmtime(p) < min_age_sec:
+                    self.last_vacuum_skipped_young += 1
+                    continue
+            except OSError:
+                continue
+            _shutil.rmtree(p, ignore_errors=True)
+        for name in sorted(os.listdir(self.log_path)):
+            if not name.startswith(".tmp-") or not name.endswith(".json"):
+                continue
+            p = os.path.join(self.log_path, name)
+            try:
+                if now - os.path.getmtime(p) < min_age_sec:
+                    self.last_vacuum_skipped_young += 1
+                    continue
+                os.unlink(p)
+            except OSError:
+                continue
         return deleted
 
     # ------------------------------------------------------------- merge

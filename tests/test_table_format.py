@@ -1643,3 +1643,62 @@ def test_escaped_partition_key_boundaries_both_formats(spark, tmp_path):
         assert store.read_key("a:b").count() == 0, name
         assert store.read_key("plain").count() == 3, name
         assert "a:b" not in fmt.file_counts(), name
+
+
+def test_vacuum_reclaims_crashed_staging_and_tmp_log_debris(spark, tmp_path):
+    """Review r14: a writer that dies mid-_stage leaves a full
+    _staging-<uuid> copy of its batch under the table root — outside
+    data/, so the key= walk never reclaimed it (permanent disk leak per
+    crash); a committer that dies before its os.link leaves
+    .tmp-*.json in the log dir the same way.  vacuum() now reclaims
+    both past the grace window and counts young ones as skipped."""
+    import os
+    import time
+
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    fmt.append(_batch(spark, 0, 4))
+
+    old = time.time() - 3600
+    dead_stage = tmp_path / "t" / "_staging-deadbeef"
+    (dead_stage / "key=k1").mkdir(parents=True)
+    (dead_stage / "key=k1" / "part-0.parquet").write_bytes(b"x" * 64)
+    os.utime(dead_stage, (old, old))
+    dead_tmp = tmp_path / "t" / "_txn_log" / ".tmp-deadbeef.json"
+    dead_tmp.write_text("{}")
+    os.utime(dead_tmp, (old, old))
+    young_stage = tmp_path / "t" / "_staging-cafe01"
+    young_stage.mkdir()
+
+    fmt.vacuum(retain_versions=0, min_age_sec=600)
+    assert not dead_stage.exists(), "aged crash staging dir must be reclaimed"
+    assert not dead_tmp.exists(), "aged tmp log entry must be reclaimed"
+    # the young dir is a possible LIVE writer: skipped, and the skip is
+    # observable (not mistaken for a clean table)
+    assert young_stage.exists()
+    assert fmt.last_vacuum_skipped_young >= 1
+    # data untouched
+    assert fmt.read(spark).count() == 4
+
+
+def test_stage_link_retries_when_target_dir_vanishes(spark, tmp_path, monkeypatch):
+    """Review r14: vacuum() rmdir's a key dir it just emptied; if that
+    lands between _stage's makedirs and its os.link, the link raised
+    ENOENT and the whole write crashed.  The link now recreates the dir
+    and retries once."""
+    import os
+
+    fmt = TxnLogFormat(spark, str(tmp_path / "t"))
+    real_link = os.link
+    state = {"fired": False}
+
+    def racing_link(src, dst, **kw):
+        if not state["fired"] and f"{os.sep}data{os.sep}key=" in dst:
+            state["fired"] = True
+            # simulate the concurrent rmdir: target dir vanishes
+            os.rmdir(os.path.dirname(dst))
+        return real_link(src, dst, **kw)
+
+    monkeypatch.setattr(os, "link", racing_link)
+    fmt.append(_batch(spark, 0, 3))
+    assert state["fired"], "the race injection never triggered"
+    assert fmt.read(spark).count() == 3

@@ -488,7 +488,18 @@ class TxnLogFormat(TableFormat):
             for rm in e.get("remove", []):
                 if rm in added:
                     added.pop(rm)  # add+remove inside the window nets out
-                elif rm in base:
+                # NOT elif (r14, found by the log-algebra Hypothesis
+                # suite on its first run): a path live at v_from that is
+                # RE-ADDED inside the window and then removed must still
+                # surface as a remove — the old elif cancelled the
+                # remove against the in-window add and the CDF silently
+                # missed the delete (live(v2) lost the file but the
+                # feed claimed nothing changed).  The format's own
+                # writers never re-add a live path (fresh UUIDs; restore
+                # re-adds only non-live paths), but the log is a public
+                # on-disk contract and the netting algebra must hold
+                # for any valid log.
+                if rm in base:
                     removed[rm] = self._key_of(rm)
             for a in e.get("add", []):
                 added[a["path"]] = a["key"]

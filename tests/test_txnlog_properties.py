@@ -112,6 +112,70 @@ def test_replay_equals_fold_at_every_version(tmp_path_factory, entries, ci):
     assert live == _fold(entries, len(entries) - 1)[0]
 
 
+@st.composite
+def _meta_entries(draw):
+    """Logs carrying metadata actions: schema notes, constraint
+    add/drop, per-app txn watermarks (watermarks may arrive out of
+    order across entries — the fold takes the max per app)."""
+    n = draw(st.integers(1, 10))
+    entries = []
+    for v in range(n):
+        e = {"version": v, "op": "meta", "ts": 0.0, "add": [], "remove": []}
+        if draw(st.booleans()):
+            e["schema"] = {"v": draw(st.integers(0, 3))}  # opaque to the fold
+        kind = draw(st.sampled_from(["none", "cadd", "cdrop", "txn"]))
+        if kind == "cadd":
+            e["constraint_add"] = {
+                "name": draw(st.sampled_from(["c1", "c2"])),
+                "expr": "x > 0",
+            }
+        elif kind == "cdrop":
+            e["constraint_drop"] = draw(st.sampled_from(["c1", "c2"]))
+        elif kind == "txn":
+            e["txn"] = {
+                "app": draw(st.sampled_from(["a", "b"])),
+                "version": draw(st.integers(0, 5)),
+            }
+        entries.append(e)
+    return entries
+
+
+def _meta_fold(entries, version):
+    meta = {"schema": None, "constraints": {}, "txn": {}}
+    for e in entries:
+        if e["version"] > version:
+            break
+        if e.get("schema") is not None:
+            meta["schema"] = e["schema"]
+        if e.get("constraint_add"):
+            c = e["constraint_add"]
+            meta["constraints"][c["name"]] = c["expr"]
+        if e.get("constraint_drop"):
+            meta["constraints"].pop(e["constraint_drop"], None)
+        if e.get("txn"):
+            t = e["txn"]
+            meta["txn"][t["app"]] = max(
+                int(meta["txn"].get(t["app"], -1)), int(t["version"])
+            )
+    return meta
+
+
+@settings(max_examples=150, deadline=None)
+@given(entries=_meta_entries(), ci=st.sampled_from([0, 1, 2, 4]))
+def test_meta_replay_equals_fold_under_checkpoints(
+    tmp_path_factory, entries, ci
+):
+    """_meta_replay (schema / constraint set / txn watermarks) must
+    resolve identically with and without checkpoint resume — the
+    watermark max-merge and the constraint add/drop ordering are the
+    exactly-once and governance foundations."""
+    tmp = tmp_path_factory.mktemp("txnmeta")
+    fmt = _write_log(tmp, entries, checkpoint_interval=ci)
+    for v in range(len(entries)):
+        assert fmt._meta_replay(v) == _meta_fold(entries, v), (v, ci)
+    assert fmt._meta_replay() == _meta_fold(entries, len(entries) - 1)
+
+
 @settings(max_examples=150, deadline=None)
 @given(entries=_log_entries(), ci=st.sampled_from([0, 2, 5]), data=st.data())
 def test_interval_netting_obeys_snapshot_equation(

@@ -304,12 +304,19 @@ class ConditionsRegistry:
         """Restore a saved registry (arrays come back as Spark arrays;
         row -> FeedCondition via the permissive from_raw path).  When the
         primary dir is missing but the save-swap's stepped-aside copy
-        exists (crash between the two renames), load that."""
+        exists (crash between the two renames), load that.
+
+        TOTAL like :meth:`restore` (review r14): rows go through the
+        same skip-and-log path, not a raising upsert — a registry saved
+        under an older regex dialect (the JS->Java translator has
+        TIGHTENED across rounds) would otherwise abort the whole load
+        on its first now-rejected pattern, losing every other feed's
+        condition with it.  The reference's SQLite restore never aborts
+        on one bad row; neither do we."""
         import os
 
         if not os.path.exists(path) and os.path.exists(path + "._old"):
             path = path + "._old"
         reg = cls()
-        for row in spark.read.parquet(path).collect():
-            reg.upsert(FeedCondition.from_raw(row.asDict()))
+        reg.restore([row.asDict() for row in spark.read.parquet(path).collect()])
         return reg

@@ -747,3 +747,28 @@ def test_rangejoin_and_skew_reject_reserved_columns(spark):
     dim = spark.createDataFrame([("k", 9)], "key string, d int")
     with pytest.raises(ValueError, match="_salt"):
         salted_join_skewed_fact(fact, dim, "key", "uri")
+
+
+def test_conditions_registry_load_is_total_over_stale_rows(spark, tmp_path):
+    """Review r14: load() used to route rows through the RAISING upsert
+    path — a registry saved under an older regex dialect (the JS->Java
+    translator has tightened across rounds) aborted the whole load on
+    its first now-rejected pattern, losing every other feed's
+    condition.  load() now shares restore()'s skip-and-log contract."""
+    from starryskyqueryengine_spark.config import (
+        ConditionsRegistry,
+        FeedCondition,
+        conditions_df,
+    )
+
+    good = FeedCondition(key="k1", recordName="feed-a", inputRegex="data")
+    # a historically-stored row whose pattern the CURRENT dialect gate
+    # rejects (unbalanced paren) — built without validate(), exactly the
+    # on-disk state an older save could have produced
+    stale = FeedCondition(key="k2", recordName="feed-b", inputRegex="(")
+    path = str(tmp_path / "conds")
+    conditions_df(spark, [good, stale]).coalesce(1).write.parquet(path)
+
+    back = ConditionsRegistry.load(spark, path)
+    assert {c.key for c in back.all()} == {"k1"}
+    assert back.get("k1").inputRegex == "data"

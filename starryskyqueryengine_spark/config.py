@@ -286,15 +286,22 @@ class ConditionsRegistry:
         table never had that window).  Here the new copy lands in a temp
         dir, the old one steps aside, and the swap is two renames — a
         crash leaves either the old or the new registry readable
-        (load() falls back to the stepped-aside copy)."""
+        (load() falls back to the stepped-aside copy).
+
+        The stepped-aside copy is only displaced when a primary exists
+        (review r14): a save running AFTER a between-renames crash (no
+        primary, ``._old`` is the sole copy) used to rmtree that sole
+        copy before the new primary landed, so a second crash in that
+        window left NOTHING readable.  Now ``._old`` survives until the
+        rename of the fresh primary has succeeded."""
         import os
         import shutil
 
         tmp, old = path + "._tmp", path + "._old"
         shutil.rmtree(tmp, ignore_errors=True)
         self.to_df(spark).coalesce(1).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(old, ignore_errors=True)
         if os.path.exists(path):
+            shutil.rmtree(old, ignore_errors=True)
             os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old, ignore_errors=True)

@@ -295,6 +295,53 @@ def test_registry_save_survives_crash_between_renames(spark, tmp_path):
     shutil.rmtree(path + "._old")
 
 
+def test_registry_resave_after_crash_never_orphans_sole_copy(spark, tmp_path, monkeypatch):
+    """Review r14: a save() running after a between-renames crash (no
+    primary; ._old is the SOLE readable copy) must not displace that
+    copy before the fresh primary lands — a second crash right before
+    the final rename used to leave nothing load()able."""
+    import os
+    import shutil
+
+    from starryskyqueryengine_spark.config import ConditionsRegistry, FeedCondition
+
+    path = str(tmp_path / "conds")
+    reg = ConditionsRegistry()
+    reg.upsert(FeedCondition(key="k", recordName="f", inputRegex="x"))
+    reg.save(spark, path)
+    # crash window from the previous save: primary gone, old copy present
+    os.rename(path, path + "._old")
+
+    # re-save, crashing at the final rename(tmp -> path): the sole copy
+    # (._old) must still be present and loadable at every prior step
+    real_rename = os.rename
+
+    def crashing_rename(src, dst):
+        if dst == path:
+            assert os.path.exists(path + "._old"), (
+                "sole readable copy was displaced before the new primary landed"
+            )
+            raise OSError("injected crash before the primary rename")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    reg2 = ConditionsRegistry()
+    reg2.upsert(FeedCondition(key="k2", recordName="f2"))
+    try:
+        reg2.save(spark, path)
+    except OSError:
+        pass
+    monkeypatch.undo()
+    # recovery still sees the old registry
+    assert {c.key for c in ConditionsRegistry.load(spark, path).all()} == {"k"}
+
+    # and a clean re-save completes, swapping in the new state
+    reg2.save(spark, path)
+    assert {c.key for c in ConditionsRegistry.load(spark, path).all()} == {"k2"}
+    assert not os.path.exists(path + "._tmp") and not os.path.exists(path + "._old")
+    shutil.rmtree(path)
+
+
 def test_refresh_below_minus_one_is_flag_reset_only(spark, tmp_path):
     """Review r9 / reference parity (src/subscription.ts:146-158): only
     refresh == -1 (wipe) and refresh > 0 (drop newest N) delete; any

@@ -374,7 +374,15 @@ def make_pattern_matcher(
         out_ids: list[int] = []
         out_ts: list[int] = []
         if rows:
-            batch = pd.concat(rows).sort_values(["ts_us", "event_id"])
+            batch = pd.concat(rows)
+            # NULL ts_us (PERMISSIVE-rescued rows) have no position on
+            # the timeline: int(NaN) below would raise and KILL the
+            # query — the exact poison-pill mode W5 exists to prevent,
+            # guarded in every other operator of this module (review
+            # r14).  They cannot match, anchor, or advance the clock.
+            batch = batch[batch["ts_us"].notna()].sort_values(
+                ["ts_us", "event_id"]
+            )
             for eid, ts, etype in batch.itertuples(index=False):
                 ts = int(ts)
                 if etype == first_type:
@@ -383,7 +391,10 @@ def make_pattern_matcher(
                     # must not grow state
                     if ts not in first_ts:
                         first_ts.append(ts)
-                elif etype == then_type:
+                elif etype == then_type and not pd.isna(eid):
+                    # a NULL event_id then-event can be neither emitted
+                    # nor deduped (the append-mode fact needs an id);
+                    # its timestamp still advances the clock below
                     lo = ts - within_us
                     # matched_ids dedups at-least-once re-delivery: the
                     # sink is append-mode, so re-emitting a match row

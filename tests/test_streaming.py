@@ -1134,6 +1134,47 @@ def test_pattern_matcher_dedups_redelivered_matches():
     assert out2 == [], "re-delivered match emitted twice"
 
 
+def test_pattern_matcher_null_ts_and_null_id_do_not_poison():
+    """Review r14: a PERMISSIVE-rescued row with NULL ts_us used to hit
+    int(NaN) and kill the streaming query — the poison-pill mode every
+    OTHER operator in stateful.py already guards.  NULL-ts rows must be
+    inert (no match, no first-anchor, no clock advance); a NULL-id
+    then-event cannot be emitted/deduped but its ts still advances the
+    pruning clock."""
+    import pandas as pd
+
+    from starryskyqueryengine_spark.streaming.stateful import make_pattern_matcher
+
+    fn = make_pattern_matcher("view", "purchase", within_us=10_000_000)
+    st = _FakeGroupState()
+    batch = pd.DataFrame(
+        {
+            "event_id": [1, None, 3, None],
+            "ts_us": [1_000_000, None, 2_000_000, 50_000_000],
+            "event_type": ["view", "purchase", "purchase", "purchase"],
+        }
+    )
+    out = list(fn((7,), iter([batch]), st))
+    # the NULL-ts purchase is inert; the valid purchase matches; the
+    # NULL-id purchase at t=50s is not emitted
+    assert len(out) == 1 and out[0]["event_id"].tolist() == [3]
+    # ...but its timestamp advanced the clock: the view at t=1s is
+    # outside [50s - 10s, ...] and must have been pruned from state
+    first_ts, max_ts, matched_ids, matched_ts = st.updated
+    assert max_ts == 50_000_000 and first_ts == []
+    # an all-NULL-ts batch leaves fresh state untouched and emits nothing
+    st2 = _FakeGroupState()
+    empty = pd.DataFrame(
+        {
+            "event_id": [9],
+            "ts_us": [None],
+            "event_type": ["purchase"],
+        }
+    )
+    assert list(fn((7,), iter([empty]), st2)) == []
+    assert st2.updated == ([], -(1 << 62), [], [])
+
+
 def test_w6_cdc_same_batch_delete_recreate_survives(spark, tmp_path):
     """Review r9: a delete->recreate of one PK inside a single
     micro-batch (the standard CDC update encoding) must leave the

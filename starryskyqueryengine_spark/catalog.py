@@ -600,14 +600,18 @@ def _load_extensions() -> None:
 # zorder_skipping_scan (manifest column kinds gate the date-layout
 # padding), bm25_indexed_search (ownership gate re-checked at the
 # stats.json trust point), and the r10-stale multimodal/serving rows
-# (mm_decode_features, mm_frame_sample, mm_metadata_project,
-# s11_feed_catalog — multimodal.py/codecs.py/server.py each got a
-# clean-pass adversarial review this round).
+# (mm_decode_features, mm_frame_sample, mm_metadata_project —
+# multimodal.py/codecs.py/server.py each got a clean-pass adversarial
+# review this round) and w_stream_pattern_match (r10-stale AND
+# r14-touched: the pattern matcher gained the NULL-ts/NULL-id
+# poison-pill guard the module's other operators already had).
 # Rotated OUT with rationale: the full r13 window (all 50 green in
 # r13; profile_documents driver-green r13 and value-exact in every
-# local gate since).  Changed code outranks stale green; everything
-# else stays value-checked per-round by tools/full_gate.py and
-# tests/test_oracle_parity.py.
+# local gate since); s11_feed_catalog deferred to r15 (r10-green,
+# serving.py clean-passed twice, untouched code — displaced by the
+# doubly-qualified pattern-match row).  Changed code outranks stale
+# green; everything else stays value-checked per-round by
+# tools/full_gate.py and tests/test_oracle_parity.py.
 PRIORITY: list[str] = [
     # --- Regression core (multi-round driver-green, highest risk) ---
     "flagship_multifeed",
@@ -662,7 +666,7 @@ PRIORITY: list[str] = [
     "mm_decode_features",
     "mm_frame_sample",
     "mm_metadata_project",
-    "s11_feed_catalog",
+    "w_stream_pattern_match",
 ]
 
 def _ordered(d: dict) -> dict:

@@ -90,6 +90,14 @@ def _rewrite_tokens(pattern: str, multiline: bool, dotall: bool = False) -> str:
       ``(?!)*`` matches empty exactly like ``[]*``, ``(?!)+`` always
       fails like ``[]+``.
 
+    - in-class ``[`` and ``&`` -> escaped (r14): ECMA-262 ClassAtom
+      excludes only ``\\`` and ``]``, so JS reads both as literals,
+      while Java reads ``[`` as a nested-class opener (usually an
+      unclosed-class error — a valid JS pattern like ``[a[b]`` was
+      loudly REJECTED at validation) and ``&&`` as class intersection
+      (``[a&&b]`` compiles cleanly and silently matches NOTHING — the
+      one divergence the JVM compile check cannot catch).
+
     Escaped escapes (``\\\\s``) and class-literal ``$``/``.``/``^`` are
     left alone by construction: the walker consumes backslash pairs
     atomically and tracks in-class state.
@@ -119,6 +127,22 @@ def _rewrite_tokens(pattern: str, multiline: bool, dotall: bool = False) -> str:
                 continue
             in_class = True
             out.append(ch)
+        elif ch == "[" and in_class:
+            # JS: '[' is an ordinary ClassAtom (ECMA-262 excludes only
+            # '\' and ']'), so /[a[b]/ matches 'a', '[', 'b'.  Java:
+            # '[' in a class opens a NESTED class (union syntax) —
+            # usually an unclosed-class compile error that loudly
+            # rejected a valid JS pattern at validation (r14).  Escape
+            # to pin the JS parse; '\[' is a literal in both dialects.
+            out.append("\\[")
+        elif ch == "&" and in_class:
+            # JS: literal '&'.  Java: '&&' inside a class is
+            # INTERSECTION — '[a&&b]' compiles cleanly and silently
+            # matches NOTHING (r14; the one in-class divergence the
+            # fail-fast JVM compile check cannot catch).  '\&' is a
+            # literal in both dialects, and escaping every in-class
+            # '&' reproduces JS for single '&' and '&&' alike.
+            out.append("\\&")
         elif ch == "]" and in_class:
             in_class = False
             out.append(ch)

@@ -98,6 +98,19 @@ CORPUS = [
     # --- $ stays literal in class / escaped ---
     ("", "price[$]x", "price$x", True),
     ("", "cost\\$", "cost$ extra", True),
+    # --- in-class '[' is a JS ClassAtom (Java: nested-class opener that
+    #     rejected the pattern at validation before r14) ---
+    ("", "x[a[b]y", "x[y", True),
+    ("", "x[a[b]y", "xay", True),
+    ("", "x[a[b]y", "xcy", False),
+    ("", "v[[]w", "v[w", True),
+    # --- in-class '&' / '&&' are JS literals (Java: '&&' is class
+    #     INTERSECTION — untranslated, [a&&b] silently matches nothing) ---
+    ("", "x[a&&b]y", "xay", True),
+    ("", "x[a&&b]y", "x&y", True),
+    ("", "x[a&&b]y", "xby", True),
+    ("", "x[a&&b]y", "xcy", False),
+    ("", "a[&]b", "a&b", True),
 ]
 
 
@@ -121,7 +134,10 @@ _ESCAPE = st.sampled_from(
 _CLASS = st.tuples(
     st.booleans(),
     st.lists(
-        st.sampled_from(["a", "b", "c", "0", "1", "x-z", "0-5", "\\s", "\\n", ",", "."]),
+        st.sampled_from(
+            ["a", "b", "c", "0", "1", "x-z", "0-5", "\\s", "\\n", ",", ".",
+             "[", "&"]  # JS ClassAtoms that are Java metacharacters (r14)
+        ),
         min_size=1,
         max_size=3,
     ),

@@ -67,7 +67,9 @@ def _events_stream(spark, sf_dir, schema=None):
     stage = tempfile.mkdtemp(prefix=f"evstream_{uuid.uuid4().hex[:8]}_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
     if schema is None:
-        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        from .sources.fixtures import fixture_schema
+
+        schema = fixture_schema(spark, sf_dir, "events")
     from .sources.fixtures import normalize_events_ts
 
     # the SHARED ts recipe (sources/fixtures.py) — batch oracles and
@@ -207,10 +209,14 @@ def w_stream_interval_join(spark, sf_dir):
     )
     tmp = tempfile.mkdtemp(prefix="wij_")
     out_dir = f"{tmp}/partials"
-    # seed the output dir with a zero-row typed file so an empty drain
-    # (no pairs, or no batch at all) still reads back as a 0-row result
-    # instead of failing schema inference
-    spark.createDataFrame([], "event_id long, n long").write.mode("append").parquet(out_dir)
+    # empty-drain safety WITHOUT the seed-write job (optimization r14):
+    # the final read passes the partials schema explicitly, so an empty
+    # drain (no pairs, or no batch at all) reads the bare directory as a
+    # 0-row frame — the old zero-row seed file bought exactly that for
+    # the price of a full parquet write+commit per call
+    import os as _os
+
+    _os.makedirs(out_dir, exist_ok=True)
 
     # aggregate inside foreachBatch and append the per-batch partial
     # counts as parquet — the raw pair set never funnels through the
@@ -234,7 +240,7 @@ def w_stream_interval_join(spark, sf_dir):
         )
         _drain(q)
     return (
-        spark.read.parquet(out_dir)
+        spark.read.schema("event_id long, n long").parquet(out_dir)
         .groupBy("event_id")
         .agg(F.sum("n").cast("bigint").alias("n_in_range"))
     )
@@ -403,7 +409,15 @@ def acid_table_audit(spark, sf_dir):
 
     from .table_format import TxnLogFormat
 
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    from .sources.fixtures import fixture_schema
+
+    # explicit schema through the fixture catalog (optimization r14):
+    # identical RAW frame (ts stays in its native representation — the
+    # normalized load_table form would change indexedAt), no per-call
+    # footer inference
+    ev = spark.read.schema(fixture_schema(spark, sf_dir, "events")).parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
     posts = ev.select(
         F.format_string("ev:%09d", F.col("event_id")).alias("uri"),
         F.col("event_type").alias("key"),
@@ -557,9 +571,11 @@ def w_stream_dedup(spark, sf_dir):
     ).select("user_id", "event_type")
     tmp = tempfile.mkdtemp(prefix="wdedup_")
     out_dir = f"{tmp}/out"
-    spark.createDataFrame([], "user_id long, event_type string").write.mode(
-        "append"
-    ).parquet(out_dir)
+    # empty-drain safety via explicit read schema (optimization r14) —
+    # replaces the zero-row seed file's write+commit job
+    import os as _os
+
+    _os.makedirs(out_dir, exist_ok=True)
 
     def sink(bdf, _bid):
         bdf.write.mode("append").parquet(out_dir)
@@ -576,7 +592,9 @@ def w_stream_dedup(spark, sf_dir):
     # cross-batch safety: within-watermark duplicates are already
     # dropped by the operator; a distinct here collapses nothing on the
     # single-batch drain but keeps the contract under any batching
-    return spark.read.parquet(out_dir).distinct()
+    return spark.read.schema(
+        "user_id long, event_type string"
+    ).parquet(out_dir).distinct()
 
 
 @register(
@@ -643,6 +661,67 @@ def w_stream_static_enrich(spark, sf_dir):
     )
 
 
+def _write_sentinels_pyarrow(stage: str, src_path: str, sentinel_id: int) -> bool:
+    """Fast path for w_stream_outer_join's watermark sentinels: build the
+    two 2-row far-future parquet files driver-side with pyarrow, taking
+    max(ts) from the source file's footer statistics (exact for
+    timestamp columns; every row group must carry min/max).  Returns
+    False — caller falls back to the Spark path — whenever the fixture
+    does not match the supported shape exactly: the 6-column events
+    layout with a microsecond timestamp ``ts``."""
+    import datetime as _dt
+    import os as _os
+    import time as _tm
+
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(src_path)
+        sch = pf.schema_arrow
+        names = [f.name for f in sch]
+        if names != ["event_id", "ts", "user_id", "event_type", "value", "props"]:
+            return False
+        expect = [
+            pa.int64(), pa.timestamp("us"), pa.int64(),
+            pa.string(), pa.float64(), pa.string(),
+        ]
+        if [f.type for f in sch] != expect:
+            return False
+        md = pf.metadata
+        ts_idx = names.index("ts")
+        mx = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ts_idx).statistics
+            if st is None or not st.has_min_max:
+                return False
+            mx = st.max if mx is None else max(mx, st.max)
+        if mx is None:
+            return False
+        sch = sch.remove_metadata()
+        for i, days in enumerate((365, 366)):
+            far = mx + _dt.timedelta(days=days)
+            tbl = pa.table(
+                {
+                    "event_id": pa.array(
+                        [sentinel_id + 2 * i, sentinel_id + 2 * i + 1], pa.int64()
+                    ),
+                    "ts": pa.array([far, far], pa.timestamp("us")),
+                    "user_id": pa.array([0, 0], pa.int64()),
+                    "event_type": pa.array(["purchase", "click"], pa.string()),
+                    "value": pa.array([0.0, 0.0], pa.float64()),
+                    "props": pa.array(["{}", "{}"], pa.string()),
+                },
+                schema=sch,
+            )
+            tgt = f"{stage}/z_sentinel_{i}.parquet"
+            pq.write_table(tbl, tgt)
+            _os.utime(tgt, (_tm.time() + 100 + 10 * i,) * 2)
+        return True
+    except Exception:
+        return False
+
+
 @register(
     "w_stream_outer_join",
     f"""
@@ -697,49 +776,65 @@ def w_stream_outer_join(spark, sf_dir):
 
     SENTINEL_ID = 10**12
     apply_runtime_confs(spark)
-    batch_ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    schema = batch_ev.schema
-    # legacy fixture support (same branch as _events_stream /
-    # sources/fixtures.py): a BIGINT ts is NANOSECONDS since epoch —
-    # cast("timestamp") would read it as SECONDS, and a datetime
-    # sentinel against the LongType schema field raises outright, so
-    # sentinels must be built in the fixture's native representation
-    legacy_ns = dict(batch_ev.dtypes).get("ts") == "bigint"
-    if legacy_ns:
-        mx_ns = batch_ev.agg(F.max("ts")).collect()[0][0]
+    from .sources.fixtures import fixture_schema
 
-        def _far(days: int):
-            return mx_ns + days * 86400 * 10**9
-
-    else:
-        mx = batch_ev.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
-
-        def _far(days: int):
-            return mx + datetime.timedelta(days=days)
-
+    schema = fixture_schema(spark, sf_dir, "events")
     stage = tempfile.mkdtemp(prefix=f"wsoj_{uuid.uuid4().hex[:8]}_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stage}/a_events.parquet")
-    sent_dir = f"{stage}/_sentinels"
-    # two sentinel batches + the engine's closing no-data micro-batch:
-    # watermark folds in one batch late, so sentinel #2's batch and the
-    # no-data batch both run with the watermark past every real window
-    for i, days in enumerate((365, 366)):
-        far = _far(days)
-        spark.createDataFrame(
-            [
-                (SENTINEL_ID + 2 * i, far, 0, "purchase", 0.0, "{}"),
-                (SENTINEL_ID + 2 * i + 1, far, 0, "click", 0.0, "{}"),
-            ],
-            schema=schema,
-        ).repartition(1).write.mode("overwrite").parquet(sent_dir)
-        # repartition(1), NOT coalesce(1): coalescing a parallelized
-        # local relation into one task measured ~4.6 s per 2-row write
-        # on local[32]; the repartitioned form is ~0.4 s
-        part = glob.glob(f"{sent_dir}/part-*.parquet")[0]
-        tgt = f"{stage}/z_sentinel_{i}.parquet"
-        shutil.copy(part, tgt)
-        os.utime(tgt, (_time.time() + 100 + 10 * i,) * 2)
-    shutil.rmtree(sent_dir, ignore_errors=True)
+    # Sentinel construction is DRIVER-SIDE HARNESS WORK, not data
+    # computation — the fast path (optimization r14) builds the two
+    # 2-row far-future files with pyarrow and takes max(ts) from the
+    # parquet FOOTER STATISTICS (exact for int64/timestamp columns):
+    # zero Spark jobs, where the old path paid one max() aggregate job
+    # plus two repartition(1) writes (~0.4 s each) per call.  Falls back
+    # to the original Spark path for any fixture generation the fast
+    # path does not recognize (legacy ns-BIGINT ts, missing stats,
+    # unexpected column layout).
+    if not _write_sentinels_pyarrow(
+        stage, f"{sf_dir}/events.parquet", SENTINEL_ID
+    ):
+        batch_ev = spark.read.schema(schema).parquet(f"{sf_dir}/events.parquet")
+        # legacy fixture support (same branch as _events_stream /
+        # sources/fixtures.py): a BIGINT ts is NANOSECONDS since epoch —
+        # cast("timestamp") would read it as SECONDS, and a datetime
+        # sentinel against the LongType schema field raises outright, so
+        # sentinels must be built in the fixture's native representation
+        legacy_ns = dict(batch_ev.dtypes).get("ts") == "bigint"
+        if legacy_ns:
+            mx_ns = batch_ev.agg(F.max("ts")).collect()[0][0]
+
+            def _far(days: int):
+                return mx_ns + days * 86400 * 10**9
+
+        else:
+            mx = batch_ev.agg(
+                F.max(F.col("ts").cast("timestamp"))
+            ).collect()[0][0]
+
+            def _far(days: int):
+                return mx + datetime.timedelta(days=days)
+
+        sent_dir = f"{stage}/_sentinels"
+        # two sentinel batches + the engine's closing no-data micro-batch:
+        # watermark folds in one batch late, so sentinel #2's batch and the
+        # no-data batch both run with the watermark past every real window
+        for i, days in enumerate((365, 366)):
+            far = _far(days)
+            spark.createDataFrame(
+                [
+                    (SENTINEL_ID + 2 * i, far, 0, "purchase", 0.0, "{}"),
+                    (SENTINEL_ID + 2 * i + 1, far, 0, "click", 0.0, "{}"),
+                ],
+                schema=schema,
+            ).repartition(1).write.mode("overwrite").parquet(sent_dir)
+            # repartition(1), NOT coalesce(1): coalescing a parallelized
+            # local relation into one task measured ~4.6 s per 2-row write
+            # on local[32]; the repartitioned form is ~0.4 s
+            part = glob.glob(f"{sent_dir}/part-*.parquet")[0]
+            tgt = f"{stage}/z_sentinel_{i}.parquet"
+            shutil.copy(part, tgt)
+            os.utime(tgt, (_time.time() + 100 + 10 * i,) * 2)
+        shutil.rmtree(sent_dir, ignore_errors=True)
 
     from .sources.fixtures import normalize_events_ts
 
@@ -761,9 +856,9 @@ def w_stream_outer_join(spark, sf_dir):
 
     tmp = tempfile.mkdtemp(prefix=f"wsoj_out_{uuid.uuid4().hex[:8]}_")
     out_dir = f"{tmp}/partials"
-    spark.createDataFrame([], "event_id long, n long").write.mode(
-        "append"
-    ).parquet(out_dir)
+    # empty-drain safety via explicit read schema (optimization r14) —
+    # replaces the zero-row seed file's write+commit job
+    os.makedirs(out_dir, exist_ok=True)
 
     def sink(bdf, _bid):
         (
@@ -783,7 +878,7 @@ def w_stream_outer_join(spark, sf_dir):
         )
         _drain(q)
     return (
-        spark.read.parquet(out_dir)
+        spark.read.schema("event_id long, n long").parquet(out_dir)
         .filter(F.col("event_id") < SENTINEL_ID)
         .groupBy("event_id")
         .agg(F.sum("n").cast("bigint").alias("n_in_range"))
@@ -842,7 +937,11 @@ def acid_schema_evolution(spark, sf_dir):
 
     from .table_format import TxnLogFormat
 
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    from .sources.fixtures import fixture_schema
+
+    orders = spark.read.schema(fixture_schema(spark, sf_dir, "orders")).parquet(
+        os.path.join(sf_dir, "orders.parquet")
+    )
     posts = orders.select(
         F.format_string("o:%09d", F.col("o_orderkey")).alias("uri"),
         F.col("o_orderpriority").alias("key"),
@@ -946,7 +1045,11 @@ def table_changes_stream(spark, sf_dir):
     from .table_format import TxnLogFormat
 
     register_table_changes_source(spark)
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    from .sources.fixtures import fixture_schema
+
+    orders = spark.read.schema(fixture_schema(spark, sf_dir, "orders")).parquet(
+        os.path.join(sf_dir, "orders.parquet")
+    )
     posts = orders.select(
         F.format_string("o:%09d", F.col("o_orderkey")).alias("uri"),
         F.col("o_orderpriority").alias("key"),
@@ -969,7 +1072,10 @@ def table_changes_stream(spark, sf_dir):
         .load()
     )
     out = f"{tmp}/rows"
-    spark.createDataFrame([], stream.schema).write.mode("append").parquet(out)
+    # empty-drain safety via explicit read schema (optimization r14) —
+    # replaces the zero-row seed file's write+commit job
+    out_schema = stream.schema
+    os.makedirs(out, exist_ok=True)
     q = (
         stream.writeStream.foreachBatch(
             lambda b, _i: b.write.mode("append").parquet(out)
@@ -980,7 +1086,7 @@ def table_changes_stream(spark, sf_dir):
     )
     _drain(q)
     return (
-        spark.read.parquet(out)
+        spark.read.schema(out_schema).parquet(out)
         .groupBy(
             F.col("_commit_version").alias("version"),
             F.col("_change").alias("change"),
@@ -1034,7 +1140,11 @@ def acid_restore_audit(spark, sf_dir):
 
     from .table_format import TxnLogFormat
 
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    from .sources.fixtures import fixture_schema
+
+    orders = spark.read.schema(fixture_schema(spark, sf_dir, "orders")).parquet(
+        os.path.join(sf_dir, "orders.parquet")
+    )
     posts = orders.select(
         F.format_string("o:%09d", F.col("o_orderkey")).alias("uri"),
         F.col("o_orderpriority").alias("key"),

@@ -1082,12 +1082,15 @@ def bm25_probe(spark, index_path: str, terms) -> "F.DataFrame":
 
     with open(os.path.join(index_path, "stats.json")) as f:
         stats = json.load(f)
+    # ONE local relation serves both the bucket probe and the term join
+    # (optimization r14: createDataFrame is ~0.1s of py4j/driver work per
+    # call — the second identical relation bought nothing)
+    qt = spark.createDataFrame([(t,) for t in terms], "term string")
     buckets = sorted(
-        {r["b"] for r in spark.createDataFrame([(t,) for t in terms], "term string")
+        {r["b"] for r in qt
          .select((F.abs(F.hash("term")) % BM25_INDEX_BUCKETS).alias("b"))
          .collect()}
     )
-    qt = spark.createDataFrame([(t,) for t in terms], "term string")
     postings = (
         spark.read.parquet(os.path.join(index_path, "postings"))
         .filter(F.col("term_bucket").isin(buckets))
@@ -1321,7 +1324,14 @@ def lm_perplexity_scores(spark, sf_dir):
     )
     uni = toks.select(F.explode("t").alias("w"))
     uc = uni.groupBy("w").agg(F.count("*").alias("cw"))
-    v = uc.count()  # vocab size: one scalar to the driver
+    # vocab size as a 1-row broadcast aggregate, NOT a driver count()
+    # (optimization r14, same rewrite as bigram_pmi's r13 n2 fix): the
+    # count() ran the whole tokenize+explode+groupBy lineage as its own
+    # job before the real plan ran it again — one extra corpus pass and
+    # a driver round trip; as a plan branch both consumers read the
+    # SAME uc aggregation (ReusedExchange) inside the one action, and
+    # the scalar never touches the driver.
+    vc = uc.agg(F.count("*").cast("double").alias("v"))
     bg = (
         toks.filter(F.size("t") >= 2)
         .select(
@@ -1340,9 +1350,10 @@ def lm_perplexity_scores(spark, sf_dir):
     terms = (
         bg.join(bc, "bigram")
         .join(uc, bg["w1"] == uc["w"])
+        .join(F.broadcast(vc))
         .select(
             "doc_id",
-            F.log((F.col("cb") + F.lit(1.0)) / (F.col("cw") + F.lit(float(v)))).alias("lp"),
+            F.log((F.col("cb") + F.lit(1.0)) / (F.col("cw") + F.col("v"))).alias("lp"),
         )
     )
     return terms.groupBy("doc_id").agg(

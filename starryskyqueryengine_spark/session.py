@@ -38,12 +38,25 @@ RUNTIME_CONFS: dict[str, str] = {
 
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable confs to an existing session (idempotent)."""
+    """Apply runtime-settable confs to an existing session (idempotent).
+
+    Memoized per session object (optimization r14): this runs on every
+    ``load_table`` call — hundreds of times per bench lap — and each of
+    the 9 ``conf.set`` calls is a py4j round trip.  Nothing in the
+    engine mutates these specific keys after application (the scoped
+    shuffle/stream knobs touch only ``spark.sql.shuffle.partitions``),
+    so one application per session is equivalent."""
+    if getattr(spark, "_ssqe_runtime_confs_applied", False):
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-modifiable in this deployment; keep going
+    try:
+        spark._ssqe_runtime_confs_applied = True
+    except Exception:
+        pass  # exotic session proxy that rejects attributes: just re-apply
     return spark
 
 

@@ -52,9 +52,60 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# Schema catalog (optimization r14, guide §1.2/§6): ``spark.read.parquet``
+# re-infers the schema on EVERY call — a footer read plus DataSource
+# resolution measured at ~0.10-0.15 s per call on this driver, paid
+# ~330 times per bench lap (30+ s/lap of pure metadata overhead).  A
+# production deployment reads through a metastore/table-format catalog
+# precisely so that per-query schema inference never happens; this dict
+# is that catalog for the fixture tables.  It memoizes ONLY the inferred
+# StructType — never data, never results — and the key carries the
+# file's (mtime_ns, size) fingerprint, so a rewritten fixture file is
+# re-inferred from its new footer (same freshness contract a metastore
+# gets from invalidation on commit).
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _read_fixture(spark: SparkSession, path: str) -> DataFrame:
+    """Read a fixture parquet file through the schema catalog."""
+    key = None
+    try:
+        import os
+
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        pass  # let spark.read surface the real error below
+    cached = _SCHEMA_CACHE.get(key) if key is not None else None
+    if cached is not None:
+        return spark.read.schema(cached).parquet(path)
+    df = spark.read.parquet(path)
+    if key is not None:
+        _SCHEMA_CACHE[key] = df.schema
+    return df
+
+
+def fixture_schema(spark: SparkSession, sf_dir: str, name: str):
+    """The RAW (un-normalized) fixture file schema, via the same stat-
+    fingerprinted catalog — for callers that need a schema without a
+    frame (streaming sources staging the fixture file)."""
+    apply_runtime_confs(spark)
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        import os
+
+        st = os.stat(path)
+        cached = _SCHEMA_CACHE.get((path, st.st_mtime_ns, st.st_size))
+        if cached is not None:
+            return cached
+    except OSError:
+        pass
+    return _read_fixture(spark, path).schema
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = _read_fixture(spark, f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_events_ts(df)
     return df

@@ -646,3 +646,20 @@ def test_fingerprint_band_join_is_equi_never_cartesian(spark, queries):
     # row-at-a-time UDF
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_span_dedup_first_occurrence_is_single_window(spark, queries):
+    """span_dedup_stats' first-occurrence arg-min must plan as a window
+    min over the shingle hash, not groupBy+join-back (optimization r14):
+    the join form computed and shuffled the corpus-token-sized exploded
+    stream TWICE and then sorted both legs for the SMJ.  No h-keyed join
+    may reappear; exactly two Window nodes remain (the arg-min over h
+    and the per-doc interval union)."""
+    df = queries["span_dedup_stats"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan or "mk" not in plan.split(
+        "SortMergeJoin"
+    )[1][:200], "first-occurrence join-back is back"
+    assert plan.count("Window") >= 2
+    # the one remaining join is the doc-level totals LEFT join
+    assert "ShuffledHashJoin" not in plan

@@ -63,6 +63,7 @@ WHITELIST: dict[str, str] = {
     "dsir_importance_weights": "scalar: 1-row target/raw total counts broadcast into the weight",
     "dsir_resample": "scalar: same 1-row totals as dsir_importance_weights",
     "hybrid_rrf_search": "scalar: BM25 leg's 1-row (N, avgdl) stats",
+    "lm_perplexity_scores": "scalar: 1-row vocab-size aggregate broadcast into the smoothing denominator (optimization r14 — replaced a driver count())",
     "kmeans_update_step": "grid: k centroids broadcast for the assign step",
     "knn_centroid_assign": "grid: k centroids broadcast for the assign step",
     "mixture_sample": "scalar: 1-row grand-total token count joined into per-source rates",

@@ -87,7 +87,7 @@ def main() -> None:
             builds.append(round(t1 - t0, 3))
             laps.append(round(t2 - t0, 3))
             spark.catalog.clearCache()
-        med = sorted(laps)[len(laps) // 2]
+        med = sorted(laps)[len(laps) // 2] if laps else None
         print(json.dumps({"query": name, "laps": laps, "median": med,
                           "build": builds}), flush=True)
     spark.stop()

@@ -135,15 +135,20 @@ def minhash_signatures(
     sigs = h.groupBy(id_col).agg(*aggs).select(
         id_col, F.array(*[F.col(f"_m{i}") for i in range(NUM_HASHES)]).alias("sig")
     )
-    # sh feeds both this join and downstream self-joins (LSH banding,
-    # Jaccard verify) — persist the shingled form once instead of
-    # recomputing the shingle pipeline per plan branch. At cluster scale
-    # this is the standard "materialize the signature table" step (tiny
-    # relative to the text it summarizes).
-    sh = sh.cache()
+    # Persist the JOINED (id, shingles, sig) table, not just the
+    # shingled form (optimization r14): downstream consumers branch off
+    # this frame ~3 times per query (LSH banding, the two Jaccard
+    # verify legs), and with only `sh` cached each branch re-ran the
+    # explode + 16-min hash AGGREGATE from the cached shingles — the
+    # signature computation executed three times per pipeline.  Caching
+    # the join output runs it once; the extra cached payload is one
+    # 16-long array per doc on top of the shingles that were already
+    # pinned.  At cluster scale this is the standard "materialize the
+    # signature table" step (tiny relative to the text it summarizes).
+    out = sh.join(sigs, id_col).cache()
     if caches is not None:
-        caches.append(sh)
-    return sh.join(sigs, id_col)
+        caches.append(out)
+    return out
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -612,6 +612,18 @@ def _load_extensions() -> None:
 # doubly-qualified pattern-match row).  Changed code outranks stale
 # green; everything else stays value-checked per-round by
 # tools/full_gate.py and tests/test_oracle_parity.py.
+# OPTIMIZATION-ROUND UPDATE (r14): seven rows this round's
+# optimizations touched swap IN (span_dedup_stats — window arg-min
+# rewrite; lm_perplexity_scores — vocab broadcast scalar;
+# dedup_minhash_lsh / dedup_survivors / cross_source_dup_matrix — the
+# cached-signature-table change in functions/dedup.py;
+# w_stream_outer_join — pyarrow sentinels + seed-write removal;
+# w_stream_dedup — seed-write removal), displacing seven UNTOUCHED
+# simple-projection r9 rows (sample_stratified, split_train_val,
+# seq_length_histogram, rollup_revenue, pivot_segment_priority,
+# contrastive_negatives, vocab_top_terms — each still value-asserted
+# every round by the local full gate; they return in r15).  Changed
+# code outranks stale green, same policy as above.
 PRIORITY: list[str] = [
     # --- Regression core (multi-round driver-green, highest risk) ---
     "flagship_multifeed",
@@ -630,7 +642,7 @@ PRIORITY: list[str] = [
     "bloom_prefilter_upsert",
     "chunk_documents",
     "chunk_documents_udtf",
-    "contrastive_negatives",
+    "w_stream_outer_join",
     "dedup_containment",
     "dedup_ngram_jaccard",
     "dedup_simhash",
@@ -639,12 +651,12 @@ PRIORITY: list[str] = [
     "knn_centroid_assign",
     "p12_lang_filter",
     "pipeline_clean_corpus",
-    "pivot_segment_priority",
-    "rollup_revenue",
+    "cross_source_dup_matrix",
+    "dedup_survivors",
     "s10_feed_response",
-    "sample_stratified",
-    "seq_length_histogram",
-    "split_train_val",
+    "span_dedup_stats",
+    "dedup_minhash_lsh",
+    "lm_perplexity_scores",
     "t2_keyset_page",
     "text_fingerprint",
     "text_lang_id",
@@ -653,7 +665,7 @@ PRIORITY: list[str] = [
     "tfidf_top_terms",
     "u3_delete_insert_upsert",
     "u4_cascading_delete",
-    "vocab_top_terms",
+    "w_stream_dedup",
     "w_stream_interval_join",
     # --- r14-touched code paths (table_format/zorder/BM25 fixes) ---
     "acid_table_audit",

@@ -374,6 +374,7 @@ def main() -> None:
         "queries_best": best,
         "drift_controls": drift_controls,
         "round": cur_round,
+        "cpus": cpus,
         "normalized_ratios": normalized_ratios,
         "normalized_summary": norm_summary,
         # r8->r9 root cause, chunk_documents_udtf (verdict r8 #3): the
@@ -556,7 +557,13 @@ def main() -> None:
     # after the driver's BENCH write shifted the inference — overwriting
     # would mislabel the round the next normalization compares against.
     # Only an explicit env-pinned round may overwrite its own archive.
-    arch_path = os.path.join(here, f"bench_full_r{cur_round:02d}.json")
+    # A reduced-core scaling run (driver's low-cpu pass) must never claim
+    # the round's main archive slot: r14's 8-core pass ran after the
+    # driver wrote BENCH_r14.json, inferred round 15, and archived 8-core
+    # numbers as bench_full_r15.json.  Suffix the archive with the core
+    # count whenever it differs from the machine's full count.
+    cpu_tag = "" if cpus == (os.cpu_count() or cpus) else f"_c{cpus}"
+    arch_path = os.path.join(here, f"bench_full_r{cur_round:02d}{cpu_tag}.json")
     if os.path.exists(arch_path) and not env_round:
         print(
             f"bench: {os.path.basename(arch_path)} already exists and "

@@ -699,6 +699,7 @@ def _write_sentinels_pyarrow(stage: str, src_path: str, sentinel_id: int) -> boo
         if mx is None:
             return False
         sch = sch.remove_metadata()
+        written = []
         for i, days in enumerate((365, 366)):
             far = mx + _dt.timedelta(days=days)
             tbl = pa.table(
@@ -715,10 +716,26 @@ def _write_sentinels_pyarrow(stage: str, src_path: str, sentinel_id: int) -> boo
                 schema=sch,
             )
             tgt = f"{stage}/z_sentinel_{i}.parquet"
+            written.append(tgt)
             pq.write_table(tbl, tgt)
             _os.utime(tgt, (_tm.time() + 100 + 10 * i,) * 2)
         return True
-    except Exception:
+    except Exception as exc:
+        # ADVICE r14: surface WHY the fast path bailed (a silent bare
+        # except lets pyarrow API drift disable it forever unnoticed),
+        # and remove any partially written sentinel rather than relying
+        # on the Spark fallback overwriting the same target names.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "pyarrow sentinel fast path failed, falling back to Spark: %r", exc
+        )
+        try:
+            for tgt in written:
+                if _os.path.exists(tgt):
+                    _os.remove(tgt)
+        except OSError:
+            pass
         return False
 
 

@@ -1327,10 +1327,10 @@ def lm_perplexity_scores(spark, sf_dir):
     # vocab size as a 1-row broadcast aggregate, NOT a driver count()
     # (optimization r14, same rewrite as bigram_pmi's r13 n2 fix): the
     # count() ran the whole tokenize+explode+groupBy lineage as its own
-    # job before the real plan ran it again — one extra corpus pass and
-    # a driver round trip; as a plan branch both consumers read the
-    # SAME uc aggregation (ReusedExchange) inside the one action, and
-    # the scalar never touches the driver.
+    # job before the real plan ran it again — one extra driver round
+    # trip + job.  NOTE (verdict r14): the physical plan does NOT reuse
+    # the uc exchange — the vocab branch recomputes the aggregation
+    # in-plan; the win is the removed job/driver sync only.
     vc = uc.agg(F.count("*").cast("double").alias("v"))
     bg = (
         toks.filter(F.size("t") >= 2)
@@ -1350,7 +1350,9 @@ def lm_perplexity_scores(spark, sf_dir):
     terms = (
         bg.join(bc, "bigram")
         .join(uc, bg["w1"] == uc["w"])
-        .join(F.broadcast(vc))
+        # explicit 1-row cartesian (ADVICE r14): .join() with no condition
+        # read as a mistake and leaned on crossJoin.enabled defaults
+        .crossJoin(F.broadcast(vc))
         .select(
             "doc_id",
             F.log((F.col("cb") + F.lit(1.0)) / (F.col("cw") + F.col("v"))).alias("lp"),

@@ -45,9 +45,15 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     the 9 ``conf.set`` calls is a py4j round trip.  Nothing in the
     engine mutates these specific keys after application (the scoped
     shuffle/stream knobs touch only ``spark.sql.shuffle.partitions``),
-    so one application per session is equivalent."""
+    but an externally provided driver session could (ADVICE r14): one
+    canary key is re-read per call — a single round trip — and any
+    drift triggers a full re-apply."""
     if getattr(spark, "_ssqe_runtime_confs_applied", False):
-        return spark
+        try:
+            if spark.conf.get("spark.sql.session.timeZone", "") == "UTC":
+                return spark
+        except Exception:
+            return spark  # conf unreadable: keep memoized behavior
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)

@@ -66,16 +66,34 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
 _SCHEMA_CACHE: dict[tuple, object] = {}
 
 
+def _schema_cache_key(path: str) -> tuple | None:
+    """Stat fingerprint for the schema catalog.  For a plain file the
+    (mtime_ns, size) pair changes on any rewrite.  For a directory-shaped
+    dataset (ADVICE r14) an in-place part-file rewrite keeps the directory
+    mtime, so fold in the newest/biggest immediate child as well."""
+    import os
+
+    try:
+        st = os.stat(path)
+        if not os.path.isdir(path):
+            return (path, st.st_mtime_ns, st.st_size)
+        newest = 0
+        total = 0
+        n = 0
+        with os.scandir(path) as it:
+            for e in it:
+                cst = e.stat()
+                newest = max(newest, cst.st_mtime_ns)
+                total += cst.st_size
+                n += 1
+        return (path, st.st_mtime_ns, newest, total, n)
+    except OSError:
+        return None
+
+
 def _read_fixture(spark: SparkSession, path: str) -> DataFrame:
     """Read a fixture parquet file through the schema catalog."""
-    key = None
-    try:
-        import os
-
-        st = os.stat(path)
-        key = (path, st.st_mtime_ns, st.st_size)
-    except OSError:
-        pass  # let spark.read surface the real error below
+    key = _schema_cache_key(path)  # None: let spark.read surface the error
     cached = _SCHEMA_CACHE.get(key) if key is not None else None
     if cached is not None:
         return spark.read.schema(cached).parquet(path)
@@ -91,15 +109,11 @@ def fixture_schema(spark: SparkSession, sf_dir: str, name: str):
     frame (streaming sources staging the fixture file)."""
     apply_runtime_confs(spark)
     path = f"{sf_dir}/{name}.parquet"
-    try:
-        import os
-
-        st = os.stat(path)
-        cached = _SCHEMA_CACHE.get((path, st.st_mtime_ns, st.st_size))
+    key = _schema_cache_key(path)
+    if key is not None:
+        cached = _SCHEMA_CACHE.get(key)
         if cached is not None:
             return cached
-    except OSError:
-        pass
     return _read_fixture(spark, path).schema
 
 

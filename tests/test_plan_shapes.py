@@ -657,9 +657,15 @@ def test_span_dedup_first_occurrence_is_single_window(spark, queries):
     and the per-doc interval union)."""
     df = queries["span_dedup_stats"](spark, SF_DIR)
     plan = plan_of(df)
-    assert "SortMergeJoin" not in plan or "mk" not in plan.split(
-        "SortMergeJoin"
-    )[1][:200], "first-occurrence join-back is back"
+    # ADVICE r14: inspect EVERY shuffle-join occurrence (a regressed
+    # join-back appearing as a second SMJ must not hide behind the
+    # first), and allow AQE to pick ShuffledHashJoin for the remaining
+    # doc-level join — only an h/mk-keyed join is the regression.
+    import re as _re
+
+    for kind in ("SortMergeJoin", "ShuffledHashJoin"):
+        for seg in plan.split(kind)[1:]:
+            assert "mk" not in seg[:200] and not _re.search(
+                r"\bh#", seg[:200]
+            ), f"first-occurrence join-back is back ({kind})"
     assert plan.count("Window") >= 2
-    # the one remaining join is the doc-level totals LEFT join
-    assert "ShuffledHashJoin" not in plan

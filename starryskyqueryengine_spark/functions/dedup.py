@@ -135,19 +135,27 @@ def minhash_signatures(
     sigs = h.groupBy(id_col).agg(*aggs).select(
         id_col, F.array(*[F.col(f"_m{i}") for i in range(NUM_HASHES)]).alias("sig")
     )
-    # Persist the JOINED (id, shingles, sig) table, not just the
-    # shingled form (optimization r14): downstream consumers branch off
-    # this frame ~3 times per query (LSH banding, the two Jaccard
-    # verify legs), and with only `sh` cached each branch re-ran the
-    # explode + 16-min hash AGGREGATE from the cached shingles — the
-    # signature computation executed three times per pipeline.  Caching
-    # the join output runs it once; the extra cached payload is one
-    # 16-long array per doc on top of the shingles that were already
-    # pinned.  At cluster scale this is the standard "materialize the
-    # signature table" step (tiny relative to the text it summarizes).
-    out = sh.join(sigs, id_col).cache()
+    # Persist the TWO SKINNY tables — (id, shingles) and (id, sig) —
+    # never their join (optimization r15, adjudicating verdict r14 #1).
+    # r13 cached only `sh`, so LSH banding and both Jaccard-verify legs
+    # re-ran the explode + 16-min-hash aggregate (3 executions per
+    # pipeline); r14 cached the JOINED (id, shingles, sig) table, which
+    # ran the aggregate once but paid a shingle-array-sized join shuffle
+    # + a wider cache fill, and dedup_survivors regressed +18% on two
+    # boots.  The join is pure container convenience: banding reads only
+    # (id, sig) and verify reads only (id, shingles) — no consumer needs
+    # both in one row.  The skinny signature cache runs the aggregate
+    # once AND the join zero times; downstream helpers pick the table
+    # they need via the handles attached below (ids are identical across
+    # the three frames by construction: sigs = groupBy(id) over the
+    # explode of sh, so the lazy joined view stays a correct fallback
+    # for any caller that materializes it).
+    sh = sh.cache()
+    sigs = sigs.cache()
+    out = sh.join(sigs, id_col)
+    out._ssqe_minhash_parts = (sh, sigs)
     if caches is not None:
-        caches.append(out)
+        caches.extend((sh, sigs))
     return out
 
 
@@ -177,7 +185,14 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 def lsh_band_rows(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, band, band_sig) rows from a signature table: one explode to
     BANDS rows per doc; band_sig joins equal iff the band's LSH_ROWS
-    signature slots all match."""
+    signature slots all match.
+
+    Banding touches only (id, sig): when the input carries the skinny
+    cached-parts handle from :func:`minhash_signatures`, band off the
+    cached (id, sig) table directly instead of the shingles⋈sig view."""
+    parts = getattr(sigs, "_ssqe_minhash_parts", None)
+    if parts is not None:
+        sigs = parts[1]
     return sigs.select(
         F.col(id_col),
         F.explode(
@@ -233,7 +248,12 @@ def jaccard_verify(
     pairs: DataFrame, shingled: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs (applied to candidates only —
-    never the quadratic pair space)."""
+    never the quadratic pair space).  Verification touches only
+    (id, shingles): prefer the skinny cached shingle table when the
+    input carries the parts handle from :func:`minhash_signatures`."""
+    parts = getattr(shingled, "_ssqe_minhash_parts", None)
+    if parts is not None:
+        shingled = parts[0]
     sh = shingled.select(F.col(id_col), F.col("shingles"))
     a = sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a")
     b = sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b")
@@ -842,8 +862,12 @@ class NearDupGate:
         sigs = minhash_signatures(
             docs, text_col=text_col, id_col=idc, caches=caches
         )
+        # ids(sig table) == ids(joined view) by construction; the skinny
+        # cached table makes the anti-join probe cheap
+        parts = getattr(sigs, "_ssqe_minhash_parts", None)
+        sig_ids = (parts[1] if parts is not None else sigs).select(idc)
         short_bands = (
-            docs.join(sigs.select(idc), idc, "left_anti")
+            docs.join(sig_ids, idc, "left_anti")
             .select(
                 F.col(idc),
                 F.lit(-1).alias("band"),
@@ -853,7 +877,7 @@ class NearDupGate:
             )
         )
         bands = (
-            lsh_band_rows(sigs.select(idc, "sig"), idc)
+            lsh_band_rows(sigs, idc)
             .unionByName(short_bands)
             .cache()
         )

@@ -2698,12 +2698,29 @@ def label_prop_communities(spark, sf_dir):
     # strictly less fan-out (same PPJoin-style discipline as the dedup family)
     a = op.select("ok", F.col("p").alias("p1"))
     b = op.select("ok", F.col("p").alias("p2"))
-    edges = (
+    # The co-occurrence relation is symmetric: build only the p1 < p2
+    # half, distinct it, then mirror each surviving pair with one
+    # explode (optimization r15, guide §2.3 — shuffle fewer bytes).
+    # Halves the self-join output AND the rows into the (src, dst)
+    # distinct exchange — the query's dominant, edge-sized shuffle; the
+    # explode is narrow (no second pass over the distinct, which a
+    # self-union of the half WOULD pay), and the two directions of a
+    # p1 < p2 pair are distinct rows (no self-loops), so the edge SET
+    # is identical to the old p1 != p2 + distinct form.
+    half = (
         a.join(b, "ok")
-        .filter(F.col("p1") != F.col("p2"))
+        .filter(F.col("p1") < F.col("p2"))
         .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
         .distinct()
     )
+    edges = half.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     # the EDGE BUILD (pair self-join + distinct) is input-sized — run it
     # at the session's full parallelism and materialize; only the
     # node-sized propagation rounds get the scoped shuffle

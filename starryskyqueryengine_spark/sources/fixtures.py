@@ -91,15 +91,44 @@ def _schema_cache_key(path: str) -> tuple | None:
         return None
 
 
+# DataFrame-plan memo (optimization r15, guide §1.2): even WITH the
+# cached schema, ``spark.read.schema(s).parquet(path)`` pays ~20-30 ms
+# of DataSource resolution py4j traffic per call — ~330 load_table
+# calls per bench lap is seconds of pure plan re-construction.  A
+# DataFrame is an immutable lazy plan, so handing every caller in the
+# same session the SAME plan object is semantically identical to
+# re-deriving it (this is what a catalog's resolved-relation cache
+# does).  Memoizes ONLY the lazy plan — never data, never results —
+# per session object (dies with the session), keyed by the same stat
+# fingerprint as the schema catalog so a rewritten file re-resolves.
+def _df_cache(spark: SparkSession) -> dict | None:
+    cache = getattr(spark, "_ssqe_df_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            spark._ssqe_df_cache = cache
+        except Exception:
+            return None  # exotic session proxy rejects attributes: no memo
+    return cache
+
+
 def _read_fixture(spark: SparkSession, path: str) -> DataFrame:
-    """Read a fixture parquet file through the schema catalog."""
+    """Read a fixture parquet file through the schema + plan catalogs."""
     key = _schema_cache_key(path)  # None: let spark.read surface the error
+    cache = _df_cache(spark) if key is not None else None
+    if cache is not None:
+        df = cache.get(("raw", key))
+        if df is not None:
+            return df
     cached = _SCHEMA_CACHE.get(key) if key is not None else None
     if cached is not None:
-        return spark.read.schema(cached).parquet(path)
-    df = spark.read.parquet(path)
-    if key is not None:
-        _SCHEMA_CACHE[key] = df.schema
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _SCHEMA_CACHE[key] = df.schema
+    if cache is not None:
+        cache[("raw", key)] = df
     return df
 
 
@@ -119,9 +148,20 @@ def fixture_schema(spark: SparkSession, sf_dir: str, name: str):
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
-    df = _read_fixture(spark, f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        df = normalize_events_ts(df)
+    path = f"{sf_dir}/{name}.parquet"
+    if name != "events":
+        return _read_fixture(spark, path)
+    # events: memoize the NORMALIZED plan too (normalize_events_ts is a
+    # pure projection, but it is several py4j calls per load)
+    key = _schema_cache_key(path)
+    cache = _df_cache(spark) if key is not None else None
+    if cache is not None:
+        df = cache.get(("events", key))
+        if df is not None:
+            return df
+    df = normalize_events_ts(_read_fixture(spark, path))
+    if cache is not None:
+        cache[("events", key)] = df
     return df
 
 

@@ -58,3 +58,28 @@ def test_fixture_schema_matches_raw_file_schema(spark):
     assert fx.fixture_schema(spark, SF_DIR, "events") == raw
     # and the cached second call returns the same object content
     assert fx.fixture_schema(spark, SF_DIR, "events") == raw
+
+
+def test_df_plan_memo_returns_same_plan_object(spark):
+    """Optimization r15: load_table memoizes the lazy DataFrame plan per
+    session — same immutable plan object on a memo hit, no re-resolution."""
+    d1 = fx.load_table(spark, SF_DIR, "documents")
+    d2 = fx.load_table(spark, SF_DIR, "documents")
+    assert d1 is d2
+    e1 = fx.load_table(spark, SF_DIR, "events")
+    e2 = fx.load_table(spark, SF_DIR, "events")
+    assert e1 is e2
+    assert e1 is not d1  # events memoized under its own (normalized) key
+
+
+def test_df_plan_memo_invalidated_by_rewrite(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    spark.range(3).selectExpr("id AS a").coalesce(1).write.parquet(p)
+    d1 = fx.load_table(spark, str(tmp_path), "t")
+    time.sleep(0.01)
+    spark.range(4).selectExpr("id AS a").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p)
+    d2 = fx.load_table(spark, str(tmp_path), "t")
+    assert d1 is not d2  # new fingerprint -> fresh plan
+    assert d2.count() == 4

@@ -1361,124 +1361,137 @@ def pipeline_rag_retrieval(spark, sf_dir):
     fusion (windows + full-outer join) touches at most 2*K rows. This
     is the plan a sparse+dense retrieval stack runs per query batch —
     with the persisted BM25 index and the IVF probe swapped in for the
-    scan-time legs at serving scale."""
-    from .catalog_text import BM25_B, BM25_K1, BM25_QUERY_TERMS
-    from .functions import similarity as sim
+    scan-time legs at serving scale.
 
-    chunks = chunk_documents(spark, sf_dir).select("doc_id", "chunk_id", "chunk_text")
-    qt = spark.createDataFrame([(t,) for t in BM25_QUERY_TERMS], "term string")
-    toks = F.regexp_extract_all(
-        F.lower(F.col("chunk_text")), F.lit("[a-z0-9]+"), 0
-    )
-    # Chunk length needs no explode at all — size() of the extracted
-    # array is the same count, computed inside the scan projection.
-    # The dl > 0 filter replicates the explode form's semantics exactly
-    # (a chunk with zero alphanumeric tokens emitted no rows, so it was
-    # absent from dl / avgdl / n_docs).
-    dl = chunks.select(
-        "doc_id", "chunk_id", F.size(toks).cast("bigint").alias("dl")
-    ).filter(F.col("dl") > 0)
-    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs"))
-    # BM25 only ever scores the QUERY terms: filter the exploded token
-    # stream to them BEFORE any aggregation — the per-(chunk, term)
-    # count shuffle carries query-term hits instead of the whole corpus
-    # vocabulary (r7->r8 this tf aggregate was the pipeline's largest
-    # shuffle; scores are bit-identical since non-query terms only ever
-    # joined away).
-    tok = chunks.select(
-        "doc_id", "chunk_id", F.explode(toks).alias("term")
-    ).join(F.broadcast(qt), "term")
-    tf = tok.groupBy("doc_id", "chunk_id", "term").agg(F.count("*").alias("tf"))
-    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    part = (
-        tf.join(F.broadcast(dfq), "term")
-        .join(dl, ["doc_id", "chunk_id"])
-        .join(F.broadcast(stats))
-        .select(
-            "doc_id", "chunk_id",
-            (
-                F.log(
-                    F.lit(1)
-                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                    / (F.col("df") + F.lit(0.5))
-                )
-                * F.col("tf") * F.lit(BM25_K1 + 1)
-                / (
-                    F.col("tf")
-                    + F.lit(BM25_K1)
-                    * (F.lit(1 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
-                )
-            ).alias("part"),
-        )
-    )
-    kw_top = (
-        part.groupBy("doc_id", "chunk_id")
-        .agg(F.round(F.sum("part"), 6).alias("score"))
-        .orderBy(F.col("score").desc(), "doc_id", "chunk_id")
-        .limit(RAG_LEG_K)
-    )
-    wk = Window.orderBy(F.col("score").desc(), "doc_id", "chunk_id")
-    kw = kw_top.withColumn("rank_kw", F.row_number().over(wk).cast("bigint")).select(
-        "doc_id", "chunk_id", "rank_kw"
-    )
+    Built as ONE generated Spark-SQL text (optimization r15, verdict r14
+    ask #4): the DataFrame form cost ~2,500 py4j round trips (~1.0 s of
+    socket time, cProfile-verified) of plan construction per call; a
+    single ``spark.sql`` with DataFrame kwargs is a handful.  Every
+    expression is the same tree the Column API built (chunk formula,
+    query-term-filtered tf, unrolled 64-term dot, rounded tie-breaks,
+    broadcast hints); results are value-pinned by the DuckDB oracle at
+    sf0.001/0.01/0.1 (rows + schema + hash)."""
+    from .session import ensure_parallelism
 
+    docs_par = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    doc_ids = load_table(spark, sf_dir, "documents").select("doc_id")
-    cand = emb.join(doc_ids, emb["vec_id"] == doc_ids["doc_id"]).select(
-        "vec_id", "embedding"
-    )
-    q0 = emb.filter(F.col("vec_id") == 0)
-    # cutting the DOC ranking to RAG_LEG_K is exact: every doc yields
-    # >= 1 chunk and the chunk ordering is (sim DESC, doc_id, chunk_id),
-    # so each of the top-K docs contributes a chunk ahead of any chunk
-    # of a doc ranked below K — the top-K CHUNKS can only come from the
-    # top-K docs.  An unbounded k ranked and broadcast every doc's sim
-    # for nothing, with cost growing with the corpus.
-    dsim = sim.brute_force_topk(q0, cand, RAG_LEG_K).select(
-        F.col("nn_id").alias("doc_id"), "sim"
-    )
-    # The vector leg only needs (doc_id, chunk_id) for the K surviving
-    # docs — joining the corpus-wide chunk table here re-ran the whole
-    # chunk explode a second time (a join cannot push below Generate).
-    # Instead, re-derive chunk ids arithmetically for JUST those K docs:
-    # same n_chunks formula as chunk_documents, bit-identical ids, and
-    # the second corpus scan disappears (K docs instead of all).
-    kdocs = load_table(spark, sf_dir, "documents").join(
-        F.broadcast(dsim), "doc_id"
-    )
-    kws = F.split(F.trim(F.col("text")), r"\s+")
-    k_chunks = (
-        F.ceil(
-            F.greatest(F.size(kws) - F.lit(CHUNK_TOKENS), F.lit(0))
-            / F.lit(CHUNK_STRIDE)
-        ) + 1
-    ).cast("int")
-    vec_top = (
-        kdocs.filter(F.col("text").isNotNull())
-        .select(
-            "doc_id", "sim",
-            F.explode(F.sequence(F.lit(0), k_chunks - 1)).alias("chunk_id"),
-        )
-        .select("doc_id", F.col("chunk_id").cast("bigint").alias("chunk_id"), "sim")
-        .orderBy(F.col("sim").desc(), "doc_id", "chunk_id")
-        .limit(RAG_LEG_K)
-    )
-    wv = Window.orderBy(F.col("sim").desc(), "doc_id", "chunk_id")
-    vec = vec_top.withColumn("rank_vec", F.row_number().over(wv).cast("bigint")).select(
-        "doc_id", "chunk_id", "rank_vec"
+    return spark.sql(
+        _rag_sql(), documents_par=docs_par, documents=docs, embeddings=emb
     )
 
-    fused = kw.join(vec, ["doc_id", "chunk_id"], "full_outer").select(
-        "doc_id", "chunk_id",
-        F.round(
-            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_kw")), F.lit(0.0))
-            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_vec")), F.lit(0.0)),
-            6,
-        ).alias("rrf_score"),
-        "rank_kw", "rank_vec",
+
+def _rag_sql() -> str:
+    from .catalog_text import BM25_B, BM25_K1, BM25_QUERY_TERMS, _vec_sql_parts
+
+    terms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    v = _vec_sql_parts()
+    n_chunks = (
+        f"CAST(ceil(greatest(size(ws) - {CHUNK_TOKENS}, 0) / {CHUNK_STRIDE})"
+        f" + 1 AS INT)"
     )
-    return (
-        fused.orderBy(F.col("rrf_score").desc(), "doc_id", "chunk_id")
-        .limit(RAG_TOP_K)
-        .select("doc_id", "chunk_id", "rrf_score", "rank_kw", "rank_vec")
+    k_chunks = (
+        f"CAST(ceil(greatest(size(split(trim(text), '\\\\s+')) - {CHUNK_TOKENS}, 0)"
+        f" / {CHUNK_STRIDE}) + 1 AS INT)"
     )
+    return f"""
+    WITH qt AS (SELECT term FROM VALUES {terms} AS t(term)),
+    ws AS (
+      SELECT doc_id, ws FROM (
+        SELECT doc_id, split(trim(text), '\\\\s+') AS ws FROM {{documents_par}}
+      ) WHERE ws IS NOT NULL
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+             array_join(slice(ws, i * {CHUNK_STRIDE} + 1, {CHUNK_TOKENS}), ' ')
+               AS chunk_text
+      FROM (SELECT doc_id, ws, explode(sequence(0, {n_chunks} - 1)) AS i FROM ws)
+    ),
+    dl AS (
+      SELECT doc_id, chunk_id, dl FROM (
+        SELECT doc_id, chunk_id,
+               CAST(size(regexp_extract_all(lower(chunk_text), '[a-z0-9]+', 0))
+                    AS BIGINT) AS dl
+        FROM chunks
+      ) WHERE dl > 0
+    ),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+    tok AS (
+      SELECT /*+ BROADCAST(qt) */ c.doc_id, c.chunk_id, c.term
+      FROM (SELECT doc_id, chunk_id,
+                   explode(regexp_extract_all(lower(chunk_text), '[a-z0-9]+', 0))
+                     AS term
+            FROM chunks) c JOIN qt ON c.term = qt.term
+    ),
+    tf AS (SELECT doc_id, chunk_id, term, count(*) AS tf FROM tok
+           GROUP BY doc_id, chunk_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    part AS (
+      SELECT /*+ BROADCAST(dfq), BROADCAST(stats) */ tf.doc_id, tf.chunk_id,
+             ln(1 + (n_docs - df + 0.5D) / (df + 0.5D)) * tf * {BM25_K1 + 1!r}D
+               / (tf + {BM25_K1!r}D * ({1 - BM25_B!r}D + {BM25_B!r}D * dl / avgdl))
+               AS part
+      FROM tf JOIN dfq ON tf.term = dfq.term
+              JOIN dl ON tf.doc_id = dl.doc_id AND tf.chunk_id = dl.chunk_id
+              CROSS JOIN stats
+    ),
+    kw AS (
+      SELECT doc_id, chunk_id, CAST(rn AS BIGINT) AS rank_kw FROM (
+        SELECT doc_id, chunk_id,
+               row_number() OVER (ORDER BY score DESC, doc_id, chunk_id) AS rn
+        FROM (SELECT doc_id, chunk_id, round(sum(part), 6) AS score FROM part
+              GROUP BY doc_id, chunk_id)
+      ) WHERE rn <= {RAG_LEG_K}
+    ),
+    qn AS (
+      SELECT q_vec, {v['qn']} AS _qn FROM (
+        SELECT CAST(embedding AS ARRAY<DOUBLE>) AS q_vec
+        FROM {{embeddings}} WHERE vec_id = 0
+      )
+    ),
+    bn AS (
+      SELECT nn_id, b_vec, {v['bn']} AS _bn FROM (
+        SELECT e.vec_id AS nn_id, CAST(e.embedding AS ARRAY<DOUBLE>) AS b_vec
+        FROM {{embeddings}} e JOIN {{documents}} d ON e.vec_id = d.doc_id
+      )
+    ),
+    scored AS (
+      SELECT /*+ BROADCAST(qn) */ nn_id,
+             round(({v['dot_qb']}) / (_qn * _bn), 6) AS sim
+      FROM qn CROSS JOIN bn
+    ),
+    dsim AS (
+      SELECT nn_id AS doc_id, sim FROM (
+        SELECT nn_id, sim, row_number() OVER (ORDER BY sim DESC, nn_id) AS rn
+        FROM scored
+      ) WHERE rn <= {RAG_LEG_K}
+    ),
+    kdocs AS (
+      SELECT /*+ BROADCAST(dsim) */ d.doc_id, d.text, dsim.sim
+      FROM {{documents}} d JOIN dsim ON d.doc_id = dsim.doc_id
+      WHERE d.text IS NOT NULL
+    ),
+    vec AS (
+      SELECT doc_id, chunk_id, CAST(rn AS BIGINT) AS rank_vec FROM (
+        SELECT doc_id, chunk_id,
+               row_number() OVER (ORDER BY sim DESC, doc_id, chunk_id) AS rn
+        FROM (
+          SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, sim
+          FROM (SELECT doc_id, sim, explode(sequence(0, {k_chunks} - 1)) AS i
+                FROM kdocs)
+        )
+      ) WHERE rn <= {RAG_LEG_K}
+    ),
+    fused AS (
+      SELECT doc_id, chunk_id,
+             round(coalesce(1.0D / (60 + rank_kw), 0.0D)
+                   + coalesce(1.0D / (60 + rank_vec), 0.0D), 6) AS rrf_score,
+             rank_kw, rank_vec
+      FROM kw FULL OUTER JOIN vec USING (doc_id, chunk_id)
+    )
+    SELECT doc_id, chunk_id, rrf_score, rank_kw, rank_vec FROM fused
+    ORDER BY rrf_score DESC, doc_id, chunk_id
+    LIMIT {RAG_TOP_K}
+    """

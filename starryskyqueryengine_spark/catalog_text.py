@@ -746,12 +746,16 @@ def _bm25_doc_scores(spark, sf_dir):
     )
     dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dl.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = (
-        tf.join(F.broadcast(qt), "term")
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
-    )
+    # BM25 only ever scores the QUERY terms: filter the exploded token
+    # stream to them BEFORE the (doc, term) aggregation (optimization
+    # r15 — the same r7->r8 rewrite pipeline_rag_retrieval already has).
+    # The full-vocabulary tf aggregate was this subtree's largest
+    # shuffle; scores are bit-identical because non-query terms only
+    # ever joined away (df per query term and dl/avgdl — computed from
+    # the UNFILTERED stream above — are unchanged).
+    tok_q = tok.join(F.broadcast(qt), "term")
+    tf = tok_q.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     part = (
         tf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")
@@ -884,46 +888,110 @@ def hybrid_rrf_search(spark, sf_dir):
     K-bounded, never corpus-bounded. rrf = sum of 1/(60+rank) over the
     legs a doc appears in; ranks use the rounded-score + id tie-break
     so the cut is engine-portable, and both engines evaluate the same
-    IEEE expression tree for the fused score."""
-    from .functions import similarity as sim
+    IEEE expression tree for the fused score.
 
-    kw_top = (
-        _bm25_doc_scores(spark, sf_dir)
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(HYBRID_LEG_K)
-    )
-    wk = Window.orderBy(F.col("score").desc(), "doc_id")
-    kw = kw_top.withColumn("rank_kw", F.row_number().over(wk).cast("bigint")).select(
-        "doc_id", "rank_kw"
-    )
-
+    Built as ONE generated Spark-SQL text (optimization r15, verdict r14
+    ask #4): the DataFrame form of this plan cost ~1,650 py4j round
+    trips (~0.5 s of socket time) of pure plan construction per call; a
+    single ``spark.sql`` with DataFrame kwargs is a handful.  Every
+    expression below is the same tree the Column API built — the unrolled
+    64-term dot, the dim guard, the rounded-score tie-breaks, the
+    broadcast hints — and the result is value-pinned by the DuckDB
+    oracle (rows + schema + hash)."""
+    docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    doc_ids = load_table(spark, sf_dir, "documents").select("doc_id")
-    cand = emb.join(doc_ids, emb["vec_id"] == doc_ids["doc_id"]).select(
-        "vec_id", "embedding"
-    )
-    q0 = emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC_ID)
-    vec_top = sim.brute_force_topk(q0, cand, HYBRID_LEG_K)
-    wv = Window.orderBy(F.col("sim").desc(), F.col("nn_id"))
-    vec = vec_top.withColumn("rank_vec", F.row_number().over(wv).cast("bigint")).select(
-        F.col("nn_id").alias("doc_id"), "rank_vec"
+    return spark.sql(
+        _hybrid_sql(), documents=docs, embeddings=emb
     )
 
-    fused = kw.join(vec, "doc_id", "full_outer").select(
-        "doc_id",
-        F.round(
-            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_kw")), F.lit(0.0))
-            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_vec")), F.lit(0.0)),
-            6,
-        ).alias("rrf_score"),
-        "rank_kw",
-        "rank_vec",
+
+def _vec_sql_parts(dim: int = 64) -> dict:
+    """Shared SQL fragments for the brute-force cosine leg: unrolled
+    dot-product texts and the dim guard (same trees as
+    functions/similarity.py unrolled_dot / _with_norm)."""
+    def dot(a: str, b: str) -> str:
+        return " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim))
+
+    def guard(field: str) -> str:
+        return (
+            f"CASE WHEN size({field}) < {dim} THEN CAST(raise_error("
+            f"format_string('{field}: expected dim >= {dim}, got %s', "
+            f"CAST(size({field}) AS STRING))) AS DOUBLE) "
+            f"ELSE sqrt({dot(field, field)}) END"
+        )
+
+    return {"dot_qb": dot("q_vec", "b_vec"), "qn": guard("q_vec"), "bn": guard("b_vec")}
+
+
+def _hybrid_sql() -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    v = _vec_sql_parts()
+    return f"""
+    WITH qt AS (SELECT term FROM VALUES {terms} AS t(term)),
+    tok AS (
+      SELECT doc_id,
+             explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS term
+      FROM {{documents}}
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+    tok_q AS (SELECT /*+ BROADCAST(qt) */ tok.doc_id, tok.term
+              FROM tok JOIN qt ON tok.term = qt.term),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok_q
+           GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    part AS (
+      SELECT /*+ BROADCAST(dfq), BROADCAST(stats) */ tf.doc_id,
+             ln(1 + (n_docs - df + 0.5D) / (df + 0.5D)) * tf * {BM25_K1 + 1!r}D
+               / (tf + {BM25_K1!r}D * ({1 - BM25_B!r}D + {BM25_B!r}D * dl / avgdl))
+               AS part
+      FROM tf JOIN dfq ON tf.term = dfq.term
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats
+    ),
+    scores AS (SELECT doc_id, round(sum(part), 6) AS score FROM part
+               GROUP BY doc_id),
+    kw AS (
+      SELECT doc_id, CAST(rn AS BIGINT) AS rank_kw FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+        FROM scores
+      ) WHERE rn <= {HYBRID_LEG_K}
+    ),
+    qn AS (
+      SELECT q_vec, {v['qn']} AS _qn FROM (
+        SELECT CAST(embedding AS ARRAY<DOUBLE>) AS q_vec
+        FROM {{embeddings}} WHERE vec_id = {HYBRID_QUERY_VEC_ID}
+      )
+    ),
+    bn AS (
+      SELECT nn_id, b_vec, {v['bn']} AS _bn FROM (
+        SELECT e.vec_id AS nn_id, CAST(e.embedding AS ARRAY<DOUBLE>) AS b_vec
+        FROM {{embeddings}} e JOIN {{documents}} d ON e.vec_id = d.doc_id
+      )
+    ),
+    scored AS (
+      SELECT /*+ BROADCAST(qn) */ nn_id,
+             round(({v['dot_qb']}) / (_qn * _bn), 6) AS sim
+      FROM qn CROSS JOIN bn
+    ),
+    vec AS (
+      SELECT nn_id AS doc_id, CAST(rn AS BIGINT) AS rank_vec FROM (
+        SELECT nn_id, row_number() OVER (ORDER BY sim DESC, nn_id) AS rn
+        FROM scored
+      ) WHERE rn <= {HYBRID_LEG_K}
+    ),
+    fused AS (
+      SELECT doc_id,
+             round(coalesce(1.0D / ({RRF_K} + rank_kw), 0.0D)
+                   + coalesce(1.0D / ({RRF_K} + rank_vec), 0.0D), 6) AS rrf_score,
+             rank_kw, rank_vec
+      FROM kw FULL OUTER JOIN vec USING (doc_id)
     )
-    return (
-        fused.orderBy(F.col("rrf_score").desc(), "doc_id")
-        .limit(HYBRID_TOP_K)
-        .select("doc_id", "rrf_score", "rank_kw", "rank_vec")
-    )
+    SELECT doc_id, rrf_score, rank_kw, rank_vec FROM fused
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT {HYBRID_TOP_K}
+    """
 
 
 SPLIT_VAL_PCT = 10  # val share, percent

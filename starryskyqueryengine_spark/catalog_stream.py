@@ -673,6 +673,7 @@ def _write_sentinels_pyarrow(stage: str, src_path: str, sentinel_id: int) -> boo
     import os as _os
     import time as _tm
 
+    written: list = []
     try:
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -699,7 +700,6 @@ def _write_sentinels_pyarrow(stage: str, src_path: str, sentinel_id: int) -> boo
         if mx is None:
             return False
         sch = sch.remove_metadata()
-        written = []
         for i, days in enumerate((365, 366)):
             far = mx + _dt.timedelta(days=days)
             tbl = pa.table(

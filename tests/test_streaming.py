@@ -1287,3 +1287,18 @@ def test_w6_cdc_missing_indexed_at_raises_contract_error(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="W6 contract"):
         apply_fn(bad, 0)
+
+
+def test_sentinel_fast_path_unsupported_source_returns_false(tmp_path):
+    """An exception BEFORE any sentinel is written (e.g. a directory-shaped
+    events dataset, which pq.ParquetFile rejects) must return False cleanly
+    so the caller falls back to the Spark path — r15 regression: the
+    cleanup loop referenced `written` before assignment on that path."""
+    from starryskyqueryengine_spark.catalog_stream import _write_sentinels_pyarrow
+
+    src = tmp_path / "events.parquet"
+    src.mkdir()  # directory, not a parquet file
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    assert _write_sentinels_pyarrow(str(stage), str(src), 10**9) is False
+    assert list(stage.iterdir()) == []  # nothing partially written

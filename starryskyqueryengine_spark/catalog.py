@@ -619,11 +619,25 @@ def _load_extensions() -> None:
 # cached-signature-table change in functions/dedup.py;
 # w_stream_outer_join — pyarrow sentinels + seed-write removal;
 # w_stream_dedup — seed-write removal), displacing seven UNTOUCHED
-# simple-projection r9 rows (sample_stratified, split_train_val,
-# seq_length_histogram, rollup_revenue, pivot_segment_priority,
-# contrastive_negatives, vocab_top_terms — each still value-asserted
-# every round by the local full gate; they return in r15).  Changed
-# code outranks stale green, same policy as above.
+# simple-projection r9 rows (each still value-asserted every round by
+# the local full gate).  Changed code outranks stale green.
+# OPTIMIZATION-ROUND UPDATE (r15, verdict r14 ask #8): the seven
+# displaced r9 simple-projection rows (sample_stratified,
+# split_train_val, seq_length_histogram, rollup_revenue,
+# pivot_segment_priority, contrastive_negatives, vocab_top_terms) and
+# s11_feed_catalog return as promised, and the four rows whose code
+# r15 touched swap IN (label_prop_communities — p1<p2 mirror edge
+# build; pipeline_rag_retrieval / hybrid_rrf_search — single SQL-text
+# plans; bm25_search — query-term-filtered tf aggregate).  The r15
+# dedup/minhash skinny-cache change rides the six already-windowed
+# dedup/minhash rows.  Displaced: twelve UNTOUCHED rows that the r14
+# driver just verified green (a1_salted_count_per_key,
+# chunk_documents_udtf, j1_broadcast_lookup, j4_arrays_overlap,
+# knn_centroid_assign, p12_lang_filter, t2_keyset_page,
+# text_fingerprint, text_lang_id, text_token_count,
+# u3_delete_insert_upsert, u4_cascading_delete) — freshest green,
+# lowest re-verify value, all still value-asserted per round by
+# tools/full_gate.py.
 PRIORITY: list[str] = [
     # --- Regression core (multi-round driver-green, highest risk) ---
     "flagship_multifeed",
@@ -636,49 +650,51 @@ PRIORITY: list[str] = [
     "s1_datasource_scan",
     "p11_acl_filter",
     "dedup_exact",
-    # --- Freshness: the complete r9 bucket (last driver row = r9) ---
-    "a1_salted_count_per_key",
-    "ann_cosine_topk",
-    "bloom_prefilter_upsert",
-    "chunk_documents",
-    "chunk_documents_udtf",
+    # --- r15-touched code paths ---
+    "dedup_minhash_lsh",
+    "dedup_survivors",
+    "cross_source_dup_matrix",
+    "label_prop_communities",
+    "pipeline_rag_retrieval",
+    "hybrid_rrf_search",
+    "bm25_search",
+    "lm_perplexity_scores",
+    "span_dedup_stats",
     "w_stream_outer_join",
+    # --- same-file prudence (functions/dedup.py changed this round) ---
     "dedup_containment",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "j1_broadcast_lookup",
-    "j4_arrays_overlap",
-    "knn_centroid_assign",
-    "p12_lang_filter",
-    "pipeline_clean_corpus",
-    "cross_source_dup_matrix",
-    "dedup_survivors",
-    "s10_feed_response",
-    "span_dedup_stats",
-    "dedup_minhash_lsh",
-    "lm_perplexity_scores",
-    "t2_keyset_page",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_repetition_stats",
-    "text_token_count",
-    "tfidf_top_terms",
-    "u3_delete_insert_upsert",
-    "u4_cascading_delete",
+    # --- r14-touched code paths, kept one more round ---
     "w_stream_dedup",
     "w_stream_interval_join",
-    # --- r14-touched code paths (table_format/zorder/BM25 fixes) ---
     "acid_table_audit",
     "acid_restore_audit",
     "acid_schema_evolution",
     "table_changes_stream",
     "zorder_skipping_scan",
     "bm25_indexed_search",
-    # --- Oldest r10 rows (freshness top-up; r14 reviewed their files) ---
     "mm_decode_features",
     "mm_frame_sample",
     "mm_metadata_project",
     "w_stream_pattern_match",
+    # --- promised returns (displaced in r14, back as pledged) ---
+    "sample_stratified",
+    "split_train_val",
+    "seq_length_histogram",
+    "rollup_revenue",
+    "pivot_segment_priority",
+    "contrastive_negatives",
+    "vocab_top_terms",
+    "s11_feed_catalog",
+    # --- freshness keeps from the r9 bucket ---
+    "ann_cosine_topk",
+    "bloom_prefilter_upsert",
+    "chunk_documents",
+    "pipeline_clean_corpus",
+    "s10_feed_response",
+    "text_repetition_stats",
+    "tfidf_top_terms",
 ]
 
 def _ordered(d: dict) -> dict:

@@ -22,7 +22,17 @@ from .session import scoped_shuffle_partitions
 from .sources.fixtures import load_table
 
 #: iterative graph rounds churn node-sized tables; size their shuffles
-#: to the working set, not the input (scoped, restored on exit)
+#: to the working set, not the input (scoped, restored on exit).
+#: Scale note (optimization r15): a max(8, defaultParallelism) adaptive
+#: variant was built and A/B'd — at sf0.1 the flat 8 won every lap on
+#: sssp/pagerank_dangling (node-sized rounds pay 32-way task-launch
+#: overhead for nothing), and at an sf1 spot-bench the adaptive form
+#: bought nothing (the rounds are not shuffle-partition-bound there
+#: either; LPA round 1's aggregate input is edge-sized but its map-side
+#: partials parallelize by INPUT partitions, not by this setting).  On
+#: a real cluster this value should derive from the node-table size
+#: (bytes / target-partition-size), not core count; at both bench SFs
+#: 8 is the measured optimum, so the constant stays.
 GRAPH_SHUFFLE_PARTS = 8
 
 SESSION_GAP_US = 30 * 60 * 1_000_000
